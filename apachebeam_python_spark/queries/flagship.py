@@ -1,0 +1,59 @@
+"""Flagship query: pricing summary over ``lineitem`` (TPC-H-Q1-shaped).
+
+Demonstrates the reference's core batch shape — ``Filter`` → ``CombinePerKey``
+(multi-accumulator) → ordered output (SURVEY.md §2.2, §2.3: Beam
+``Filter``/``CombinePerKey`` map to ``df.filter``/``groupBy().agg``; Catalyst
+emits partial+final HashAggregate, i.e. Beam's "combiner lifting" for free).
+
+Scale notes (100 TB): single shuffle on the 6-value group key; map-side
+partial aggregation reduces shuffle traffic to O(groups × partitions);
+predicate + column pruning reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import table
+from ._registry import register
+
+_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2)                                          AS sum_qty,
+  round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+  round(avg(l_quantity), 4)                                          AS avg_qty,
+  round(avg(l_extendedprice), 4)                                     AS avg_price,
+  round(avg(l_discount), 4)                                          AS avg_disc,
+  count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_pricing_summary", oracle=_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,89 @@
+"""SparkSession construction, runtime tuning, and table loading.
+
+The driver hands us an existing ``SparkSession`` (``__spark_entry__.py``), so
+everything that must hold for correctness is applied as *runtime* conf via
+:func:`tune` rather than builder-time conf:
+
+- ``spark.sql.session.timeZone=UTC`` — the fixture parquet stores naive
+  timestamps (FIXTURES.md); DuckDB reads them naive. Pinning the session to
+  UTC makes Spark's collected datetimes identical to DuckDB's, which is what
+  the driver's value-hash compares.
+- AQE + Arrow on; shuffle partitions sized for the local run (the 100 TB
+  story is: leave shuffle partitions to AQE's coalescing — see
+  ``plans/scale_notes.md``).
+
+Scale design: tables are loaded with ``spark.read.parquet`` so Catalyst gets
+predicate pushdown / column pruning / partition pruning for free. No
+``collect()`` happens here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any scale factor we target;
+#: at 100 TB these stay O(MB)-O(GB) while facts grow, so broadcast is the
+#: stable plan (region/nation are bounded by geography; supplier/part/customer
+#: grow but stay orders of magnitude under lineitem/orders/events).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime conf needed for correctness + local performance.
+
+    Safe to call repeatedly (idempotent); called at the top of every
+    registered query so it also holds under the driver's own session.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark
+
+
+def get_spark(app_name: str = "apachebeam_python_spark") -> SparkSession:
+    """Build a local session (tests / bench). The driver supplies its own."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return tune(spark)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Columnar parquet scan → pushdown-friendly."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for ``spark.sql`` entry."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
