@@ -1,4 +1,4 @@
 """Import all query modules so registration side effects populate the registry."""
 
-from . import flagship  # noqa: F401
+from . import elementwise, flagship, scalar_fns, scans  # noqa: F401
 from ._registry import ORACLES, QUERIES, register  # noqa: F401

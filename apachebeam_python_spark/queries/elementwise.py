@@ -1,0 +1,123 @@
+"""Element-wise queries (SURVEY.md §2.2): Map / Filter / FlatMap / Partition /
+tagged-output ParDo, each backed by ``operators.elementwise``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import elementwise as ew
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_project",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+  l_returnflag || '/' || l_linestatus           AS flag_status
+FROM lineitem
+""",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Map`` (1→1 computed projection) — narrow, codegen-fused."""
+    l = table(spark, sf_dir, "lineitem")
+    return ew.map_rows(
+        l,
+        l_orderkey=F.col("l_orderkey"),
+        l_linenumber=F.col("l_linenumber"),
+        # rounded at the product's exact decimal depth (2dec × 2dec = 4dec):
+        # shallower rounding hits X.XX5 half-way cases where Spark (decimal
+        # HALF_UP) and DuckDB (binary) disagree — SURVEY §7.4.4.
+        revenue=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+        flag_status=F.concat_ws("/", "l_returnflag", "l_linestatus"),
+    )
+
+
+@register(
+    "q_filter",
+    oracle="""
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_type LIKE 'PROMO%' AND p_size >= 25 AND p_brand <> 'Brand#33'
+""",
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Filter`` — compound predicate, fully pushdown-eligible."""
+    p = table(spark, sf_dir, "part")
+    pred = (
+        F.col("p_type").like("PROMO%")
+        & (F.col("p_size") >= 25)
+        & (F.col("p_brand") != "Brand#33")
+    )
+    return ew.filter_rows(p, pred).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "q_flatmap_explode",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE lang = 'en'
+""",
+)
+def q_flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``FlatMap`` (1→N): tokenize text and emit one row per token."""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return ew.flat_map_explode(d, F.split("text", " "), "word", "doc_id")
+
+
+@register(
+    "q_partition",
+    oracle="""
+SELECT user_id % 5 AS bucket, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id % 5
+""",
+)
+def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Partition(fn, 5)``: split by deterministic bucket, then
+    re-Flatten with per-bucket aggregates — proves the split covers the input
+    exactly once. Catalyst shares the underlying scan across the 5 filters."""
+    e = table(spark, sf_dir, "events")
+    parts = ew.partition_into(e, F.col("user_id") % 5, 5)
+    aggs = [
+        p.groupBy("bucket").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        for p in parts
+    ]
+    out = aggs[0]
+    for a in aggs[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+@register("q_pardo_tagged")  # rows-only: mapInPandas output, not SQL-expressible as written
+def q_pardo_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``ParDo`` with ``with_outputs`` (TaggedOutput) + a general
+    mapInPandas DoFn (SURVEY §2.2). Tags events by value sign/magnitude; the
+    'large' branch then flows through an Arrow-batched DoFn that standardizes
+    values per bundle (setup/teardown ≈ before/after the batch loop)."""
+    e = table(spark, sf_dir, "events")
+    tagged = ew.par_do_tagged(
+        e,
+        F.when(F.col("value") >= 50, "large").otherwise("small"),
+        tags=("large", "small"),
+    )
+
+    def dofn(batches):
+        for pdf in batches:  # each pandas batch ≈ a Beam bundle
+            out = pdf[["event_id", "user_id", "value"]].copy()
+            out["value_centered"] = out["value"] - 50.0
+            yield out[["event_id", "user_id", "value_centered"]]
+
+    big = ew.par_do(
+        tagged["large"],
+        dofn,
+        schema="event_id long, user_id long, value_centered double",
+    )
+    small_count = tagged["small"].agg(F.count("*").alias("n_small"))
+    return big.crossJoin(small_count)

@@ -1,0 +1,210 @@
+"""Scalar function library queries (SURVEY.md §2.7).
+
+The reference expresses these as raw Python inside DoFns; here they are Spark
+built-ins (JVM-side, codegen'd — no Python boundary). Each family gets one
+oracle-checked query; dialect-parity notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+SELECT
+  p_partkey,
+  upper(p_name)                                   AS name_up,
+  length(p_name)                                  AS name_len,
+  substring(p_name, 1, 8)                         AS name_pfx,
+  regexp_extract(p_brand, 'Brand#(\\d+)', 1)      AS brand_num,
+  concat_ws('|', p_brand, p_type)                 AS brand_type,
+  lpad(CAST(p_size AS VARCHAR), 3, '0')           AS size_pad,
+  replace(p_type, ' ', '_')                       AS type_snake,
+  trim('  ' || p_brand || ' ')                    AS brand_trim,
+  instr(p_type, 'BRUSHED')                        AS brushed_at
+FROM part
+""",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/length/substring/regexp_extract/concat_ws/lpad/
+    replace/trim/instr. Dialect note: Spark ``instr`` and DuckDB ``instr``
+    are both 1-based with 0 for no-match."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_up"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_at"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate)                                            AS yr,
+  month(o_orderdate)                                           AS mo,
+  day(o_orderdate)                                             AS dom,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)          AS month_start,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+  CAST(o_orderdate AS DATE) + 30                               AS due_date,
+  CAST(epoch(o_orderdate) AS BIGINT)                           AS epoch_s
+FROM orders
+WHERE year(o_orderdate) = 1997
+""",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Parity notes: Spark ``datediff`` is calendar-day
+    difference (casts to date) = DuckDB ``date_diff('day', d1, d2)`` on DATEs;
+    ``unix_timestamp`` under a UTC session = DuckDB ``epoch`` on naive ts."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_quantity * l_quantity, 4)        AS qty_sq,
+  round(sqrt(l_extendedprice), 6)          AS price_sqrt,
+  round(ln(l_extendedprice + 1), 6)        AS price_ln,
+  CAST(floor(l_quantity / 7) AS BIGINT)    AS qty_div7,
+  CAST(ceil(l_discount * 100) AS BIGINT)   AS disc_pct_ceil,
+  abs(l_quantity - 25)                     AS qty_dev,
+  CAST(sign(l_discount - 0.05) AS DOUBLE)  AS disc_sign,
+  greatest(l_tax, l_discount)              AS max_rate,
+  least(l_tax, l_discount)                 AS min_rate,
+  l_orderkey % 7                           AS key_mod7
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Parity notes: Spark ``floor``/``ceil`` return LONG while
+    DuckDB returns DOUBLE (oracle casts to BIGINT); Spark ``signum`` returns
+    DOUBLE while DuckDB ``sign`` returns TINYINT (oracle casts to DOUBLE);
+    ``%`` on BIGINT matches natively."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * F.col("l_quantity"), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@register(
+    "q_fn_case",
+    oracle="""
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+       WHEN c_acctbal < 5000 THEN 'standard'
+       ELSE 'premium' END                          AS tier,
+  coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CARS') AS segment_alias,
+  CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE 0 END AS even_nation_bal
+FROM customer
+""",
+)
+def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, coalesce, nullif."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("CARS")).alias(
+            "segment_alias"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal")).otherwise(0.0).alias(
+            "even_nation_bal"
+        ),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+SELECT
+  vec_id,
+  label,
+  len(embedding)                                             AS dim,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 3) AS l1_sum,
+  round(CAST(list_min(embedding) AS DOUBLE), 6)              AS vmin,
+  round(CAST(list_max(embedding) AS DOUBLE), 6)              AS vmax,
+  round(CAST(embedding[1] AS DOUBLE), 6)                     AS first_dim,
+  len(list_filter(embedding, x -> x > 0))                    AS n_pos
+FROM embeddings
+""",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the multimodal embedding column (SURVEY §2.7/§2.11):
+    size/aggregate/min/max/element_at/filter — all JVM-side higher-order
+    functions, no UDF. Floats are cast to double BEFORE rounding in both
+    engines so float32 representation noise can't flip the rounded value."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 3
+        ).alias("l1_sum"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register("q_fn_map")  # rows-only: DuckDB MAP literal/equality semantics differ (SURVEY §2.7)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: map_from_entries / map_keys / map_values / element_at."""
+    d = table(spark, sf_dir, "documents")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("lang").alias("k"), F.col("lang").alias("v")),
+            F.struct(F.lit("source").alias("k"), F.col("source").alias("v")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        m.alias("meta"),
+        F.map_keys(m).alias("meta_keys"),
+        F.element_at(m, "lang").alias("lang_val"),
+    )

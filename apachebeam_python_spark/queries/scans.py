@@ -1,0 +1,95 @@
+"""Source/sink queries (SURVEY.md §2.1): parquet scan, text & CSV round-trips,
+JSON extraction from an embedded column."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import table
+from ..sources import io
+from ._registry import register
+
+
+def _scratch_dir() -> str:
+    """Sink scratch space inside the repo (gitignored) — round-trip queries
+    write here then read back; the oracle checks against the original table."""
+    d = "/root/repo/.tmp"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS retail
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadFromParquet with projection + pushed predicate (SURVEY §2.1)."""
+    p = io.read_parquet(spark, os.path.join(sf_dir, "part.parquet"))
+    return p.filter(F.col("p_size").between(10, 20)).select(
+        "p_partkey", "p_name", "p_brand", F.round("p_retailprice", 2).alias("retail")
+    )
+
+
+@register(
+    "q_scan_text",
+    oracle="SELECT count(*) AS n_lines, count(DISTINCT line) AS n_distinct FROM (SELECT text AS line FROM documents)",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteToText → ReadFromText round-trip (SURVEY §2.1). The written lines
+    are the documents' text; the oracle checks against the original table, so
+    this proves the sink/source pair is lossless for line-oriented data."""
+    out = os.path.join(_scratch_dir(), f"text_{os.path.basename(os.path.normpath(sf_dir))}")
+    docs = table(spark, sf_dir, "documents").select("text")
+    io.write_text(docs, out)
+    lines = io.read_text(spark, out)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
+_CSV_SCHEMA = "p_partkey long, p_brand string, p_size int, p_retailprice double"
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_retail
+FROM part GROUP BY p_brand
+""",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source round-trip with explicit schema (no inferSchema scan
+    — SURVEY §2.1 / scale note in sources/io.py), checked against the
+    original parquet table via the oracle."""
+    out = os.path.join(_scratch_dir(), f"csv_{os.path.basename(os.path.normpath(sf_dir))}")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    io.write_csv(p, out)
+    back = io.read_csv(spark, out, schema=_CSV_SCHEMA)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON column extraction (the Beam textio+json.loads pattern,
+    SURVEY §2.1/§2.7) via ``get_json_object`` — JVM-side, no Python UDF."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", "event_type", k.alias("k_val")).filter(F.col("k_val") > 50)

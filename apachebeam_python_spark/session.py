@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -56,6 +57,11 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet stores timestamp[ns], which Spark 4 refuses to read as a
+    # timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long; table() converts
+    # to TimestampType at µs precision — matching DuckDB's own ns→µs
+    # truncation (SURVEY §7.4.5).
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -80,7 +86,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar parquet scan → pushdown-friendly."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # ns-as-long → µs timestamp; integer `div` (not `/`, which would
+            # round-trip through double and lose precision at 1e18 ns).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

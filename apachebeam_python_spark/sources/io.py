@@ -1,0 +1,67 @@
+"""Batch sources & sinks — the reference's I/O vocabulary (SURVEY.md §2.1).
+
+Beam ``ReadFromText/Parquet/Csv`` + ``WriteTo*`` map to Spark's DataSource
+readers/writers, which give us splittable reads, predicate pushdown and
+column pruning for free (things Beam's file sources do via liquid sharding /
+runner magic). Cloud connectors (BigQuery/PubSub/Kafka) are out of scope
+offline — documented capability gaps (SURVEY §2.1); their *shape* (external
+table read, unbounded source) is covered by parquet views and the streaming
+file source (``streaming/jobs.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Beam ``ReadFromText``: one row per line, column ``value``. Globs OK."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Beam ``WriteToText``: writes string column(s) as text part-files.
+    Sharding is Spark-native (one file per partition) — Beam's num_shards
+    equivalent is ``df.repartition(n)`` before the write."""
+    df.write.mode(mode).text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source. Explicit ``schema`` preferred at scale — ``inferSchema``
+    triggers an extra full scan, unacceptable at 100 TB."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Beam ``ReadFromParquet``: columnar scan; projection/predicates push down."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: tuple[str, ...] = ()) -> None:
+    """Beam ``WriteToParquet`` + partitioned layout: at scale, partition by
+    the dominant filter column so readers get partition pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (the textio+json.loads Beam pattern, SURVEY §2.1)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

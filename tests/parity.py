@@ -54,10 +54,28 @@ def duck_rows(con, sql):
     return cols, rows
 
 
+def _col_types(cols, rows):
+    """Python type of the first non-null value per column (int vs float vs …).
+
+    The driver's value-hash may stringify values, where 6 != 6.0 — so type
+    parity matters even though Python's == would pass.
+    """
+    types = {}
+    for row in rows:
+        for c, v in zip(cols, row):
+            if v is not None and c not in types:
+                types[c] = type(v).__name__
+        if len(types) == len(cols):
+            break
+    return types
+
+
 def assert_parity(df, con, sql, name=""):
     s_cols, s_rows = spark_rows(df)
     d_cols, d_rows = duck_rows(con, sql)
     assert s_cols == d_cols, f"{name}: column mismatch spark={s_cols} duck={d_cols}"
+    s_t, d_t = _col_types(s_cols, s_rows), _col_types(d_cols, d_rows)
+    assert s_t == d_t, f"{name}: value-type mismatch spark={s_t} duck={d_t}"
     if s_rows != d_rows:
         missing = d_rows - s_rows
         extra = s_rows - d_rows
