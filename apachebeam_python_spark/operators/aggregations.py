@@ -1,0 +1,120 @@
+"""Grouping & aggregation operators — the reference's ``GroupByKey`` /
+``CombinePerKey`` / ``combiners`` vocabulary (SURVEY.md §2.3), Spark-first.
+
+Every keyed combine here is a single-shuffle ``groupBy().agg(...)``: Catalyst
+plans partial (map-side) + final HashAggregate automatically, which is
+exactly Beam's "combiner lifting" optimization (SURVEY §4.1) — shuffle
+traffic is O(distinct keys × partitions), not O(rows). That property is what
+makes these hold at 100 TB; helpers below never collect to the driver.
+
+Top-k per key deliberately uses ``row_number`` + filter: Spark ≥3.5 rewrites
+that into WindowGroupLimit (per-partition partial top-k before the shuffle),
+the scalable plan (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def combine_per_key(df: DataFrame, keys: Sequence[str], **aggs: Column) -> DataFrame:
+    """Beam ``CombinePerKey`` (and ``GroupByKey``+fold): keyed multi-agg."""
+    return df.groupBy(*keys).agg(*[a.alias(n) for n, a in aggs.items()])
+
+
+def combine_globally(df: DataFrame, **aggs: Column) -> DataFrame:
+    """Beam ``CombineGlobally``: whole-dataset combine (tiny result, one row)."""
+    return df.agg(*[a.alias(n) for n, a in aggs.items()])
+
+
+def count_per_element(df: DataFrame, *cols: str, out: str = "n") -> DataFrame:
+    """Beam ``Count.PerElement``: element → occurrence count."""
+    return df.groupBy(*cols).agg(F.count("*").alias(out))
+
+
+def distinct_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """Beam ``Distinct``: exact dedup (hash aggregate on all/selected cols)."""
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+def collect_grouped(df: DataFrame, keys: Sequence[str], value: str, *, distinct: bool = False, out: str = "values") -> DataFrame:
+    """Beam ``GroupByKey`` materialized: (K, sorted list[V]).
+
+    Sorted for determinism (oracle parity; Beam PCollections are unordered
+    bags anyway). ``distinct=True`` ≈ ``ToSet``. Avoid at scale when a
+    downstream fold exists — fuse it into agg expressions instead.
+    """
+    coll = F.collect_set(value) if distinct else F.collect_list(value)
+    return df.groupBy(*keys).agg(F.array_sort(coll).alias(out))
+
+
+def top_k_global(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Beam ``Top.Of(k)``: global top-k. ``orderBy+limit`` → Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, no full sort)."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_key(df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, rank_col: str = "rn") -> DataFrame:
+    """Beam ``Top.PerKey(k)``: row_number ≤ k (WindowGroupLimit at runtime).
+
+    ``order`` must be a total order (include a tiebreaker column) or results
+    are nondeterministic under ties.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def latest_per_key(df: DataFrame, keys: Sequence[str], value: str, ts: str, out: str = "latest") -> DataFrame:
+    """Beam ``Latest.PerKey``: value carried by the max-timestamp element.
+    Single shuffle via ``max_by`` — no window, no self-join."""
+    return df.groupBy(*keys).agg(
+        F.max_by(value, ts).alias(out), F.max(ts).alias(f"max_{ts}")
+    )
+
+
+def group_into_batches(df: DataFrame, keys: Sequence[str], value: str, batch_size: int, out: str = "batch") -> DataFrame:
+    """Beam ``GroupIntoBatches``: per-key lists chunked to ≤ batch_size.
+
+    Batch path: collect sorted values per key, slice into chunks, explode.
+    (Streaming path: ``streaming.stateful.batch_events``.) At 100 TB the
+    per-key list must fit an executor — same constraint Beam has per bundle.
+    """
+    values = F.array_sort(F.collect_list(value))
+    n_batches = F.ceil(F.size(F.col("_vals")) / F.lit(batch_size)).cast("int")
+    return (
+        df.groupBy(*keys)
+        .agg(values.alias("_vals"))
+        .select(
+            *keys,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_batches - 1),
+                    lambda i: F.slice(F.col("_vals"), i * batch_size + 1, batch_size),
+                )
+            ).alias(out),
+        )
+    )
+
+
+def approx_distinct(df: DataFrame, keys: Sequence[str], col: str, rsd: float = 0.05, out: str = "approx_nd") -> DataFrame:
+    """Beam ``ApproximateUnique``: HyperLogLog++ sketch, mergeable across
+    partitions (the scale path for distinct counts — never exact-count 100 TB
+    unless asked)."""
+    return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd).alias(out))
+
+
+def approx_quantiles(df: DataFrame, keys: Sequence[str], col: str, probs: Sequence[float], accuracy: int = 10000, out: str = "quantiles") -> DataFrame:
+    """Beam ``ApproximateQuantiles``: Greenwald-Khanna-style mergeable sketch."""
+    return df.groupBy(*keys).agg(
+        F.percentile_approx(col, list(probs), accuracy).alias(out)
+    )
+
+
+def sample_fixed_global(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Beam ``Sample.FixedSizeGlobally``: uniform-ish n via seeded rand order.
+    (TakeOrdered over rand() — avoids full-sort; nondeterministic across
+    partition layouts, hence rows-only checked.)"""
+    return df.orderBy(F.rand(seed)).limit(n)

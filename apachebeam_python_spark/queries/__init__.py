@@ -1,4 +1,13 @@
 """Import all query modules so registration side effects populate the registry."""
 
-from . import elementwise, flagship, scalar_fns, scans  # noqa: F401
+from . import (  # noqa: F401
+    aggregations,
+    elementwise,
+    flagship,
+    joins,
+    scalar_fns,
+    scans,
+    setops,
+    windows,
+)
 from ._registry import ORACLES, QUERIES, register  # noqa: F401

@@ -1,0 +1,258 @@
+"""Aggregation queries (SURVEY.md §2.3), backed by ``operators.aggregations``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregations as agg
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_agg_sum",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinePerKey(sum) — map-side partial agg, one shuffle on 3 keys."""
+    return agg.combine_per_key(
+        table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        sum_qty=F.round(F.sum("l_quantity"), 2),
+        sum_price=F.round(F.sum("l_extendedprice"), 2),
+    )
+
+
+@register(
+    "q_agg_multi",
+    oracle="""
+SELECT l_linestatus,
+       count(*)                            AS n,
+       round(min(l_extendedprice), 2)      AS min_price,
+       round(max(l_extendedprice), 2)      AS max_price,
+       count(DISTINCT l_partkey)           AS nd_parts,
+       round(sum(l_quantity), 2)           AS sum_qty
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinePerKey with many accumulators incl. exact distinct count."""
+    return agg.combine_per_key(
+        table(spark, sf_dir, "lineitem"),
+        ["l_linestatus"],
+        n=F.count("*"),
+        min_price=F.round(F.min("l_extendedprice"), 2),
+        max_price=F.round(F.max("l_extendedprice"), 2),
+        nd_parts=F.countDistinct("l_partkey"),
+        sum_qty=F.round(F.sum("l_quantity"), 2),
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+SELECT count(*)                        AS n_orders,
+       round(sum(o_totalprice), 2)     AS total,
+       round(avg(o_totalprice), 6)     AS avg_price,
+       count(DISTINCT o_custkey)       AS n_customers
+FROM orders
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombineGlobally: whole-dataset combine to one row."""
+    return agg.combine_globally(
+        table(spark, sf_dir, "orders"),
+        n_orders=F.count("*"),
+        total=F.round(F.sum("o_totalprice"), 2),
+        avg_price=F.round(F.avg("o_totalprice"), 6),
+        n_customers=F.countDistinct("o_custkey"),
+    )
+
+
+@register(
+    "q_agg_avg",
+    oracle="""
+SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal, count(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean.PerKey (avg rounded at 6 — half-way cases need an exact 7th
+    decimal digit of 5, vanishingly rare for sum/count rationals)."""
+    return agg.combine_per_key(
+        table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        avg_bal=F.round(F.avg("c_acctbal"), 6),
+        n=F.count("*"),
+    )
+
+
+@register(
+    "q_count_per_element",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_count_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count.PerElement — the canonical Beam counting combine."""
+    return agg.count_per_element(table(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct: exact dedup of the projected pair."""
+    return agg.distinct_rows(table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "q_groupbykey_collect",
+    oracle="""
+SELECT user_id,
+       list(event_type ORDER BY event_type)           AS values,
+       list(DISTINCT event_type ORDER BY event_type)  AS value_set
+FROM events GROUP BY user_id
+""",
+)
+def q_groupbykey_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey materialized to (K, sorted list[V]) + ToSet. Lists sorted in
+    both engines for deterministic hashing (bags are unordered)."""
+    e = table(spark, sf_dir, "events")
+    lists = agg.collect_grouped(e, ["user_id"], "event_type", out="values")
+    sets = agg.collect_grouped(e, ["user_id"], "event_type", distinct=True, out="value_set")
+    return lists.join(sets, "user_id")
+
+
+@register(
+    "q_topk_global",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top.Of(10) → TakeOrderedAndProject (no global sort). o_orderkey
+    tiebreak makes the selection total-ordered, hence deterministic."""
+    o = table(spark, sf_dir, "orders")
+    top = agg.top_k_global(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+    return top.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+@register(
+    "q_topk_per_key",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top.PerKey(3) via row_number ≤ k → WindowGroupLimit: each map task
+    keeps only its local top-3 per key before the shuffle (the 100 TB plan)."""
+    l = table(spark, sf_dir, "lineitem")
+    top = agg.top_k_per_key(
+        l,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        3,
+    )
+    return top.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"), "rn",
+    )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+SELECT user_id, round(arg_max(value, ts), 2) AS latest, max(ts) AS max_ts
+FROM events GROUP BY user_id
+""",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest.PerKey via max_by — single shuffle, no window/self-join."""
+    out = agg.latest_per_key(table(spark, sf_dir, "events"), ["user_id"], "value", "ts")
+    return out.select("user_id", F.round("latest", 2).alias("latest"), "max_ts")
+
+
+@register(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) + CAST(grouping(l_linestatus) AS INTEGER) AS lvl,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (SQL-engine completeness beyond Beam, §2.3)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag").cast("int") + F.grouping("l_linestatus").cast("int")).alias("lvl"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations over status × priority."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_group_into_batches",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, list(event_id ORDER BY event_id) AS vals FROM events GROUP BY user_id
+)
+SELECT user_id,
+       unnest(list_transform(range(1, CAST(ceil(len(vals) / 50.0) AS BIGINT) + 1),
+                             i -> vals[(i - 1) * 50 + 1 : i * 50])) AS batch
+FROM per_key
+""",
+)
+def q_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupIntoBatches(50): per-key sorted ids chunked into ≤50-element
+    batches, exploded one row per batch (SURVEY §2.3)."""
+    return agg.group_into_batches(table(spark, sf_dir, "events"), ["user_id"], "event_id", 50)
+
+
+@register("q_approx_distinct")  # rows-only: HLL estimate, not oracle-hashable (SURVEY §7.4.3)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateUnique via HyperLogLog++ (mergeable sketch — scale path)."""
+    return agg.approx_distinct(table(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+@register("q_approx_quantiles")  # rows-only: sketch-dependent values
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateQuantiles of order totalprice (median, p90, p99)."""
+    return agg.approx_quantiles(
+        table(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99]
+    )
+
+
+@register("q_sample")  # rows-only: nondeterministic across partition layouts
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizeGlobally(100), seeded."""
+    return agg.sample_fixed_global(table(spark, sf_dir, "customer"), 100)

@@ -1,0 +1,217 @@
+"""Join queries (SURVEY.md §2.4), backed by ``operators.joins``.
+
+Star-schema joins ride the fixture join graph (FIXTURES.md): facts
+(lineitem/orders/events) stay partitioned; dims (customer/part/nation/region)
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import joins as J
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi joins across the star (orders→customer→nation). Both dims
+    are broadcast-size; AQE converts to broadcast-hash even without the hint."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = J.equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = J.broadcast_join(j, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero matches (count=0 rows)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    j = J.equi_join(c, o, F.col("o_custkey") == F.col("c_custkey"), how="left")
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'PROMO%'
+GROUP BY p_brand
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam side-input dict lookup = broadcast hash join: the filtered part
+    dim replicates to executors, the lineitem fact never shuffles for the
+    join (tests assert BroadcastHashJoin in the plan)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    j = J.broadcast_join(l, p, F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi: no column leakage, no row multiplication."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return J.semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left_anti (customers with no urgent orders; non-empty)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return J.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT r_name, seg, n_cust
+FROM region,
+     (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+     (SELECT count(*) AS n_cust FROM customer)
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of tiny sides (guarded cross_join): region ×
+    distinct segments × 1-row global count — all distributed, no collect."""
+    c = table(spark, sf_dir, "customer")
+    r = table(spark, sf_dir, "region").select("r_name")
+    segs = c.select(F.col("c_mktsegment").alias("seg")).distinct()
+    n = c.agg(F.count("*").alias("n_cust"))
+    return J.cross_join(J.cross_join(r, segs), n)
+
+
+@register(
+    "q_join_range",
+    oracle="""
+SELECT p_partkey, count(*) AS n_close,
+       round(avg(l_quantity), 6) AS avg_close_qty
+FROM part JOIN lineitem
+  ON l_partkey = p_partkey
+ AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+GROUP BY p_partkey
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + band condition: hash join on partkey, band as join filter
+    (never a BNLJ since the equi key anchors the physical plan)."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    j = J.range_join(
+        l, F.broadcast(p),
+        equi=F.col("l_partkey") == F.col("p_partkey"),
+        band=F.col("l_quantity").between(F.col("p_size") - 5, F.col("p_size") + 5),
+    )
+    return j.groupBy("p_partkey").agg(
+        F.count("*").alias("n_close"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_close_qty"),
+    )
+
+
+@register(
+    "q_cogroup_full_outer",
+    oracle="""
+SELECT
+  COALESCE(a.k, b.k) AS nationkey,
+  COALESCE(a.customers, []::VARCHAR[]) AS customers,
+  COALESCE(b.suppliers, []::VARCHAR[]) AS suppliers
+FROM (SELECT c_nationkey AS k, list(c_name ORDER BY c_name) AS customers
+      FROM customer GROUP BY c_nationkey) a
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, list(s_name ORDER BY s_name) AS suppliers
+      FROM supplier GROUP BY s_nationkey) b
+ON a.k = b.k
+""",
+)
+def q_cogroup_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``CoGroupByKey``: per-nation customer names + supplier names,
+    absent side → empty list (not NULL), lists sorted for determinism."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"), "c_name")
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"), "s_name")
+    return J.cogroup_by_key(
+        c, s, ["nationkey"], "c_name", "s_name",
+        left_out="customers", right_out="suppliers",
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT event_id, user_id, ts, event_type,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS asof_value
+FROM events
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the latest purchase value of that user at
+    or before its timestamp (inclusive). Implemented by the union+window
+    operator — one shuffle on user_id, linear, no range self-join. The
+    single-table oracle formulation is equivalent because (user_id, ts) is
+    unique in the fixture (verified at sf0.1)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = J.asof_join_union(
+        e, purchases, ["user_id"], "ts", "ts", "value", out="asof_value"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round("asof_value", 2).alias("asof_value"),
+    )

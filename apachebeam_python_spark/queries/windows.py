@@ -1,0 +1,128 @@
+"""Analytic window queries (SURVEY.md §2.5), backed by ``operators.windows``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import windows as W
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       CAST(row_number()   OVER w_total AS INTEGER) AS rn,
+       CAST(rank()         OVER w_ties  AS INTEGER) AS rnk,
+       CAST(dense_rank()   OVER w_ties  AS INTEGER) AS drnk,
+       CAST(ntile(4)       OVER w_total AS INTEGER) AS quartile,
+       round(percent_rank() OVER w_ties, 6)         AS prank
+FROM customer
+WINDOW
+  w_total AS (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey),
+  w_ties  AS (PARTITION BY c_mktsegment ORDER BY c_nationkey)
+""",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family. Tie-sensitive functions (rank/dense_rank/percent_rank)
+    run over a ties-allowed order; position-sensitive ones (row_number/ntile)
+    over a total order, so every value is deterministic."""
+    c = table(spark, sf_dir, "customer")
+    w_total = W.over(["c_mktsegment"], [F.col("c_nationkey"), F.col("c_custkey")])
+    w_ties = W.over(["c_mktsegment"], [F.col("c_nationkey")])
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("prank"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(value, 2)                                   AS value,
+       round(lag(value)  OVER w, 2)                      AS prev_value,
+       round(lead(value) OVER w, 2)                      AS next_value,
+       round(first_value(value) OVER w, 2)               AS first_value,
+       round(lag(value, 2, 0.0) OVER w, 2)               AS prev2_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family: lag/lead/first_value + offset-with-default.
+    (user_id, ts) is unique in the fixture → total order, deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = W.over(["user_id"], [F.col("ts")])
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+        F.round(F.lag("value", 2, 0.0).over(w), 2).alias("prev2_value"),
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per key (ROWS unbounded-preceding frame); 2-decimal
+    money summed → exact 2-decimal total, safe to round at 2."""
+    o = table(spark, sf_dir, "orders")
+    w = W.running(["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")])
+    return o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q_win_moving_avg",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+FROM events
+""",
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the trailing 3 rows per key."""
+    e = table(spark, sf_dir, "events")
+    w = W.running(["user_id"], [F.col("ts")], preceding=2)
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.round(F.avg("value").over(w), 6).alias("mavg3"),
+    )
+
+
+@register(
+    "q_win_cume_dist",
+    oracle="""
+SELECT p_partkey, p_brand,
+       round(cume_dist() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS cd
+FROM part
+""",
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution within brand (well-defined under ties)."""
+    p = table(spark, sf_dir, "part")
+    w = W.over(["p_brand"], [F.col("p_retailprice")])
+    return p.select(
+        "p_partkey", "p_brand",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
