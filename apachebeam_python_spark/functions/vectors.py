@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns (SURVEY.md §2.11) —
+pure JVM higher-order-function expressions (zip_with + aggregate): no Python
+boundary, fuses into codegen, works on any array length.
+
+Floats are cast to double element-wise before accumulating, so Spark and the
+DuckDB oracle (list_cosine_similarity over double lists) produce bit-identical
+IEEE results in the same left-to-right order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.pow(x.cast("double") - y.cast("double"), 2)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )

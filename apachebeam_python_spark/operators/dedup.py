@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2.11).
+
+Scale design (the 100 TB story, per variant):
+- **exact**: sha256(text) → hash-groupBy. One shuffle on the 32-byte key;
+  combiner-lifted counts. Works at any scale.
+- **fingerprint**: md5(prefix) clustering — same shape, weaker key.
+- **minhash LSH**: shingle → 2×b minhash signature → b bands → shuffle on
+  (band, band-signature) buckets → pair only within buckets → verify exact
+  Jaccard on candidates. The cross-doc comparison count drops from O(n²) to
+  O(Σ bucket²); bands/rows trade recall vs cost. Pure DataFrame ops
+  (xxhash64 + groupBy), no MLlib dependency, no driver collection.
+- **n-gram Jaccard (exact)**: gram-explode → self-join on gram → shared
+  counts → Jaccard filter. Exact but gram-frequency-bounded; at 100 TB run it
+  only on LSH candidates (compose: minhash_lsh_pairs → verify=True does this).
+- **simhash**: 64-bit signature from token hashes; near-dups = small Hamming
+  distance; bucket by signature bands to avoid n².
+- **embedding near-dup**: cosine ≥ τ pairs; brute force for small n, LSH
+  (similarity.lsh_buckets) at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..session import fan_out
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the kept (min) id
+    and the number of copies."""
+    return (
+        df.withColumn("content_sha256", T.content_hash(F.col(text_col)))
+        .groupBy("content_sha256")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def fingerprint_groups(df: DataFrame, text_col: str, id_col: str, prefix_tokens: int = 8) -> DataFrame:
+    """Prefix-fingerprint clustering (rolling-hash-style cheap key)."""
+    return (
+        df.withColumn("fp", T.fingerprint(F.col(text_col), prefix_tokens))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def _minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
+    """num_hashes min-hashes: min over shingles of xxhash64(shingle, seed i).
+
+    Single fold over the shingle array (per shingle: num_hashes xxhash64
+    calls, element-wise min into the accumulator) — one traversal instead of
+    num_hashes traversals, and xxhash64 is a JVM built-in so the whole
+    signature stays inside codegen."""
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 2, num_hashes: int = 32) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _minhash_signature(T.shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    sig → ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
+    band-signature become candidates (shuffle key = (band, xxhash64(band
+    slice)) — this is the ONLY shuffle that sees all docs, and it carries
+    just the signature, not the text). Candidates are then optionally
+    verified with exact shingle Jaccard ≥ threshold (second, tiny shuffle).
+    """
+    rows = num_hashes // bands
+    df = fan_out(df)  # shingle+signature CPU dominates; parallelize small-file inputs
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        T.shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    # signatures feed three consumers (banding + both verify sides) —
+    # materialize once; at scale this is the standard "signature table"
+    # checkpoint of a minhash pipeline, O(docs × num_hashes) longs.
+    sigs = sigs.persist()
+
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+
+    # pair generation stays NARROW (ids only) — the shingle arrays would
+    # otherwise ride through the bucket join and the dedup shuffle; they are
+    # joined back only for the (much smaller) candidate set.
+    ids = banded.select("doc_id", "band", "bucket")
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if not verify:
+        return cand
+    sh = sigs.select("doc_id", "shingles")
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 2, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs via gram-explode + self-join (SQL-portable,
+    oracle-checkable). Quadratic in per-gram document frequency — at 100 TB
+    use minhash_lsh_pairs (same verify step) instead of this direct form."""
+    grams = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 supplies the bit pattern; each bit
+    votes ±1; the signature is the sign vector packed to a long. All
+    expression-level (explode + groupBy + bit ops)."""
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Bucketing on
+    ``64/band_bits`` signature bands (pigeonhole: any pair within distance
+    < #bands shares ≥1 exact band) avoids the n² comparison."""
+    sigs = simhash(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (id_a < id_b). Exact and
+    oracle-checkable; at scale swap the pair generator for
+    ``similarity.lsh_buckets`` candidates and keep this verify expression."""
+    df = fan_out(df)  # O(n²) pair compute — parallelize the driving side
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(V.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

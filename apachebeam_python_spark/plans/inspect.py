@@ -1,0 +1,48 @@
+"""Physical-plan inspection (SURVEY.md §4): the feedback loop that keeps
+every operator on the plan we'd want at 100 TB. Used by tests/test_plans.py
+to ASSERT plan properties — pushdown reached the scan, dims broadcast,
+top-k took WindowGroupLimit/TakeOrdered, aggregates are partial+final —
+so a regression in plan shape fails CI, not just the benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # same text as .explain("formatted")
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has(df: DataFrame, needle: str) -> bool:
+    return needle in executed_plan(df)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle count (Exchange nodes, excluding broadcast exchanges) — the
+    number that must stay flat as data scales."""
+    plan = executed_plan(df)
+    return sum(
+        line.strip().lstrip("+-:* ").startswith("Exchange")
+        for line in plan.splitlines()
+    )
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section of the scan node(s)."""
+    return "\n".join(
+        line.strip() for line in formatted(df).splitlines() if "PushedFilters" in line
+    )
+
+
+def read_schema(df: DataFrame) -> str:
+    """ReadSchema of the scan node(s) — verifies column pruning."""
+    return "\n".join(
+        line.strip() for line in formatted(df).splitlines() if "ReadSchema" in line
+    )

@@ -3,11 +3,14 @@
 from . import (  # noqa: F401
     aggregations,
     elementwise,
+    event_time,
     flagship,
     joins,
+    llm,
     scalar_fns,
     scans,
     setops,
+    streaming_q,
     windows,
 )
 from ._registry import ORACLES, QUERIES, register  # noqa: F401

@@ -1,0 +1,133 @@
+"""Event-time window queries in batch mode (SURVEY.md §2.8) on ``events``.
+
+The oracle expresses each Spark windowing primitive in portable SQL:
+tumbling/sliding via epoch-aligned truncation, sessions via the classic
+gap-island construction (lag + running flag sum) — which must mirror Spark's
+``session_window`` semantics exactly (new session iff diff >= gap; session
+end = last_ts + gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import event_time as ET
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                     AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR   AS window_end,
+       event_type,
+       count(*)            AS n,
+       round(sum(value),2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindows(1h) + CombinePerKey(count,sum) per event_type."""
+    return ET.tumbling(
+        table(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        n=F.count("*"),
+        sum_value=F.round(F.sum("value"), 2),
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+SELECT ws AS window_start,
+       ws + INTERVAL 2 HOUR AS window_end,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM (
+  SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS ws,
+         value
+  FROM events
+)
+GROUP BY ws
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingWindows(size=2h, period=1h): every event in exactly 2 windows
+    (epoch-aligned starts at trunc(ts,1h) and trunc(ts,1h)−1h)."""
+    return ET.sliding(
+        table(spark, sf_dir, "events"),
+        "ts",
+        "2 hours",
+        "1 hour",
+        n=F.count("*"),
+        sum_value=F.round(F.sum("value"), 2),
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT min(ts)                          AS session_start,
+       max(ts) + INTERVAL 30 MINUTE     AS session_end,
+       user_id,
+       count(*)                         AS n,
+       round(sum(value), 2)             AS sum_value
+FROM islands
+GROUP BY user_id, sid
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions(gap=30min) per user via native ``session_window``. Oracle is
+    the gap-island SQL with *strict >* new-session test (an event exactly
+    `gap` after the previous one MERGES — verified behavior) and
+    end=last+gap — boundary case unit-tested in tests/test_operators.py."""
+    return ET.session(
+        table(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        n=F.count("*"),
+        sum_value=F.round(F.sum("value"), 2),
+    )
+
+
+@register(
+    "q_custom_window",
+    oracle="""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)             AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_custom_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom WindowFn: calendar-month windows (not expressible as a fixed
+    duration) as a deterministic ts→window expression + combine."""
+    return ET.custom_window(
+        table(spark, sf_dir, "events"),
+        F.date_trunc("month", F.col("ts")),
+        keys=["event_type"],
+        n=F.count("*"),
+        avg_value=F.round(F.avg("value"), 6),
+    )

@@ -1,0 +1,301 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11): text analysis, dedup family,
+similarity search, multimodal plumbing — the north-star operators, each
+backed by ``operators.dedup`` / ``operators.similarity`` /
+``operators.multimodal`` / ``functions.text``."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import setops as S
+from ..operators import similarity as SIM
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_wordcount",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE Beam hello-world: tokenize → count per word."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_doc_stats",
+    oracle="""
+SELECT lang, source,
+       count(*)                                   AS n_docs,
+       sum(len(string_split(text, ' ')))          AS total_tokens,
+       round(avg(n_chars), 6)                     AS avg_chars,
+       max(n_chars)                               AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc/token/char statistics."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                          AS ws_tokens,
+       len(list_distinct(string_split(text, ' ')))           AS distinct_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+'))            AS re_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + regex tokenizers (SURVEY §2.11)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.distinct_token_count(F.col("text")).alias("distinct_tokens"),
+        F.size(T.regex_tokens(F.col("text"))).alias("re_tokens"),
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in marks) + "]"
+    for lang, marks in T.LANG_MARKERS.items()
+}
+_SCORES_SQL = ",\n  ".join(
+    f"len(list_intersect(list_distinct(string_split(text,' ')), {lst})) AS s_{lang}"
+    for lang, lst in _MARKER_SQL.items()
+)
+_BEST_SQL = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
+_PRED_SQL = (
+    "CASE WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' "
+    "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
+    "WHEN s_zh = best THEN 'zh' ELSE 'unknown' END"
+)
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang, {_SCORES_SQL} FROM documents
+), best AS (
+  SELECT lang, {_BEST_SQL} AS best, s_en, s_es, s_de, s_fr, s_zh FROM scored
+)
+SELECT lang, {_PRED_SQL} AS predicted, count(*) AS n
+FROM best GROUP BY 1, 2
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts → argmax with fixed tie
+    precedence; output = confusion counts actual × predicted. (Mechanism
+    demo — fixture text is a shared synthetic vocabulary; see
+    functions.text.LANG_MARKERS.)"""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted", T.lang_predict(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+SELECT doc_id,
+       round(0.3 * (len(list_distinct(w)) / n)
+           + 0.5 * (1.0 - (len(list_filter(w, x -> list_contains(['the','a','of','and','or'], x))) / n))
+           + 0.2 * least(n / 100.0, 1.0), 6) AS quality
+FROM (SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      FROM documents)
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity + non-stopword density + length
+    adequacy (functions.text.quality_score; oracle mirrors it term by term
+    in the same evaluation order)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+       min(doc_id)                  AS keep_id,
+       count(*)                     AS n_docs,
+       list(doc_id ORDER BY doc_id) AS doc_ids
+FROM documents
+GROUP BY fp
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the 8-token prefix → cluster ids."""
+    return D.fingerprint_groups(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT sha256(text) AS content_sha256,
+       min(doc_id)  AS keep_id,
+       count(*)     AS n_copies
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id < 100)
+GROUP BY content_sha256
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha256(text). The fixture has no duplicate texts, so
+    the input is the corpus ∪ a re-ingested slice (doc_id<100) — the classic
+    double-crawl situation; 100 groups end with n_copies=2."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = S.flatten(d, d.filter(F.col("doc_id") < 100))
+    return D.exact_dedup_groups(doubled, "text", "doc_id")
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), counts AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (ca.n_grams + cb.n_grams - shared), 6) AS jaccard
+FROM shared
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE shared / (ca.n_grams + cb.n_grams - shared) >= 0.5
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs (gram-explode + self-join). The
+    oracle-checkable exact form; the 100 TB path is minhash_lsh_pairs with
+    the same verify step (q_dedup_minhash)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=2, threshold=0.5
+    )
+
+
+@register("q_dedup_minhash")  # rows-only: xxhash64 signatures aren't portable to DuckDB
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidate pairs verified at Jaccard ≥ 0.2 —
+    the scalable near-dup plan (bucket-join, no n² compare)."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=32, bands=8, threshold=0.2,
+    )
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-derived signatures
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs at Hamming ≤ 12 via 16-bit band buckets."""
+    return D.simhash_neardup_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=12, band_bits=16
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at τ=0.35 (fixture max sim ≈0.51 — a
+    synthetic corpus threshold; 271 pairs at sf0.01)."""
+    return D.embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
+    )
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 40 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the query set vec_id%40=0 —
+    the similarity-search correctness baseline (queries broadcast, corpus
+    never shuffles; ranks total-ordered by (sim DESC, neighbor_id))."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    return SIM.cosine_topk(e, queries, "embedding", "vec_id", k=5)
+
+
+@register("q_ann_lsh")  # rows-only: approximate candidates from hyperplane LSH
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-random-projection LSH (4 tables × 8 bits, deterministic
+    xxhash64-derived hyperplanes) + exact re-rank — the 100 TB alternative to
+    brute force (tests check recall vs q_cosine_topk)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    return SIM.lsh_ann_topk(e, queries, "embedding", "vec_id", k=5, n_tables=4, n_bits=8)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))             AS byte_len,
+       md5(text)                              AS content_md5,
+       octet_length(encode(text)) % 640       AS width,
+       (octet_length(encode(text)) * 7) % 480 AS height
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: pack text → opaque binary payload → Arrow-batched
+    mapInPandas 'decode' (stub codec, operators.multimodal) extracting typed
+    metadata. The oracle checks the whole binary+UDF path end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    return M.extract_meta(M.to_binary(d, "text"), "payload", "doc_id")

@@ -1,0 +1,51 @@
+"""Streaming queries (SURVEY.md §2.8-2.9) exposed through the driver
+contract: each runs a bounded availableNow stream to a memory sink, then
+returns the drained table — so the DuckDB oracle can check that the
+STREAMING result equals the batch semantics (Beam's unified model)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import jobs, stateful
+from ._registry import register
+
+
+def _sink(name: str, sf_dir: str) -> str:
+    # unique per scale factor so repeated driver/test runs don't collide
+    return f"{name}_{abs(hash(sf_dir)) % 10**8}"
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                   AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindows(1h) aggregation computed BY THE STREAMING ENGINE (file
+    replay → watermark → windowed agg → availableNow drain) and checked
+    against the batch oracle: stream ≡ batch."""
+    return jobs.tumbling_counts_stream(
+        spark, sf_dir, sink_name=_sink("stream_tumbling", sf_dir)
+    )
+
+
+@register(
+    "q_stateful_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (per-key SetState across micro-batches, Beam
+    stateful-DoFn pattern): first-seen (user_id, event_type) pairs — the
+    emitted SET is deterministic and equals batch DISTINCT."""
+    name = _sink("stateful_dedup", sf_dir)
+    out = stateful.stateful_dedup_stream(jobs.events_stream(spark, sf_dir))
+    jobs.run_to_memory(out, name, output_mode="append")
+    return spark.table(name)

@@ -97,6 +97,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Redistribute a small-file input across all cores before CPU-heavy
+    narrow work (Beam ``Reshuffle`` before an expensive ParDo).
+
+    A table that arrives as one small parquet file is one Spark partition —
+    fine for IO, serial for compute. At 100 TB inputs are naturally
+    many-partitioned and this is a no-op-cost decision; locally it converts
+    serial expression evaluation into 32-way parallelism for the price of
+    shuffling a few MB.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * multiplier)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for ``spark.sql`` entry."""
     for name in TABLES:

@@ -1,0 +1,73 @@
+"""Structured Streaming jobs (SURVEY.md §2.8) — the unbounded-data path.
+
+The fixture ``events`` table stands in for the reference's Pub/Sub-style
+unbounded source (SURVEY §2.1): a file-source ``readStream`` replays it in
+micro-batches; ``availableNow`` drains everything then stops — the batch≡
+stream equivalence this enables is what the oracle checks (Beam's unified
+model, expressed Spark-style).
+
+Divergences from Beam documented here once (SURVEY §7.4.1): no early/late
+panes, no accumulating-with-retraction; output modes (append/update/complete)
++ watermark-based late-data dropping are the Spark-idiomatic equivalents.
+
+Scale notes: windowed agg on a stream = one shuffle per micro-batch into the
+state store; watermark bounds state size (windows older than watermark are
+evicted). Set ``spark.sql.streaming.statestore.*`` / RocksDB state store for
+100 TB-class retention; keys here (event_type, user_id) are low-cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import event_time as ET
+from ..session import table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as an unbounded stream.
+
+    Schema comes from the batch reader (single source of truth, including
+    the ns→µs ts conversion performed in session.table)."""
+    batch = table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file stream sources take a directory; pathGlobFilter narrows to events
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.select(*batch.columns)
+
+
+def run_to_memory(result: DataFrame, name: str, *, output_mode: str) -> None:
+    """Drain an availableNow streaming query into an in-memory sink table
+    (the TestStream-style harness: deterministic, bounded, then stops)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str, *, watermark: str = "10 minutes", sink_name: str = "stream_tumbling") -> DataFrame:
+    """FixedWindows(1h)+CombinePerKey over the event stream, with a
+    watermark. Complete output mode so the drained sink holds every window
+    (equals the batch result — late-data dropping never triggers in a replay
+    because the watermark only advances between micro-batches)."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = ET.tumbling(
+        s, "ts", "1 hour", keys=["event_type"],
+        n=F.count("*"),
+        sum_value=F.round(F.sum("value"), 2),
+    )
+    run_to_memory(agg, sink_name, output_mode="complete")
+    return spark.table(sink_name)

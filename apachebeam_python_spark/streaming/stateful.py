@@ -1,0 +1,55 @@
+"""Stateful streaming processing (SURVEY.md §2.9): the Beam
+``ValueState``/``BagState``/timer DoFn surface, Spark-style.
+
+``applyInPandasWithState`` gives per-key mutable state + timeouts over
+micro-batches (Beam state + processing-time timers ≈ GroupStateTimeout);
+PySpark 4's ``transformWithStateInPandas`` adds true per-key event timers —
+kept out of the oracle path (newest API) but the dedup below is the same
+pattern.
+
+State size is the scale constraint: per-key state lives in the state store
+across batches — keep it O(small) per key (here: the set of seen event
+types; bounded by the type domain).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stateful_dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming dedup-with-memory (Beam stateful DoFn with a SetState):
+    emit each (user_id, event_type) the first time it is seen, suppress
+    every later occurrence — across micro-batches, via per-key state.
+
+    Output (the *set* of first-seen pairs) is deterministic even though
+    in-batch arrival order is not, which makes it oracle-checkable:
+    ``SELECT DISTINCT user_id, event_type FROM events``.
+    """
+
+    def dedup(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0].split("\x00")) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for et in pdf["event_type"]:
+                if et not in seen:
+                    seen.add(et)
+                    out.append(et)
+        state.update(("\x00".join(sorted(seen)),))
+        yield pd.DataFrame({"user_id": [key[0]] * len(out), "event_type": out})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        dedup,
+        outputStructType="user_id long, event_type string",
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

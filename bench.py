@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Each query materializes fully via the noop sink (count() alone would let
+Catalyst prune work). Timings are wall-clock per query after a shared
+session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apachebeam_python_spark import queries as q  # noqa: E402
+from apachebeam_python_spark.session import get_spark, table  # noqa: E402
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_running_sum",
+    "q_topk_per_key",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_wordcount",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_multimodal_meta",
+    "q_stream_tumbling",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, file cache, and the Python/Arrow worker pool (one-time
+    # per-executor process spin-up — amortized noise at any real scale)
+    table(spark, sf_dir, "lineitem").count()
+    table(spark, sf_dir, "events").count()
+    from apachebeam_python_spark.session import fan_out
+
+    fan_out(table(spark, sf_dir, "region")).mapInPandas(
+        lambda it: it, schema="r_regionkey int, r_name string"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.monotonic()
+        materialize(q.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Targeted operator unit tests for semantics the oracle can't isolate:
+session-window gap boundaries (SURVEY §7.4.2), as-of inclusivity, batching."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import aggregations as agg
+from apachebeam_python_spark.operators import event_time as ET
+from apachebeam_python_spark.operators import joins as J
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_session_window_gap_boundary(spark):
+    """An event exactly `gap` after the previous one MERGES into the session;
+    only diff > gap starts a new one — the semantics our oracle SQL mirrors."""
+    rows = [
+        (1, _ts(0)), (1, _ts(9, 59)),        # merged: diff < gap
+        (1, _ts(19, 59)), (1, _ts(29, 59)),  # chained merges
+        (2, _ts(0)), (2, _ts(10)),           # diff == gap → still merged
+        (3, _ts(0)), (3, _ts(10, 1)),        # diff > gap → NEW session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = ET.session(df, "ts", "10 minutes", keys=["user_id"], n=F.count("*"))
+    got = {(r.user_id, r.session_start, r.session_end, r.n) for r in out.collect()}
+    assert got == {
+        (1, _ts(0), _ts(39, 59), 4),
+        (2, _ts(0), _ts(20), 2),
+        (3, _ts(0), _ts(10), 1),
+        (3, _ts(10, 1), _ts(20, 1), 1),
+    }
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    """A right row at exactly the left timestamp IS visible (≤ semantics)."""
+    left = spark.createDataFrame([(1, _ts(5)), (1, _ts(3))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 50.0), (1, _ts(1), 10.0)], "k long, ts timestamp, v double"
+    )
+    out = J.asof_join_union(left, right, ["k"], "ts", "ts", "v")
+    got = {(r.ts, r.asof_value) for r in out.collect()}
+    assert got == {(_ts(5), 50.0), (_ts(3), 10.0)}
+
+
+def test_asof_join_no_prior_right_is_null(spark):
+    left = spark.createDataFrame([(1, _ts(0))], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(1), 1.0)], "k long, ts timestamp, v double")
+    out = J.asof_join_union(left, right, ["k"], "ts", "ts", "v")
+    assert out.collect()[0].asof_value is None
+
+
+def test_group_into_batches_sizes(spark):
+    df = spark.createDataFrame([(1, i) for i in range(7)], "k long, v long")
+    out = agg.group_into_batches(df, ["k"], "v", 3)
+    batches = sorted(r.batch for r in out.collect())
+    assert batches == [[0, 1, 2], [3, 4, 5], [6]]
+
+
+def test_tumbling_epoch_alignment(spark):
+    """Windows align to the epoch, not to the first event."""
+    df = spark.createDataFrame([(1, _ts(59, 30)), (1, dt.datetime(2024, 1, 1, 1, 0, 30))],
+                               "k long, ts timestamp")
+    out = ET.tumbling(df, "ts", "1 hour", n=F.count("*"))
+    starts = sorted(r.window_start for r in out.collect())
+    assert starts == [dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0)]

@@ -1,0 +1,52 @@
+"""Plan-shape assertions (SURVEY.md §4): catch scale regressions at the plan
+level — a query that silently loses pushdown, broadcast, or partial
+aggregation would pass correctness but die at 100 TB."""
+
+from __future__ import annotations
+
+from apachebeam_python_spark import queries as q
+from apachebeam_python_spark.plans import inspect as P
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    df = q.QUERIES["q_pricing_summary"](spark, sf_dir)
+    pf = P.pushed_filters(df)
+    assert "LessThanOrEqual(l_shipdate" in pf, pf
+    rs = P.read_schema(df)
+    assert "l_orderkey" not in rs, f"column pruning lost: {rs}"
+    plan = P.executed_plan(df)
+    assert plan.count("HashAggregate") >= 2, "partial+final aggregate expected"
+
+
+def test_broadcast_join_stays_broadcast(spark, sf_dir):
+    df = q.QUERIES["q_join_broadcast"](spark, sf_dir)
+    assert P.has(df, "BroadcastHashJoin")
+    # the fact side must not shuffle for the join: only agg exchange allowed
+    assert P.count_exchanges(df) <= 1
+
+
+def test_topk_per_key_uses_window_group_limit(spark, sf_dir):
+    df = q.QUERIES["q_topk_per_key"](spark, sf_dir)
+    assert P.has(df, "WindowGroupLimit")
+
+
+def test_order_limit_uses_take_ordered(spark, sf_dir):
+    df = q.QUERIES["q_order_limit"](spark, sf_dir)
+    assert P.has(df, "TakeOrderedAndProject")
+
+
+def test_semi_anti_plans(spark, sf_dir):
+    assert P.has(q.QUERIES["q_join_semi"](spark, sf_dir), "LeftSemi")
+    assert P.has(q.QUERIES["q_join_anti"](spark, sf_dir), "LeftAnti")
+
+
+def test_single_shuffle_aggregation(spark, sf_dir):
+    """CombinePerKey must be exactly one shuffle (combiner lifting)."""
+    df = q.QUERIES["q_agg_sum"](spark, sf_dir)
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join should shuffle once on the key."""
+    df = q.QUERIES["q_join_asof"](spark, sf_dir)
+    assert P.count_exchanges(df) <= 2  # union inputs may each report one

@@ -1,0 +1,97 @@
+"""Streaming-semantics tests (SURVEY §5.2.4): watermark late-data dropping,
+append-mode window finalization, and stream-stream interval joins — the
+TestStream-style scripted scenarios the DuckDB oracle cannot express."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import event_time as ET
+
+SCRATCH = "/root/repo/.tmp/streamtest"
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data(spark):
+    """A row arriving behind the watermark is dropped; append mode emits a
+    window only once the watermark passes its end (Beam: lateness=0,
+    discarding panes, on-time pane only)."""
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    def at(h, m):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    _write(spark, src, [(1, at(10, 0), 1.0), (1, at(10, 30), 1.0)])
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    agg = ET.tumbling(
+        stream.withWatermark("ts", "5 minutes"), "ts", "1 hour", n=F.count("*")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark now 10:25
+        # late row (window 00:00 ended long before watermark) + on-time rows
+        _write(spark, src, [(1, at(0, 30), 99.0), (1, at(10, 40), 1.0), (1, at(12, 0), 1.0)])
+        q.processAllAvailable()  # watermark 11:55 → window 10:00 finalized
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+    rows = {(r.window_start, r.n) for r in spark.table(sink).collect()}
+    # window 10:00 has all three on-time rows; the 00:00 late row never
+    # surfaces; window 12:00 is not yet finalized at stream end
+    assert rows == {(at(10, 0), 3)}
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with watermarks + time-bound condition
+    (Beam windowed CoGBK / interval-join analogue)."""
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    _write(
+        spark,
+        src,
+        [(1, base + dt.timedelta(minutes=m), float(m)) for m in (0, 10, 45)],
+    )
+    schema = "user_id long, ts timestamp, value double"
+    left = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 minute")
+        .select("user_id", F.col("ts").alias("l_ts"), F.col("value").alias("l_v"))
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 minute")
+        .select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"))
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 15 MINUTES")),
+    )
+    q = joined.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+    pairs = {(r.l_v, r.r_ts.minute) for r in spark.table(sink).collect()}
+    assert pairs == {(0.0, 10)}  # only the 0→10min pair is within 15 minutes
