@@ -1,0 +1,62 @@
+"""User-defined function surface (SURVEY.md §2.10): the escape hatches for
+logic Spark expressions can't say — each at the cheapest available tier.
+
+Tier order (always prefer the lowest):
+1. built-in expressions (everything in functions.text / functions.vectors);
+2. Arrow-vectorized ``pandas_udf`` (scalar / GROUPED_AGG) — one
+   Python-process hop per batch, not per row;
+3. ``applyInPandas`` grouped map / ``mapInPandas`` UDTF-style (1→N);
+4. row-at-a-time ``F.udf`` — never used in this engine.
+
+The ``RunInference`` pattern (model loaded once per task, batched predict)
+is ``elementwise.par_do`` with its ``setup`` hook; see
+``queries/udfs.q_inference_stub``.
+"""
+
+from __future__ import annotations
+
+from functools import cache
+
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+
+# pandas_udf parses its DDL return type eagerly, which needs an active
+# SparkSession — so UDF objects are built lazily (first use) and cached.
+
+
+@cache
+def relative_spread():
+    """Scalar vectorized UDF: (hi-lo)/hi guarded against zero — an
+    arbitrary-Python Map that still rides Arrow batches."""
+
+    @pandas_udf("double")
+    def _relative_spread(lo: pd.Series, hi: pd.Series) -> pd.Series:
+        return ((hi - lo) / hi.where(hi != 0, 1.0)).fillna(0.0)
+
+    return _relative_spread
+
+
+@cache
+def weighted_avg():
+    """GROUPED_AGG pandas UDF — Beam ``CombineFn`` (custom UDAF): weighted
+    mean. Spark evaluates it per group after the shuffle; unlike a built-in
+    agg there is no partial/map-side step, which is the documented cost of
+    leaving expression land (SURVEY §2.10)."""
+
+    @pandas_udf("double")
+    def _weighted_avg(value: pd.Series, weight: pd.Series) -> float:
+        w = weight.sum()
+        return float((value * weight).sum() / w) if w else 0.0
+
+    return _weighted_avg
+
+
+def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map (applyInPandas) kernel: per-key z-score normalization —
+    the GroupByKey+per-group-Python Beam pattern. Population std (ddof=0)
+    to match the SQL oracle's stddev_pop."""
+    std = pdf["value"].std(ddof=0)
+    pdf = pdf.copy()
+    pdf["zscore"] = ((pdf["value"] - pdf["value"].mean()) / std if std > 0 else 0.0)
+    return pdf[["event_id", "user_id", "zscore"]]

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     scans,
     setops,
     streaming_q,
+    udfs,
     windows,
 )
 from ._registry import ORACLES, QUERIES, register  # noqa: F401

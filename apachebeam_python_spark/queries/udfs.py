@@ -1,0 +1,151 @@
+"""UDF/UDAF/grouped-map/side-input queries (SURVEY.md §2.10, §1.1) plus the
+JSON-lines source round trip (§2.1)."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import udfs as U
+from ..operators import elementwise as ew
+from ..session import fan_out, table
+from ..sources import io
+from ._registry import register
+from .scans import _scratch_dir
+
+
+@register(
+    "q_pandas_udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_extendedprice <> 0
+                  THEN (l_extendedprice - l_discount * l_extendedprice) / l_extendedprice
+                  ELSE 0.0 END, 6) AS spread
+FROM lineitem WHERE l_linenumber <= 2
+""",
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (Beam Map with arbitrary Python).
+    The oracle recomputes the same arithmetic in SQL — proving the Arrow
+    round trip is value-exact for doubles."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    lo = F.col("l_discount") * F.col("l_extendedprice")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(U.relative_spread()(lo, F.col("l_extendedprice")), 6).alias("spread"),
+    )
+
+
+@register(
+    "q_udaf_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS w_avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (Beam CombineFn) as a GROUPED_AGG pandas UDF: quantity-
+    weighted mean price per flag. Floating-point caveat: pandas sums in a
+    different order than SQL, so parity holds because the rounded quotient is
+    insensitive at 6 decimals for this data — the operator itself is the
+    point (SURVEY §2.10)."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(U.weighted_avg()(l.l_extendedprice, l.l_quantity), 6).alias("w_avg_price")
+    )
+
+
+@register(
+    "q_grouped_map_zscore",
+    oracle="""
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_pop(value) OVER w > 0
+                  THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+                  ELSE 0.0 END, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped map (applyInPandas): per-user z-score — the Beam
+    GroupByKey+DoFn-over-iterable pattern, one Arrow batch per key group."""
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = e.groupBy("user_id").applyInPandas(
+        U.zscore_per_group, schema="event_id long, user_id long, zscore double"
+    )
+    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+
+
+@register(
+    "q_side_input_scalar",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q_side_input_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``AsSingleton`` side input: a global scalar joined to every row
+    without driver-side collection — 1-row agg broadcast into the filter
+    (the SQL scalar subquery, dataflow-style)."""
+    o = table(spark, sf_dir, "orders")
+    avg_price = o.agg((1.8 * F.avg("o_totalprice")).alias("threshold"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("threshold"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "q_scan_jsonl",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source round trip (the Beam textio+json.loads
+    pattern, SURVEY §2.1), checked against the original parquet: schema-
+    explicit read (no inference scan), timestamps excluded (JSON serializes
+    them lossily — documented)."""
+    out = os.path.join(_scratch_dir(), f"jsonl_{os.path.basename(os.path.normpath(sf_dir))}")
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    io.write_json(e, out)
+    back = io.read_json(spark, out, schema="event_id long, event_type string, value double")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register("q_inference_stub")  # rows-only: model outputs aren't SQL-expressible
+def q_inference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``RunInference`` pattern (SURVEY §2.10): model loaded ONCE per
+    task via the par_do setup hook, then batched 'predictions' over Arrow
+    batches. The 'model' is a deterministic stub (no ML libs offline); the
+    plumbing — iterator form, setup hoisting, vectorized scoring — is real."""
+
+    def load_model():
+        # stands in for an expensive load (weights from object store, etc.)
+        return {"bias": 0.5, "scale": 2.0}
+
+    def predict(batches: Iterator[pd.DataFrame], model) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "score": pdf["embedding"].map(
+                        lambda v: float(model["bias"] + model["scale"] * sum(v) / len(v))
+                    ),
+                }
+            )
+
+    e = fan_out(table(spark, sf_dir, "embeddings"))
+    return ew.par_do(e, predict, "vec_id long, score double", setup=load_model)
