@@ -38,6 +38,25 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_source",
+    oracle="SELECT event_type, count(*) AS n, max(ts) AS max_ts FROM events GROUP BY event_type",
+)
+def q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-source ingestion (the Pub/Sub-shaped capability, SURVEY
+    §2.1): file-replay readStream → per-type counts — proves the streaming
+    source delivers exactly the batch contents (no loss, no duplication)."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_source", sf_dir)
+    s = jobs.events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("ts").alias("max_ts")
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "q_stateful_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

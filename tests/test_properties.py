@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis — SURVEY §5.2.3) for the riskiest parity
+surface: session-window gap semantics. Random event sets — including exact
+gap-boundary collisions — must produce identical sessionization from Spark's
+``session_window`` and the gap-island SQL our oracle uses."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import event_time as ET
+
+GAP_S = 60
+BASE = dt.datetime(2024, 1, 1)
+
+# offsets in seconds; multiples of GAP_S are likely → exact-boundary cases
+offsets = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=600),
+        st.integers(min_value=0, max_value=10).map(lambda k: k * GAP_S),
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(offsets=offsets, n_users=st.integers(min_value=1, max_value=3))
+def test_session_window_matches_gap_island_sql(spark, offsets, n_users):
+    rows = [
+        (u, BASE + dt.timedelta(seconds=o))
+        for u in range(n_users)
+        for o in offsets
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = ET.session(df, "ts", f"{GAP_S} seconds", keys=["user_id"], n=F.count("*"))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n) for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    oracle = con.execute(
+        f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_S} THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts), max(ts) + INTERVAL {GAP_S} SECOND, count(*)
+        FROM islands GROUP BY user_id, sid
+        """
+    ).fetchall()
+    want = {(u, s, e, n) for u, s, e, n in oracle}
+    assert got == want

@@ -95,3 +95,45 @@ def test_stream_stream_interval_join(spark):
         shutil.rmtree(src, ignore_errors=True)
     pairs = {(r.l_v, r.r_ts.minute) for r in spark.table(sink).collect()}
     assert pairs == {(0.0, 10)}  # only the 0→10min pair is within 15 minutes
+
+
+def test_event_time_timer_finalizes_sessions(spark):
+    """Per-key event-time timer (Beam @on_timer): a user's session count is
+    emitted once the watermark passes last_event+gap — and users whose
+    sessions are still open at stream end are NOT emitted."""
+    import datetime as dt
+    import uuid
+
+    from apachebeam_python_spark.streaming.timers import session_finalizer_stream
+
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"timer_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    def at(h, m):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    # user 1: burst at hour 0 (3 events) then silence; user 2: active at the end
+    _write(spark, src, [(1, at(0, 0), 1.0), (1, at(0, 5), 1.0), (1, at(0, 9), 1.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    out = session_finalizer_stream(stream, gap_minutes=30)
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()  # watermark 0:08 — user 1 timer armed for 0:39
+        _write(spark, src, [(2, at(2, 0), 1.0)])
+        q.processAllAvailable()  # watermark 1:59 → user 1 timer fires
+        _write(spark, src, [(2, at(2, 1), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+
+    rows = {(r.user_id, r.n_events) for r in spark.table(sink).collect()}
+    assert rows == {(1, 3)}  # user 2's session never timed out
