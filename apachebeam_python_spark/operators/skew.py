@@ -1,0 +1,82 @@
+"""Skew-mitigation operators (SURVEY.md §4.2, scale_notes.md "Joins").
+
+AQE's skew-join splitting handles moderate skew automatically; these are the
+explicit patterns for pathological keys (one key = 30% of 100 TB):
+
+- **salted aggregation**: two-stage combine — partial agg on (key, salt),
+  final agg on key. The hot key's partial work spreads over ``n_salts``
+  reducers; the final stage sees only n_salts rows per key. Works for any
+  decomposable aggregate (sum/count/min/max; avg = sum+count recombined).
+- **salted broadcast-side replication join**: fact rows get a deterministic
+  salt from a high-cardinality column; the small side is replicated once per
+  salt value; the join key becomes (key, salt) — the hot key now lands on
+  n_salts partitions instead of one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (partial_expr, final_expr) builders per decomposable aggregate
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_src: Column,
+    n_salts: int,
+    **aggs: tuple[str, str],
+) -> DataFrame:
+    """Two-stage skew-proof CombinePerKey.
+
+    ``aggs`` maps output name → (column, kind) with kind in
+    sum/count/min/max. ``salt_src`` must be high-cardinality (a row id);
+    the salt is ``pmod(hash(salt_src), n_salts)`` — deterministic, no RNG.
+    Result is row-identical to the direct ``groupBy(keys).agg``.
+    """
+    for name, (_, kind) in aggs.items():
+        if kind not in _DECOMPOSABLE:
+            raise ValueError(f"{name}: {kind!r} is not decomposable")
+    salted = df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[
+            _DECOMPOSABLE[kind][0](col).alias(f"_p_{name}")
+            for name, (col, kind) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _DECOMPOSABLE[kind][1](f"_p_{name}").alias(name)
+            for name, (_, kind) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_src: Column,
+    n_salts: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-small/salt-fact join for skewed keys.
+
+    The small side is exploded ×n_salts (must be modest-sized — if it were
+    broadcast-small you'd just broadcast; this targets the middle ground:
+    too big to broadcast, joined against a skewed fact)."""
+    salted_fact = fact.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(replicated, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -24,11 +24,11 @@ SELECT
   l_linestatus,
   round(sum(l_quantity), 2)                                          AS sum_qty,
   round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-  round(avg(l_quantity), 4)                                          AS avg_qty,
-  round(avg(l_extendedprice), 4)                                     AS avg_price,
-  round(avg(l_discount), 4)                                          AS avg_disc,
+  round(sum(l_extendedprice * (1 - l_discount)), 4)                  AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)    AS sum_charge,
+  round(avg(l_quantity), 6)                                          AS avg_qty,
+  round(avg(l_extendedprice), 6)                                     AS avg_price,
+  round(avg(l_discount), 6)                                          AS avg_disc,
   count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,11 +48,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

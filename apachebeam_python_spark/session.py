@@ -77,6 +77,7 @@ def get_spark(app_name: str = "apachebeam_python_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/root/repo/.tmp/warehouse")
         .getOrCreate()
     )
     return tune(spark)

@@ -1,0 +1,86 @@
+"""Scale-pattern tests (scale_notes.md): bucketed co-located joins,
+partition-pruned layout, and salting — each asserted at the PLAN level plus
+a correctness check against the unsalted/unbucketed equivalent."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import skew
+from apachebeam_python_spark.plans import inspect as P
+from apachebeam_python_spark.session import table
+from apachebeam_python_spark.sources import layout
+from apachebeam_python_spark.sources.io import write_parquet
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    layout.write_bucketed(
+        table(spark, sf_dir, "orders"), "orders_b", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    layout.write_bucketed(
+        table(spark, sf_dir, "lineitem"), "lineitem_b", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    return "orders_b", "lineitem_b"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    """Fact-fact join on the bucket key: zero Exchange (co-located)."""
+    o, l = (layout.read_table(spark, t) for t in bucketed_tables)
+    joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_extendedprice", "o_totalprice"
+    )
+    assert P.count_exchanges(joined) == 0, P.executed_plan(joined)
+    # and it's the same result as the plain join
+    plain = (
+        table(spark, sf_dir, "lineitem")
+        .join(table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert joined.count() == plain
+
+
+def test_partitioned_layout_prunes(spark, sf_dir):
+    """Directory partitioning by the dominant filter column → partition
+    pruning (the non-matching partitions never reach the scan)."""
+    path = "/root/repo/.tmp/events_by_type"
+    write_parquet(
+        table(spark, sf_dir, "events"), path, partition_by=("event_type",)
+    )
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = P.formatted(df)
+    assert "PartitionFilters" in plan
+    assert "event_type" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    n_all = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    assert df.count() == n_all
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    salted = skew.salted_aggregate(
+        e, ["event_type"], F.col("event_id"), 8,
+        n=("event_id", "count"),
+        total=("value", "sum"),
+        vmax=("value", "max"),
+    ).withColumn("total", F.round("total", 2))
+    plain = e.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = skew.salted_join(l, o, "l_orderkey", F.col("l_partkey"), 4)
+    plain = l.join(o, "l_orderkey")
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
