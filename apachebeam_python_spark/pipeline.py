@@ -1,0 +1,126 @@
+"""Fluent pipeline facade — the migration-friendly front door.
+
+Users of the reference repo write Beam pipelines as transform chains; this
+facade offers the same reading order over DataFrames, with each verb
+delegating to the engine's operators (so there is exactly one implementation
+of every operator — this file is sugar, not semantics):
+
+    from apachebeam_python_spark.pipeline import Pipeline
+
+    (Pipeline.read_parquet(spark, f"{sf}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .map(revenue=F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .combine_per_key(["l_returnflag"], total=F.sum("revenue"))
+        .to_df())
+
+It stays 100% lazy/declarative — ``to_df()`` hands back the underlying
+DataFrame and Catalyst sees straight through the chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from .operators import aggregations as _agg
+from .operators import elementwise as _ew
+from .operators import event_time as _et
+from .operators import joins as _joins
+from .operators import setops as _setops
+
+
+class Pipeline:
+    """A thin, immutable wrapper: every verb returns a new Pipeline."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # ---- sources -------------------------------------------------------
+    @classmethod
+    def of(cls, df: DataFrame) -> "Pipeline":
+        return cls(df)
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Pipeline":
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def create(cls, spark: SparkSession, data, schema) -> "Pipeline":
+        """Beam ``Create``: in-memory source."""
+        return cls(spark.createDataFrame(data, schema))
+
+    # ---- element-wise --------------------------------------------------
+    def map(self, **exprs: Column) -> "Pipeline":
+        return Pipeline(_ew.with_columns(self._df, **exprs))
+
+    def select(self, **exprs: Column) -> "Pipeline":
+        return Pipeline(_ew.map_rows(self._df, **exprs))
+
+    def filter(self, predicate: Column) -> "Pipeline":
+        return Pipeline(_ew.filter_rows(self._df, predicate))
+
+    def flat_map(self, array_col: Column, out_name: str, *keep: str) -> "Pipeline":
+        return Pipeline(_ew.flat_map_explode(self._df, array_col, out_name, *keep))
+
+    def par_do(self, fn: Callable, schema, *, setup=None) -> "Pipeline":
+        return Pipeline(_ew.par_do(self._df, fn, schema, setup=setup))
+
+    def reshuffle(self, n: int | None = None, *cols: str) -> "Pipeline":
+        return Pipeline(_ew.reshuffle(self._df, n, *cols))
+
+    # ---- grouping / combining -----------------------------------------
+    def combine_per_key(self, keys: Sequence[str], **aggs: Column) -> "Pipeline":
+        return Pipeline(_agg.combine_per_key(self._df, keys, **aggs))
+
+    def combine_globally(self, **aggs: Column) -> "Pipeline":
+        return Pipeline(_agg.combine_globally(self._df, **aggs))
+
+    def count_per_element(self, *cols: str) -> "Pipeline":
+        return Pipeline(_agg.count_per_element(self._df, *cols))
+
+    def distinct(self, *cols: str) -> "Pipeline":
+        return Pipeline(_agg.distinct_rows(self._df, *cols))
+
+    def top_k(self, order: Sequence[Column], k: int) -> "Pipeline":
+        return Pipeline(_agg.top_k_global(self._df, order, k))
+
+    def top_k_per_key(self, keys: Sequence[str], order: Sequence[Column], k: int) -> "Pipeline":
+        return Pipeline(_agg.top_k_per_key(self._df, keys, order, k))
+
+    # ---- joins ---------------------------------------------------------
+    def join(self, other: "Pipeline | DataFrame", on, how: str = "inner") -> "Pipeline":
+        return Pipeline(_joins.equi_join(self._df, _unwrap(other), on, how))
+
+    def join_broadcast(self, dim: "Pipeline | DataFrame", on, how: str = "inner") -> "Pipeline":
+        return Pipeline(_joins.broadcast_join(self._df, _unwrap(dim), on, how))
+
+    def cogroup(self, other: "Pipeline | DataFrame", keys, lv: str, rv: str) -> "Pipeline":
+        return Pipeline(_joins.cogroup_by_key(self._df, _unwrap(other), keys, lv, rv))
+
+    # ---- set ops -------------------------------------------------------
+    def flatten(self, *others: "Pipeline | DataFrame") -> "Pipeline":
+        return Pipeline(_setops.flatten(self._df, *[_unwrap(o) for o in others]))
+
+    # ---- event-time windows -------------------------------------------
+    def window_tumbling(self, ts: str, size: str, keys: Sequence[str] = (), **aggs: Column) -> "Pipeline":
+        return Pipeline(_et.tumbling(self._df, ts, size, keys, **aggs))
+
+    def window_sliding(self, ts: str, size: str, slide: str, keys: Sequence[str] = (), **aggs: Column) -> "Pipeline":
+        return Pipeline(_et.sliding(self._df, ts, size, slide, keys, **aggs))
+
+    def window_session(self, ts: str, gap: str, keys: Sequence[str], **aggs: Column) -> "Pipeline":
+        return Pipeline(_et.session(self._df, ts, gap, keys, **aggs))
+
+    # ---- sinks / escape hatch -----------------------------------------
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def write_parquet(self, path: str, mode: str = "overwrite", partition_by: tuple[str, ...] = ()) -> None:
+        from .sources.io import write_parquet
+
+        write_parquet(self._df, path, mode, partition_by)
+
+
+def _unwrap(x: "Pipeline | DataFrame") -> DataFrame:
+    return x._df if isinstance(x, Pipeline) else x

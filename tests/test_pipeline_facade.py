@@ -1,0 +1,64 @@
+"""The fluent Pipeline facade must be pure sugar: chains produce exactly the
+same results (and plans) as the underlying operator calls."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark import queries as q
+from apachebeam_python_spark.pipeline import Pipeline
+from apachebeam_python_spark.session import table
+
+
+def test_wordcount_chain_matches_query(spark, sf_dir):
+    via_chain = (
+        Pipeline.of(table(spark, sf_dir, "documents"))
+        .flat_map(F.split("text", " "), "word")
+        .count_per_element("word")
+        .to_df()
+    )
+    via_query = q.QUERIES["q_wordcount"](spark, sf_dir)
+    assert {tuple(r) for r in via_chain.collect()} == {
+        tuple(r) for r in via_query.collect()
+    }
+
+
+def test_flagship_shape_chain(spark, sf_dir):
+    out = (
+        Pipeline.of(table(spark, sf_dir, "lineitem"))
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .map(revenue=F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .combine_per_key(
+            ["l_returnflag", "l_linestatus"],
+            total=F.round(F.sum("revenue"), 4),
+            n=F.count("*"),
+        )
+        .to_df()
+    )
+    rows = out.collect()
+    assert len(rows) == 6 and all(r.n > 0 for r in rows)
+
+
+def test_create_and_join_chain(spark, sf_dir):
+    dim = Pipeline.create(
+        spark, [("N", "returned-no"), ("R", "returned-yes"), ("A", "returned-ack")],
+        "l_returnflag string, label string",
+    )
+    out = (
+        Pipeline.of(table(spark, sf_dir, "lineitem"))
+        .combine_per_key(["l_returnflag"], n=F.count("*"))
+        .join_broadcast(dim, "l_returnflag")
+        .to_df()
+    )
+    got = {(r.l_returnflag, r.label) for r in out.collect()}
+    assert {"N", "R", "A"} == {f for f, _ in got}
+
+
+def test_window_session_chain(spark, sf_dir):
+    out = (
+        Pipeline.of(table(spark, sf_dir, "events"))
+        .window_session("ts", "30 minutes", ["user_id"], n=F.count("*"))
+        .to_df()
+    )
+    via_query = q.QUERIES["q_session_window"](spark, sf_dir)
+    assert out.count() == via_query.count()

@@ -65,3 +65,37 @@ def test_session_window_matches_gap_island_sql(spark, offsets, n_users):
     ).fetchall()
     want = {(u, s, e, n) for u, s, e, n in oracle}
     assert got == want
+
+
+# --- as-of join vs DuckDB's native ASOF JOIN (independent implementation) ---
+
+asof_times = st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=15, unique=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_t=asof_times, right_t=asof_times)
+def test_asof_join_matches_duckdb_native_asof(spark, left_t, right_t):
+    """Our union+window as-of join must agree with DuckDB's built-in
+    ASOF LEFT JOIN (r.ts <= l.ts, per key) on random timestamp sets —
+    including exact ts collisions between left and right."""
+    from apachebeam_python_spark.operators.joins import asof_join_union
+
+    left_rows = [(1, BASE + dt.timedelta(seconds=t)) for t in left_t]
+    right_rows = [
+        (1, BASE + dt.timedelta(seconds=t), float(t)) for t in right_t
+    ]
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+    out = asof_join_union(left, right, ["k"], "ts", "ts", "v")
+    got = {(r.ts, r.asof_value) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    want = {
+        (ts, v)
+        for ts, v in con.execute(
+            "SELECT l.ts, r.v FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts"
+        ).fetchall()
+    }
+    assert got == want
