@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     aggregations,
+    analytics,
     elementwise,
     event_time,
     flagship,

@@ -1,0 +1,130 @@
+"""Deeper analytics queries: statistical combines, exact percentiles,
+GROUPING SETS, and a star-schema showcase join (SURVEY.md §2.3-2.4
+extensions — the "SQL-engine completeness" tier beyond Beam's vocabulary)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import joins as J
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 6)            AS sd_bal,
+       round(var_samp(c_acctbal), 4)               AS var_bal,
+       round(corr(c_acctbal, c_nationkey), 6)      AS corr_bal_nation,
+       round(covar_pop(c_acctbal, c_nationkey), 4) AS covar_bal_nation
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical CombineFn family: stddev/variance/correlation/covariance —
+    all mergeable sketch-free accumulators (sum, sum², sum-of-products),
+    partial+final like any agg."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
+        F.round(F.covar_pop("c_acctbal", "c_nationkey"), 4).alias("covar_bal_nation"),
+    )
+
+
+@register(
+    "q_agg_median",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The exact form needs the full value multiset per
+    group — use q_approx_quantiles' sketches at 100 TB; this is the
+    correctness anchor for them."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube)."""
+    l = table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_star_join",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join (local-supplier revenue by nation): the
+    6-table showcase. Facts (lineitem⋈orders) take the one real shuffle;
+    customer/supplier/nation/region all broadcast; date + region predicates
+    push into the scans. AQE reorders/converts as needed — this is the query
+    shape whose plan must survive 1000×."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

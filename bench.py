@@ -25,6 +25,7 @@ from apachebeam_python_spark.session import get_spark, table  # noqa: E402
 HEADLINE = [
     "q_pricing_summary",
     "q_join_inner",
+    "q_star_join",
     "q_join_broadcast",
     "q_join_asof",
     "q_win_running_sum",
