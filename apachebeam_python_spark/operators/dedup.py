@@ -257,11 +257,21 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
     oracle-checkable; at scale swap the pair generator for
     ``similarity.lsh_buckets`` candidates and keep this verify expression."""
     df = fan_out(df)  # O(n²) pair compute — parallelize the driving side
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed per vector (n sqrt-folds, not n²)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(V.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -274,12 +274,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ann_lsh")  # rows-only: approximate candidates from hyperplane LSH
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via sign-random-projection LSH (4 tables × 8 bits, deterministic
-    xxhash64-derived hyperplanes) + exact re-rank — the 100 TB alternative to
-    brute force (tests check recall vs q_cosine_topk)."""
+    """ANN via sign-random-projection LSH (8 tables × 4 bits ⇒ measured
+    recall@5 ≈ 0.68 on the fixture; 16×4 ⇒ 0.89) + exact re-rank — the
+    100 TB alternative to brute force. Size n_bits ≈ log2(corpus /
+    target_bucket) as the corpus grows; tests assert recall ≥ 0.5 vs
+    q_cosine_topk."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 40 == 0)
-    return SIM.lsh_ann_topk(e, queries, "embedding", "vec_id", k=5, n_tables=4, n_bits=8)
+    return SIM.lsh_ann_topk(e, queries, "embedding", "vec_id", k=5, n_tables=8, n_bits=4)
 
 
 @register(

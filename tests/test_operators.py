@@ -68,3 +68,13 @@ def test_tumbling_epoch_alignment(spark):
     out = ET.tumbling(df, "ts", "1 hour", n=F.count("*"))
     starts = sorted(r.window_start for r in out.collect())
     assert starts == [dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0)]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Hyperplane-LSH ANN must recover ≥50% of true top-5 neighbors at the
+    default (8 tables × 4 bits) setting on the fixture embeddings."""
+    from apachebeam_python_spark import queries as q
+
+    bf = {(r.query_id, r.neighbor_id) for r in q.QUERIES["q_cosine_topk"](spark, sf_dir).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in q.QUERIES["q_ann_lsh"](spark, sf_dir).collect()}
+    assert len(bf & ann) / len(bf) >= 0.5
