@@ -8,11 +8,19 @@ registry (one named query per operator in SURVEY.md §2; see
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from apachebeam_python_spark import queries as _q
+# the driver may load this module by file path (importlib), in which case the
+# repo root is not necessarily importable — make the package resolvable
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from apachebeam_python_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

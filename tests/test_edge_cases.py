@@ -1,0 +1,58 @@
+"""Edge-case robustness: operators must behave on empty/singleton/degenerate
+inputs (the failure modes that surface in production re-runs, not demos)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import aggregations as agg
+from apachebeam_python_spark.operators import dedup as D
+from apachebeam_python_spark.operators import event_time as ET
+from apachebeam_python_spark.operators import joins as J
+
+
+def test_session_window_empty_input(spark):
+    df = spark.createDataFrame([], "user_id long, ts timestamp")
+    out = ET.session(df, "ts", "10 minutes", keys=["user_id"], n=F.count("*"))
+    assert out.count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "k long, ts timestamp")
+    right = spark.createDataFrame([], "k long, ts timestamp, v double")
+    out = J.asof_join_union(left, right, ["k"], "ts", "ts", "v")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].asof_value is None
+
+
+def test_minhash_single_document(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = D.minhash_lsh_pairs(df, "text", "doc_id")
+    assert out.count() == 0  # no pairs from one doc, no crash
+
+
+def test_minhash_identical_documents_found(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words appear in this one here")],
+        "doc_id long, text string",
+    )
+    out = D.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.9)
+    rows = out.collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_group_into_batches_batch_larger_than_group(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    out = agg.group_into_batches(df, ["k"], "v", 100)
+    assert [r.batch for r in out.collect()] == [[1, 2]]
+
+
+def test_exact_dedup_all_unique(spark):
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(5)], "doc_id long, text string")
+    out = D.exact_dedup_groups(df, "text", "doc_id")
+    assert out.count() == 5
+    assert out.agg(F.max("n_copies")).collect()[0][0] == 1
