@@ -149,3 +149,36 @@ def q_inference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fan_out(table(spark, sf_dir, "embeddings"))
     return ew.par_do(e, predict, "vec_id long, score double", setup=load_model)
+
+
+@register(
+    "q_python_udtf",
+    oracle="""
+SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id < 20
+)
+""",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (SURVEY §2.10 "UDTF 1→N"): a table function
+    yielding (word, position) rows per document — the Beam FlatMap-DoFn shape
+    as a first-class SQL-callable function (lateral join)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class PosTokens:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("pos_tokens", PosTokens)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.word, t.pos FROM docs_udtf, LATERAL pos_tokens(text) t"
+    )
