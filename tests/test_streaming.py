@@ -137,3 +137,35 @@ def test_event_time_timer_finalizes_sessions(spark):
 
     rows = {(r.user_id, r.n_events) for r in spark.table(sink).collect()}
     assert rows == {(1, 3)}  # user 2's session never timed out
+
+
+def test_update_mode_emits_revisions(spark):
+    """Update output mode (≈ Beam accumulating panes per micro-batch, no
+    retractions): a window's row is re-emitted with the new aggregate as
+    later micro-batches add events."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.operators import event_time as ET
+
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"upd_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    _write(spark, src, [(1, base + dt.timedelta(minutes=1), 1.0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    agg = ET.tumbling(stream.withWatermark("ts", "10 minutes"), "ts", "1 hour", n=F.count("*"))
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        _write(spark, src, [(1, base + dt.timedelta(minutes=2), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+    # update mode appends a revision row per micro-batch: n=1 then n=2
+    emitted = sorted(r.n for r in spark.table(sink).collect())
+    assert emitted == [1, 2]
