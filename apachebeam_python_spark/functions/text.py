@@ -45,14 +45,22 @@ def distinct_token_count(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 2) -> Column:
-    """Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard."""
+    """Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard.
+
+    Documents with fewer than n tokens yield an EMPTY array: without the
+    guard, ``sequence(1, size-(n-1))`` would auto-step DOWNWARD for short
+    docs ([1, 0]) and ``element_at(w, 0)`` throws under Spark 4's default
+    ANSI mode — and the DuckDB oracle's end-exclusive ``range`` is empty for
+    the same input, so the guard is also what keeps the engines agreeing."""
     w = tokens(text)
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
     )
-    return F.array_distinct(gram)
+    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_ratio(text: Column) -> Column:

@@ -84,18 +84,20 @@ def group_into_batches(df: DataFrame, keys: Sequence[str], value: str, batch_siz
     """
     values = F.array_sort(F.collect_list(value))
     n_batches = F.ceil(F.size(F.col("_vals")) / F.lit(batch_size)).cast("int")
+    # greatest(...) + size filter: an all-null key group collects an EMPTY
+    # list, where sequence(0, -1) would auto-step downward and emit garbage
+    # slices — the filter drops them, matching the zero-batch semantics.
+    batches = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_batches - 1, F.lit(0))),
+            lambda i: F.slice(F.col("_vals"), i * batch_size + 1, batch_size),
+        ),
+        lambda b: F.size(b) > 0,
+    )
     return (
         df.groupBy(*keys)
         .agg(values.alias("_vals"))
-        .select(
-            *keys,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_batches - 1),
-                    lambda i: F.slice(F.col("_vals"), i * batch_size + 1, batch_size),
-                )
-            ).alias(out),
-        )
+        .select(*keys, F.explode(batches).alias(out))
     )
 
 

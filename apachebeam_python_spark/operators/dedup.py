@@ -100,14 +100,24 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     df = fan_out(df)  # shingle+signature CPU dominates; parallelize small-file inputs
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        T.shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
-    # signatures feed three consumers (banding + both verify sides) —
-    # materialize once; at scale this is the standard "signature table"
-    # checkpoint of a minhash pipeline, O(docs × num_hashes) longs.
-    sigs = sigs.persist()
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            T.shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        # shingle-less docs (< n tokens) all share the identity signature —
+        # they'd spuriously pair with each other and 0/0 the verify step
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    )
+    if verify:
+        # signatures feed three consumers (banding + both verify sides) —
+        # materialize once; at scale this is the standard "signature table"
+        # checkpoint of a minhash pipeline, O(docs × num_hashes) longs.
+        # Lifecycle note: the cache entry lives until the session drops it —
+        # long-lived sessions running many dedup jobs should write the
+        # signature table to parquet instead (same shape, explicit lifetime).
+        sigs = sigs.persist()
 
     banded = sigs.select(
         "doc_id",
@@ -152,7 +162,7 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.withColumn("jaccard", F.round(F.when(union > 0, inter / union).otherwise(0.0), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -211,10 +221,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3, band_bits: int = 16) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Bucketing on
-    ``64/band_bits`` signature bands (pigeonhole: any pair within distance
-    < #bands shares ≥1 exact band) avoids the n² comparison."""
+    ``64/band_bits`` signature bands; the pigeonhole guarantee is COMPLETE
+    only for max_hamming < 64/band_bits (a pair differing in more bits may
+    share no band) — hence the defaults 3 < 64/16. For a larger radius,
+    shrink band_bits accordingly (radius 12 needs band_bits ≤ 4)."""
+    if max_hamming >= 64 // band_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"band_bits={band_bits} (complete only below {64 // band_bits})"
+        )
     sigs = simhash(df, text_col, id_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1

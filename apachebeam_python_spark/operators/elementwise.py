@@ -67,9 +67,10 @@ def par_do(
     """
 
     def run(batches: Iterator) -> Iterator:
-        state = setup() if setup is not None else None
-        if state is not None:
-            yield from fn(batches, state)  # type: ignore[call-arg]
+        # dispatch on whether setup was PROVIDED — a setup() legitimately
+        # returning None must still call the two-argument form
+        if setup is not None:
+            yield from fn(batches, setup())  # type: ignore[call-arg]
         else:
             yield from fn(batches)
 

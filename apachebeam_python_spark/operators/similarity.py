@@ -58,7 +58,9 @@ def _hyperplane_bit(vec: Column, table: int, bit: int) -> Column:
             vec,
             F.transform(
                 F.sequence(F.lit(1), F.size(vec)),
-                lambda i: (F.xxhash64(F.lit(table), F.lit(bit), i) % 2).cast("double") * 2 - 1,
+                # pmod, not %: Spark's % follows the dividend sign, so
+                # (hash % 2)*2-1 would yield {-3,-1,+1} — a biased plane
+                lambda i: F.pmod(F.xxhash64(F.lit(table), F.lit(bit), i), F.lit(2)).cast("double") * 2 - 1,
             ),
             lambda x, w: x.cast("double") * w,
         ),

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import elementwise as ew
+from ..operators import setops
 from ..session import table
 from ._registry import register
 
@@ -89,10 +90,7 @@ def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in parts
     ]
-    out = aggs[0]
-    for a in aggs[1:]:
-        out = out.unionByName(a)
-    return out
+    return setops.flatten(*aggs)
 
 
 @register("q_pardo_tagged")  # rows-only: mapInPandas output, not SQL-expressible as written

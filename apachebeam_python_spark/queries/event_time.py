@@ -3,8 +3,8 @@
 The oracle expresses each Spark windowing primitive in portable SQL:
 tumbling/sliding via epoch-aligned truncation, sessions via the classic
 gap-island construction (lag + running flag sum) — which must mirror Spark's
-``session_window`` semantics exactly (new session iff diff >= gap; session
-end = last_ts + gap).
+``session_window`` semantics exactly (new session iff diff is STRICTLY
+GREATER than gap — an exactly-gap event merges; session end = last_ts + gap).
 """
 
 from __future__ import annotations

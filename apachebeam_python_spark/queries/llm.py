@@ -220,9 +220,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_simhash")  # rows-only: xxhash64-derived signatures
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs at Hamming ≤ 12 via 16-bit band buckets."""
+    """SimHash(64-bit) near-dup pairs at Hamming ≤ 12 via 4-bit band buckets
+    (16 bands — pigeonhole-complete for radius < 16)."""
     return D.simhash_neardup_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=12, band_bits=16
+        table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=12, band_bits=4
     )
 
 

@@ -46,19 +46,19 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_weighted_avg",
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS w_avg_price
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF (Beam CombineFn) as a GROUPED_AGG pandas UDF: quantity-
     weighted mean price per flag. Floating-point caveat: pandas sums in a
-    different order than SQL, so parity holds because the rounded quotient is
-    insensitive at 6 decimals for this data — the operator itself is the
-    point (SURVEY §2.10)."""
+    different order than SQL (error ~1e-8 on these magnitudes), so the
+    quotient is rounded at 4 decimals — spacing 5e-5 makes a half-way flip
+    vanishingly unlikely, where 6 decimals would leave ~2% risk per cell."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(U.weighted_avg()(l.l_extendedprice, l.l_quantity), 6).alias("w_avg_price")
+        F.round(U.weighted_avg()(l.l_extendedprice, l.l_quantity), 4).alias("w_avg_price")
     )
 
 

@@ -56,3 +56,35 @@ def test_exact_dedup_all_unique(spark):
     out = D.exact_dedup_groups(df, "text", "doc_id")
     assert out.count() == 5
     assert out.agg(F.max("n_copies")).collect()[0][0] == 1
+
+
+def test_shingles_short_document_no_crash(spark):
+    """Docs with < n tokens must yield empty shingle arrays (ANSI mode would
+    throw on the unguarded descending sequence) — and so must minhash."""
+    from apachebeam_python_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", T.shingles(F.col("text"), 2).alias("sh")).collect()
+    got = {r.doc_id: list(r.sh) for r in out}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["two words"]
+    pairs = D.minhash_lsh_pairs(df, "text", "doc_id")
+    assert pairs.count() == 0
+
+
+def test_par_do_setup_returning_none(spark):
+    """A setup() that returns None must still reach the two-arg DoFn form."""
+    from apachebeam_python_spark.operators import elementwise as ew
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+
+    def dofn(batches, state):
+        assert state is None
+        for pdf in batches:
+            yield pdf
+
+    out = ew.par_do(df, dofn, "x long", setup=lambda: None)
+    assert {r.x for r in out.collect()} == {1, 2}
