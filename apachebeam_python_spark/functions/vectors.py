@@ -28,7 +28,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; 0.0 when either vector has zero norm (a real
+    corpus contains zero embeddings, and ANSI mode would otherwise abort
+    the whole job on the first one)."""
+    return safe_cosine_from(dot(a, b), norm(a), norm(b))
+
+
+def safe_cosine_from(dot_val: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Assemble cosine from precomputed pieces with the zero-norm guard —
+    use this when norms are computed once per side (similarity/dedup ops)."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot_val / denom).otherwise(F.lit(0.0))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

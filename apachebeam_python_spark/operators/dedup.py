@@ -287,7 +287,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            F.round(V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            F.round(V.safe_cosine_from(V.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 6),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

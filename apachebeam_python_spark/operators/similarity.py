@@ -40,7 +40,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     sims = pairs.withColumn(
-        "cos_sim", V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        "cos_sim", V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -110,7 +110,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: st
     )
     sims = cand.withColumn(
         "cos_sim",
-        V.dot(F.col("qv"), F.col("cv")) / (V.norm(F.col("qv")) * V.norm(F.col("cv"))),
+        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), V.norm(F.col("qv")), V.norm(F.col("cv"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

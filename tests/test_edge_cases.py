@@ -88,3 +88,17 @@ def test_par_do_setup_returning_none(spark):
 
     out = ew.par_do(df, dofn, "x long", setup=lambda: None)
     assert {r.x for r in out.collect()} == {1, 2}
+
+
+def test_cosine_zero_vector_no_crash(spark):
+    """Zero-norm vectors must yield similarity 0.0, not an ANSI divide-by-
+    zero that kills the job."""
+    from apachebeam_python_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, df, "embedding", "vec_id", k=2).collect()
+    zero_rows = [r for r in out if r.neighbor_id == 2 or r.query_id == 2]
+    assert zero_rows and all(r.cos_sim == 0.0 for r in zero_rows)
