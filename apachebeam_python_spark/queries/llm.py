@@ -302,3 +302,72 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata. The oracle checks the whole binary+UDF path end-to-end."""
     d = table(spark, sf_dir, "documents")
     return M.extract_meta(M.to_binary(d, "text"), "payload", "doc_id")
+
+
+@register(
+    "q_corpus_curation",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, text, lang, source,
+         sha256(text) AS h,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id < 100)
+), deduped AS (
+  SELECT doc_id, text, lang, source FROM hashed WHERE rn = 1
+), scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         0.3 * (len(list_distinct(w)) / n)
+       + 0.5 * (1.0 - (len(list_filter(w, x -> list_contains(['the','a','of','and','or'], x))) / n))
+       + 0.2 * least(n / 100.0, 1.0) AS quality
+  FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        FROM deduped)
+)
+SELECT lang,
+       count(*)                   AS n_docs,
+       sum(n_tokens)              AS total_tokens,
+       round(avg(quality), 6)     AS avg_quality
+FROM scored
+WHERE quality >= 0.72
+GROUP BY lang
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation pipeline — the operators composed
+    the way a real 100 TB data pipeline chains them:
+
+    re-crawled corpus (dups injected) → exact dedup keep-first (hash window)
+    → quality scoring → threshold filter (τ=0.72 ≈ corpus median) → per-language token budget report.
+
+    Every stage is a narrow expression or a single shuffle; the whole chain
+    is one Catalyst plan (no materialization between 'steps')."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    recrawl = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = S.flatten(d, recrawl)
+    keep_first = W.partitionBy(T.content_hash(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        corpus.withColumn("rn", F.row_number().over(keep_first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scored = deduped.select(
+        "doc_id", "lang", "source",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.72)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
