@@ -121,12 +121,17 @@ FROM events GROUP BY user_id
 """,
 )
 def q_groupbykey_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GroupByKey materialized to (K, sorted list[V]) + ToSet. Lists sorted in
-    both engines for deterministic hashing (bags are unordered)."""
+    """GroupByKey materialized to (K, sorted list[V]) + ToSet — both
+    accumulators in ONE combine (single scan, single shuffle; a join of two
+    separate groupBys would shuffle three times). Lists sorted in both
+    engines for deterministic hashing (bags are unordered)."""
     e = table(spark, sf_dir, "events")
-    lists = agg.collect_grouped(e, ["user_id"], "event_type", out="values")
-    sets = agg.collect_grouped(e, ["user_id"], "event_type", distinct=True, out="value_set")
-    return lists.join(sets, "user_id")
+    return agg.combine_per_key(
+        e,
+        ["user_id"],
+        values=F.array_sort(F.collect_list("event_type")),
+        value_set=F.array_sort(F.collect_set("event_type")),
+    )
 
 
 @register(

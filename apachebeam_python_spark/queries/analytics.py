@@ -113,17 +113,16 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    j = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    j = J.equi_join(l, o, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = J.broadcast_join(j, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = J.broadcast_join(
+        j,
+        s,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
+    j = J.broadcast_join(j, n, F.col("s_nationkey") == F.col("n_nationkey"))
+    j = J.broadcast_join(j, r, F.col("n_regionkey") == F.col("r_regionkey"))
     return j.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count("*").alias("n_items"),

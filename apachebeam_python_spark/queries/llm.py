@@ -196,7 +196,7 @@ SELECT doc_a, doc_b,
 FROM shared
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
-WHERE shared / (ca.n_grams + cb.n_grams - shared) >= 0.5
+WHERE round(shared / (ca.n_grams + cb.n_grams - shared), 6) >= 0.5
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +235,7 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,10 +13,18 @@ from ..sources import io
 from ._registry import register
 
 
+def _sfkey(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
 def _scratch_dir() -> str:
     """Sink scratch space inside the repo (gitignored) — round-trip queries
-    write here then read back; the oracle checks against the original table."""
-    d = "/root/repo/.tmp"
+    write here then read back; the oracle checks against the original table.
+    Keyed per process so concurrent runs can't race each other's
+    overwrite-then-read cycle."""
+    d = f"/root/repo/.tmp/run_{os.getpid()}"
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -45,7 +53,7 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WriteToText → ReadFromText round-trip (SURVEY §2.1). The written lines
     are the documents' text; the oracle checks against the original table, so
     this proves the sink/source pair is lossless for line-oriented data."""
-    out = os.path.join(_scratch_dir(), f"text_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(_scratch_dir(), f"text_{_sfkey(sf_dir)}")
     docs = table(spark, sf_dir, "documents").select("text")
     io.write_text(docs, out)
     lines = io.read_text(spark, out)
@@ -69,7 +77,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink → source round-trip with explicit schema (no inferSchema scan
     — SURVEY §2.1 / scale note in sources/io.py), checked against the
     original parquet table via the oracle."""
-    out = os.path.join(_scratch_dir(), f"csv_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(_scratch_dir(), f"csv_{_sfkey(sf_dir)}")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
     io.write_csv(p, out)
     back = io.read_csv(spark, out, schema=_CSV_SCHEMA)

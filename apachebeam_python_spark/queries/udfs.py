@@ -16,7 +16,7 @@ from ..operators import elementwise as ew
 from ..session import fan_out, table
 from ..sources import io
 from ._registry import register
-from .scans import _scratch_dir
+from .scans import _scratch_dir, _sfkey
 
 
 @register(
@@ -116,7 +116,7 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, SURVEY §2.1), checked against the original parquet: schema-
     explicit read (no inference scan), timestamps excluded (JSON serializes
     them lossily — documented)."""
-    out = os.path.join(_scratch_dir(), f"jsonl_{os.path.basename(os.path.normpath(sf_dir))}")
+    out = os.path.join(_scratch_dir(), f"jsonl_{_sfkey(sf_dir)}")
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     io.write_json(e, out)
     back = io.read_json(spark, out, schema="event_id long, event_type string, value double")
