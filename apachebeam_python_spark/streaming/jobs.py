@@ -71,3 +71,19 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str, *, watermark: str =
     )
     run_to_memory(agg, sink_name, output_mode="complete")
     return spark.table(sink_name)
+
+
+def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = None) -> None:
+    """The universal production sink (Beam's custom-sink DoFn analogue):
+    ``foreachBatch`` hands each micro-batch to arbitrary batch-DataFrame code
+    (merge/upsert into parquet-or-warehouse, multi-sink fan-out, JDBC...).
+
+    Exactly-once story: the batch_fn receives (df, batch_id); idempotent
+    writes keyed by batch_id + checkpointing give end-to-end exactly-once —
+    same contract Beam sinks implement with their own dedup keys.
+    """
+    w = result.writeStream.foreachBatch(batch_fn).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination()

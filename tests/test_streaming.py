@@ -169,3 +169,79 @@ def test_update_mode_emits_revisions(spark):
     # update mode appends a revision row per micro-batch: n=1 then n=2
     emitted = sorted(r.n for r in spark.table(sink).collect())
     assert emitted == [1, 2]
+
+
+def test_foreach_batch_sink_writes_parquet(spark, sf_dir):
+    """foreachBatch: each micro-batch lands in a parquet dir partitioned by
+    batch id — the universal custom-sink pattern (idempotent per batch_id)."""
+    import uuid
+
+    from apachebeam_python_spark.streaming import jobs
+
+    out_dir = f"{SCRATCH}/fb_{uuid.uuid4().hex[:8]}"
+
+    def sink(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    stream = jobs.events_stream(spark, sf_dir)
+    jobs.run_foreach_batch(stream.select("event_id", "event_type"), sink)
+    back = spark.read.parquet(f"{out_dir}/batch=*")
+    from apachebeam_python_spark.session import table
+
+    assert back.count() == table(spark, sf_dir, "events").count()
+
+
+def test_observe_metrics_no_extra_pass(spark, sf_dir):
+    """Beam Metrics.counter analogue: observation collected from the single
+    job that ran the query."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.plans.metrics import observed
+    from apachebeam_python_spark.session import table
+
+    e = table(spark, sf_dir, "events")
+    e2, obs = observed(
+        e, "ingest",
+        n_rows=F.count(F.lit(1)),
+        n_errors=F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+        max_value=F.max("value"),
+    )
+    total = e2.filter(F.col("value") >= 0).count()
+    m = obs.get
+    assert m["n_rows"] == e.count() and total <= m["n_rows"]
+    assert m["n_errors"] == e.filter(F.col("event_type") == "error").count()
+
+
+def test_transform_with_state_running_sum(spark):
+    """PySpark 4 transformWithStateInPandas (named ValueState across
+    micro-batches). Skipped where the protobuf state protocol is unavailable
+    (this container — see streaming/tws.py)."""
+    import datetime as dt
+    import shutil
+    import uuid
+
+    import pytest as _pytest
+
+    from apachebeam_python_spark.streaming.tws import running_sum_stream, tws_available
+
+    if not tws_available():
+        _pytest.skip("google.protobuf unavailable — transformWithState protocol needs it")
+
+    src = f"{SCRATCH}/tws_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    _write(spark, src, [(1, base, 10.0), (1, base, 5.0), (2, base, 1.0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    sink = f"tws_{uuid.uuid4().hex[:6]}"
+    q = (
+        running_sum_stream(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(spark, src, [(1, base, 2.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+    rows = {(r.user_id, r.running_total) for r in spark.table(sink).collect()}
+    assert {(1, 15.0), (1, 17.0), (2, 1.0)} <= rows
