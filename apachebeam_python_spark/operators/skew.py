@@ -20,12 +20,22 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: (partial_expr, final_expr) builders per decomposable aggregate
+#: (partial_expr, final_expr) builders per decomposable aggregate.
+#: Honesty note: for sum/count/min/max Catalyst's map-side partial
+#: aggregation ALREADY neutralizes key skew — salting those is belt-and-
+#: suspenders. The aggregate that genuinely needs salting is "collect":
+#: a plain collect_list sends every row of the hot key to ONE reducer,
+#: while the salted form materializes n_salts partial lists in parallel
+#: and only flattens the (much smaller) list-of-lists at the end.
 _DECOMPOSABLE = {
     "sum": (F.sum, F.sum),
     "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    "collect": (
+        F.collect_list,
+        lambda c: F.array_sort(F.flatten(F.collect_list(c))),
+    ),
 }
 
 

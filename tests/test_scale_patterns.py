@@ -84,3 +84,19 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = l.join(o, "l_orderkey")
     assert salted.count() == plain.count()
     assert sorted(salted.columns) == sorted(plain.columns)
+
+
+def test_salted_collect_matches_plain(spark, sf_dir):
+    """collect_list is the aggregate that genuinely needs salting (no
+    map-side combine); the salted two-stage form must produce the same
+    sorted per-key list."""
+    e = table(spark, sf_dir, "events")
+    salted = skew.salted_aggregate(
+        e, ["event_type"], F.col("event_id"), 8, ids=("event_id", "collect")
+    )
+    plain = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("event_id")).alias("ids")
+    )
+    assert {(r.event_type, tuple(r.ids)) for r in salted.collect()} == {
+        (r.event_type, tuple(r.ids)) for r in plain.collect()
+    }
