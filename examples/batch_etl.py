@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Example 1 — batch ETL, the canonical reference-repo shape
+(read → filter → enrich via side input → keyed combine → write).
+
+Run: python examples/batch_etl.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.pipeline import Pipeline
+from apachebeam_python_spark.session import get_spark, table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("example-batch-etl")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    nation = table(spark, sf_dir, "nation")
+
+    report = (
+        Pipeline.of(table(spark, sf_dir, "customer"))
+        .filter(F.col("c_acctbal") > 0)
+        .join_broadcast(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .combine_per_key(
+            ["n_name"],
+            n_customers=F.count("*"),
+            total_balance=F.round(F.sum("c_acctbal"), 2),
+        )
+        .to_df()
+        .orderBy(F.col("total_balance").desc())
+    )
+    report.show(10, truncate=False)
+
+    out = "/root/repo/.tmp/examples/customer_report"
+    Pipeline.of(report).write_parquet(out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

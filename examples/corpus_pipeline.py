@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Example 3 — LLM training-corpus pipeline: dedup (exact + MinHash-LSH),
+quality filtering, and embedding similarity search over the documents /
+embeddings tables.
+
+Run: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.functions import text as T
+from apachebeam_python_spark.operators import dedup as D
+from apachebeam_python_spark.operators import similarity as SIM
+from apachebeam_python_spark.session import get_spark, table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("example-corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = table(spark, sf_dir, "documents")
+
+    exact = D.exact_dedup_groups(docs, "text", "doc_id")
+    print("exact-dup groups with >1 copy:", exact.filter(F.col("n_copies") > 1).count())
+
+    near = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.2)
+    print("near-dup candidate pairs (MinHash-LSH, jaccard ≥ 0.2):", near.count())
+
+    quality = docs.select(
+        "doc_id", "lang", F.round(T.quality_score(F.col("text")), 4).alias("q")
+    )
+    kept = quality.filter(F.col("q") >= 0.72)
+    print(f"quality filter keeps {kept.count()}/{docs.count()} docs")
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=3)
+    print("nearest neighbors for sample queries:")
+    topk.orderBy("query_id", "rank").show(9, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
