@@ -69,9 +69,14 @@ def top_k_per_key(df: DataFrame, keys: Sequence[str], order: Sequence[Column], k
 
 def latest_per_key(df: DataFrame, keys: Sequence[str], value: str, ts: str, out: str = "latest") -> DataFrame:
     """Beam ``Latest.PerKey``: value carried by the max-timestamp element.
-    Single shuffle via ``max_by`` — no window, no self-join."""
+    Single shuffle via ``max_by`` — no window, no self-join.
+
+    Ties on ``ts`` break by max value (max_by over struct(ts, value)) so the
+    result is deterministic under any partitioning; with unique timestamps
+    (our fixture — verified) this is plain latest-by-time."""
     return df.groupBy(*keys).agg(
-        F.max_by(value, ts).alias(out), F.max(ts).alias(f"max_{ts}")
+        F.max_by(value, F.struct(F.col(ts), F.col(value))).alias(out),
+        F.max(ts).alias(f"max_{ts}"),
     )
 
 

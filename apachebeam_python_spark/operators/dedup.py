@@ -98,6 +98,12 @@ def minhash_lsh_pairs(
     just the signature, not the text). Candidates are then optionally
     verified with exact shingle Jaccard ≥ threshold (second, tiny shuffle).
     """
+    if not (0 < bands <= num_hashes) or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must evenly divide "
+            f"num_hashes={num_hashes} (bands > num_hashes would degenerate "
+            "every bucket to a constant → all-pairs O(n²))"
+        )
     rows = num_hashes // bands
     df = fan_out(df)  # shingle+signature CPU dominates; parallelize small-file inputs
     sigs = (

@@ -90,8 +90,17 @@ def par_do_tagged(
 
 
 def partition_into(df: DataFrame, bucket_expr: Column, n: int, bucket_col: str = "bucket"):
-    """Beam ``Partition(fn, n)``: split into n DataFrames by bucket in [0, n)."""
-    bucketed = df.withColumn(bucket_col, bucket_expr)
+    """Beam ``Partition(fn, n)``: split into n DataFrames by bucket in [0, n).
+
+    Out-of-range buckets raise at execution time (Beam's loud per-element
+    error) rather than silently vanishing from every output split."""
+    checked = F.when((bucket_expr >= 0) & (bucket_expr < n), bucket_expr).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"partition_into: bucket out of range [0, {n}): "),
+                     bucket_expr.cast("string"))
+        )
+    )
+    bucketed = df.withColumn(bucket_col, checked)
     return [bucketed.filter(F.col(bucket_col) == i) for i in range(n)]
 
 
@@ -102,7 +111,11 @@ def with_keys(df: DataFrame, key_expr: Column, key_col: str = "key") -> DataFram
 
 def reshuffle(df: DataFrame, n: int | None = None, *cols: str) -> DataFrame:
     """Beam ``Reshuffle``: physical redistribution hint. With cols → hash
-    partition on them (co-location for a later merge/join); else round-robin."""
+    partition on them (co-location for a later merge/join); else round-robin
+    across the cluster's default parallelism (PySpark's ``repartition()``
+    requires an explicit count)."""
     if cols:
         return df.repartition(n, *cols) if n else df.repartition(*cols)
-    return df.repartition(n) if n else df.repartition()
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

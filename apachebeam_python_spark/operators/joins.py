@@ -76,12 +76,21 @@ def cogroup_by_key(
 ) -> DataFrame:
     """Beam ``CoGroupByKey``: (K, {left:[...], right:[...]}) as a full-outer
     join of per-side grouped lists; absent side → empty list (Beam yields
-    empty iterables, not NULL). Lists sorted for determinism."""
+    empty iterables, not NULL). Lists sorted for determinism.
+
+    NULL keys join null-safely (eqNullSafe) — Beam groups None keys into ONE
+    group; a plain USING join would split it into two one-sided rows."""
     lg = left.groupBy(*keys).agg(F.array_sort(F.collect_list(left_value)).alias(left_out))
-    rg = right.groupBy(*keys).agg(F.array_sort(F.collect_list(right_value)).alias(right_out))
-    joined = lg.join(rg, on=list(keys), how="full_outer")
+    rg = right.groupBy(*[F.col(k).alias(f"_r_{k}") for k in keys]).agg(
+        F.array_sort(F.collect_list(right_value)).alias(right_out)
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_r_{k}"))
+        cond = c if cond is None else cond & c
+    joined = lg.join(rg, on=cond, how="full_outer")
     return joined.select(
-        *keys,
+        *[F.coalesce(F.col(k), F.col(f"_r_{k}")).alias(k) for k in keys],
         F.coalesce(F.col(left_out), F.array().cast(f"array<{left.schema[left_value].dataType.simpleString()}>")).alias(left_out),
         F.coalesce(F.col(right_out), F.array().cast(f"array<{right.schema[right_value].dataType.simpleString()}>")).alias(right_out),
     )

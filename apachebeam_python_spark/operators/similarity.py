@@ -83,6 +83,7 @@ def lsh_buckets(df: DataFrame, vec_col: str, id_col: str, *, n_tables: int = 4, 
     return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("vec"),
+        V.norm(F.col(vec_col)).alias("nrm"),  # once per vector, reused at re-rank
         F.explode(
             F.array(
                 *[
@@ -91,7 +92,7 @@ def lsh_buckets(df: DataFrame, vec_col: str, id_col: str, *, n_tables: int = 4, 
                 ]
             )
         ).alias("tb"),
-    ).select("doc_id", "vec", "tb.tbl", "tb.bucket")
+    ).select("doc_id", "vec", "nrm", "tb.tbl", "tb.bucket")
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int, *, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
@@ -100,17 +101,21 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: st
     rows of (id, vec) — instead of the n_q × n_corpus brute-force pairing."""
     cb = lsh_buckets(corpus, vec_col, id_col, n_tables=n_tables, n_bits=n_bits)
     qb = lsh_buckets(queries, vec_col, id_col, n_tables=n_tables, n_bits=n_bits).select(
-        F.col("doc_id").alias("query_id"), F.col("vec").alias("qv"), "tbl", "bucket"
+        F.col("doc_id").alias("query_id"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"), "tbl", "bucket",
     )
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("doc_id") != F.col("query_id"))
-        .select(F.col("query_id"), F.col("doc_id").alias("neighbor_id"), "qv", F.col("vec").alias("cv"))
+        .select(
+            F.col("query_id"), F.col("doc_id").alias("neighbor_id"),
+            "qv", F.col("vec").alias("cv"), "qn", F.col("nrm").alias("cn"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sims = cand.withColumn(
         "cos_sim",
-        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), V.norm(F.col("qv")), V.norm(F.col("cv"))),
+        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -83,7 +83,13 @@ def salted_join(
 
     The small side is exploded ×n_salts (must be modest-sized — if it were
     broadcast-small you'd just broadcast; this targets the middle ground:
-    too big to broadcast, joined against a skewed fact)."""
+    too big to broadcast, joined against a skewed fact).
+
+    Only fact-preserving join types are salt-safe: a right/full outer join
+    would emit each unmatched small-side row once PER SALT replica."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join: how={how!r} is not salt-safe (unmatched "
+                         "small-side rows would duplicate n_salts times)")
     salted_fact = fact.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -89,12 +89,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql.types import LongType
+        df = convert_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # ns-as-long → µs timestamp; integer `div` (not `/`, which would
-            # round-trip through double and lose precision at 1e18 ns).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """ns-as-long → µs timestamp (single source of truth — the streaming
+    reader applies the SAME conversion so batch ≡ stream holds). Integer
+    ``div``, not ``/``: float round-trip loses precision at 1e18 ns."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

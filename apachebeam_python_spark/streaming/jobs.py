@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import event_time as ET
-from ..session import table
+from ..session import convert_event_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,17 +32,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Schema comes from the batch reader (single source of truth, including
     the ns→µs ts conversion performed in session.table)."""
-    batch = table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # file stream sources take a directory; pathGlobFilter narrows to events
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # file stream sources take a directory; pathGlobFilter narrows to events;
+    # ts conversion is session.convert_event_ts — the SAME code path the
+    # batch reader uses, so batch ≡ stream can't silently diverge.
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream.select(*batch.columns)
+    return convert_event_ts(stream)
 
 
 def run_to_memory(result: DataFrame, name: str, *, output_mode: str) -> None:

@@ -33,6 +33,8 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
     ``SELECT DISTINCT user_id, event_type FROM events``.
     """
 
+    _NULL = "\x01<null>"  # state encoding for a NULL event_type (sortable)
+
     def dedup(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -40,8 +42,9 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
         out = []
         for pdf in pdfs:
             for et in pdf["event_type"]:
-                if et not in seen:
-                    seen.add(et)
+                enc = _NULL if et is None else et
+                if enc not in seen:
+                    seen.add(enc)
                     out.append(et)
         state.update(("\x00".join(sorted(seen)),))
         yield pd.DataFrame({"user_id": [key[0]] * len(out), "event_type": out})

@@ -102,3 +102,52 @@ def test_cosine_zero_vector_no_crash(spark):
     out = cosine_topk(df, df, "embedding", "vec_id", k=2).collect()
     zero_rows = [r for r in out if r.neighbor_id == 2 or r.query_id == 2]
     assert zero_rows and all(r.cos_sim == 0.0 for r in zero_rows)
+
+
+def test_cogroup_null_keys_merge(spark):
+    """NULL keys form ONE CoGBK group (Beam semantics), not two one-sided rows."""
+    left = spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string")
+    right = spark.createDataFrame([(None, "y"), (2, "b")], "k int, v string")
+    out = J.cogroup_by_key(left, right, ["k"], "v", "v")
+    rows = {(r.k, tuple(r.left_values), tuple(r.right_values)) for r in out.collect()}
+    assert rows == {(None, ("x",), ("y",)), (1, ("a",), ()), (2, (), ("b",))}
+
+
+def test_reshuffle_no_args(spark):
+    from apachebeam_python_spark.operators.elementwise import reshuffle
+
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    assert reshuffle(df).count() == 2
+
+
+def test_partition_into_out_of_range_raises(spark):
+    import pytest as _pytest
+
+    from apachebeam_python_spark.operators.elementwise import partition_into
+    from pyspark.sql import functions as _F
+
+    df = spark.createDataFrame([(7,)], "x long")
+    parts = partition_into(df, _F.col("x"), 3)  # bucket 7 out of [0,3)
+    with _pytest.raises(Exception, match="out of range"):
+        parts[0].count()
+
+
+def test_minhash_bands_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=64)
+    with _pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=7)
+
+
+def test_salted_join_rejects_unsafe_how(spark):
+    import pytest as _pytest
+
+    from apachebeam_python_spark.operators import skew
+    from pyspark.sql import functions as _F
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="salt-safe"):
+        skew.salted_join(df, df, "k", _F.col("v"), 4, how="full")

@@ -99,3 +99,41 @@ def test_asof_join_matches_duckdb_native_asof(spark, left_t, right_t):
         ).fetchall()
     }
     assert got == want
+
+
+# --- sliding-window assignment vs first-principles expansion ---
+
+slide_offsets = st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=20, unique=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(offsets=slide_offsets)
+def test_sliding_window_assignment_matches_expansion(spark, offsets):
+    """F.window(size=25min, slide=10min) must assign each event to exactly
+    the epoch-aligned windows [start, start+size) containing it — including
+    non-divisible size/slide ratios (ceil(25/10)=3 overlapping windows)."""
+    import pyspark.sql.functions as F
+
+    from apachebeam_python_spark.operators import event_time as ET
+
+    SIZE, SLIDE = 1500, 600  # seconds
+    rows = [(BASE + dt.timedelta(seconds=o),) for o in offsets]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = ET.sliding(df, "ts", f"{SIZE} seconds", f"{SLIDE} seconds", n=F.count("*"))
+    got = {(r.window_start, r.window_end, r.n) for r in out.collect()}
+
+    # first-principles: for each event, every aligned start with
+    # start <= t < start+size, where starts are multiples of SLIDE
+    from collections import Counter
+
+    assign = Counter()
+    epoch = dt.datetime(1970, 1, 1)
+    for (t,) in rows:
+        secs = int((t - epoch).total_seconds())
+        # window starts are the multiples of SLIDE in (secs - SIZE, secs]
+        s = (secs // SLIDE) * SLIDE
+        while s > secs - SIZE:
+            assign[(epoch + dt.timedelta(seconds=s), epoch + dt.timedelta(seconds=s + SIZE))] += 1
+            s -= SLIDE
+    want = {(ws, we, n) for (ws, we), n in assign.items()}
+    assert got == want

@@ -245,3 +245,31 @@ def test_transform_with_state_running_sum(spark):
         shutil.rmtree(src, ignore_errors=True)
     rows = {(r.user_id, r.running_total) for r in spark.table(sink).collect()}
     assert {(1, 15.0), (1, 17.0), (2, 1.0)} <= rows
+
+
+def test_stream_static_join(spark, sf_dir):
+    """Stream-static join (Beam windowed side-input analogue): each
+    micro-batch joins against a static dim — the dim is re-broadcast per
+    batch, the stream never shuffles."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.session import table
+    from apachebeam_python_spark.streaming import jobs
+
+    sink = f"ssj_static_{uuid.uuid4().hex[:8]}"
+    stream = jobs.events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 2.0), ("click", 1.0), ("view", 0.5), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    weighted = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", (F.col("value") * F.col("weight")).alias("wv")
+    )
+    q = weighted.writeStream.format("memory").queryName(sink).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = spark.table(sink)
+    assert got.count() == table(spark, sf_dir, "events").count()
+    # error rows weighted to zero
+    assert got.filter((F.col("event_type") == "error") & (F.col("wv") != 0)).count() == 0
