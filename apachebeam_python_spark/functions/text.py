@@ -58,8 +58,10 @@ def shingles(text: Column, n: int = 2) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
     )
-    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))  # NULL propagates (oracle parity)
+        .when(F.size(w) >= n, F.array_distinct(gram))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -92,7 +94,8 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_predict(text: Column) -> Column:
     """Argmax language with fixed precedence order (en>es>de>fr>zh) on ties —
-    a deterministic CASE chain, identical in the oracle SQL."""
+    a deterministic CASE chain, identical in the oracle SQL. Zero marker hits
+    in every language → 'unknown' (a real no-signal bucket, not a tie win)."""
     scores = lang_scores(text)
     order = list(LANG_MARKERS)
     best = scores[order[0]]
@@ -101,7 +104,7 @@ def lang_predict(text: Column) -> Column:
     expr = F.lit("unknown")
     for lang in reversed(order):  # build CASE bottom-up so earlier langs win ties
         expr = F.when(scores[lang] == best, lang).otherwise(expr)
-    return expr
+    return F.when(best == 0, "unknown").otherwise(expr)
 
 
 def fingerprint(text: Column, prefix_tokens: int = 8) -> Column:

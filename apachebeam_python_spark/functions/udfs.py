@@ -32,8 +32,9 @@ def relative_spread():
 
     @pandas_udf("double")
     def _relative_spread(lo: pd.Series, hi: pd.Series) -> pd.Series:
-        # result (not just the denominator) must be zeroed when hi == 0,
-        # matching the oracle's CASE WHEN hi <> 0 ... ELSE 0.0
+        # result (not just the denominator) is zeroed when hi == 0, and
+        # NULL/NaN inputs also coerce to 0.0 (pandas float series can't
+        # round-trip SQL NULL; the oracle mirrors this with coalesce)
         return ((hi - lo) / hi).where(hi != 0, 0.0).fillna(0.0)
 
     return _relative_spread

@@ -43,7 +43,9 @@ class Pipeline:
 
     @classmethod
     def read_parquet(cls, spark: SparkSession, path: str) -> "Pipeline":
-        return cls(spark.read.parquet(path))
+        from .sources.io import read_parquet
+
+        return cls(read_parquet(spark, path))
 
     @classmethod
     def create(cls, spark: SparkSession, data, schema) -> "Pipeline":

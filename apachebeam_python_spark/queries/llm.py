@@ -89,7 +89,8 @@ _SCORES_SQL = ",\n  ".join(
 )
 _BEST_SQL = "greatest(s_en, s_es, s_de, s_fr, s_zh)"
 _PRED_SQL = (
-    "CASE WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' "
+    "CASE WHEN best = 0 THEN 'unknown' "
+    "WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' "
     "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
     "WHEN s_zh = best THEN 'zh' ELSE 'unknown' END"
 )

@@ -24,7 +24,7 @@ from .scans import _scratch_dir, _sfkey
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(CASE WHEN l_extendedprice <> 0
-                  THEN (l_extendedprice - l_discount * l_extendedprice) / l_extendedprice
+                  THEN coalesce((l_extendedprice - l_discount * l_extendedprice) / l_extendedprice, 0.0)
                   ELSE 0.0 END, 6) AS spread
 FROM lineitem WHERE l_linenumber <= 2
 """,

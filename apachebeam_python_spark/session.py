@@ -84,7 +84,12 @@ def get_spark(app_name: str = "apachebeam_python_spark") -> SparkSession:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. Columnar parquet scan → pushdown-friendly."""
+    """Load one fixture table. Columnar parquet scan → pushdown-friendly.
+
+    Applies :func:`tune` first (idempotent) so this works on RAW sessions
+    too — without the nanosAsLong conf, reading events.parquet aborts with
+    PARQUET_TYPE_ILLEGAL on Spark 4."""
+    tune(spark)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -32,10 +32,16 @@ def write_bucketed(
     """Persist as a bucketed (and optionally sort-merged-ready) table.
     Joins/aggregations on ``bucket_cols`` between tables with the SAME
     bucketing skip the exchange entirely."""
+    if "." in table_name:
+        raise ValueError("write_bucketed takes an unqualified table name")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # a stale location from a previous session's metastore blocks creation
-    loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table_name)
+    # a stale location from a previous session's metastore blocks creation;
+    # the metastore lowercases directory names, so match that here
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        table_name.lower(),
+    )
     shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

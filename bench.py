@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -46,8 +47,14 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    from apachebeam_python_spark.session import DEFAULT_SF_DIR
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.match(r"sf([0-9.]+)$", os.path.basename(os.path.normpath(sf_dir)))
+    try:
+        sf = float(m.group(1)) if m else os.path.basename(os.path.normpath(sf_dir))
+    except ValueError:
+        sf = os.path.basename(os.path.normpath(sf_dir))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,7 +89,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
                 "value_warm": round(sum(warm.values()), 3),
                 "queries_warm": warm,
             }

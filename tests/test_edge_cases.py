@@ -151,3 +151,18 @@ def test_salted_join_rejects_unsafe_how(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with _pytest.raises(ValueError, match="salt-safe"):
         skew.salted_join(df, df, "k", _F.col("v"), 4, how="full")
+
+
+def test_minhash_finds_high_jaccard_pair(spark):
+    """A handcrafted ~0.9-jaccard pair must surface through LSH banding
+    (deterministic hashes → deterministic result)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"   # 38/41 shared bigrams
+    far = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] > 0.8
+    assert all(3 not in pair for pair in rows)
