@@ -127,3 +127,58 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long → wide (per-user event-type counts). Values enumerated
+    explicitly — at 100 TB an un-enumerated pivot needs a driver-side
+    distinct pass first; always pass the value list."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, kind, round(amount, 2) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         unnest(['price', 'discount', 'tax']) AS kind,
+         unnest([l_extendedprice, l_discount, l_tax]) AS amount
+  FROM lineitem WHERE l_linenumber = 1
+)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide → long (one row per measure) via ``unpivot`` —
+    a zero-shuffle narrow expansion in both engines."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "kind",
+        "amount",
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("kind") == "l_extendedprice", "price")
+         .when(F.col("kind") == "l_discount", "discount")
+         .otherwise("tax").alias("kind"),
+        F.round("amount", 2).alias("amount"),
+    )
