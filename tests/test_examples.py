@@ -1,0 +1,27 @@
+"""The examples/ scripts must keep running — they are the migration story."""
+
+from __future__ import annotations
+
+import runpy
+import sys
+
+
+def _run(name, sf_dir):
+    argv = sys.argv
+    sys.argv = [name, sf_dir]
+    try:
+        runpy.run_path(f"/root/repo/examples/{name}.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
+def test_batch_etl_example(spark, sf_dir):
+    _run("batch_etl", sf_dir)
+
+
+def test_streaming_sessions_example(spark, sf_dir):
+    _run("streaming_sessions", sf_dir)
+
+
+def test_corpus_pipeline_example(spark, sf_dir):
+    _run("corpus_pipeline", sf_dir)

@@ -137,3 +137,35 @@ def test_sliding_window_assignment_matches_expansion(spark, offsets):
             s -= SLIDE
     want = {(ws, we, n) for (ws, we), n in assign.items()}
     assert got == want
+
+
+# --- top-k per key under deliberate ties ---
+
+tie_vals = st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=30)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vals=tie_vals)
+def test_topk_per_key_deterministic_under_ties(spark, vals):
+    """With the documented total-order (tiebreaker included), top-k per key
+    must equal DuckDB's row_number() selection even when values are all
+    ties."""
+    from apachebeam_python_spark.operators.aggregations import top_k_per_key
+    import pyspark.sql.functions as F
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    out = top_k_per_key(df, ["k"], [F.col("v").desc(), F.col("id")], 3)
+    got = {(r.k, r.id, r.v, r.rn) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """SELECT k, id, v, CAST(rn AS INTEGER) FROM (
+                 SELECT k, id, v, row_number() OVER (PARTITION BY k ORDER BY v DESC, id) rn
+                 FROM t) WHERE rn <= 3"""
+        ).fetchall()
+    }
+    assert got == want
