@@ -273,3 +273,51 @@ def test_stream_static_join(spark, sf_dir):
     assert got.count() == table(spark, sf_dir, "events").count()
     # error rows weighted to zero
     assert got.filter((F.col("event_type") == "error") & (F.col("wv") != 0)).count() == 0
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Stop a checkpointed stream mid-input, restart it with the same
+    checkpoint, and verify the idempotent foreachBatch sink holds every
+    event exactly once — the end-to-end exactly-once contract."""
+    import glob
+    import uuid
+
+    src = f"{SCRATCH}/ck_src_{uuid.uuid4().hex[:8]}"
+    ckpt = f"{SCRATCH}/ck_chk_{uuid.uuid4().hex[:8]}"
+    out = f"{SCRATCH}/ck_out_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    def sink(df, batch_id):
+        # idempotent by batch_id: a replayed batch overwrites its own dir
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    def start():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write(spark, src, [(1, base, 1.0), (2, base, 2.0)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash" after the first file is committed
+
+    _write(spark, src, [(3, base, 3.0)])
+    q = start()  # recover from checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import shutil
+
+    back = spark.read.parquet(f"{out}/batch=*")
+    users = sorted(r.user_id for r in back.collect())
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert users == [1, 2, 3]  # everything exactly once across the restart
+    assert len(glob.glob(f"{out}/batch=*")) >= 2  # second batch came post-recovery
