@@ -100,3 +100,27 @@ def test_salted_collect_matches_plain(spark, sf_dir):
     assert {(r.event_type, tuple(r.ids)) for r in salted.collect()} == {
         (r.event_type, tuple(r.ids)) for r in plain.collect()
     }
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir):
+    """Clustered layout: parquet files carry disjoint min/max ranges of the
+    cluster column (verified from the file footers), enabling file skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = "/root/repo/.tmp/orders_clustered"
+    layout.write_clustered(table(spark, sf_dir, "orders"), path, "o_totalprice", 4)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: a range filter can skip whole files

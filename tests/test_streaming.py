@@ -321,3 +321,33 @@ def test_checkpoint_recovery_exactly_once(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
     assert users == [1, 2, 3]  # everything exactly once across the restart
     assert len(glob.glob(f"{out}/batch=*")) >= 2  # second batch came post-recovery
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Built-in streaming dedup (dropDuplicatesWithinWatermark): a duplicate
+    id arriving within the watermark window is suppressed."""
+    import uuid
+
+    src = f"{SCRATCH}/ddw_{uuid.uuid4().hex[:8]}"
+    sink = f"ddw_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    _write(spark, src, [(1, base, 1.0), (1, base + dt.timedelta(minutes=1), 2.0)])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # same key again in a later micro-batch, still within the watermark
+        _write(spark, src, [(1, base + dt.timedelta(minutes=2), 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+    rows = spark.table(sink).collect()
+    assert len(rows) == 1 and rows[0].user_id == 1
