@@ -298,3 +298,49 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str, threshold:
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components by iterative
+    min-label propagation (the downstream step that turns pairwise matches
+    into keep/drop groups; cluster id = min member id).
+
+    Iterative control flow lives on the driver (converge when no label
+    changes — an aggregate check per round); per-round work is one join +
+    one aggregate, and ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. Rounds needed = graph diameter —
+    near-dup clusters are shallow (pairs share a hub), so this converges in
+    a handful of rounds even at corpus scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        lbl_v = labels.select(F.col("u").alias("v"), F.col("label").alias("v_label"))
+        neighbor_min = (
+            edges.join(lbl_v, "v")
+            .groupBy(F.col("u").alias("n_u"))
+            .agg(F.min("v_label").alias("n_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.u == F.col("n_u"), "left")
+            .select(
+                labels.u.alias("u"),
+                F.least(F.col("label"), F.coalesce("n_label", "label")).alias("new_label"),
+                F.col("label"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("u", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

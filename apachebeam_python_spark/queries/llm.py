@@ -372,3 +372,47 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  WITH grams AS (
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  ), counts AS (
+    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+  ), shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE round(shared / (ca.n_grams + cb.n_grams - shared), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS (connected components, cluster id =
+    min member): the iterative-algorithm capability (SURVEY §2.9 batch
+    equivalent of stateful loops), label propagation with driver-side
+    convergence + localCheckpoint lineage cuts. Oracle: DuckDB recursive CTE
+    computing min reachable vertex — an independent algorithm agreeing on
+    every component."""
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=2, threshold=0.5
+    )
+    return D.connected_components(pairs)
