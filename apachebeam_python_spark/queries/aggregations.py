@@ -115,22 +115,24 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_groupbykey_collect",
     oracle="""
 SELECT user_id,
-       list(event_type ORDER BY event_type)           AS values,
-       list(DISTINCT event_type ORDER BY event_type)  AS value_set
+       array_to_string(list(event_type ORDER BY event_type), ',')                       AS values,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')                       AS value_set
 FROM events GROUP BY user_id
 """,
 )
 def q_groupbykey_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupByKey materialized to (K, sorted list[V]) + ToSet — both
     accumulators in ONE combine (single scan, single shuffle; a join of two
-    separate groupBys would shuffle three times). Lists sorted in both
-    engines for deterministic hashing (bags are unordered)."""
+    separate groupBys would shuffle three times). Lists sorted AND serialized
+    to CSV strings in both engines: raw array columns crash the driver's
+    pandas canonicalizer (VERDICT r1 #2); the array form stays covered by
+    operator-level pytest."""
     e = table(spark, sf_dir, "events")
     return agg.combine_per_key(
         e,
         ["user_id"],
-        values=F.array_sort(F.collect_list("event_type")),
-        value_set=F.array_sort(F.collect_set("event_type")),
+        values=F.array_join(F.array_sort(F.collect_list("event_type")), ","),
+        value_set=F.array_join(F.array_sort(F.collect_set("event_type")), ","),
     )
 
 
@@ -232,15 +234,20 @@ WITH per_key AS (
   SELECT user_id, list(event_id ORDER BY event_id) AS vals FROM events GROUP BY user_id
 )
 SELECT user_id,
-       unnest(list_transform(range(1, CAST(ceil(len(vals) / 50.0) AS BIGINT) + 1),
-                             i -> vals[(i - 1) * 50 + 1 : i * 50])) AS batch
+       array_to_string(
+         unnest(list_transform(range(1, CAST(ceil(len(vals) / 50.0) AS BIGINT) + 1),
+                               i -> vals[(i - 1) * 50 + 1 : i * 50])), ',') AS batch
 FROM per_key
 """,
 )
 def q_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupIntoBatches(50): per-key sorted ids chunked into ≤50-element
-    batches, exploded one row per batch (SURVEY §2.3)."""
-    return agg.group_into_batches(table(spark, sf_dir, "events"), ["user_id"], "event_id", 50)
+    batches, exploded one row per batch (SURVEY §2.3). Batches serialized to
+    CSV strings in both engines (driver canonicalizer, VERDICT r1 #2)."""
+    out = agg.group_into_batches(table(spark, sf_dir, "events"), ["user_id"], "event_id", 50)
+    return out.withColumn(
+        "batch", F.array_join(F.transform("batch", lambda x: x.cast("string")), ",")
+    )
 
 
 @register("q_approx_distinct")  # rows-only: HLL estimate, not oracle-hashable (SURVEY §7.4.3)
@@ -251,9 +258,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_approx_quantiles")  # rows-only: sketch-dependent values
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ApproximateQuantiles of order totalprice (median, p90, p99)."""
-    return agg.approx_quantiles(
+    """ApproximateQuantiles of order totalprice (median, p90, p99). The
+    sketch output array is serialized to a CSV string — even the driver's
+    rows-only count canonicalizes the frame and crashes on raw arrays
+    (VERDICT r1 #2)."""
+    out = agg.approx_quantiles(
         table(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    return out.withColumn(
+        "quantiles", F.array_join(F.transform("quantiles", lambda x: x.cast("string")), ",")
     )
 
 

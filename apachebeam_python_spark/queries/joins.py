@@ -169,24 +169,34 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   COALESCE(a.k, b.k) AS nationkey,
-  COALESCE(a.customers, []::VARCHAR[]) AS customers,
-  COALESCE(b.suppliers, []::VARCHAR[]) AS suppliers
-FROM (SELECT c_nationkey AS k, list(c_name ORDER BY c_name) AS customers
+  COALESCE(a.customers, '') AS customers,
+  COALESCE(b.suppliers, '') AS suppliers
+FROM (SELECT c_nationkey AS k,
+             array_to_string(list(c_name ORDER BY c_name), ',') AS customers
       FROM customer GROUP BY c_nationkey) a
 FULL OUTER JOIN
-     (SELECT s_nationkey AS k, list(s_name ORDER BY s_name) AS suppliers
+     (SELECT s_nationkey AS k,
+             array_to_string(list(s_name ORDER BY s_name), ',') AS suppliers
       FROM supplier GROUP BY s_nationkey) b
 ON a.k = b.k
 """,
 )
 def q_cogroup_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``CoGroupByKey``: per-nation customer names + supplier names,
-    absent side → empty list (not NULL), lists sorted for determinism."""
+    absent side → empty list (not NULL), lists sorted for determinism and
+    serialized to CSV strings in both engines (absent side → '' — raw array
+    columns crash the driver canonicalizer, VERDICT r1 #2; the array form
+    stays covered in operator pytest)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"), "c_name")
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"), "s_name")
-    return J.cogroup_by_key(
+    out = J.cogroup_by_key(
         c, s, ["nationkey"], "c_name", "s_name",
         left_out="customers", right_out="suppliers",
+    )
+    return out.select(
+        "nationkey",
+        F.array_join("customers", ",").alias("customers"),
+        F.array_join("suppliers", ",").alias("suppliers"),
     )
 
 

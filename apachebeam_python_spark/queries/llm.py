@@ -40,7 +40,9 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        count(*)                                   AS n_docs,
-       sum(len(string_split(text, ' ')))          AS total_tokens,
+       -- CAST: DuckDB integer sum() yields HUGEINT → float64 via pandas,
+       -- which hash-mismatches Spark's int64 ('123.0' vs '123') — VERDICT r1
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(n_chars), 6)                     AS avg_chars,
        max(n_chars)                               AS max_chars
 FROM documents
@@ -147,14 +149,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
        min(doc_id)                  AS keep_id,
        count(*)                     AS n_docs,
-       list(doc_id ORDER BY doc_id) AS doc_ids
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids
 FROM documents
 GROUP BY fp
 """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 of the 8-token prefix → cluster ids."""
-    return D.fingerprint_groups(table(spark, sf_dir, "documents"), "text", "doc_id")
+    """Document fingerprinting: md5 of the 8-token prefix → cluster ids.
+    doc_ids serialized to a sorted CSV string in both engines — raw array
+    columns crash the driver's pandas canonicalizer (VERDICT r1 #2)."""
+    out = D.fingerprint_groups(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.withColumn(
+        "doc_ids", F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
+    )
 
 
 @register(
@@ -328,9 +335,9 @@ WITH hashed AS (
         FROM deduped)
 )
 SELECT lang,
-       count(*)                   AS n_docs,
-       sum(n_tokens)              AS total_tokens,
-       round(avg(quality), 6)     AS avg_quality
+       count(*)                        AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+       round(avg(quality), 6)          AS avg_quality
 FROM scored
 WHERE quality >= 0.72
 GROUP BY lang

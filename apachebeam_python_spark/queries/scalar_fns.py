@@ -60,7 +60,9 @@ SELECT
   day(o_orderdate)                                             AS dom,
   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)          AS month_start,
   date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-  CAST(o_orderdate AS DATE) + 30                               AS due_date,
+  -- TIMESTAMP, not DATE: DuckDB DATE → pandas datetime64 ('… 00:00:00')
+  -- while Spark DateType → datetime.date ('1997-01-31') — driver hash-fail
+  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)            AS due_date,
   CAST(epoch(o_orderdate) AS BIGINT)                           AS epoch_s
 FROM orders
 WHERE year(o_orderdate) = 1997
@@ -78,7 +80,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("dom"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
 
@@ -194,7 +196,10 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_fn_map")  # rows-only: DuckDB MAP literal/equality semantics differ (SURVEY §2.7)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map family: map_from_entries / map_keys / map_values / element_at."""
+    """Map family: map_from_entries / map_entries / map_keys / element_at.
+    The map itself is emitted as sorted ``k=v`` CSV (and keys as CSV) — raw
+    map/array cells crash the driver's pandas canonicalizer even for the
+    rows-only count (same class as VERDICT r1 #2)."""
     d = table(spark, sf_dir, "documents")
     m = F.map_from_entries(
         F.array(
@@ -202,9 +207,16 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit("source").alias("k"), F.col("source").alias("v")),
         )
     )
+    meta_csv = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+        ",",
+    )
     return d.select(
         "doc_id",
-        m.alias("meta"),
-        F.map_keys(m).alias("meta_keys"),
+        meta_csv.alias("meta"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("meta_keys"),
         F.element_at(m, "lang").alias("lang_val"),
     )

@@ -12,7 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from apachebeam_python_spark.session import TABLES, get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# sf0.01 = the scale the driver checks at (VERDICT r1 #4: scale-dependent
+# parity breaks passed locally at sf0.001 and surfaced only at the driver).
+# Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a faster dev loop.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

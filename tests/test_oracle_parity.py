@@ -1,6 +1,6 @@
 """Parametrized oracle-parity test: every registered query with an oracle
-must hash-match DuckDB at the test scale factor (the driver's t2 check,
-run locally at sf0.001 for speed — the driver uses sf0.01)."""
+must hash-match DuckDB at the test scale factor (default sf0.01 — the scale
+the driver checks at; override via SPARK_GRAFT_TEST_SF_DIR)."""
 
 from __future__ import annotations
 
@@ -8,7 +8,7 @@ import pytest
 
 from apachebeam_python_spark import queries as q
 
-from .parity import assert_parity
+from .parity import assert_parity, driver_canon
 
 ORACLE_NAMES = sorted(q.ORACLES)
 ROWS_ONLY_NAMES = sorted(set(q.QUERIES) - set(q.ORACLES))
@@ -23,6 +23,8 @@ def test_oracle_parity(name, spark, ddb, sf_dir):
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(name, spark, sf_dir):
     df = q.QUERIES[name](spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+    # the driver canonicalizes even rows-only results — a raw array column
+    # crashes its count (q_approx_quantiles in round 1), so canon must succeed
+    rows = driver_canon(df.toPandas())
+    assert len(rows) >= 0
     assert len(df.columns) > 0
