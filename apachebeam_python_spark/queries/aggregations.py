@@ -12,6 +12,7 @@ from ._registry import register
 
 @register(
     "q_agg_sum",
+    driver=False,  # folded into q_agg_combine
     oracle="""
 SELECT l_returnflag,
        round(sum(l_quantity), 2)      AS sum_qty,
@@ -31,6 +32,7 @@ def q_agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_multi",
+    driver=False,  # folded into q_agg_combine
     oracle="""
 SELECT l_linestatus,
        count(*)                            AS n,
@@ -56,6 +58,7 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_global",
+    driver=False,  # folded into q_agg_combine
     oracle="""
 SELECT count(*)                        AS n_orders,
        round(sum(o_totalprice), 2)     AS total,
@@ -77,6 +80,7 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_avg",
+    driver=False,  # folded into q_agg_combine
     oracle="""
 SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal, count(*) AS n
 FROM customer GROUP BY c_mktsegment
@@ -95,6 +99,7 @@ def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_count_per_element",
+    driver=False,  # subsumed: keyed counts in q_agg_combine/q_wordcount
     oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 )
 def q_count_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +109,7 @@ def q_count_per_element(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_distinct",
+    driver=False,  # subsumed: distinct-union arm of q_setops + q_dedup_exact
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +119,7 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_groupbykey_collect",
+    driver=False,  # folded into q_groupbykey_batches
     oracle="""
 SELECT user_id,
        array_to_string(list(event_type ORDER BY event_type), ',')                       AS values,
@@ -138,6 +145,7 @@ def q_groupbykey_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_topk_global",
+    driver=False,  # folded into q_order_limit (same TakeOrdered plan)
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -194,6 +202,7 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_rollup",
+    driver=False,  # subsumed by q_cube (superset of grouping sets)
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) AS INTEGER) + CAST(grouping(l_linestatus) AS INTEGER) AS lvl,
@@ -229,6 +238,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_group_into_batches",
+    driver=False,  # folded into q_groupbykey_batches
     oracle="""
 WITH per_key AS (
   SELECT user_id, list(event_id ORDER BY event_id) AS vals FROM events GROUP BY user_id
@@ -250,13 +260,13 @@ def q_group_into_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_distinct")  # rows-only: HLL estimate, not oracle-hashable (SURVEY §7.4.3)
+@register("q_approx_distinct", driver=False)  # rows-only: HLL estimate, not oracle-hashable (SURVEY §7.4.3)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateUnique via HyperLogLog++ (mergeable sketch — scale path)."""
     return agg.approx_distinct(table(spark, sf_dir, "events"), ["event_type"], "user_id")
 
 
-@register("q_approx_quantiles")  # rows-only: sketch-dependent values
+@register("q_approx_quantiles", driver=False)  # rows-only: sketch-dependent values
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateQuantiles of order totalprice (median, p90, p99). The
     sketch output array is serialized to a CSV string — even the driver's
@@ -270,7 +280,150 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sample")  # rows-only: nondeterministic across partition layouts
+@register("q_sample", driver=False)  # rows-only: nondeterministic across partition layouts
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample.FixedSizeGlobally(100), seeded."""
     return agg.sample_fixed_global(table(spark, sf_dir, "customer"), 100)
+
+
+@register(
+    "q_agg_combine",
+    oracle="""
+SELECT l_linestatus                        AS grp,
+       count(*)                            AS n,
+       round(min(l_extendedprice), 2)      AS min_price,
+       round(max(l_extendedprice), 2)      AS max_price,
+       count(DISTINCT l_partkey)           AS nd_parts,
+       round(sum(l_quantity), 2)           AS sum_qty,
+       round(avg(l_extendedprice), 6)      AS avg_price
+FROM lineitem GROUP BY l_linestatus
+UNION ALL
+SELECT '<global>',
+       count(*),
+       round(min(l_extendedprice), 2),
+       round(max(l_extendedprice), 2),
+       count(DISTINCT l_partkey),
+       round(sum(l_quantity), 2),
+       round(avg(l_extendedprice), 6)
+FROM lineitem
+""",
+)
+def q_agg_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinePerKey + CombineGlobally in one driver row (SURVEY §2.3; folds
+    q_agg_sum/q_agg_multi/q_agg_avg/q_agg_global, pytest-only): the same
+    multi-accumulator combine (count/min/max/exact-distinct/sum/mean) keyed
+    by linestatus, unioned with the whole-dataset form tagged '<global>'.
+    Both arms are single-shuffle partial+final HashAggregates; the global arm
+    reduces to one row per partition before the 1-row final."""
+    l = table(spark, sf_dir, "lineitem")
+    aggs = dict(
+        n=F.count("*"),
+        min_price=F.round(F.min("l_extendedprice"), 2),
+        max_price=F.round(F.max("l_extendedprice"), 2),
+        nd_parts=F.countDistinct("l_partkey"),
+        sum_qty=F.round(F.sum("l_quantity"), 2),
+        avg_price=F.round(F.avg("l_extendedprice"), 6),
+    )
+    per_key = agg.combine_per_key(l, ["l_linestatus"], **aggs).withColumnRenamed(
+        "l_linestatus", "grp"
+    )
+    global_ = agg.combine_globally(l, **aggs).select(
+        F.lit("<global>").alias("grp"), *aggs.keys()
+    )
+    return per_key.unionByName(global_)
+
+
+@register(
+    "q_groupbykey_batches",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id,
+         list(event_type ORDER BY event_type)  AS et,
+         list_sort(list(DISTINCT event_type))  AS ets,
+         list(event_id ORDER BY event_id)      AS ids
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'values' AS tag, 0 AS batch_idx, array_to_string(et, ',') AS vals
+FROM per_key
+UNION ALL
+SELECT user_id, 'value_set', 0, array_to_string(ets, ',') FROM per_key
+UNION ALL
+SELECT user_id, 'batch',
+       CAST(unnest(range(CAST(ceil(len(ids) / 50.0) AS BIGINT))) AS INTEGER),
+       array_to_string(
+         unnest(list_transform(range(1, CAST(ceil(len(ids) / 50.0) AS BIGINT) + 1),
+                               i -> ids[(i - 1) * 50 + 1 : i * 50])), ',')
+FROM per_key
+""",
+)
+def q_groupbykey_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey (ToList + ToSet accumulators) AND GroupIntoBatches(50) in
+    one tagged driver row (SURVEY §2.3; folds q_groupbykey_collect /
+    q_group_into_batches, pytest-only). Arms: 'values' = sorted per-key list,
+    'value_set' = sorted distinct set, 'batch' = sorted ids chunked to ≤50
+    with batch_idx from posexplode. All lists serialized to CSV strings in
+    both engines (driver canonicalizer, VERDICT r1 #2)."""
+    e = table(spark, sf_dir, "events")
+    collected = agg.combine_per_key(
+        e,
+        ["user_id"],
+        _values=F.array_join(F.array_sort(F.collect_list("event_type")), ","),
+        _set=F.array_join(F.array_sort(F.collect_set("event_type")), ","),
+    )
+    values_arm = collected.select(
+        "user_id", F.lit("values").alias("tag"),
+        F.lit(0).alias("batch_idx"), F.col("_values").alias("vals"),
+    )
+    set_arm = collected.select(
+        "user_id", F.lit("value_set").alias("tag"),
+        F.lit(0).alias("batch_idx"), F.col("_set").alias("vals"),
+    )
+    ids = e.groupBy("user_id").agg(F.array_sort(F.collect_list("event_id")).alias("_v"))
+    n_batches = F.ceil(F.size("_v") / F.lit(50)).cast("int")
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_batches - 1, F.lit(0))),
+            lambda i: F.slice(F.col("_v"), i * 50 + 1, 50),
+        ),
+        lambda b: F.size(b) > 0,
+    )
+    batch_arm = ids.select(
+        "user_id", F.posexplode(chunks).alias("batch_idx", "_chunk")
+    ).select(
+        "user_id", F.lit("batch").alias("tag"), "batch_idx",
+        F.array_join(F.transform("_chunk", lambda x: x.cast("string")), ",").alias("vals"),
+    )
+    return values_arm.unionByName(set_arm).unionByName(batch_arm)
+
+
+@register("q_approx_sample")  # rows-only: sketch estimates + seeded sampling
+def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate/sampling combiner family in one tagged rows-only
+    driver row (SURVEY §2.3; folds q_approx_distinct / q_approx_quantiles /
+    q_sample, pytest-only): 'hll' = per-event-type HyperLogLog++ distinct
+    users, 'quantiles' = per-orderstatus approx percentile sketch (values
+    serialized to CSV — raw arrays crash even the driver's rows-only count),
+    'sample' = Sample.FixedSizeGlobally(100) of customers, reported as one
+    row carrying n=100. All three are mergeable-sketch shapes — the 100 TB
+    path for distincts/percentiles where exact forms (q_agg_combine nd_parts,
+    q_agg_stats percentiles) are the small-scale anchors."""
+    hll = agg.approx_distinct(
+        table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    ).select(
+        F.col("event_type").alias("key"), F.lit("hll").alias("tag"),
+        F.col("approx_nd").cast("long").alias("n"), F.lit("").alias("vals"),
+    )
+    quant = agg.approx_quantiles(
+        table(spark, sf_dir, "orders"), ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99]
+    ).select(
+        F.col("o_orderstatus").alias("key"), F.lit("quantiles").alias("tag"),
+        F.lit(0).cast("long").alias("n"),
+        F.array_join(F.transform("quantiles", lambda x: x.cast("string")), ",").alias("vals"),
+    )
+    sample = agg.sample_fixed_global(table(spark, sf_dir, "customer"), 100).agg(
+        F.count("*").alias("_n")
+    ).select(
+        F.lit("<global>").alias("key"), F.lit("sample").alias("tag"),
+        F.col("_n").alias("n"), F.lit("").alias("vals"),
+    )
+    return hll.unionByName(quant).unionByName(sample)

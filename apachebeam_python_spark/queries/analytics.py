@@ -19,7 +19,9 @@ SELECT c_mktsegment,
        round(stddev_samp(c_acctbal), 6)            AS sd_bal,
        round(var_samp(c_acctbal), 4)               AS var_bal,
        round(corr(c_acctbal, c_nationkey), 6)      AS corr_bal_nation,
-       round(covar_pop(c_acctbal, c_nationkey), 4) AS covar_bal_nation
+       round(covar_pop(c_acctbal, c_nationkey), 4) AS covar_bal_nation,
+       round(quantile_cont(c_acctbal, 0.5), 4)     AS median_bal,
+       round(quantile_cont(c_acctbal, 0.9), 4)     AS p90_bal
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -27,18 +29,25 @@ GROUP BY c_mktsegment
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical CombineFn family: stddev/variance/correlation/covariance —
     all mergeable sketch-free accumulators (sum, sum², sum-of-products),
-    partial+final like any agg."""
+    partial+final like any agg — plus EXACT interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``; folds q_agg_median,
+    pytest-only). The exact percentile needs the full per-group multiset —
+    at 100 TB use the sketch arm of q_approx_sample; this is its
+    correctness anchor."""
     c = table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
         F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
         F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
         F.round(F.covar_pop("c_acctbal", "c_nationkey"), 4).alias("covar_bal_nation"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
     )
 
 
 @register(
     "q_agg_median",
+    driver=False,  # folded into q_agg_stats (percentile columns)
     oracle="""
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
@@ -60,6 +69,7 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouping_sets",
+    driver=False,  # subsumed by q_cube
     oracle="""
 SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
 FROM lineitem
@@ -131,6 +141,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pivot",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only
     oracle="""
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click')    AS click,
@@ -156,6 +167,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_unpivot",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only
     oracle="""
 SELECT l_orderkey, l_linenumber, kind, round(amount, 2) AS amount
 FROM (

@@ -14,6 +14,7 @@ from ._registry import register
 
 @register(
     "q_project",
+    driver=False,  # folded into q_elementwise
     oracle="""
 SELECT
   l_orderkey,
@@ -40,6 +41,7 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_filter",
+    driver=False,  # folded into q_elementwise
     oracle="""
 SELECT p_partkey, p_brand, p_type, p_size
 FROM part
@@ -59,6 +61,7 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_flatmap_explode",
+    driver=False,  # folded into q_elementwise
     oracle="""
 SELECT doc_id, unnest(string_split(text, ' ')) AS word
 FROM documents
@@ -119,3 +122,34 @@ def q_pardo_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     small_count = tagged["small"].agg(F.count("*").alias("n_small"))
     return big.crossJoin(small_count)
+
+
+@register(
+    "q_elementwise",
+    oracle="""
+SELECT doc_id, src_tag, word, length(word) AS word_len
+FROM (
+  SELECT doc_id, source || '/' || lang AS src_tag,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE lang = 'en' AND n_chars >= 50
+)
+""",
+)
+def q_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.2 element-wise trio in one driver row — Beam ``Filter`` (lang +
+    length predicate, pushdown-eligible), ``Map`` (computed src_tag
+    projection), ``FlatMap`` (tokenize → one row per token) plus a post-Map
+    on the exploded rows. Folds q_project / q_filter / q_flatmap_explode
+    (pytest-only); all narrow, one codegen stage, zero shuffles."""
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 50)
+    )
+    mapped = ew.map_rows(
+        d,
+        doc_id=F.col("doc_id"),
+        src_tag=F.concat_ws("/", "source", "lang"),
+        words=F.split("text", " "),
+    )
+    return ew.flat_map_explode(mapped, F.col("words"), "word", "doc_id", "src_tag").select(
+        "doc_id", "src_tag", "word", F.length("word").alias("word_len")
+    )

@@ -19,6 +19,7 @@ from ._registry import register
 
 @register(
     "q_tumbling_window",
+    driver=False,  # folded into q_windows_fixed_sliding
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                     AS window_start,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR   AS window_end,
@@ -43,6 +44,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sliding_window",
+    driver=False,  # folded into q_windows_fixed_sliding
     oracle="""
 SELECT ws AS window_start,
        ws + INTERVAL 2 HOUR AS window_end,
@@ -131,3 +133,50 @@ def q_custom_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=F.count("*"),
         avg_value=F.round(F.avg("value"), 6),
     )
+
+
+@register(
+    "q_windows_fixed_sliding",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)                     AS window_start,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR   AS window_end,
+       'tumbling'           AS tag,
+       event_type           AS grp,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 4
+UNION ALL
+SELECT ws, ws + INTERVAL 2 HOUR, 'sliding', '', count(*), round(sum(value), 2)
+FROM (
+  SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS ws,
+         value
+  FROM events
+)
+GROUP BY ws
+""",
+)
+def q_windows_fixed_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindows(1h) and SlidingWindows(2h, 1h) in one tagged driver row
+    (SURVEY §2.8; folds q_tumbling_window / q_sliding_window, pytest-only).
+    'tumbling' arm keys by event_type; 'sliding' arm is unkeyed (grp='') with
+    every event in exactly 2 epoch-aligned windows. Each arm is one windowed
+    partial+final agg; Spark expands sliding assignment at map time (the same
+    ×2 amplification Beam pays)."""
+    e = table(spark, sf_dir, "events")
+    tumbling = ET.tumbling(
+        e, "ts", "1 hour", keys=["event_type"],
+        n=F.count("*"), sum_value=F.round(F.sum("value"), 2),
+    ).select(
+        "window_start", "window_end", F.lit("tumbling").alias("tag"),
+        F.col("event_type").alias("grp"), "n", "sum_value",
+    )
+    sliding = ET.sliding(
+        e, "ts", "2 hours", "1 hour",
+        n=F.count("*"), sum_value=F.round(F.sum("value"), 2),
+    ).select(
+        "window_start", "window_end", F.lit("sliding").alias("tag"),
+        F.lit("").alias("grp"), "n", "sum_value",
+    )
+    return tumbling.unionByName(sliding)

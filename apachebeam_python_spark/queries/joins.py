@@ -17,6 +17,7 @@ from ._registry import register
 
 @register(
     "q_join_inner",
+    driver=False,  # folded into q_join_equi
     oracle="""
 SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
 FROM orders
@@ -41,6 +42,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_left",
+    driver=False,  # folded into q_join_equi
     oracle="""
 SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
        round(coalesce(sum(o_totalprice), 0), 2) AS spend
@@ -86,6 +88,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_semi",
+    driver=False,  # folded into q_join_semi_anti
     oracle="""
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
@@ -103,6 +106,7 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_anti",
+    driver=False,  # folded into q_join_semi_anti
     oracle="""
 SELECT c_custkey, c_mktsegment FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -225,3 +229,77 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type",
         F.round("asof_value", 2).alias("asof_value"),
     )
+
+
+@register(
+    "q_join_equi",
+    oracle="""
+SELECT n_name AS key, 'inner' AS tag, count(*) AS n,
+       round(sum(o_totalprice), 2) AS amount
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+UNION ALL
+SELECT c_name, 'left', count(o_orderkey),
+       round(coalesce(sum(o_totalprice), 0), 2)
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+""",
+)
+def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner + left outer joins in one tagged driver row (SURVEY §2.4;
+    folds q_join_inner / q_join_left, pytest-only). 'inner' arm: star join
+    orders→customer→nation with broadcast dims; 'left' arm: per-customer
+    order counts keeping the zero-match rows (count=0, spend=0). The fact
+    side takes at most one shuffle per arm; dims broadcast."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    inner = J.equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    inner = J.broadcast_join(inner, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    inner_arm = inner.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("amount"),
+    ).select(
+        F.col("n_name").alias("key"), F.lit("inner").alias("tag"), "n", "amount"
+    )
+    of = o.filter(F.col("o_orderstatus") == "F")
+    left = J.equi_join(c, of, F.col("o_custkey") == F.col("c_custkey"), how="left")
+    left_arm = left.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("amount"),
+    ).select(
+        F.col("c_name").alias("key"), F.lit("left").alias("tag"), "n", "amount"
+    )
+    return inner_arm.unionByName(left_arm)
+
+
+@register(
+    "q_join_semi_anti",
+    oracle="""
+SELECT c_custkey, 'semi' AS tag, c_name AS attr FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, 'anti', c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi and NOT EXISTS → left_anti in one tagged driver row
+    (SURVEY §2.4; folds q_join_semi / q_join_anti, pytest-only). The two arms
+    partition the customer table exactly (semi ∪ anti = all customers) — the
+    union makes that invariant hash-checked. No column leakage, no row
+    multiplication in either arm."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = J.semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", F.lit("semi").alias("tag"), F.col("c_name").alias("attr")
+    )
+    anti = J.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", F.lit("anti").alias("tag"), F.col("c_mktsegment").alias("attr")
+    )
+    return semi.unionByName(anti)

@@ -62,6 +62,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_token_count",
+    driver=False,  # folded into q_doc_features
     oracle="""
 SELECT doc_id,
        len(string_split(text, ' '))                          AS ws_tokens,
@@ -100,6 +101,7 @@ _PRED_SQL = (
 
 @register(
     "q_lang_id",
+    driver=False,  # folded into q_doc_features
     oracle=f"""
 WITH scored AS (
   SELECT lang, {_SCORES_SQL} FROM documents
@@ -125,6 +127,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quality_score",
+    driver=False,  # folded into q_doc_features
     oracle="""
 SELECT doc_id,
        round(0.3 * (len(list_distinct(w)) / n)
@@ -145,6 +148,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fingerprint",
+    driver=False,  # folded into q_doc_features
     oracle="""
 SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
        min(doc_id)                  AS keep_id,
@@ -216,7 +220,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_minhash")  # rows-only: xxhash64 signatures aren't portable to DuckDB
+@register("q_dedup_minhash", driver=False)  # rows-only: xxhash64 signatures aren't portable to DuckDB
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs verified at Jaccard ≥ 0.2 —
     the scalable near-dup plan (bucket-join, no n² compare)."""
@@ -226,7 +230,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash")  # rows-only: xxhash64-derived signatures
+@register("q_dedup_simhash", driver=False)  # rows-only: xxhash64-derived signatures
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs at Hamming ≤ 12 via 4-bit band buckets
     (16 bands — pigeonhole-complete for radius < 16)."""
@@ -248,7 +252,10 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at τ=0.35 (fixture max sim ≈0.51 — a
-    synthetic corpus threshold; 271 pairs at sf0.01)."""
+    synthetic corpus threshold; 271 pairs at sf0.01). This brute-force form
+    is the oracle-checked exactness anchor; the 100 TB answer is the
+    'emb_lsh' arm of q_dedup_sketch (hyperplane-LSH buckets + the same
+    verify expression), recall-asserted against this query in pytest."""
     return D.embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
@@ -418,8 +425,128 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent of stateful loops), label propagation with driver-side
     convergence + localCheckpoint lineage cuts. Oracle: DuckDB recursive CTE
     computing min reachable vertex — an independent algorithm agreeing on
-    every component."""
-    pairs = D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=2, threshold=0.5
+    every component.
+
+    The pair generator is the BUCKETED minhash-LSH path (VERDICT r1 #5 —
+    round 1 fed this from the quadratic gram self-join): 64 hashes in
+    32 bands of 2 rows, so a true J ≥ 0.5 pair escapes candidacy with
+    probability ≤ (1 - 0.5²)^32 ≈ 1e-4, and the exact-Jaccard verify step
+    makes surviving candidates identical to ngram_jaccard_pairs' output
+    (tests assert LSH pairs == exact pairs at the fixture sfs, which keeps
+    the recursive-CTE oracle valid)."""
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=2, num_hashes=64, bands=32, threshold=0.5, verify=True,
     )
     return D.connected_components(pairs)
+
+
+@register(
+    "q_doc_features",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(w)                                     AS ws_tokens,
+         len(list_distinct(w))                      AS distinct_tokens,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+         round(0.3 * (len(list_distinct(w)) / n)
+             + 0.5 * (1.0 - (len(list_filter(w, x -> list_contains(['the','a','of','and','or'], x))) / n))
+             + 0.2 * least(n / 100.0, 1.0), 6)      AS quality,
+         {_SCORES_SQL},
+         md5(array_to_string(w[1:8], ' '))          AS fp
+  FROM base
+), best AS (
+  SELECT *, {_BEST_SQL} AS best FROM feat
+)
+SELECT doc_id, ws_tokens, distinct_tokens, re_tokens, quality,
+       {_PRED_SQL} AS predicted,
+       fp,
+       count(*) OVER (PARTITION BY fp) AS fp_count
+FROM best
+""",
+)
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis feature vector in ONE driver row (SURVEY
+    §2.11; folds q_token_count / q_quality_score / q_lang_id / q_fingerprint,
+    pytest-only — detailed notes live there): whitespace/distinct/regex token
+    counts, the composite quality score, marker-based language ID, and the
+    8-token-prefix fingerprint with its duplicate-group size via a window
+    count. Everything is a JVM expression over one scan — the shape of a real
+    corpus feature-extraction pass (one narrow stage + one fp-window
+    shuffle); at 100 TB the fp_count window rides the same hash shuffle an
+    exact-dedup pass needs anyway."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.distinct_token_count(F.col("text")).alias("distinct_tokens"),
+        F.size(T.regex_tokens(F.col("text"))).alias("re_tokens"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.lang_predict(F.col("text")).alias("predicted"),
+        T.fingerprint(F.col("text"), 8).alias("fp"),
+    )
+    return feat.withColumn("fp_count", F.count("*").over(W.partitionBy("fp")))
+
+
+@register("q_dedup_sketch")  # rows-only: xxhash64-derived signatures aren't DuckDB-portable
+def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three sketch/LSH near-dup SCALE paths in one tagged rows-only
+    driver row (SURVEY §2.11; folds q_dedup_minhash / q_dedup_simhash and
+    adds the embedding-LSH pair generator of operators.similarity):
+
+    - 'minhash':  MinHash(32)+LSH(8 bands) candidates verified at J ≥ 0.2;
+    - 'simhash':  64-bit SimHash, Hamming ≤ 12 via 4-bit pigeonhole bands;
+    - 'emb_lsh':  hyperplane-LSH bucket collisions (16 tables × 4 bits —
+                  τ=0.35 is a weak similarity, so recall needs the wider
+                  table fan; measured recall vs brute force asserted ≥0.85
+                  in tests) re-verified with exact cosine ≥ 0.35.
+
+    Each path is bucket-shuffled (never all-pairs); their exact counterparts
+    (q_dedup_ngram_jaccard, q_dedup_embedding) are the oracle-checked
+    correctness anchors, and pytest asserts sketch-vs-exact recall."""
+    docs = table(spark, sf_dir, "documents")
+    minhash = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.2
+    ).select(
+        F.lit("minhash").alias("method"),
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    simhash = D.simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=12, band_bits=4
+    ).select(
+        F.lit("simhash").alias("method"),
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = SIM.lsh_buckets(emb, "embedding", "vec_id", n_tables=16, n_bits=4)
+    a = buckets.select(
+        F.col("doc_id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "tbl", "bucket",
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "tbl", "bucket",
+    )
+    from ..functions import vectors as V
+
+    emb_lsh = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "score",
+            F.round(V.safe_cosine_from(V.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 6),
+        )
+        .filter(F.col("score") >= 0.35)
+        .select(F.lit("emb_lsh").alias("method"), "id_a", "id_b", "score")
+    )
+    return minhash.unionByName(simhash).unionByName(emb_lsh)

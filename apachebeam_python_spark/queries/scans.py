@@ -31,6 +31,7 @@ def _scratch_dir() -> str:
 
 @register(
     "q_scan_parquet",
+    driver=False,  # parquet scan proven transitively by every driver query
     oracle="""
 SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS retail
 FROM part
@@ -47,6 +48,7 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_text",
+    driver=False,  # folded into q_scan_formats
     oracle="SELECT count(*) AS n_lines, count(DISTINCT line) AS n_distinct FROM (SELECT text AS line FROM documents)",
 )
 def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +70,7 @@ _CSV_SCHEMA = "p_partkey long, p_brand string, p_size int, p_retailprice double"
 
 @register(
     "q_scan_csv",
+    driver=False,  # folded into q_scan_formats
     oracle="""
 SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_retail
 FROM part GROUP BY p_brand
@@ -101,3 +104,62 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return e.select("event_id", "event_type", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+@register(
+    "q_scan_formats",
+    oracle="""
+SELECT 'text' AS fmt, count(*) AS n, count(DISTINCT text) AS nd, 0.0 AS s
+FROM documents
+UNION ALL
+SELECT 'csv', count(*), count(DISTINCT p_brand), round(sum(p_retailprice), 2)
+FROM part
+UNION ALL
+SELECT 'jsonl', count(*), count(DISTINCT event_type), round(sum(value), 2)
+FROM events
+""",
+)
+def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text, CSV, and JSON-lines sink→source round trips in ONE tagged driver
+    row (SURVEY §2.1; folds q_scan_text / q_scan_csv / q_scan_jsonl,
+    pytest-only — per-format notes live there). Each arm writes the original
+    parquet table out in its format, reads it back with an explicit schema
+    (no inferSchema scan), and aggregates; the oracle checks against the
+    ORIGINAL tables, so a lossy round trip in any format breaks the hash.
+    Parquet scans themselves are proven transitively by every driver query."""
+    scratch = _scratch_dir()
+    key = _sfkey(sf_dir)
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    text_out = os.path.join(scratch, f"fmt_text_{key}")
+    io.write_text(docs, text_out)
+    text_arm = io.read_text(spark, text_out).agg(
+        F.count("*").alias("n"), F.countDistinct("value").alias("nd")
+    ).select(
+        F.lit("text").alias("fmt"), "n", "nd", F.lit(0.0).alias("s")
+    )
+
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    csv_out = os.path.join(scratch, f"fmt_csv_{key}")
+    io.write_csv(p, csv_out)
+    csv_arm = io.read_csv(
+        spark, csv_out,
+        schema="p_partkey long, p_brand string, p_size int, p_retailprice double",
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("p_brand").alias("nd"),
+        F.round(F.sum("p_retailprice"), 2).alias("s"),
+    ).select(F.lit("csv").alias("fmt"), "n", "nd", "s")
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    jsonl_out = os.path.join(scratch, f"fmt_jsonl_{key}")
+    io.write_json(e, jsonl_out)
+    jsonl_arm = io.read_json(
+        spark, jsonl_out, schema="event_id long, event_type string, value double"
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("nd"),
+        F.round(F.sum("value"), 2).alias("s"),
+    ).select(F.lit("jsonl").alias("fmt"), "n", "nd", "s")
+
+    return text_arm.unionByName(csv_arm).unionByName(jsonl_arm)

@@ -85,6 +85,7 @@ def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_side_input_scalar",
+    driver=False,  # side-input broadcast proven by q_join_broadcast
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders
@@ -106,6 +107,7 @@ def q_side_input_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_jsonl",
+    driver=False,  # folded into q_scan_formats
     oracle="""
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type

@@ -12,6 +12,7 @@ from ._registry import register
 
 @register(
     "q_win_rank",
+    driver=False,  # folded into q_win_functions
     oracle="""
 SELECT c_custkey, c_mktsegment, c_nationkey,
        CAST(row_number()   OVER w_total AS INTEGER) AS rn,
@@ -44,6 +45,7 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_lag_lead",
+    driver=False,  # folded into q_win_functions
     oracle="""
 SELECT event_id, user_id, ts,
        round(value, 2)                                   AS value,
@@ -72,6 +74,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_running_sum",
+    driver=False,  # folded into q_win_functions
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderdate,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
@@ -93,6 +96,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_moving_avg",
+    driver=False,  # folded into q_win_functions
     oracle="""
 SELECT event_id, user_id, ts,
        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
@@ -112,6 +116,7 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_cume_dist",
+    driver=False,  # folded into q_win_functions
     oracle="""
 SELECT p_partkey, p_brand,
        round(cume_dist() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS cd
@@ -125,4 +130,59 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", "p_brand",
         F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "q_win_functions",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(row_number()   OVER w_total AS INTEGER) AS rn,
+       CAST(ntile(4)       OVER w_total AS INTEGER) AS quartile,
+       CAST(rank()         OVER w_ties  AS INTEGER) AS rnk,
+       CAST(dense_rank()   OVER w_ties  AS INTEGER) AS drnk,
+       round(percent_rank() OVER w_ties, 6)         AS prank,
+       round(cume_dist()    OVER w_ties, 6)         AS cd,
+       round(lag(value)  OVER w_total, 2)           AS prev_value,
+       round(lead(value) OVER w_total, 2)           AS next_value,
+       round(first_value(value) OVER w_total, 2)    AS first_value,
+       round(lag(value, 2, 0.0) OVER w_total, 2)    AS prev2_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)         AS mavg3
+FROM events
+WINDOW
+  w_total AS (PARTITION BY user_id ORDER BY ts),
+  w_ties  AS (PARTITION BY user_id ORDER BY event_type)
+""",
+)
+def q_win_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete SURVEY §2.5 analytic-window family in ONE driver row
+    (folds q_win_rank / q_win_lag_lead / q_win_running_sum / q_win_moving_avg
+    / q_win_cume_dist, pytest-only): ranking (row_number/ntile on the total
+    (user_id, ts) order; rank/dense_rank/percent_rank/cume_dist on the
+    ties-allowed event_type order), navigation (lag/lead/first + offset with
+    default), and frames (running sum, trailing 3-row moving average). One
+    shuffle on user_id serves every function — Spark computes all three
+    window specs over the same partitioning without re-exchanging."""
+    e = table(spark, sf_dir, "events")
+    w_total = W.over(["user_id"], [F.col("ts")])
+    w_ties = W.over(["user_id"], [F.col("event_type")])
+    w_run = W.running(["user_id"], [F.col("ts")])
+    w_mavg = W.running(["user_id"], [F.col("ts")], preceding=2)
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.row_number().over(w_total).alias("rn"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("prank"),
+        F.round(F.cume_dist().over(w_ties), 6).alias("cd"),
+        F.round(F.lag("value").over(w_total), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w_total), 2).alias("next_value"),
+        F.round(F.first("value").over(w_total), 2).alias("first_value"),
+        F.round(F.lag("value", 2, 0.0).over(w_total), 2).alias("prev2_value"),
+        F.round(F.sum("value").over(w_run), 2).alias("run_sum"),
+        F.round(F.avg("value").over(w_mavg), 6).alias("mavg3"),
     )
