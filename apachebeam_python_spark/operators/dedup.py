@@ -343,4 +343,13 @@ def connected_components(
         labels = updated.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # falling through with changed != 0 would silently return WRONG
+        # labels for any component whose diameter exceeds max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter (rounds "
+            "needed = component diameter; near-dup clusters are usually "
+            "shallow, so a deep chain suggests a degenerate pair generator)"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -12,8 +12,12 @@ from ._registry import register
 
 
 def _sink(name: str, sf_dir: str) -> str:
-    # unique per scale factor so repeated driver/test runs don't collide
-    return f"{name}_{abs(hash(sf_dir)) % 10**8}"
+    # unique per scale factor so repeated driver/test runs don't collide;
+    # hashlib (not builtin hash, which is PYTHONHASHSEED-salted per process)
+    # so the memory-sink table name is stable across runs and log-correlatable
+    import hashlib
+
+    return f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
 
 
 @register(

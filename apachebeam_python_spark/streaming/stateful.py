@@ -31,6 +31,11 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
     Output (the *set* of first-seen pairs) is deterministic even though
     in-batch arrival order is not, which makes it oracle-checkable:
     ``SELECT DISTINCT user_id, event_type FROM events``.
+
+    State-encoding constraint: the seen-set is stored as a "\\x00"-joined
+    string with "\\x01<null>" as the NULL sentinel, so an event_type
+    containing "\\x00" (or equal to the sentinel) would corrupt state.
+    Fixture-safe; if reused on arbitrary values, store a JSON array instead.
     """
 
     _NULL = "\x01<null>"  # state encoding for a NULL event_type (sortable)
