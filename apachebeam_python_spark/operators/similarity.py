@@ -123,3 +123,103 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: st
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed with an xxhash64-stratified
+    sample of corpus vectors, then run ONE distributed Lloyd step (assign all
+    vectors to the nearest seed — broadcast join, no collect — and average
+    per cell). One step is the standard cheap refinement for a coarse
+    inverted-file index; more steps would just repeat the same two-shuffle
+    pattern. Returns (centroid_id, centroid array<double>)."""
+    n = corpus.count()
+    stride = max(n // max(n_centroids, 1), 1)
+    seeds = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .select(
+            F.xxhash64(F.col(id_col)).alias("_rk"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+        .orderBy("_rk")
+        .limit(n_centroids)
+        .select(F.row_number().over(Window.orderBy("_rk")).alias("centroid_id"), "centroid")
+    )
+    assigned = _assign_cells(corpus, seeds, vec_col, id_col, probe=1)
+    # element-wise mean via posexplode + per-(cell, dim) avg: never collects
+    # a whole cell's vectors into one list, so the step scales to any cell
+    # size; the final collect_list is one struct per DIMENSION (bounded)
+    exploded = assigned.select(
+        "centroid_id",
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("centroid_id", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str, probe: int) -> DataFrame:
+    """Assign each vector to its ``probe`` nearest centroids (cosine).
+    Centroids broadcast; the per-vector top-probe uses WindowGroupLimit."""
+    v = df.select(
+        F.col(id_col).alias("_aid"), F.col(vec_col),
+        V.norm(F.col(vec_col)).alias("_anrm"),
+    )
+    c = centroids.select(
+        "centroid_id", F.col("centroid"), V.norm(F.col("centroid")).alias("_cnrm")
+    )
+    pairs = v.crossJoin(F.broadcast(c)).withColumn(
+        "_csim", V.safe_cosine_from(V.dot(F.col(vec_col), F.col("centroid")), F.col("_anrm"), F.col("_cnrm"))
+    )
+    w = Window.partitionBy("_aid").orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    return (
+        pairs.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= probe)
+        .select(F.col("_aid").alias(id_col), vec_col, "centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int,
+    *, n_centroids: int = 16, n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse index — the
+    second classic ANN scale path next to hyperplane LSH (SURVEY §2.11):
+
+    1. build n_centroids deterministic centroids (one k-means step);
+    2. partition the corpus into cells (each vector → nearest centroid);
+    3. probe: each query searches only its ``n_probe`` nearest cells, with
+       exact cosine re-rank inside the probed cells.
+
+    The corpus shuffles once on cell id; queries broadcast. Search cost drops
+    by ~n_centroids/n_probe vs brute force; recall tunes with n_probe.
+    At 100 TB: n_centroids ≈ sqrt(corpus)/cell-size budget, cells become the
+    parquet partition key so a probe prunes file I/O too."""
+    cents = ivf_centroids(corpus, vec_col, id_col, n_centroids).persist()
+    corpus_cells = _assign_cells(corpus, cents, vec_col, id_col, probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    ).withColumn("cn", V.norm(F.col("cv")))
+    query_cells = _assign_cells(queries, cents, vec_col, id_col, probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    ).withColumn("qn", V.norm(F.col("qv")))
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.withColumn(
+        "cos_sim",
+        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

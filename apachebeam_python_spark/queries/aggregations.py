@@ -364,21 +364,26 @@ def q_groupbykey_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     with batch_idx from posexplode. All lists serialized to CSV strings in
     both engines (driver canonicalizer, VERDICT r1 #2)."""
     e = table(spark, sf_dir, "events")
-    collected = agg.combine_per_key(
+    # ONE combine produces all three accumulators, materialized once: the
+    # three arms prune different columns, which defeats ReusedExchange, so
+    # without the persist each arm re-scans and re-shuffles the fact table.
+    # The grouped result is O(distinct keys) — caching it is the 100 TB
+    # shape (scan + shuffle the facts once, fan the arms off the tiny agg).
+    grouped = agg.combine_per_key(
         e,
         ["user_id"],
         _values=F.array_join(F.array_sort(F.collect_list("event_type")), ","),
         _set=F.array_join(F.array_sort(F.collect_set("event_type")), ","),
-    )
-    values_arm = collected.select(
+        _v=F.array_sort(F.collect_list("event_id")),
+    ).persist()
+    values_arm = grouped.select(
         "user_id", F.lit("values").alias("tag"),
         F.lit(0).alias("batch_idx"), F.col("_values").alias("vals"),
     )
-    set_arm = collected.select(
+    set_arm = grouped.select(
         "user_id", F.lit("value_set").alias("tag"),
         F.lit(0).alias("batch_idx"), F.col("_set").alias("vals"),
     )
-    ids = e.groupBy("user_id").agg(F.array_sort(F.collect_list("event_id")).alias("_v"))
     n_batches = F.ceil(F.size("_v") / F.lit(50)).cast("int")
     chunks = F.filter(
         F.transform(
@@ -387,7 +392,7 @@ def q_groupbykey_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda b: F.size(b) > 0,
     )
-    batch_arm = ids.select(
+    batch_arm = grouped.select(
         "user_id", F.posexplode(chunks).alias("batch_idx", "_chunk")
     ).select(
         "user_id", F.lit("batch").alias("tag"), "batch_idx",

@@ -70,11 +70,18 @@ def test_tumbling_epoch_alignment(spark):
     assert starts == [dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0)]
 
 
-def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
-    """Hyperplane-LSH ANN must recover ≥50% of true top-5 neighbors at the
-    default (8 tables × 4 bits) setting on the fixture embeddings."""
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """Both ANN arms must recover enough of the true top-5 neighbors on the
+    fixture embeddings: hyperplane LSH ≥ 0.5 at (8 tables × 4 bits), IVF
+    ≥ 0.6 at (16 cells, 4 probes)."""
     from apachebeam_python_spark import queries as q
 
     bf = {(r.query_id, r.neighbor_id) for r in q.QUERIES["q_cosine_topk"](spark, sf_dir).collect()}
-    ann = {(r.query_id, r.neighbor_id) for r in q.QUERIES["q_ann_lsh"](spark, sf_dir).collect()}
-    assert len(bf & ann) / len(bf) >= 0.5
+    ann = q.QUERIES["q_ann_lsh"](spark, sf_dir).persist()
+    try:
+        lsh = {(r.query_id, r.neighbor_id) for r in ann.filter(ann.method == "lsh").collect()}
+        ivf = {(r.query_id, r.neighbor_id) for r in ann.filter(ann.method == "ivf").collect()}
+    finally:
+        ann.unpersist()
+    assert len(bf & lsh) / len(bf) >= 0.5, f"lsh recall {len(bf & lsh) / len(bf):.3f}"
+    assert len(bf & ivf) / len(bf) >= 0.6, f"ivf recall {len(bf & ivf) / len(bf):.3f}"
