@@ -50,3 +50,30 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     """The union+window as-of join should shuffle once on the key."""
     df = q.QUERIES["q_join_asof"](spark, sf_dir)
     assert P.count_exchanges(df) <= 2  # union inputs may each report one
+
+
+def test_merged_narrow_queries_zero_shuffle(spark, sf_dir):
+    """The merged element-wise and scalar-function driver queries are pure
+    narrow pipelines — any Exchange is a regression."""
+    for name in ["q_elementwise", "q_fn_scalar"]:
+        df = q.QUERIES[name](spark, sf_dir)
+        assert P.count_exchanges(df) == 0, f"{name}: {P.executed_plan(df)}"
+
+
+def test_win_functions_single_shuffle(spark, sf_dir):
+    """All three §2.5 window specs share the user_id partitioning: ONE
+    exchange serves ranking, navigation, and frame functions."""
+    df = q.QUERIES["q_win_functions"](spark, sf_dir)
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_join_semi_anti_merged_plans(spark, sf_dir):
+    df = q.QUERIES["q_join_semi_anti"](spark, sf_dir)
+    assert P.has(df, "LeftSemi") and P.has(df, "LeftAnti")
+
+
+def test_doc_features_single_shuffle(spark, sf_dir):
+    """Per-doc features are narrow; the only exchange is the fingerprint
+    window count."""
+    df = q.QUERIES["q_doc_features"](spark, sf_dir)
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
