@@ -409,9 +409,11 @@ def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, 'quantiles' = per-orderstatus approx percentile sketch (values
     serialized to CSV — raw arrays crash even the driver's rows-only count),
     'sample' = Sample.FixedSizeGlobally(100) of customers, reported as one
-    row carrying n=100. All three are mergeable-sketch shapes — the 100 TB
-    path for distincts/percentiles where exact forms (q_agg_combine nd_parts,
-    q_agg_stats percentiles) are the small-scale anchors."""
+    row carrying n=100, 'sample_per_key' = Sample.FixedSizePerKey(10) counts
+    per event_type (WindowGroupLimit — per-partition pre-truncation). All
+    mergeable-sketch shapes — the 100 TB path for distincts/percentiles
+    where exact forms (q_agg_combine nd_parts, q_agg_stats percentiles) are
+    the small-scale anchors."""
     hll = agg.approx_distinct(
         table(spark, sf_dir, "events"), ["event_type"], "user_id"
     ).select(
@@ -431,4 +433,15 @@ def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<global>").alias("key"), F.lit("sample").alias("tag"),
         F.col("_n").alias("n"), F.lit("").alias("vals"),
     )
-    return hll.unionByName(quant).unionByName(sample)
+    from ..operators.packing import sample_fixed_per_key
+
+    per_key_sample = (
+        sample_fixed_per_key(table(spark, sf_dir, "events"), ["event_type"], 10)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.col("event_type").alias("key"), F.lit("sample_per_key").alias("tag"),
+            F.col("_n").alias("n"), F.lit("").alias("vals"),
+        )
+    )
+    return hll.unionByName(quant).unionByName(sample).unionByName(per_key_sample)

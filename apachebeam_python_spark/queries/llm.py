@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import packing as P_pack
 from ..operators import setops as S
 from ..operators import similarity as SIM
 from ..session import table
@@ -563,3 +564,40 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("emb_lsh").alias("method"), "id_a", "id_b", "score")
     )
     return minhash.unionByName(simhash).unionByName(emb_lsh)
+
+
+@register(
+    "q_corpus_pack",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         doc_id % 8 AS pack_group
+  FROM documents
+), cums AS (
+  SELECT doc_id, tokens, pack_group,
+         CAST(sum(tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM toks
+)
+SELECT doc_id, tokens, pack_group,
+       CAST(pack_group * 1000000
+            + CAST(floor((cum - tokens) / 2000.0) AS BIGINT) AS BIGINT) AS shard_id
+FROM cums
+""",
+)
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators.packing) — the sequence-packing
+    step of a pretraining-data pipeline: every document assigned to a shard
+    of ≈2000 tokens within its pack group. Boundary-split (window) variant,
+    hash-grouped by doc_id % 8 so the DuckDB oracle can mirror the grouping;
+    the exact greedy variant is property-tested in
+    tests/test_packing.py."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("tokens")
+    )
+    return P_pack.pack_shards_window(
+        d, "tokens", "doc_id", budget=2000, num_groups=8,
+        group_expr=(F.col("doc_id") % 8),
+    )
