@@ -73,3 +73,34 @@ def test_sample_fixed_per_key(spark, sf_dir):
     assert set(counts) == set(totals)
     for k, n in counts.items():
         assert n == min(10, totals[k]), (k, n, totals[k])
+
+
+def test_greedy_packing_matches_python_model(spark):
+    """Property: the distributed greedy packer equals a sequential Python
+    reference on randomized token lists (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+        budget=st.integers(min_value=100, max_value=1500),
+    )
+    def check(tokens, budget):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)], "doc_id long, tokens long"
+        )
+        got = {
+            r.doc_id: r.shard_id
+            for r in P.pack_shards_greedy(
+                df, "tokens", "doc_id", budget=budget, group_expr=F.lit(0)
+            ).collect()
+        }
+        shard, fill, want = 0, 0, {}
+        for i, t in enumerate(tokens):
+            if fill and fill + t > budget:
+                shard, fill = shard + 1, 0
+            want[i] = shard
+            fill += t
+        assert got == want
+
+    check()

@@ -77,3 +77,18 @@ def test_doc_features_single_shuffle(spark, sf_dir):
     window count."""
     df = q.QUERIES["q_doc_features"](spark, sf_dir)
     assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_dedup_clusters_pairs_have_no_gram_self_join(spark, sf_dir):
+    """VERDICT r1 #5: the clusters pair generator must be the bucketed
+    minhash path — no quadratic gram-explode self-join in the plan."""
+    from apachebeam_python_spark.operators import dedup as D
+    from apachebeam_python_spark.session import table
+
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=2, num_hashes=64, bands=32, threshold=0.5, verify=True,
+    )
+    plan = P.executed_plan(pairs)
+    assert "xxhash64" in plan, "minhash banding missing from plan"
+    assert "gram" not in plan, "gram self-join leaked into the clusters pair path"
