@@ -46,6 +46,26 @@ def main() -> None:
     print("nearest neighbors for sample queries:")
     topk.orderBy("query_id", "rank").show(9, truncate=False)
 
+    # at corpus scale, swap brute force for an index: IVF cells (or LSH)
+    ann = SIM.ivf_ann_topk(emb, queries, "embedding", "vec_id", k=3,
+                           n_centroids=8, n_probe=3)
+    print("same search via the IVF index (approximate):", ann.count(), "rows")
+
+    # final step of a training-data pipeline: pack kept docs into
+    # ~2000-token shards (window variant; see operators.packing for the
+    # exact greedy form)
+    from apachebeam_python_spark.operators import packing as PK
+
+    toks = kept.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("tokens")
+    )
+    shards = PK.pack_shards_window(toks, "tokens", "doc_id", budget=2000)
+    stats = shards.groupBy("shard_id").agg(
+        F.count("*").alias("docs"), F.sum("tokens").alias("tokens")
+    )
+    print("packed shards:", stats.count(), "— avg tokens/shard:",
+          int(stats.agg(F.avg("tokens")).first()[0]))
+
 
 if __name__ == "__main__":
     main()
