@@ -117,16 +117,21 @@ FROM part
 UNION ALL
 SELECT 'jsonl', count(*), count(DISTINCT event_type), round(sum(value), 2)
 FROM events
+UNION ALL
+SELECT 'orc', count(*), count(DISTINCT o_orderstatus), round(sum(o_totalprice), 2)
+FROM orders
 """,
 )
 def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text, CSV, and JSON-lines sink→source round trips in ONE tagged driver
-    row (SURVEY §2.1; folds q_scan_text / q_scan_csv / q_scan_jsonl,
+    """Text, CSV, JSON-lines, and ORC sink→source round trips in ONE tagged
+    driver row (SURVEY §2.1; folds q_scan_text / q_scan_csv / q_scan_jsonl,
     pytest-only — per-format notes live there). Each arm writes the original
     parquet table out in its format, reads it back with an explicit schema
-    (no inferSchema scan), and aggregates; the oracle checks against the
-    ORIGINAL tables, so a lossy round trip in any format breaks the hash.
-    Parquet scans themselves are proven transitively by every driver query."""
+    (self-describing for ORC; no inferSchema scan anywhere), and aggregates;
+    the oracle checks against the ORIGINAL tables, so a lossy round trip in
+    any format breaks the hash. Parquet scans themselves are proven
+    transitively by every driver query; Avro stays a documented gap (needs
+    the spark-avro jar, absent offline)."""
     scratch = _scratch_dir()
     key = _sfkey(sf_dir)
 
@@ -162,4 +167,13 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("s"),
     ).select(F.lit("jsonl").alias("fmt"), "n", "nd", "s")
 
-    return text_arm.unionByName(csv_arm).unionByName(jsonl_arm)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orc_out = os.path.join(scratch, f"fmt_orc_{key}")
+    io.write_orc(o, orc_out)
+    orc_arm = io.read_orc(spark, orc_out).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderstatus").alias("nd"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+    ).select(F.lit("orc").alias("fmt"), "n", "nd", "s")
+
+    return text_arm.unionByName(csv_arm).unionByName(jsonl_arm).unionByName(orc_arm)

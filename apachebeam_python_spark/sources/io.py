@@ -65,3 +65,14 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source — native in the Spark distribution (no extra jar,
+    unlike Avro which stays a documented offline gap). Self-describing
+    schema, predicate pushdown and column pruning like parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
