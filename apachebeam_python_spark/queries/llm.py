@@ -300,15 +300,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       log2(corpus / target_bucket) as the corpus grows.
     - 'ivf': inverted-file index — deterministic centroids (one distributed
       k-means step), corpus partitioned into cells, queries probe their
-      n_probe=4 nearest of 16 cells (measured recall@5 ≈ 0.63 at sf0.01).
-      Recall tunes with n_probe; at scale the cell id becomes the parquet
-      partition key so probes prune file I/O.
+      n_probe=6 nearest of 16 cells (measured recall@5 ≈ 0.75 at sf0.01,
+      0.72 at sf0.001; 4 probes ⇒ 0.63 at sf0.01 but dips under 0.6 on the
+      tiny sf0.001 fixture). Recall tunes with n_probe; at scale the cell id
+      becomes the parquet partition key so probes prune file I/O.
 
     tests assert recall ≥ 0.5 (lsh) / ≥ 0.6 (ivf) vs q_cosine_topk."""
     e = table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 40 == 0)
     lsh = SIM.lsh_ann_topk(e, queries, "embedding", "vec_id", k=5, n_tables=8, n_bits=4)
-    ivf = SIM.ivf_ann_topk(e, queries, "embedding", "vec_id", k=5, n_centroids=16, n_probe=4)
+    ivf = SIM.ivf_ann_topk(e, queries, "embedding", "vec_id", k=5, n_centroids=16, n_probe=6)
     return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
         ivf.select(F.lit("ivf").alias("method"), "*")
     )
