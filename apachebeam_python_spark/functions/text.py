@@ -65,6 +65,23 @@ def shingles(text: Column, n: int = 2) -> Column:
     )
 
 
+def raw_grams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike ``shingles``, which is
+    distinct) — the unit for repetition metrics, where duplicate grams are
+    exactly the signal. Same short-doc/NULL guards as ``shingles``."""
+    w = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(w) >= n, gram)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def stopword_ratio(text: Column) -> Column:
     """Fraction of tokens that are stopwords."""
     t = tokens(text)

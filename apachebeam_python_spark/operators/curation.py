@@ -1,0 +1,147 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY.md
+§2.11 north-star family, alongside dedup/similarity/packing): benchmark
+decontamination, intra-document repetition metrics (Gopher-style quality
+filters), and deterministic mixture resampling.
+
+All three are pure DataFrame plans — no Python UDFs, no driver-side
+collection — so they inherit whole-stage codegen and scale with the
+cluster like any narrow projection + one designed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any word
+    n-gram with a benchmark/eval set (the standard test-set-leakage guard
+    for training corpora).
+
+    Returns ``(id_col, n_shared_grams)`` — one row per CONTAMINATED corpus
+    document; clean documents are absent (caller left-joins to flag).
+
+    100 TB plan: the benchmark side (eval sets — thousands of docs, millions
+    of distinct grams) aggregates to a distinct-gram table and BROADCASTS;
+    the corpus side explodes grams narrowly and never shuffles its text —
+    the only wide op is the per-doc count aggregate over matched (id, gram)
+    rows, which is tiny (hits only). If the benchmark ever outgrows
+    broadcast, drop the hint: the same plan runs as a shuffle join on gram.
+    """
+    bench = (
+        benchmark.select(F.explode(T.shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode(T.shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 2
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher-style quality filters):
+
+    - ``total_grams`` / ``distinct_grams``: word n-gram counts WITH/WITHOUT
+      multiplicity;
+    - ``dup_frac``: fraction of grams that are repeats (1 - distinct/total);
+    - ``top_frac``: fraction taken by the single most frequent gram.
+
+    Documents too short to form a gram get total=0 and 0.0 fractions.
+
+    100 TB plan: explode grams → two-stage aggregate. The (id, gram) count
+    is a partial+final hash aggregate (map-side combine collapses repeated
+    grams before the shuffle); the per-doc rollup then shuffles one row per
+    DISTINCT gram only. No list is ever collected; skewed docs cost their
+    own gram count, nothing global.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(T.raw_grams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("c").alias("top_count"),
+    )
+    return df.select(id_col).join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+        F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+        F.round(
+            F.when(
+                F.col("total_grams").isNull() | (F.col("total_grams") == 0), 0.0
+            ).otherwise(1.0 - F.col("distinct_grams") / F.col("total_grams")),
+            6,
+        ).alias("dup_frac"),
+        F.round(
+            F.when(
+                F.col("total_grams").isNull() | (F.col("total_grams") == 0), 0.0
+            ).otherwise(F.col("top_count") / F.col("total_grams")),
+            6,
+        ).alias("top_frac"),
+    )
+
+
+def mixture_flags(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    *,
+    modulus: int = 10000,
+) -> DataFrame:
+    """Deterministic mixture resampling: per-key keep rates applied as a
+    pure row filter — ``keep = id % modulus < round(rate*modulus)`` — so the
+    sample is reproducible run-to-run with no RNG state and no shuffle.
+    (The round() keeps 0.96*modulus from landing a hair under the integer
+    cutoff in binary floats.)
+
+    Returns ``df`` + an int ``keep`` column (1/0). Keys absent from
+    ``rates`` default to keep (rate 1.0). ``modulus`` sets rate granularity
+    (1/modulus) — it should be far below the id range so residues cycle.
+
+    100 TB plan: the CASE chain + pmod is a narrow projection that fuses
+    into the scan (zero exchanges, predicate pushes past it); resampling a
+    100 TB corpus to target domain weights is exactly one pass. Rates are a
+    driver-side dict (domain mixtures are small by nature); for per-key
+    rates derived from data, join a broadcast rate table instead.
+    """
+    cutoff = F.lit(modulus).cast("long")
+    for key, rate in rates.items():
+        cutoff = F.when(
+            F.col(key_col) == key, F.lit(int(round(float(rate) * modulus)))
+        ).otherwise(cutoff)
+    keep = (F.pmod(F.col(id_col), F.lit(modulus)) < cutoff).cast("int")
+    return df.withColumn("keep", keep)
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    *,
+    modulus: int = 10000,
+) -> DataFrame:
+    """The filtered form of :func:`mixture_flags` (kept rows only)."""
+    return (
+        mixture_flags(df, key_col, id_col, rates, modulus=modulus)
+        .filter(F.col("keep") == 1)
+        .drop("keep")
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import packing as P_pack
@@ -601,4 +602,131 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P_pack.pack_shards_window(
         d, "tokens", "doc_id", budget=2000, num_groups=8,
         group_expr=(F.col("doc_id") % 8),
+    )
+
+
+@register(
+    "q_decontaminate",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         ))) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+), contam AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM bench)
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_clean
+FROM documents d LEFT JOIN contam c USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.source
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.curation): docs sharing any
+    trigram with the held-out 'benchmark' slice (doc_id % 50 == 0) are
+    flagged; output = per-source contamination census. The benchmark gram
+    set broadcasts; corpus text never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    flags = C.contamination_flags(corpus, bench, "text", "doc_id", n=3)
+    return (
+        corpus.join(flags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_shared_grams").isNotNull().cast("long")).alias("n_contaminated"),
+            F.sum(F.col("n_shared_grams").isNull().cast("long")).alias("n_clean"),
+        )
+    )
+
+
+@register(
+    "q_repetition_filter",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(
+           range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+), pc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+), st AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS total_grams,
+         count(*) AS distinct_grams,
+         max(c) AS top_count
+  FROM pc GROUP BY 1
+), m AS (
+  SELECT d.doc_id,
+         COALESCE(total_grams, 0) AS total_grams,
+         COALESCE(distinct_grams, 0) AS distinct_grams,
+         COALESCE(round(1 - distinct_grams / CAST(total_grams AS DOUBLE), 6), 0.0) AS dup_frac,
+         COALESCE(round(top_count / CAST(total_grams AS DOUBLE), 6), 0.0) AS top_frac
+  FROM documents d LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id, total_grams, distinct_grams, dup_frac, top_frac,
+       CASE WHEN dup_frac <= 0.05 AND top_frac <= 0.10 THEN 1 ELSE 0 END AS keep
+FROM m
+""",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (operators.curation):
+    duplicate-bigram fraction + top-bigram fraction per doc, with the keep
+    decision made on the ROUNDED values both engines emit (parity rule)."""
+    d = table(spark, sf_dir, "documents")
+    m = C.repetition_metrics(d, "text", "doc_id", n=2)
+    return m.withColumn(
+        "keep",
+        ((F.col("dup_frac") <= 0.05) & (F.col("top_frac") <= 0.10)).cast("int"),
+    )
+
+
+@register(
+    "q_mixture_resample",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH f AS (
+  SELECT source, doc_id, CAST(substr(source, 4) AS BIGINT) AS idx
+  FROM documents
+), k AS (
+  SELECT source, idx,
+         CASE WHEN doc_id % 100 < (100 - 4 * idx) THEN 1 ELSE 0 END AS keep
+  FROM f
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round((100 - 4 * idx) / 100.0, 2) AS target_rate,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS actual_rate
+FROM k
+GROUP BY source, idx
+""",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture resampling (operators.curation): each
+    source srcN keeps (100-4N)% of its docs via a pure id-modulo filter —
+    reproducible, RNG-free, zero-shuffle. Output = per-source census of
+    target vs achieved rate."""
+    d = table(spark, sf_dir, "documents")
+    rates = {f"src{i}": (100 - 4 * i) / 100.0 for i in range(20)}
+    flags = C.mixture_flags(d, "source", "doc_id", rates, modulus=100)
+    idx = F.expr("CAST(substring(source, 4) AS BIGINT)")
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round((F.lit(100) - 4 * F.first(idx)) / 100.0, 2).alias("target_rate"),
+        F.round(F.sum("keep") / F.count("*"), 6).alias("actual_rate"),
     )
