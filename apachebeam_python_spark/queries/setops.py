@@ -169,22 +169,43 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (folds q_union_all / q_union_distinct / q_intersect / q_except /
     q_except_all, pytest-only): Beam ``Flatten`` with multiplicity counts,
     distinct union (also the §2.3 Distinct primitive), INTERSECT, EXCEPT,
-    and bag-difference EXCEPT ALL aggregated per priority. Every arm is
-    hash-based (no sorts); unions of arms are zero-shuffle."""
+    and bag-difference EXCEPT ALL aggregated per priority.
+
+    100 TB shape: the naive form re-scans customer ×3, supplier ×4 and
+    orders ×2 with different filters (ReusedExchange can't fire across
+    them), so instead each base table is scanned and shuffled ONCE into a
+    per-key aggregate carrying conditional sub-counts, and every set
+    arm forks off those tiny aggregates (persisted; joins between them are
+    AQE-broadcast). Set semantics are reproduced from counts: INTERSECT =
+    semi-join of key sets, EXCEPT = anti-join, EXCEPT ALL multiplicity =
+    surplus count_F - count_P. Parity with the plain-SQL oracle proves the
+    count-based rewrite exact."""
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
 
-    ck = c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind"))
-    sk = s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind"))
+    # one scan + one shuffle per base table; O(distinct keys) results
+    cust = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("c_acctbal") > 9000, 1)).alias("n_hi"),
+    ).persist()
+    supp = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("s_acctbal") > 8000, 1)).alias("n_hi"),
+    ).persist()
+    ords = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+
     union_all = (
-        S.flatten(ck, sk)
-        .groupBy("kind", "nationkey")
-        .agg(F.count("*").alias("n"))
+        cust.select(F.lit("customer").alias("kind"), "nationkey", "n_all")
+        .unionByName(supp.select(F.lit("supplier").alias("kind"), "nationkey", "n_all"))
         .select(
             F.lit("union_all").alias("tag"),
-            F.concat_ws("#", "kind", "nationkey").alias("key"), "n",
+            F.concat_ws("#", "kind", "nationkey").alias("key"),
+            F.col("n_all").alias("n"),
         )
     )
 
@@ -196,36 +217,22 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     union_distinct = _keyed(
-        S.union_distinct(
-            c.select(F.col("c_nationkey").alias("nationkey")),
-            s.select(F.col("s_nationkey").alias("nationkey")),
-        ),
+        cust.select("nationkey").union(supp.select("nationkey")).distinct(),
         "union_distinct",
     )
     inter = _keyed(
-        S.intersect(
-            c.filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("nationkey")),
-            s.select(F.col("s_nationkey").alias("nationkey")),
-        ),
+        cust.filter(F.col("n_hi") > 0).join(supp, "nationkey", "left_semi"),
         "intersect",
     )
     exc = _keyed(
-        S.except_distinct(
-            n.select(F.col("n_nationkey").alias("nationkey")),
-            s.filter(F.col("s_acctbal") > 8000).select(F.col("s_nationkey").alias("nationkey")),
+        n.select(F.col("n_nationkey").alias("nationkey")).join(
+            supp.filter(F.col("n_hi") > 0), "nationkey", "left_anti"
         ),
         "except",
     )
-    exc_all = (
-        S.except_all(
-            o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority"),
-            o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority"),
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lit("except_all").alias("tag"),
-            F.col("o_orderpriority").alias("key"), "n",
-        )
+    exc_all = ords.filter(F.col("n_f") > F.col("n_p")).select(
+        F.lit("except_all").alias("tag"),
+        F.col("o_orderpriority").alias("key"),
+        (F.col("n_f") - F.col("n_p")).alias("n"),
     )
     return union_all.unionByName(union_distinct).unionByName(inter).unionByName(exc).unionByName(exc_all)
