@@ -133,3 +133,30 @@ def fingerprint(text: Column, prefix_tokens: int = 8) -> Column:
 def content_hash(text: Column) -> Column:
     """Exact-dedup key: sha256 hex of the full text."""
     return F.sha2(text, 256)
+
+
+#: PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+#: agree on: no lookarounds, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+",
+    "phone": r"\+?[0-9]+(-[0-9]+)+",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (computed BEFORE scrubbing)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII in-place: each category's matches replaced by its
+    ``<KIND>`` token. Chained regexp_replace — pure JVM expressions, fuses
+    into codegen like any projection (the standard pre-training scrub
+    pass; extend PII_PATTERNS for more categories)."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

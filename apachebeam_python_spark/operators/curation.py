@@ -131,6 +131,40 @@ def mixture_flags(
     return df.withColumn("keep", keep)
 
 
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, int]],
+    *,
+    modulus: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: cumulative id-modulo
+    bands — ``splits=[("train", 80), ("val", 10), ("test", 10)]`` assigns
+    id % 100 in [0,80) → train, [80,90) → val, [90,100) → test. Band widths
+    must sum to ``modulus``.
+
+    Returns ``df`` + a string ``split`` column. Like mixture_flags this is
+    a pure narrow projection (zero exchanges, reproducible across retries,
+    no RNG); stratification comes free because the modulo stream is
+    independent of any data column. For splits that must be disjoint at the
+    GROUP level (all docs of one url/source together), pass the group id as
+    ``id_col``.
+    """
+    widths = [w for _, w in splits]
+    if sum(widths) != modulus:
+        raise ValueError(f"split widths {widths} must sum to modulus={modulus}")
+    residue = F.pmod(F.col(id_col), F.lit(modulus))
+    expr = F.lit(splits[-1][0])
+    hi = 0
+    branches = []
+    for name, w in splits[:-1]:
+        hi += w
+        branches.append((name, hi))
+    for name, bound in reversed(branches):
+        expr = F.when(residue < bound, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def mixture_resample(
     df: DataFrame,
     key_col: str,

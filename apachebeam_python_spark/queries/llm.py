@@ -730,3 +730,71 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.lit(100) - 4 * F.first(idx)) / 100.0, 2).alias("target_rate"),
         F.round(F.sum("keep") / F.count("*"), 6).alias("actual_rate"),
     )
+
+
+@register(
+    "q_pii_scrub",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle=r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS n_email,
+       len(regexp_extract_all(text, '\+?[0-9]+(-[0-9]+)+')) AS n_phone,
+       regexp_replace(regexp_replace(text,
+         '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+         '\+?[0-9]+(-[0-9]+)+', '<PHONE>', 'g') AS scrubbed
+FROM injected
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions.text.scrub_pii): per-category match counts
+    + scrubbed text. The fixture corpus contains no real PII, so each doc
+    gets a deterministic synthetic email+phone suffix first (mechanism
+    demo, like lang-ID); patterns stay in the Java∩RE2 regex subset so
+    both engines replace identically. Pure codegen projection — the scrub
+    pass over 100 TB is scan-bound, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    return injected.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        T.scrub_pii(F.col("text")).alias("scrubbed"),
+    )
+
+
+@register(
+    "q_split_assign",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+SELECT source,
+       CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, split
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (operators.curation.split_assign): id-modulo bands, zero-shuffle, no
+    RNG; output = per-(source, split) census proving stratification."""
+    d = table(spark, sf_dir, "documents")
+    out = C.split_assign(d, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
+    return out.groupBy("source", "split").agg(F.count("*").alias("n_docs"))

@@ -5,6 +5,8 @@ q_repetition_filter, q_mixture_resample)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from apachebeam_python_spark.operators import curation as C
 
 
@@ -64,3 +66,39 @@ def test_mixture_resample_filters(spark):
     out = C.mixture_resample(df, "src", "doc_id", {"a": 0.3}, modulus=10)
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
     assert "keep" not in out.columns
+
+
+def test_split_assign_bands_and_widths(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = C.split_assign(df, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {"train": 160, "val": 20, "test": 20}
+    one = {r.doc_id: r.split for r in out.collect()}
+    assert one[0] == "train" and one[79] == "train" and one[80] == "val" and one[90] == "test" and one[199] == "test"
+
+
+def test_split_assign_rejects_bad_widths(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    try:
+        C.split_assign(df, "doc_id", [("train", 80), ("val", 10)])
+    except ValueError as e:
+        assert "sum to modulus" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from apachebeam_python_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.an_1@ex-ample.org or +44-20-7946-0958 thanks"),
+         (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    counts = T.pii_counts(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", counts["email"].alias("ne"), counts["phone"].alias("np"),
+        T.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert (out[1].ne, out[1].np) == (1, 1)
+    assert out[1].s == "mail me at <EMAIL> or <PHONE> thanks"
+    assert (out[2].ne, out[2].np, out[2].s) == (0, 0, "no pii here")
