@@ -120,6 +120,29 @@ def approx_quantiles(df: DataFrame, keys: Sequence[str], col: str, probs: Sequen
     )
 
 
+def hll_partial_sketches(
+    df: DataFrame, keys: Sequence[str], col: str, lg_config_k: int = 12
+) -> DataFrame:
+    """Materialized, MERGEABLE distinct-count sketches (Datasketches HLL,
+    binary column) — the incremental-distinct pattern: build one sketch per
+    fine-grained partition (e.g. per day), persist them, and answer any
+    coarser rollup later by unioning sketches instead of re-reading 100 TB
+    of raw events. Storage is O(groups × 2^lg_config_k) bytes."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lg_config_k)).alias("sketch")
+    )
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, keys: Sequence[str], out: str = "approx_nd"
+) -> DataFrame:
+    """Roll partial sketches up to coarser keys: union + estimate. The
+    shuffle carries one sketch per input group (KBs), never raw rows."""
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(out)
+    )
+
+
 def sample_fixed_global(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Beam ``Sample.FixedSizeGlobally``: uniform-ish n via seeded rand order.
     (TakeOrdered over rand() — avoids full-sort; nondeterministic across

@@ -401,6 +401,21 @@ def q_groupbykey_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return values_arm.unionByName(set_arm).unionByName(batch_arm)
 
 
+@register("q_hll_rollup", driver=False)  # rows-only: sketch estimates are engine-specific
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count via MATERIALIZED mergeable sketches
+    (SURVEY §2.3 ApproximateUnique, the 100 TB operational form): build one
+    Datasketches-HLL partial per (event_type, day) — what a daily pipeline
+    persists — then answer the per-event_type rollup by sketch UNION +
+    estimate, never re-reading raw events. The rollup shuffle carries one
+    KB-sized sketch per group. Estimate-vs-exact error asserted in
+    tests/test_operators.py::test_hll_rollup_accuracy."""
+    e = table(spark, sf_dir, "events")
+    days = e.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+    partials = agg.hll_partial_sketches(days, ["event_type", "day"], "user_id")
+    return agg.hll_rollup_estimate(partials, ["event_type"], out="approx_users")
+
+
 @register("q_approx_sample")  # rows-only: sketch estimates + seeded sampling
 def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate/sampling combiner family in one tagged rows-only

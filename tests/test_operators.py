@@ -85,3 +85,22 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
         ann.unpersist()
     assert len(bf & lsh) / len(bf) >= 0.5, f"lsh recall {len(bf & lsh) / len(bf):.3f}"
     assert len(bf & ivf) / len(bf) >= 0.6, f"ivf recall {len(bf & ivf) / len(bf):.3f}"
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    """Union-of-partials estimate must track the exact distinct count
+    (lgK=12 keeps relative error well under 5% at fixture cardinalities)."""
+    from apachebeam_python_spark import queries as q
+    from apachebeam_python_spark.session import table
+
+    got = {r.event_type: r.approx_users for r in q.QUERIES["q_hll_rollup"](spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.nd
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
