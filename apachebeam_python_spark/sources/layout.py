@@ -19,7 +19,8 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -67,6 +68,51 @@ def write_clustered(
     (
         df.repartitionByRange(num_files, cluster_col)
         .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the top ``bits`` bits of each
+    column's rank-ish value so that sorting by ONE long co-locates rows
+    close in EVERY dimension — multi-column file skipping from single-column
+    min/max stats (the same idea as Delta's OPTIMIZE ZORDER BY).
+
+    Inputs must already be non-negative integers of comparable magnitude
+    (pre-bucket raw values with ntile/width_bucket/pmod as appropriate —
+    interleaving raw skewed values wastes high bits). Pure bit arithmetic,
+    fuses into codegen; no shuffle of its own.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if not 1 <= bits <= 63 // len(cols):
+        raise ValueError(f"bits={bits} with {len(cols)} cols overflows a long")
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):  # msb-first interleave
+        for c in cols:
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: Sequence[str],
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Multi-dimension clustering: range-partition + sort by the Morton key
+    of ``zcols``, then parquet. A filter on ANY of the z-ordered columns
+    skips files via min/max stats — the 2-D generalization of
+    ``write_clustered`` (which is optimal for one column only). File-skip
+    effectiveness is verified empirically in tests/test_scale_patterns.py."""
+    keyed = df.withColumn("_zkey", zorder_key([F.col(c) for c in zcols], bits=bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
         .write.mode("overwrite")
         .parquet(path)
     )

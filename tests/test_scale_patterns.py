@@ -124,3 +124,45 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint: a range filter can skip whole files
+
+
+def test_zorder_key_interleaves():
+    """Morton key of (x=0b11, y=0b00) at 2 bits = 0b1010."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    row = spark.range(1).select(
+        layout.zorder_key([F.lit(3), F.lit(0)], bits=2).alias("k"),
+        layout.zorder_key([F.lit(0), F.lit(3)], bits=2).alias("k2"),
+        layout.zorder_key([F.lit(3), F.lit(3)], bits=2).alias("k3"),
+    ).collect()[0]
+    assert (row.k, row.k2, row.k3) == (0b1010, 0b0101, 0b1111)
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir):
+    """Z-ordered layout: a selective filter on EITHER interleaved column
+    touches a strict subset of files (per-file min/max would skip the
+    rest), where single-column clustering only serves its own column."""
+    o = table(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(1024)).alias("x"),
+        F.pmod("o_orderkey", F.lit(1024)).alias("y"),
+        "o_totalprice",
+    )
+    zpath = "/root/repo/.tmp/orders_zorder"
+    cpath = "/root/repo/.tmp/orders_cluster_x"
+    layout.write_zordered(o, zpath, ["x", "y"], num_files=8, bits=10)
+    layout.write_clustered(o, cpath, "x", num_files=8)
+
+    def files_touched(path, cond):
+        df = spark.read.parquet(path).filter(cond)
+        return df.select(F.input_file_name()).distinct().count()
+
+    z_x = files_touched(zpath, F.col("x") < 32)
+    z_y = files_touched(zpath, F.col("y") < 32)
+    c_y = files_touched(cpath, F.col("y") < 32)
+    total = spark.read.parquet(zpath).select(F.input_file_name()).distinct().count()
+    assert total == 8
+    # z-order: both dimensions skip; x-clustered: y-filter hits every file
+    assert z_x <= total // 2, f"x-filter touched {z_x}/{total} z-ordered files"
+    assert z_y <= total // 2, f"y-filter touched {z_y}/{total} z-ordered files"
+    assert c_y == 8, f"control: expected y-filter to touch all x-clustered files, got {c_y}"
