@@ -51,12 +51,32 @@ def main() -> None:
                            n_centroids=8, n_probe=3)
     print("same search via the IVF index (approximate):", ann.count(), "rows")
 
+    # curation passes (operators.curation): scrub PII, drop repetitive docs,
+    # remove benchmark contamination, reweight the domain mixture, split
+    from apachebeam_python_spark.operators import curation as CU
+
+    scrubbed = docs.withColumn("text", T.scrub_pii(F.col("text")))
+    rep = CU.repetition_metrics(scrubbed, "text", "doc_id")
+    low_rep = rep.filter((F.col("dup_frac") <= 0.05) & (F.col("top_frac") <= 0.10))
+    print(f"repetition filter keeps {low_rep.count()}/{docs.count()} docs")
+
+    bench = scrubbed.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    corpus = scrubbed.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    contam = CU.contamination_flags(corpus, bench, "text", "doc_id", n=3)
+    clean = corpus.join(contam.select("doc_id"), "doc_id", "left_anti")
+    print(f"decontamination keeps {clean.count()}/{corpus.count()} docs")
+
+    rates = {f"src{i}": (100 - 4 * i) / 100.0 for i in range(20)}
+    mixed = CU.mixture_resample(clean, "source", "doc_id", rates, modulus=100)
+    final = CU.split_assign(mixed, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
+    final.groupBy("split").agg(F.count("*").alias("docs")).orderBy("split").show()
+
     # final step of a training-data pipeline: pack kept docs into
     # ~2000-token shards (window variant; see operators.packing for the
     # exact greedy form)
     from apachebeam_python_spark.operators import packing as PK
 
-    toks = kept.join(docs.select("doc_id", "text"), "doc_id").select(
+    toks = final.filter(F.col("split") == "train").select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("tokens")
     )
     shards = PK.pack_shards_window(toks, "tokens", "doc_id", budget=2000)
