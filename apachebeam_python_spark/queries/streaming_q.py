@@ -72,3 +72,48 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful.stateful_dedup_stream(jobs.events_stream(spark, sf_dir))
     jobs.run_to_memory(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "q_stream_interval_join",
+    driver=False,  # extra §2.4/§2.9 proof beyond the driver window
+    oracle="""
+SELECT a.event_type AS l_type, b.event_type AS r_type, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 15 MINUTE
+GROUP BY l_type, r_type
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join computed BY THE STREAMING ENGINE (two
+    watermarked file-replay streams, time-bounded inner join, availableNow
+    drain) vs the batch self-join oracle: stream ≡ batch. Deterministic
+    because each fixture sf is a single file → one micro-batch → the
+    watermark never drops a row. At 100 TB-scale streaming, state per side
+    is bounded by (watermark + interval) of events per user — the join
+    buffer Spark keeps is exactly the time bound, which is why the interval
+    condition (not an unbounded equi-join) is the scalable form."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_interval_join", sf_dir)
+    left = jobs.events_stream(spark, sf_dir).withWatermark("ts", "1 minute").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type")
+    )
+    right = jobs.events_stream(spark, sf_dir).withWatermark("ts", "1 minute").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 15 MINUTES")),
+    )
+    jobs.run_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("l_type", "r_type")
+        .agg(F.count("*").alias("n_pairs"))
+    )
