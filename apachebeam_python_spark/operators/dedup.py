@@ -305,6 +305,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Near-dup pairs → dedup clusters: connected components by iterative
     min-label propagation (the downstream step that turns pairwise matches
@@ -313,9 +314,14 @@ def connected_components(
     Iterative control flow lives on the driver (converge when no label
     changes — an aggregate check per round); per-round work is one join +
     one aggregate, and ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1. Rounds needed = graph diameter —
-    near-dup clusters are shallow (pairs share a hub), so this converges in
-    a handful of rounds even at corpus scale.
+    round N doesn't replay rounds 1..N-1. With ``pointer_jump`` each round
+    also shortcuts ``label(u) ← label(label(u))`` (one self-join on the
+    O(nodes) label table), halving pointer-chain depth — rounds drop from
+    O(diameter) to O(log diameter), which is what keeps a pathological
+    deep chain from blowing the iteration cap at corpus scale. Safe because
+    labels are non-increasing, always a component member's id, and any
+    propagation fixpoint is already the component min (the jump is then the
+    identity — the convergence test is unchanged).
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -343,6 +349,16 @@ def connected_components(
         labels = updated.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+        if pointer_jump:
+            l2 = labels.select(F.col("u").alias("j_u"), F.col("label").alias("j_label"))
+            labels = (
+                labels.join(l2, labels.label == F.col("j_u"), "left")
+                .select(
+                    "u",
+                    F.least(F.col("label"), F.coalesce("j_label", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
     else:
         # falling through with changed != 0 would silently return WRONG
         # labels for any component whose diameter exceeds max_iter

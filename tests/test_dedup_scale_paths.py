@@ -54,3 +54,20 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
     recall = len(lsh) / max(len(exact), 1)
     assert recall >= 0.85, f"recall {recall:.3f} < 0.85 ({len(lsh)}/{len(exact)})"
+
+
+def test_connected_components_deep_chain_pointer_jump(spark):
+    """A 300-node path graph converges with pointer jumping inside 12
+    rounds (propagate+jump is O(log diameter)); plain propagation would
+    need ~300 rounds and must raise at a small cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
+    out = D.connected_components(pairs, max_iter=12)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(got.values()) == {0} and len(got) == 301
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=12, pointer_jump=False)
