@@ -41,17 +41,37 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Beam ``ReadFromParquet``: columnar scan; projection/predicates push down."""
-    return spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str, *, merge_schema: bool = False) -> DataFrame:
+    """Beam ``ReadFromParquet``: columnar scan; projection/predicates push down.
+
+    ``merge_schema=True`` unions the footers of every file — the
+    schema-evolution read for a lake where later batches added columns
+    (older files yield NULLs). Off by default: merging footers costs a
+    file-listing pass, and a 100 TB table with a stable schema shouldn't
+    pay it."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: tuple[str, ...] = ()) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 0,
+) -> None:
     """Beam ``WriteToParquet`` + partitioned layout: at scale, partition by
-    the dominant filter column so readers get partition pruning."""
+    the dominant filter column so readers get partition pruning, and bound
+    file sizes with ``max_records_per_file`` (0 = unbounded) — one skewed
+    task must not emit a multi-GB file that later becomes an unsplittable
+    straggler row-group for readers."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
 
 

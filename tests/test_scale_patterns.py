@@ -166,3 +166,24 @@ def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir):
     assert z_x <= total // 2, f"x-filter touched {z_x}/{total} z-ordered files"
     assert z_y <= total // 2, f"y-filter touched {z_y}/{total} z-ordered files"
     assert c_y == 8, f"control: expected y-filter to touch all x-clustered files, got {c_y}"
+
+
+def test_schema_merge_and_bounded_files(spark):
+    """Lake-maintenance knobs: mergeSchema unions evolved footers (old
+    files read as NULL for new columns); maxRecordsPerFile bounds output
+    file sizes so no task emits an unsplittable straggler file."""
+    from apachebeam_python_spark.sources.io import read_parquet, write_parquet
+
+    path = "/root/repo/.tmp/evolving"
+    v1 = spark.range(5).select(F.col("id").alias("k"))
+    v2 = spark.range(5, 10).select(F.col("id").alias("k"), F.lit("x").alias("extra"))
+    write_parquet(v1, path)
+    write_parquet(v2, path, mode="append")
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"k", "extra"}
+    assert merged.filter(F.col("extra").isNull()).count() == 5
+
+    bpath = "/root/repo/.tmp/bounded_files"
+    write_parquet(spark.range(100).repartition(1), bpath, max_records_per_file=10)
+    files = spark.read.parquet(bpath).select(F.input_file_name()).distinct().count()
+    assert files == 10
