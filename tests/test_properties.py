@@ -169,3 +169,43 @@ def test_topk_per_key_deterministic_under_ties(spark, vals):
         ).fetchall()
     }
     assert got == want
+
+
+# --- curation / layout properties (round 2) ---
+
+ids = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ids=ids, pct=st.integers(min_value=0, max_value=100))
+def test_mixture_flags_matches_python_model(spark, ids, pct):
+    """keep flag == the plain-Python modulo rule, for any rate and id set."""
+    from apachebeam_python_spark.operators import curation as C
+
+    df = spark.createDataFrame([(i, "a") for i in ids], "doc_id long, src string")
+    out = {r.doc_id: r.keep for r in C.mixture_flags(
+        df, "src", "doc_id", {"a": pct / 100.0}, modulus=100).collect()}
+    for i in ids:
+        assert out[i] == (1 if i % 100 < pct else 0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1023), st.integers(min_value=0, max_value=1023)),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_zorder_key_is_injective_and_bounded(spark, pts):
+    """Morton key: distinct points → distinct keys; key < 2^(2*bits); and
+    the all-zero point maps to 0."""
+    from apachebeam_python_spark.sources import layout
+
+    df = spark.createDataFrame(pts + [(0, 0)], "x long, y long")
+    rows = df.select(
+        "x", "y", layout.zorder_key([F.col("x"), F.col("y")], bits=10).alias("k")
+    ).collect()
+    keys = {(r.x, r.y): r.k for r in rows}
+    assert len(set(keys.values())) == len(keys)
+    assert all(0 <= k < 2**20 for k in keys.values())
+    assert keys[(0, 0)] == 0
