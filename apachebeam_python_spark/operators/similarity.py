@@ -126,17 +126,18 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: st
 
 
 def ivf_centroids(corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int) -> DataFrame:
-    """Deterministic IVF coarse quantizer: seed with an xxhash64-stratified
-    sample of corpus vectors, then run ONE distributed Lloyd step (assign all
-    vectors to the nearest seed — broadcast join, no collect — and average
-    per cell). One step is the standard cheap refinement for a coarse
-    inverted-file index; more steps would just repeat the same two-shuffle
-    pattern. Returns (centroid_id, centroid array<double>)."""
-    n = corpus.count()
-    stride = max(n // max(n_centroids, 1), 1)
+    """Deterministic IVF coarse quantizer: seed with the n_centroids corpus
+    vectors of smallest xxhash64(id) — a uniform pseudo-random sample that
+    compiles to TakeOrderedAndProject (per-partition top-k + merge: one
+    linear pass, no count(), no global sort) — then run ONE distributed
+    Lloyd step (assign all vectors to the nearest seed — broadcast join, no
+    collect — and average per cell). One step is the standard cheap
+    refinement for a coarse inverted-file index; more steps would just
+    repeat the same two-shuffle pattern. Returns (centroid_id,
+    centroid array<double>). The row_number window ranks only the
+    n_centroids surviving seeds (bounded input, not a corpus-wide window)."""
     seeds = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
-        .select(
+        corpus.select(
             F.xxhash64(F.col(id_col)).alias("_rk"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
         )
