@@ -73,6 +73,54 @@ def write_clustered(
     )
 
 
+def overwrite_partition(df: DataFrame, path: str, partition_by: Sequence[str]) -> None:
+    """Idempotent backfill: dynamic partition overwrite replaces ONLY the
+    partitions present in ``df`` and leaves every other partition's files
+    untouched — re-running one bad day of a 100 TB partitioned table is a
+    surgical rewrite, not a table rewrite, and a retried job converges to
+    the same state (the lake-side half of exactly-once)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partition(
+    spark: SparkSession, path: str, partition_filter: str, target_files: int = 1
+) -> None:
+    """Small-files compaction: rewrite the partitions matched by
+    ``partition_filter`` (e.g. ``"day = '2024-01-01'"``) into
+    ``target_files`` files each, via dynamic partition overwrite. Streaming
+    and incremental ingest leave many KB-sized files per partition; reads
+    then pay per-file open + footer costs. Run compaction on closed
+    partitions only (no concurrent writer — this is plain parquet, not a
+    transaction log)."""
+    df = spark.read.parquet(path).filter(partition_filter)
+    part_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in {c.strip() for c in _partition_cols_of(spark, path)}
+    ]
+    overwrite_partition(df.repartition(target_files), path, part_cols)
+
+
+def _partition_cols_of(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of a Hive-layout parquet directory (those whose
+    values come from directory names rather than file contents)."""
+    import re
+
+    files = spark.read.parquet(path).inputFiles()
+    cols: list[str] = []
+    for seg in (s for f in files for s in f.split("/")):
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)=", seg)
+        if m and m.group(1) not in cols:
+            cols.append(m.group(1))
+    return cols
+
+
 def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     """Z-order (Morton) key: interleave the top ``bits`` bits of each
     column's rank-ish value so that sorting by ONE long co-locates rows

@@ -187,3 +187,44 @@ def test_schema_merge_and_bounded_files(spark):
     write_parquet(spark.range(100).repartition(1), bpath, max_records_per_file=10)
     files = spark.read.parquet(bpath).select(F.input_file_name()).distinct().count()
     assert files == 10
+
+
+def test_dynamic_partition_overwrite_is_surgical(spark, sf_dir):
+    """Backfilling one partition must not touch the others' files."""
+    import glob
+
+    path = "/root/repo/.tmp/events_backfill"
+    ev = table(spark, sf_dir, "events").withColumn(
+        "etype", F.col("event_type")
+    ).select("event_id", "user_id", "value", "etype")
+    layout.overwrite_partition(ev, path, ["etype"])
+    other_files_before = set(glob.glob(f"{path}/etype=view/*.parquet"))
+    n_click = spark.read.parquet(path).filter("etype = 'click'").count()
+
+    redo = ev.filter(F.col("etype") == "click").withColumn("value", F.col("value") * 0)
+    layout.overwrite_partition(redo, path, ["etype"])
+    after = spark.read.parquet(path)
+    assert set(glob.glob(f"{path}/etype=view/*.parquet")) == other_files_before
+    assert after.filter("etype = 'click'").count() == n_click
+    assert after.filter("etype = 'click'").agg(F.sum("value")).first()[0] == 0
+    assert after.filter("etype = 'view'").count() > 0
+
+
+def test_compact_partition_reduces_files(spark, sf_dir):
+    """Compaction collapses a many-file partition to target_files without
+    changing its rows or touching sibling partitions."""
+    import glob
+
+    path = "/root/repo/.tmp/events_compact"
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    # simulate incremental ingest: 8 small files per partition
+    layout.overwrite_partition(ev.repartition(8), path, ["event_type"])
+    before = len(glob.glob(f"{path}/event_type=click/*.parquet"))
+    assert before == 8
+    rows_before = spark.read.parquet(path).filter("event_type = 'click'").count()
+    sibling_before = set(glob.glob(f"{path}/event_type=view/*.parquet"))
+
+    layout.compact_partition(spark, path, "event_type = 'click'", target_files=1)
+    assert len(glob.glob(f"{path}/event_type=click/*.parquet")) == 1
+    assert spark.read.parquet(path).filter("event_type = 'click'").count() == rows_before
+    assert set(glob.glob(f"{path}/event_type=view/*.parquet")) == sibling_before
