@@ -98,6 +98,44 @@ def repetition_metrics(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap
+    (stride < chunk_tokens) — the step that turns long documents into
+    model-ready training sequences. Chunk starts are 1, 1+stride, … ≤
+    n_tokens, so every token lands in ≥1 chunk and overlap = chunk_tokens -
+    stride.
+
+    Returns one row per chunk: ``(id_col, chunk_start, chunk_len,
+    chunk_text)``.
+
+    100 TB plan: a narrow posexplode-free explode of a computed start list —
+    amplification is ~n_tokens/stride rows per doc with no shuffle at all;
+    chunking 100 TB is one scan-bound pass that pipelines straight into the
+    packing/writing stage. (No Python, all codegen.)
+    """
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(f"need 1 <= stride({stride}) <= chunk_tokens({chunk_tokens})")
+    w = T.tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride))
+    piece = F.slice(F.col("_w"), F.col("chunk_start"), chunk_tokens)
+    return (
+        df.select(F.col(id_col), w.alias("_w"), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            "chunk_start",
+            F.size(piece).alias("chunk_len"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
+    )
+
+
 def mixture_flags(
     df: DataFrame,
     key_col: str,

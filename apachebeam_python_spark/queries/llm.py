@@ -798,3 +798,27 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = C.split_assign(d, "doc_id", [("train", 80), ("val", 10), ("test", 10)])
     return out.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_doc_chunks",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       unnest(range(1, len(w) + 1, 48))                       AS chunk_start,
+       len(w[unnest(range(1, len(w) + 1, 48)):
+             unnest(range(1, len(w) + 1, 48)) + 63])          AS chunk_len,
+       array_to_string(w[unnest(range(1, len(w) + 1, 48)):
+             unnest(range(1, len(w) + 1, 48)) + 63], ' ')     AS chunk_text
+FROM toks
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators.curation.chunk_documents): 64-token
+    windows at stride 48 (16-token overlap) — the long-doc → training-
+    sequence step; every chunk row is derived with zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    return C.chunk_documents(d, "text", "doc_id", chunk_tokens=64, stride=48)

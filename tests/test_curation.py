@@ -102,3 +102,26 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (out[1].ne, out[1].np) == (1, 1)
     assert out[1].s == "mail me at <EMAIL> or <PHONE> thanks"
     assert (out[2].ne, out[2].np, out[2].s) == (0, 0, "no pii here")
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in >=1 chunk; consecutive chunks overlap by
+    chunk_tokens - stride; short docs yield exactly one full-doc chunk."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=3)
+    rows = sorted(
+        ((r.doc_id, r.chunk_start, r.chunk_len, r.chunk_text) for r in out.collect())
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in doc1] == [1, 4, 7, 10]
+    assert doc1[0][3] == "t0 t1 t2 t3" and doc1[1][3] == "t3 t4 t5 t6"
+    assert doc1[-1] == (1, 10, 1, "t9")
+    assert [r for r in rows if r[0] == 2] == [(2, 1, 2, "a b")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=5)
