@@ -136,6 +136,22 @@ def chunk_documents(
     )
 
 
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Reproducible global training-order shuffle: sort by
+    ``xxhash64(seed, id)``. Same seed → identical order on every run,
+    machine, and retry (no RNG state to checkpoint); a new seed is a fresh
+    epoch permutation.
+
+    100 TB plan: writing in this order is one range-partitioned sort — the
+    same cost as any clustered write (sources.layout) — and because the key
+    is a hash of the id, the output is free of the source's original
+    locality (no domain/time runs for the trainer to see). In practice,
+    combine with a partitioned write and let the data loader read files in
+    name order.
+    """
+    return df.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)))
+
+
 def mixture_flags(
     df: DataFrame,
     key_col: str,

@@ -125,3 +125,14 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with pytest.raises(ValueError, match="stride"):
         C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=5)
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = [r.doc_id for r in C.deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    b = [r.doc_id for r in C.deterministic_shuffle(df, "doc_id", seed=1).collect()]
+    c = [r.doc_id for r in C.deterministic_shuffle(df, "doc_id", seed=2).collect()]
+    assert a == b                      # same seed -> same order
+    assert a != c                      # new seed -> new permutation
+    assert a != sorted(a)              # actually shuffled
+    assert sorted(a) == list(range(50))
