@@ -136,3 +136,14 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
     assert a != c                      # new seed -> new permutation
     assert a != sorted(a)              # actually shuffled
     assert sorted(a) == list(range(50))
+
+
+def test_split_assign_group_disjoint(spark):
+    """Splitting on a GROUP id (not the row id) keeps every row of a group
+    in one split — the url/source-disjoint holdout pattern."""
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, group_id long"
+    )
+    out = C.split_assign(df, "group_id", [("train", 80), ("val", 10), ("test", 10)])
+    per_group = out.groupBy("group_id").agg(F.count_distinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_group)
