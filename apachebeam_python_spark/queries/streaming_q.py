@@ -117,3 +117,43 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_type", "r_type")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "q_stream_foreach_sink",
+    driver=False,  # extra §2.1-custom-sink proof beyond the driver window
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sink (foreachBatch, Beam custom-sink DoFn analogue) proven
+    end-to-end: stream → per-type aggregate (complete mode) → foreachBatch
+    writes each micro-batch's full result to parquet keyed by nothing but
+    the final overwrite (idempotent — re-running a batch rewrites the same
+    state) → the SINK's contents are read back and hash-compared to the
+    batch oracle. availableNow on a single fixture file ⇒ one deterministic
+    final batch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out_dir = f"/root/repo/.tmp/foreach_sink_{_sink('x', sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    agg = (
+        jobs.events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        # complete mode: every batch carries the full result -> overwrite is
+        # the idempotent batch_id-safe write (last batch wins, equal content)
+        df.write.mode("overwrite").parquet(out_dir)
+
+    jobs.run_foreach_batch(agg, write_batch, output_mode="complete")
+    assert os.path.isdir(out_dir)
+    return spark.read.parquet(out_dir)

@@ -72,7 +72,7 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str, *, watermark: str =
     return spark.table(sink_name)
 
 
-def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = None) -> None:
+def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = None, output_mode: str = "append") -> None:
     """The universal production sink (Beam's custom-sink DoFn analogue):
     ``foreachBatch`` hands each micro-batch to arbitrary batch-DataFrame code
     (merge/upsert into parquet-or-warehouse, multi-sink fan-out, JDBC...).
@@ -81,7 +81,11 @@ def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = N
     writes keyed by batch_id + checkpointing give end-to-end exactly-once —
     same contract Beam sinks implement with their own dedup keys.
     """
-    w = result.writeStream.foreachBatch(batch_fn).trigger(availableNow=True)
+    w = (
+        result.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     q = w.start()
