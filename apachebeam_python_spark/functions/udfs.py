@@ -63,3 +63,22 @@ def zscore_per_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.copy()
     pdf["zscore"] = ((pdf["value"] - pdf["value"].mean()) / std if std > 0 else 0.0)
     return pdf[["event_id", "user_id", "zscore"]]
+
+
+def nation_balance_recon(key, cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped applyInPandas kernel (two-input grouped map, SURVEY §2.10 —
+    Beam CoGroupByKey + per-key Python): per-nation reconciliation of the
+    customer and supplier books. Receives BOTH sides' rows for one key as
+    Arrow-backed pandas frames; either side may be empty. The sums round at
+    2 decimals (the inputs' exact decimal depth) so the float fold order
+    can't surface in the oracle compare."""
+    return pd.DataFrame(
+        [{
+            "nationkey": key[0],
+            "n_cust": len(cust),
+            "n_supp": len(supp),
+            "balance_gap": round(
+                float(cust["c_acctbal"].sum()) - float(supp["s_acctbal"].sum()), 2
+            ),
+        }]
+    )

@@ -184,3 +184,39 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.word, t.pos FROM docs_udtf, LATERAL pos_tokens(text) t"
     )
+
+
+@register(
+    "q_cogroup_apply",
+    driver=False,  # extra §2.10 proof beyond the driver window
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_cust, sum(c_acctbal) AS cb
+  FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supp, sum(s_acctbal) AS sb
+  FROM supplier GROUP BY 1
+)
+SELECT nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp,
+       round(COALESCE(cb, 0) - COALESCE(sb, 0), 2) AS balance_gap
+FROM c FULL JOIN s USING (nationkey)
+""",
+)
+def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (SURVEY §2.10): customer and supplier grouped
+    on nationkey, BOTH groups handed to one Arrow-batched kernel per key —
+    the two-input custom-logic escape hatch (Beam CoGroupByKey + DoFn).
+    Each side shuffles once on the key; the kernel sees bounded per-key
+    groups. The oracle reproduces it as aggregate + FULL JOIN."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            U.nation_balance_recon,
+            schema="nationkey long, n_cust long, n_supp long, balance_gap double",
+        )
+    )
