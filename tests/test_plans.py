@@ -92,3 +92,27 @@ def test_dedup_clusters_pairs_have_no_gram_self_join(spark, sf_dir):
     plan = P.executed_plan(pairs)
     assert "xxhash64" in plan, "minhash banding missing from plan"
     assert "gram" not in plan, "gram self-join leaked into the clusters pair path"
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """Round-2 curation ops keep their designed shapes: chunking is a pure
+    narrow explode (zero exchanges), mixture resampling spends its single
+    exchange on the final census agg, decontamination broadcasts the
+    benchmark gram set (never shuffle-joins corpus grams)."""
+    chunks = q.QUERIES["q_doc_chunks"](spark, sf_dir)
+    assert P.count_exchanges(chunks) == 0, P.executed_plan(chunks)
+
+    mix = q.QUERIES["q_mixture_resample"](spark, sf_dir)
+    assert P.count_exchanges(mix) == 1, P.executed_plan(mix)
+
+    dec = q.QUERIES["q_decontaminate"](spark, sf_dir)
+    plan = P.executed_plan(dec)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_setops_reads_each_base_table_once(spark, sf_dir):
+    """The fused q_setops must serve every arm from cached per-table
+    aggregates (InMemoryTableScan), not re-scan parquet per arm."""
+    df = q.QUERIES["q_setops"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "InMemoryTableScan" in plan, plan
