@@ -460,3 +460,51 @@ def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hll.unionByName(quant).unionByName(sample).unionByName(per_key_sample)
+
+
+@register(
+    "q_data_quality",
+    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n,
+    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS orderkey_not_null,
+    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('F','O','P')) AS BIGINT) AS status_in_set,
+    CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                            OR NOT (o_totalprice > 0 AND o_totalprice < 100000)) AS BIGINT) AS totalprice_range,
+    CAST(count(*) FILTER (WHERE o_orderpriority IS NULL
+                            OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT) AS priority_format,
+    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS o_orderkey_unique
+  FROM orders
+)
+SELECT check_name, violations, n AS n_rows,
+       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS check_name, orderkey_not_null AS violations, n FROM a
+  UNION ALL SELECT 'status_in_set', status_in_set, n FROM a
+  UNION ALL SELECT 'totalprice_range', totalprice_range, n FROM a
+  UNION ALL SELECT 'priority_format', priority_format, n FROM a
+  UNION ALL SELECT 'o_orderkey_unique', o_orderkey_unique, n FROM a
+)
+""",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators.quality, Deequ-style):
+    completeness, set-membership, range, regex-format and uniqueness checks
+    over orders, ALL computed in one aggregate pass (validating 100 TB costs
+    one scan). totalprice_range is deliberately tight so a failing check's
+    violation count is exercised, not just zeros."""
+    from ..operators.quality import check_constraints
+
+    o = table(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "status_in_set": F.col("o_orderstatus").isin("F", "O", "P"),
+            "totalprice_range": (F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 100000),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+        unique=["o_orderkey"],
+    )

@@ -147,3 +147,26 @@ def test_split_assign_group_disjoint(spark):
     out = C.split_assign(df, "group_id", [("train", 80), ("val", 10), ("test", 10)])
     per_group = out.groupBy("group_id").agg(F.count_distinct("split").alias("k")).collect()
     assert all(r.k == 1 for r in per_group)
+
+
+def test_check_constraints_counts_and_plan(spark):
+    """Null rows violate; uniqueness counts repeats; the whole report is
+    ONE aggregate pass (a single pair of exchanges, no per-check scans)."""
+    from apachebeam_python_spark.operators.quality import check_constraints
+    from apachebeam_python_spark.plans import inspect as P
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, -1.0), (3, 2.0)], "id long, v double"
+    )
+    out = check_constraints(
+        df, {"v_not_null": F.col("v").isNotNull(), "v_positive": F.col("v") > 0},
+        unique=["id"],
+    )
+    got = {r.check_name: (r.violations, r.passed) for r in out.collect()}
+    assert got == {
+        "v_not_null": (1, 0),
+        "v_positive": (2, 0),   # the NULL row violates > 0 too
+        "id_unique": (1, 0),
+    }
+    plan = P.executed_plan(out)
+    assert plan.count("Scan ") <= 2, plan  # one logical scan (+reused)
