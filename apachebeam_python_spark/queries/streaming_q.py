@@ -157,3 +157,51 @@ def q_stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs.run_foreach_batch(agg, write_batch, output_mode="complete")
     assert os.path.isdir(out_dir)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "q_stream_session",
+    driver=False,  # extra §2.8 streaming proof beyond the driver window
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT min(ts)                          AS session_start,
+       max(ts) + INTERVAL 30 MINUTE     AS session_end,
+       user_id,
+       count(*)                         AS n,
+       round(sum(value), 2)             AS sum_value
+FROM islands
+GROUP BY user_id, sid
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions(gap=30min) computed BY THE STREAMING ENGINE (session_window
+    merge in the state store, complete mode so unfinalized sessions are not
+    withheld, availableNow drain) vs the batch gap-island oracle: stream ≡
+    batch for the trickiest window type. Append mode would hold back each
+    user's final session (watermark never passes it on a bounded replay) —
+    measured 945 vs 946 at sf0.001 — which is why complete mode is the
+    bounded-drain form."""
+    from pyspark.sql import functions as F
+
+    from ..operators import event_time as ET
+
+    name = _sink("stream_session", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = ET.session(
+        s, "ts", "30 minutes", keys=["user_id"],
+        n=F.count("*"), sum_value=F.round(F.sum("value"), 2),
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
