@@ -23,6 +23,20 @@ def main() -> None:
     spark = get_spark("example-batch-etl")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # gate the pipeline on a one-pass data-quality report (operators.quality)
+    from apachebeam_python_spark.operators.quality import check_constraints
+
+    quality = check_constraints(
+        table(spark, sf_dir, "customer"),
+        {"custkey_not_null": F.col("c_custkey").isNotNull(),
+         "acctbal_in_range": F.col("c_acctbal").between(-1000, 10000)},
+        unique=["c_custkey"],
+    )
+    quality.show(truncate=False)
+    failed = [r.check_name for r in quality.collect() if not r.passed]
+    if failed:
+        raise SystemExit(f"input failed quality checks: {failed}")
+
     nation = table(spark, sf_dir, "nation")
 
     report = (
