@@ -205,3 +205,39 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "q_stream_sliding",
+    driver=False,  # extra §2.8 streaming proof beyond the driver window
+    oracle="""
+SELECT ws                    AS window_start,
+       ws + INTERVAL 2 HOUR  AS window_end,
+       count(*)              AS n,
+       round(sum(value), 2)  AS sum_value
+FROM (
+  SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS ws,
+         value
+  FROM events
+)
+GROUP BY ws
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingWindows(2h, 1h) computed BY THE STREAMING ENGINE (window
+    expansion into the state store, complete-mode availableNow drain) vs
+    the batch expand-and-group oracle — completes the streaming window
+    family next to q_stream_tumbling and q_stream_session."""
+    from pyspark.sql import functions as F
+
+    from ..operators import event_time as ET
+
+    name = _sink("stream_sliding", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = ET.sliding(
+        s, "ts", "2 hours", "1 hour",
+        n=F.count("*"), sum_value=F.round(F.sum("value"), 2),
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
