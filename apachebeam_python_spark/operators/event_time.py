@@ -79,3 +79,43 @@ def custom_window(df: DataFrame, window_expr: Column, keys: Sequence[str] = (), 
         df.groupBy(window_expr.alias(window_col), *keys)
         .agg(*[a.alias(n) for n, a in aggs.items()])
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resampling with forward fill (the hypertable
+    `time_bucket_gapfill + locf` shape): per key, build the regular time
+    grid spanning [min(ts), max(ts)] at ``step``, then carry the latest
+    observation ≤ each grid point via the as-of join.
+
+    Returns ``(keys..., grid_ts, ffill_value)``.
+
+    Multiple observations at one (key, ts) collapse to max(value) first so
+    the fill is deterministic (and matches DuckDB's ASOF JOIN tie behavior
+    on a unique right side).
+
+    100 TB plan: one agg for per-key bounds (tiny), grid explode is narrow
+    (span/step rows per key, no shuffle), and the fill is the single-shuffle
+    union+window as-of — never a per-grid-point range scan. Grid size is the
+    only amplification knob; choose ``step`` so span/step stays sane per key.
+    """
+    from . import joins as _joins
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+    obs = df.groupBy(*keys, ts_col).agg(F.max(value_col).alias("_obs"))
+    return _joins.asof_join_union(
+        grid, obs, list(keys), "grid_ts", ts_col, "_obs", out="ffill_value"
+    )

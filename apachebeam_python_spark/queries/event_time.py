@@ -180,3 +180,30 @@ def q_windows_fixed_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("grp"), "n", "sum_value",
     )
     return tumbling.unionByName(sliding)
+
+
+@register(
+    "q_resample_ffill",
+    driver=False,  # extra time-series op beyond SURVEY §2 — pytest-only
+    oracle="""
+WITH obs AS (
+  SELECT user_id, ts, max(value) AS v FROM events GROUP BY user_id, ts
+), b AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM b
+)
+SELECT g.user_id, g.grid_ts, o.v AS ffill_value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+""",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (hypertable
+    gapfill+locf): hourly grid per user over events, latest observation
+    carried forward via the single-shuffle as-of join
+    (operators.event_time.resample_ffill)."""
+    e = table(spark, sf_dir, "events")
+    out = ET.resample_ffill(e, "ts", "value", ["user_id"], step="1 hour")
+    return out.select("user_id", "grid_ts", "ffill_value")
