@@ -119,3 +119,64 @@ def resample_ffill(
     return _joins.asof_join_union(
         grid, obs, list(keys), "grid_ts", ts_col, "_obs", out="ffill_value"
     )
+
+
+def resample_linterp(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Linear-interpolation resampling (the gapfill `interpolate` twin of
+    :func:`resample_ffill`): each grid point gets
+    ``prev + (next-prev) * (t-prev_t)/(next_t-prev_t)`` from its bracketing
+    observations; grid points outside the observed range take the nearest
+    endpoint. Exact hits reduce to the observation itself (fraction 0).
+
+    Same scale shape as the as-of fill — union grid∪obs, ONE shuffle on the
+    key, two linear window passes (carry-backward via a mirrored frame, no
+    extra shuffle since both frames share the partition+order).
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"INTERVAL {step}"))
+        ).alias("_ts"),
+    ).select(*keys, "_ts", F.lit(None).cast("double").alias("_obs"), F.lit(1).alias("_is_grid"))
+    obs = (
+        df.groupBy(*keys, ts_col).agg(F.max(value_col).cast("double").alias("_obs"))
+        .select(*keys, F.col(ts_col).alias("_ts"), "_obs", F.lit(0).alias("_is_grid"))
+    )
+    u = grid.unionByName(obs)
+    from pyspark.sql import Window
+
+    order = [F.col("_ts"), F.col("_is_grid")]
+    wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    et = F.col("_ts").cast("double")
+    obs_t = F.when(F.col("_obs").isNotNull(), et)
+    stamped = u.select(
+        *keys, "_ts", "_is_grid", et.alias("_et"),
+        F.last("_obs", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("_pt"),
+        F.first("_obs", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("_nt"),
+    )
+    interp = (
+        F.when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .when(F.col("_nt") == F.col("_pt"), F.col("_pv"))
+        .otherwise(
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (F.col("_et") - F.col("_pt"))
+            / (F.col("_nt") - F.col("_pt"))
+        )
+    )
+    return stamped.filter(F.col("_is_grid") == 1).select(
+        *keys, F.col("_ts").alias("grid_ts"), F.round(interp, 6).alias("interp_value")
+    )

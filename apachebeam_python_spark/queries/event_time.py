@@ -207,3 +207,47 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = ET.resample_ffill(e, "ts", "value", ["user_id"], step="1 hour")
     return out.select("user_id", "grid_ts", "ffill_value")
+
+
+@register(
+    "q_resample_linterp",
+    driver=False,  # extra time-series op beyond SURVEY §2 — pytest-only
+    oracle="""
+WITH obs AS (
+  SELECT user_id, ts, CAST(max(value) AS DOUBLE) AS v FROM events GROUP BY user_id, ts
+), b AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t
+  FROM b
+), u AS (
+  SELECT user_id, t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+  UNION ALL
+  SELECT user_id, ts, v, 0 FROM obs
+), w AS (
+  SELECT user_id, t, is_grid, epoch(t) AS et,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS) OVER wb AS pt,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch(t) END IGNORE NULLS) OVER wf AS nt
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t AS grid_ts,
+       round(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (et - pt) / (nt - pt) END, 6) AS interp_value
+FROM w
+WHERE is_grid = 1
+""",
+)
+def q_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (gapfill interpolate): hourly grid
+    per user, bracketing observations blended by time fraction — identical
+    IEEE expression order in both engines, rounded at 6."""
+    e = table(spark, sf_dir, "events")
+    return ET.resample_linterp(e, "ts", "value", ["user_id"], step="1 hour")

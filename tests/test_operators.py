@@ -104,3 +104,23 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
+
+
+def test_resample_interp_known_values(spark):
+    """ffill carries the last observation; linterp blends bracketing obs by
+    time fraction; exact hits return the observation itself."""
+    import datetime as dt
+
+    from apachebeam_python_spark.operators import event_time as ET2
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, 10.0), (1, base + dt.timedelta(hours=4), 30.0)],
+        "k long, ts timestamp, value double",
+    )
+    ff = {r.grid_ts.hour: r.ffill_value
+          for r in ET2.resample_ffill(df, "ts", "value", ["k"], "1 hour").collect()}
+    assert ff == {0: 10.0, 1: 10.0, 2: 10.0, 3: 10.0, 4: 30.0}
+    li = {r.grid_ts.hour: r.interp_value
+          for r in ET2.resample_linterp(df, "ts", "value", ["k"], "1 hour").collect()}
+    assert li == {0: 10.0, 1: 15.0, 2: 20.0, 3: 25.0, 4: 30.0}
