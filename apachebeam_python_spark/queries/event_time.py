@@ -251,3 +251,36 @@ def q_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE expression order in both engines, rounded at 6."""
     e = table(spark, sf_dir, "events")
     return ET.resample_linterp(e, "ts", "value", ["user_id"], step="1 hour")
+
+
+@register(
+    "q_ohlc",
+    driver=False,  # extra time-series op beyond SURVEY §2 — pytest-only
+    oracle="""
+SELECT user_id,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       arg_min(value, ts)    AS open,
+       round(max(value), 2)  AS high,
+       round(min(value), 2)  AS low,
+       arg_max(value, ts)    AS close,
+       count(*)              AS n_ticks
+FROM events
+GROUP BY user_id, bucket
+""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the candlestick shape): per (user, hour) bucket,
+    open/close via min_by/max_by on ts (one partial+final aggregate, no
+    window pass), high/low plain min/max. ts is unique per user in the
+    fixture, so min_by/max_by ties cannot arise (DuckDB arg_min/arg_max
+    agree on unique keys)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count("*").alias("n_ticks"),
+    )
