@@ -822,3 +822,46 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence step; every chunk row is derived with zero shuffles."""
     d = table(spark, sf_dir, "documents")
     return C.chunk_documents(d, "text", "doc_id", chunk_tokens=64, stride=48)
+
+
+@register(
+    "q_tfidf",
+    driver=False,  # extra §2.11 text-analysis depth — pytest-only
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf) GROUP BY word
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, word, tf,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf
+JOIN df USING (word)
+CROSS JOIN n
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus (SURVEY §2.11 text analysis): term frequency
+    per doc × ln(N/df). Two aggregates + one broadcast join (the df table is
+    vocabulary-sized); the corpus-count scalar rides a broadcast cross join.
+    At 100 TB the vocabulary table is the only broadcast risk — cap it with
+    a min-df filter."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = tf.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.select(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "word", "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
