@@ -25,3 +25,7 @@ def test_streaming_sessions_example(spark, sf_dir):
 
 def test_corpus_pipeline_example(spark, sf_dir):
     _run("corpus_pipeline", sf_dir)
+
+
+def test_timeseries_example(spark, sf_dir):
+    _run("timeseries", sf_dir)
