@@ -121,6 +121,24 @@ def _partition_cols_of(spark: SparkSession, path: str) -> list[str]:
     return cols
 
 
+def file_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file census of a parquet directory via the hidden ``_metadata``
+    column: (file, rows, bytes). The small-files problem is invisible until
+    you look — this is the one-liner that tells you when to run
+    :func:`compact_partition`. Reads only file metadata plus row counts
+    (count(*) per file is served by parquet footers after pruning)."""
+    df = spark.read.parquet(path)
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("file", "bytes")
+        .agg(F.count("*").alias("rows"))
+        .select("file", "rows", "bytes")
+    )
+
+
 def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     """Z-order (Morton) key: interleave the top ``bits`` bits of each
     column's rank-ish value so that sorting by ONE long co-locates rows

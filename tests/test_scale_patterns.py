@@ -228,3 +228,12 @@ def test_compact_partition_reduces_files(spark, sf_dir):
     assert len(glob.glob(f"{path}/event_type=click/*.parquet")) == 1
     assert spark.read.parquet(path).filter("event_type = 'click'").count() == rows_before
     assert set(glob.glob(f"{path}/event_type=view/*.parquet")) == sibling_before
+
+
+def test_file_report_counts(spark):
+    path = "/root/repo/.tmp/file_report_demo"
+    spark.range(100).repartition(4).write.mode("overwrite").parquet(path)
+    rep = layout.file_report(spark, path).collect()
+    assert len(rep) == 4
+    assert sum(r.rows for r in rep) == 100
+    assert all(r.bytes > 0 for r in rep)
