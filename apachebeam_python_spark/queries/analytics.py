@@ -94,7 +94,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_star_join",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -134,7 +134,13 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = J.broadcast_join(j, n, F.col("s_nationkey") == F.col("n_nationkey"))
     j = J.broadcast_join(j, r, F.col("n_regionkey") == F.col("r_regionkey"))
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        # exact decimal product sum — order-independent (see flagship.py note)
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double"), 4,
+        ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
