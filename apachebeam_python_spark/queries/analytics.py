@@ -94,7 +94,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_star_join",
     oracle="""
 SELECT n_name,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -137,8 +137,8 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact decimal product sum — order-independent (see flagship.py note)
         F.round(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                F.col("l_extendedprice").cast("decimal(9,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
             ).cast("double"), 4,
         ).alias("revenue"),
         F.count("*").alias("n_items"),

@@ -66,7 +66,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     oracle="""
 SELECT p_brand, count(*) AS n_items,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS revenue
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_type LIKE 'PROMO%'
@@ -85,8 +85,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact decimal product sum — order-independent (see flagship.py note)
         F.round(
             F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+                F.col("l_extendedprice").cast("decimal(9,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
             ).cast("double"), 4,
         ).alias("revenue"),
     )
