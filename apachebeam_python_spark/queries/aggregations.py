@@ -508,3 +508,47 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique=["o_orderkey"],
     )
+
+
+@register(
+    "q_salted_agg",
+    driver=False,  # extra scale pattern beyond SURVEY §2 — pytest-only
+    oracle="""
+SELECT event_type,
+       count(*)                                                    AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE), 2)  AS sum_value,
+       round(min(value), 2)                                        AS min_value,
+       round(max(value), 2)                                        AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage CombinePerKey (operators.skew.salted_aggregate,
+    scale_notes.md "Skew"): partial agg on (event_type, salt), final on
+    event_type — row-identical to the direct groupBy, which is exactly what
+    the oracle checks. events' 5 event_types over 32 shuffle partitions IS
+    the pathological shape: at 100 TB one hot key would otherwise fill a
+    single reducer; salting spreads it over n_salts reducers and the final
+    stage sees only n_salts rows per key. value sums use exact decimal
+    (order-independent — parity cannot depend on reduction order, which
+    salting deliberately changes)."""
+    from ..operators import skew
+
+    e = table(spark, sf_dir, "events")
+    out = skew.salted_aggregate(
+        e,
+        ["event_type"],
+        F.col("event_id"),
+        8,
+        n=("event_id", "count"),
+        sum_value=(F.col("value").cast("decimal(9,2)"), "sum"),
+        min_value=("value", "min"),
+        max_value=("value", "max"),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )

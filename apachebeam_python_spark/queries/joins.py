@@ -309,3 +309,40 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.lit("anti").alias("tag"), F.col("c_mktsegment").alias("attr")
     )
     return semi.unionByName(anti)
+
+
+@register(
+    "q_salted_join",
+    driver=False,  # extra scale pattern beyond SURVEY §2 — pytest-only
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                                                           AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-small/salt-fact join (operators.skew.salted_join,
+    scale_notes.md "Skew"): fact rows salt on a high-cardinality column,
+    the small side is exploded ×n_salts, and the join key becomes
+    (key, salt) — a hot customer key lands on n_salts partitions instead
+    of one. Targets the middle ground where the small side is too big to
+    broadcast but the fact side is skewed; result is row-identical to the
+    plain join, which is what the oracle checks. Revenue sums exact
+    decimal (order-independent under re-partitioning)."""
+    from ..operators import skew
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = skew.salted_join(o, c, "custkey", F.col("o_orderkey"), 8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )

@@ -241,3 +241,68 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "q_stream_curation",
+    driver=False,  # extra composition proof beyond the driver window
+    oracle=r"""
+WITH scored AS (
+  SELECT source,
+         round(0.3 * (len(list_distinct(w)) / n)
+             + 0.5 * (1.0 - (len(list_filter(w, x -> list_contains(['the','a','of','and','or'], x))) / n))
+             + 0.2 * least(n / 100.0, 1.0), 6) AS quality,
+         len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+'))
+           + len(regexp_extract_all(text, '\+?[0-9]+(-[0-9]+)+')) AS n_pii
+  FROM (SELECT source, text, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        FROM documents)
+)
+SELECT source,
+       count(*) FILTER (WHERE quality >= 0.5)                    AS n_kept,
+       count(*) FILTER (WHERE quality < 0.5)                     AS n_dropped,
+       count(*) FILTER (WHERE n_pii > 0)                         AS n_pii_docs,
+       round(CAST(sum(CAST(quality AS DECIMAL(8,6)))
+                    FILTER (WHERE quality >= 0.5) AS DOUBLE)
+             / count(*) FILTER (WHERE quality >= 0.5), 6)        AS avg_kept_quality
+FROM scored
+GROUP BY source
+""",
+)
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation composition (SURVEY §2.8 + §2.11): the
+    continuous-ingest shape of a training-data pipeline — documents arrive
+    as a file stream, each micro-batch is quality-scored and PII-screened
+    with the SAME expression library the batch queries use
+    (functions.text), and a per-source curation report aggregates in
+    complete mode. Oracle = the batch equivalent over the full corpus:
+    stream ≡ batch (Beam's unified model). At 100 TB the narrow score
+    projection fuses into the scan of each micro-batch and the agg state
+    is one row per source — the stream never holds the corpus.
+    Quality sums use exact decimal; the avg divides two values both
+    engines hold bit-identically, then rounds."""
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    name = _sink("stream_curation", sf_dir)
+    s = jobs.documents_stream(spark, sf_dir)
+    pii = T.pii_counts(F.col("text"))
+    scored = s.select(
+        "source",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        sum(pii.values(), F.lit(0)).alias("n_pii"),
+    )
+    kept = F.col("quality") >= 0.5
+    report = scored.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+        F.count(F.when(F.col("n_pii") > 0, 1)).alias("n_pii_docs"),
+        F.round(
+            F.sum(F.when(kept, F.col("quality").cast("decimal(8,6)"))).cast("double")
+            / F.count(F.when(kept, 1)),
+            6,
+        ).alias("avg_kept_quality"),
+    )
+    jobs.run_to_memory(report, name, output_mode="complete")
+    return spark.table(name)

@@ -90,3 +90,15 @@ def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = N
         w = w.option("checkpointLocation", checkpoint)
     q = w.start()
     q.awaitTermination()
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the documents table as an unbounded stream
+    (the continuous-ingest shape of a training-data pipeline: crawl
+    batches land as files, the stream picks them up incrementally)."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
