@@ -177,3 +177,68 @@ def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("orc").alias("fmt"), "n", "nd", "s")
 
     return text_arm.unionByName(csv_arm).unionByName(jsonl_arm).unionByName(orc_arm)
+
+
+@register(
+    "q_merge_upsert",
+    driver=False,  # extra lake-maintenance proof beyond the driver window
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         TIMESTAMP '2099-01-01' AS o_orderdate
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', 1000.0, TIMESTAMP '2099-01-01'
+  FROM orders WHERE o_orderkey % 1000 = 0
+),
+tagged AS (
+  SELECT *, 0 AS _src FROM base
+  UNION ALL
+  SELECT *, 1 AS _src FROM upd
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+       o_orderdate
+FROM tagged
+QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                           ORDER BY o_orderdate DESC, _src DESC) = 1
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (sources.layout.merge_upsert): a derived
+    update batch (modified rows + brand-new keys, all version-stamped
+    later than the base) upserts into orders — updated keys take the new
+    row, new keys insert, untouched keys pass through. One union + one
+    hash shuffle + per-key struct-max, no sort, no window (the oracle
+    uses QUALIFY row_number; the Spark plan is the cheaper agg form).
+    At 100 TB: restrict base to the update batch's partitions and pair
+    with overwrite_partition for a surgical MERGE on plain parquet."""
+    from ..sources.layout import merge_upsert
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    ver = F.lit("2099-01-01 00:00:00").cast("timestamp")
+    changed = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ver.alias("o_orderdate"),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+        ver.alias("o_orderdate"),
+    )
+    merged = merge_upsert(
+        o, changed.unionByName(inserted), ["o_orderkey"], "o_orderdate"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+    )

@@ -182,3 +182,43 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins merge (the CDC-upsert capability; SURVEY §2.3's
+    Latest.PerKey applied to table maintenance): rows from ``updates``
+    replace same-key rows of ``base`` when their ``version_col`` is
+    greater-or-equal; unmatched keys pass through from either side.
+
+    Plan shape: UNION ALL → one hash shuffle on ``keys`` → per-key max
+    (no sort — ``max_by``-style struct ordering), so cost is one shuffle
+    of base+updates regardless of update skew. At 100 TB pair this with
+    ``overwrite_partition``: restrict ``base`` to the partitions present
+    in ``updates`` and rewrite only those (MERGE on plain parquet =
+    upsert the touched partitions, leave the rest untouched).
+
+    Ties on (version, source) are broken FOR the update (_src=1 > 0):
+    re-applying the same batch is idempotent and converges to the update.
+    """
+    cols = base.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("merge_upsert: base/updates schemas must match")
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_src", F.lit(1))
+    )
+    # single-agg latest-wins: max over (version, _src, payload) struct —
+    # field order makes version the primary criterion, update-wins the tie
+    payload = F.struct(
+        F.col(version_col).alias("_v"),
+        F.col("_src").alias("_s"),
+        F.struct(*[F.col(c) for c in cols]).alias("_p"),
+    )
+    latest = tagged.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(payload).alias("_w")
+    )
+    return latest.select(*[F.col(f"_w._p.{c}").alias(c) for c in cols])

@@ -237,3 +237,24 @@ def test_file_report_counts(spark):
     assert len(rep) == 4
     assert sum(r.rows for r in rep) == 100
     assert all(r.bytes > 0 for r in rep)
+
+
+def test_merge_upsert_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ver long"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], "k long, v string, ver long"
+    )
+    merged = layout.merge_upsert(base, upd, ["k"], "ver")
+    got = {(r.k, r.v, r.ver) for r in merged.collect()}
+    assert got == {(1, "a", 10), (2, "B", 20), (3, "c", 10), (4, "d", 20)}
+    # re-applying the same batch converges (update wins the version tie)
+    again = layout.merge_upsert(merged, upd, ["k"], "ver")
+    assert {(r.k, r.v, r.ver) for r in again.collect()} == got
+    # stale update (older version) must NOT overwrite
+    stale = spark.createDataFrame([(1, "STALE", 5)], "k long, v string, ver long")
+    kept = layout.merge_upsert(merged, stale, ["k"], "ver")
+    assert {(r.k, r.v, r.ver) for r in kept.collect()} == got
