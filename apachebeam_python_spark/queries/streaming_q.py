@@ -306,3 +306,25 @@ def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(report, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "q_stream_dedup_native",
+    driver=False,  # native-API twin of q_stateful_dedup (driver slot)
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native streaming dedup: ``dropDuplicates`` on a stream keeps
+    first-seen keys in the state store — same capability as the custom
+    applyInPandasWithState loop in q_stateful_dedup, zero user code, and
+    the state lives JVM-side (no Python round-trip per batch). Projecting
+    to the key columns first keeps the result deterministic (the engine
+    keeps an arbitrary first row per key otherwise) AND shrinks state to
+    the key itself. At 100 TB use ``dropDuplicatesWithinWatermark`` so
+    state is evicted once the watermark passes — exact dedup forever
+    requires unbounded state on a true unbounded stream."""
+    name = _sink("stream_dedup_native", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).select("user_id", "event_type")
+    jobs.run_to_memory(s.dropDuplicates(["user_id", "event_type"]), name,
+                       output_mode="append")
+    return spark.table(name)
