@@ -29,3 +29,7 @@ def test_corpus_pipeline_example(spark, sf_dir):
 
 def test_timeseries_example(spark, sf_dir):
     _run("timeseries", sf_dir)
+
+
+def test_lake_maintenance_example(spark, sf_dir):
+    _run("lake_maintenance", sf_dir)
