@@ -116,3 +116,18 @@ def test_setops_reads_each_base_table_once(spark, sf_dir):
     df = q.QUERIES["q_setops"](spark, sf_dir)
     plan = P.executed_plan(df)
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_salted_agg_two_stage_shuffles(spark, sf_dir):
+    """Salted aggregation is exactly two exchanges: (key, salt) partial,
+    then key final — the skew-spreading structure itself."""
+    df = q.QUERIES["q_salted_agg"](spark, sf_dir)
+    assert P.count_exchanges(df) == 2, P.executed_plan(df)
+
+
+def test_merge_upsert_single_shuffle_no_sort(spark, sf_dir):
+    """Latest-wins merge: one hash shuffle on the key, struct-max agg —
+    no global sort, no window (those would add a sort at 100 TB)."""
+    df = q.QUERIES["q_merge_upsert"](spark, sf_dir)
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+    assert "Window" not in P.executed_plan(df)
