@@ -552,3 +552,31 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+@register(
+    "q_histogram",
+    driver=False,  # extra §2.3 analytics shape — pytest-only
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 10) AS BIGINT)            AS bin,
+       round(CAST(floor(value / 10) AS BIGINT) * CAST(10.0 AS DOUBLE), 1)  AS bin_lo,
+       count(*)                                     AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (the classic profile/dashboard aggregate):
+    bin = floor(value/width), counted per (event_type, bin). One partial+
+    final hash aggregate — at 100 TB the map-side combine reduces each
+    partition to (types × bins) rows before the single shuffle, so the
+    reduce stage sees KBs regardless of input size. Spark floor→LONG vs
+    DuckDB floor→DOUBLE: the oracle casts (oracle-parity-gotchas)."""
+    e = table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 10)
+    return e.groupBy(
+        F.col("event_type"),
+        b.alias("bin"),
+        F.round(b * 10.0, 1).alias("bin_lo"),
+    ).agg(F.count("*").alias("n"))
