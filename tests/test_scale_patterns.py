@@ -258,3 +258,42 @@ def test_merge_upsert_idempotent(spark):
     stale = spark.createDataFrame([(1, "STALE", 5)], "k long, v string, ver long")
     kept = layout.merge_upsert(merged, stale, ["k"], "ver")
     assert {(r.k, r.v, r.ver) for r in kept.collect()} == got
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The AQE skew-join path (scale_notes "Joins") actually fires: one key
+    holding ~99% of the left side, broadcast disabled to force SMJ, and
+    thresholds scaled down to fixture bytes — the final adaptive plan must
+    mark the join skew-handled. At 100 TB this is the same mechanism with
+    default thresholds; salting (test above) covers the cases AQE can't
+    (aggregation, or a single key bigger than every split)."""
+    from pyspark.sql import functions as F
+
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")),
+            )
+            .withColumn("pad", F.lpad(F.lit("x"), 64, "y"))
+        )
+        right = spark.range(0, 1_000).withColumnRenamed("id", "k")
+        j = left.join(right, "k")
+        # collect() executes THIS DataFrame's own queryExecution (count()
+        # or a sink would plan a fresh one), making its adaptive plan final
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

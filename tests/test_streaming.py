@@ -351,3 +351,26 @@ def test_drop_duplicates_within_watermark(spark):
         shutil.rmtree(src, ignore_errors=True)
     rows = spark.table(sink).collect()
     assert len(rows) == 1 and rows[0].user_id == 1
+
+
+def test_rocksdb_state_store_runs_streaming_agg(spark, sf_dir):
+    """The 100 TB-retention state-store claim in scale_notes ("switch to
+    RocksDB — config, not code") is real: the same windowed agg drains
+    identically under the RocksDB provider (state off-heap + spillable,
+    vs the default in-memory HDFS-backed store)."""
+    from apachebeam_python_spark.streaming import jobs
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, rocks)
+        out = jobs.tumbling_counts_stream(
+            spark, sf_dir, sink_name="rocksdb_smoke"
+        )
+        got = out.groupBy().sum("n").collect()[0][0]
+        from apachebeam_python_spark.session import table
+
+        assert got == table(spark, sf_dir, "events").count()
+    finally:
+        spark.conf.set(key, saved)
