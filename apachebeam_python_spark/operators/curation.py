@@ -233,3 +233,52 @@ def mixture_resample(
         .filter(F.col("keep") == 1)
         .drop("keep")
     )
+
+
+def passage_spans(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 8, stride: int = 4
+) -> DataFrame:
+    """Token windows of ``n`` tokens at ``stride`` — one row per span.
+
+    Documents shorter than ``n`` tokens yield no span. The explode factor
+    is ~tokens/stride per document (bounded, data-independent), and the
+    projection fuses into the scan — no shuffle happens here.
+    """
+    toks = T.tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(0), F.size(toks) - n, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, n), " "))
+    return df.select(F.col(id_col), F.explode(spans).alias("span"))
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    stride: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage census (the substring-level dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — doc-level dedup misses boilerplate/licenses/templates
+    shared by otherwise-distinct documents).
+
+    Returns spans seen in ≥ ``min_docs`` distinct documents with their doc
+    and occurrence counts. Two-stage aggregate: (span, doc) pairs collapse
+    map-side before one shuffle on the pair, then a count-per-span shuffle
+    — distinct-doc counting WITHOUT per-span sets. At 100 TB shuffle
+    ``xxhash64(span)`` instead of span text and keep ``any_value(span)``
+    as the exemplar: the wide string rides one partial-agg stage, the
+    shuffles carry 8 bytes.
+    """
+    sp = passage_spans(df, text_col, id_col, n=n, stride=stride)
+    pairs = sp.groupBy("span", id_col).agg(F.count("*").alias("c"))
+    return (
+        pairs.groupBy("span")
+        .agg(F.count("*").alias("n_docs"), F.sum("c").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

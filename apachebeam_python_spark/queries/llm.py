@@ -865,3 +865,31 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
         )
     )
+
+
+@register(
+    "q_repeated_passages",
+    driver=False,  # extra §2.11 curation proof — pytest-only
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, array_to_string(list_slice(w, s + 1, s + 8), ' ') AS span
+  FROM toks, unnest(range(0, len(w) - 8 + 1, 4)) AS t(s)
+  WHERE len(w) >= 8
+),
+pairs AS (SELECT span, doc_id, count(*) AS c FROM spans GROUP BY 1, 2)
+SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY span HAVING count(*) >= 2
+""",
+)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage census (operators.curation
+    .repeated_passages): 8-token windows at stride 4, spans shared by ≥2
+    documents — catches boilerplate/template text that document-level
+    dedup (q_dedup_exact/minhash) cannot see. Scale shape in the operator
+    docstring: bounded explode, two-stage pair aggregate, no sets."""
+    from ..operators.curation import repeated_passages
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_passages(d, "text", "doc_id", n=8, stride=4, min_docs=2)
