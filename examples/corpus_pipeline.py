@@ -40,6 +40,12 @@ def main() -> None:
     kept = quality.filter(F.col("q") >= 0.72)
     print(f"quality filter keeps {kept.count()}/{docs.count()} docs")
 
+    # substring-level signal doc-dedup can't see: boilerplate spans
+    from apachebeam_python_spark.operators.curation import repeated_passages
+
+    passages = repeated_passages(docs, "text", "doc_id", n=8, stride=4)
+    print("cross-document repeated passages:", passages.count())
+
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     topk = SIM.cosine_topk(emb, queries, "embedding", "vec_id", k=3)
