@@ -297,3 +297,39 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's runtime row-level filtering (InjectRuntimeFilter): a
+    selective filter on the orders side of a shuffle join materializes a
+    bloom filter that prunes lineitem rows BEFORE the shuffle —
+    might_contain(...) lands in the fact scan's Filter. Locally the
+    application-side size threshold must drop to 0 (the fixture is KBs);
+    at 100 TB the 10GB default is exactly when this pays."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.session import table
+
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        l = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert len(j.collect()) == 1
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
