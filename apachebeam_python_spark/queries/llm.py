@@ -893,3 +893,45 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return repeated_passages(d, "text", "doc_id", n=8, stride=4, min_docs=2)
+
+
+@register(
+    "q_heavy_hitters",
+    driver=False,  # extra §2.11 sketch proof — pytest-only
+    oracle="""
+SELECT tok, n, TRUE AS est_valid FROM (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+) WHERE rn <= 10
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection with a count-min sketch (the mergeable
+    frequency sibling of q_hll_rollup's cardinality sketch): the sketch is
+    built DISTRIBUTED (per-partition counters, merged by summation —
+    commutative, so partitioning can't change estimates), then point
+    estimates for the exact top-10 tokens are read driver-side — the real
+    pattern: a KB-sized sketch answers frequency queries over any corpus
+    size without a second scan. est_valid asserts the CMS hard guarantee
+    (estimate ≥ true count); the oracle checks the exact top-10 and that
+    the guarantee held. At 100 TB: one narrow explode + one sketch
+    aggregate, driver holds 10 rows + one sketch."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(10)
+        .collect()
+    )
+    # countMinSketch is Scala-only (absent from DataFrameStatFunctions in
+    # Python) — reach it through the py4j handle; adds are counter sums,
+    # so estimates are independent of partitioning/merge order
+    sketch = toks._jdf.stat().countMinSketch("tok", 0.001, 0.99, 42)
+    rows = [
+        (r.tok, r.n, int(sketch.estimateCount(r.tok)) >= r.n) for r in top
+    ]
+    return spark.createDataFrame(rows, "tok string, n long, est_valid boolean")
