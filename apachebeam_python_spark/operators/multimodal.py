@@ -2,11 +2,15 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs (``mapInPandas``).
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``decode_image`` raises ``NotImplementedError``; ``fake_decode_meta`` is the
-deterministic stand-in used by tests/queries). Everything Spark-side — the
-binary schema, the Arrow batch shape, the iterator-of-batches UDF signature,
-partition sizing — is real and is what matters at 100 TB:
+The container has no image/audio codec LIBRARIES, so ``decode_image`` (the
+Pillow/libvips swap-in point) raises ``NotImplementedError`` and
+``fake_decode_meta`` is a deterministic metadata stand-in. The decode path
+itself IS real for the self-describing RAWI raw format below:
+``encode_rawi``/``decode_rawi``/``resize_nearest``/``image_features`` run an
+actual parse→resize→featurize over Arrow batches (oracle-checked end to end
+by q_image_pipeline). Everything Spark-side — the binary schema, the Arrow
+batch shape, the iterator-of-batches UDF signature, partition sizing — is
+real and is what matters at 100 TB:
 
 - payloads travel in the same row as metadata (no side files) → partition
   sizing must account for payload bytes: repartition so that
@@ -79,3 +83,115 @@ def extract_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
 def frame_sample(df: DataFrame, payload_col: str, every_n: int):
     """Video frame sampling — decode-dependent; stubbed like decode_image."""
     raise NotImplementedError("video codecs unavailable in this environment")
+
+
+# ---------------------------------------------------------------------------
+# RAWI: a self-describing uncompressed image format so the decode path can
+# be REAL in a codec-less container. Layout: b"RAWI" | width u16be |
+# height u16be | channels u8 | pixels (h*w*c bytes, row-major).
+# Real formats swap _decode_rawi for Pillow/libvips in decode_image; every
+# other line (packing, Arrow batches, resize, features) stays as-is.
+# ---------------------------------------------------------------------------
+
+_RAWI_MAGIC = b"RAWI"
+
+
+def encode_rawi(arr) -> bytes:
+    """numpy (h, w, c) uint8 → RAWI bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    return _RAWI_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + bytes([c]) + a.tobytes()
+
+
+def decode_rawi(payload: bytes):
+    """RAWI bytes → numpy (h, w, c) uint8. Raises on bad magic/length —
+    corrupt payloads should fail loudly, not decode garbage."""
+    import numpy as np
+
+    if payload[:4] != _RAWI_MAGIC:
+        raise ValueError("not a RAWI payload")
+    w = int.from_bytes(payload[4:6], "big")
+    h = int.from_bytes(payload[6:8], "big")
+    c = payload[8]
+    pix = np.frombuffer(payload, dtype=np.uint8, offset=9)
+    if pix.size != h * w * c:
+        raise ValueError(f"RAWI length mismatch: {pix.size} != {h}*{w}*{c}")
+    return pix.reshape(h, w, c)
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbour resize via index maps — pure numpy, O(out pixels)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> DataFrame:
+    """Deterministic per-id RAWI payloads (the fixture has no binary media,
+    so the bytes are synthesized — size and content are closed-form in the
+    id, which keeps downstream features oracle-visible). Generated inside
+    mapInPandas: at scale the payload bytes enter exactly here — from the
+    source file — so the batch shape matches production."""
+    from ..session import fan_out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for i in ids:
+                w = 8 + int(i) % 16
+                h = 8 + int(i) % 12
+                # pixel(y, x, ch) = (i + y*w*3 + x*3 + ch) mod 256
+                a = (int(i) + np.arange(h * w * 3)) % 256
+                payloads.append(encode_rawi(a.reshape(h, w, 3).astype(np.uint8)))
+            yield pd.DataFrame({id_col: ids, out: payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, {out} binary"
+    )
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    thumb: int = 8,
+) -> DataFrame:
+    """Decode → resize → featurize, the canonical multimodal batch: REAL
+    decode (RAWI), REAL nearest-neighbour resize, per-channel mean over the
+    thumbnail — one Arrow batch at a time, codec init hoisted (here: none
+    needed). At 100 TB this is the partition-sizing-critical stage: payload
+    bytes dominate the batch, so bound rows-per-batch via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (scale_notes §2.11)."""
+    from ..session import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_rawi(payload)
+                t = resize_nearest(img, thumb, thumb)
+                means = t.reshape(-1, img.shape[2]).mean(axis=0)
+                rows.append(
+                    (int(i), img.shape[1], img.shape[0], len(payload),
+                     round(float(means[0]), 4), round(float(means[1]), 4),
+                     round(float(means[2]), 4))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "byte_len",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        run,
+        schema=(f"{id_col} long, width int, height int, byte_len long, "
+                "mean_r double, mean_g double, mean_b double"),
+    )

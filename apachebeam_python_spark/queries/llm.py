@@ -935,3 +935,45 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.tok, r.n, int(sketch.estimateCount(r.tok)) >= r.n) for r in top
     ]
     return spark.createDataFrame(rows, "tok string, n long, est_valid boolean")
+
+
+@register(
+    "q_image_pipeline",
+    driver=False,  # extra §2.11 multimodal proof — pytest-only
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + doc_id % 12 AS h
+  FROM documents
+),
+thumb AS (
+  SELECT doc_id, w, h,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 0) % 256 AS r,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 1) % 256 AS g,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 2) % 256 AS b
+  FROM dims, unnest(range(8)) ty(yy), unnest(range(8)) tx(xx)
+)
+SELECT doc_id,
+       CAST(w AS INTEGER)        AS width,
+       CAST(h AS INTEGER)        AS height,
+       9 + h * w * 3             AS byte_len,
+       round(avg(r), 4)          AS mean_r,
+       round(avg(g), 4)          AS mean_g,
+       round(avg(b), 4)          AS mean_b
+FROM thumb GROUP BY doc_id, w, h
+""",
+)
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→resize→featurize, END TO END REAL (operators.
+    multimodal): RAWI payloads synthesized per doc, decoded with the real
+    parser, nearest-neighbour-resized to an 8×8 thumbnail, per-channel
+    means — all inside Arrow-batched mapInPandas. Payload content is
+    closed-form in doc_id, so the WHOLE pipeline (header fields, byte
+    length, thumbnail means) is checked by a DuckDB oracle that recomputes
+    the same pixels arithmetically — the decode path cannot silently skew.
+    Swap decode_rawi for Pillow and this plan is the production one."""
+    from ..operators.multimodal import image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return image_features(synth_images(d))

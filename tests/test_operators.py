@@ -124,3 +124,43 @@ def test_resample_interp_known_values(spark):
     li = {r.grid_ts.hour: r.interp_value
           for r in ET2.resample_linterp(df, "ts", "value", ["k"], "1 hour").collect()}
     assert li == {0: 10.0, 1: 15.0, 2: 20.0, 3: 25.0, 4: 30.0}
+
+
+def test_rawi_roundtrip_and_resize():
+    import numpy as np
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    img = (np.arange(6 * 4 * 3) % 256).astype(np.uint8).reshape(6, 4, 3)
+    assert (M.decode_rawi(M.encode_rawi(img)) == img).all()
+    # nearest-neighbour doubling repeats each pixel 2x2
+    up = M.resize_nearest(img, 12, 8)
+    assert up.shape == (12, 8, 3)
+    assert (up[::2, ::2] == img).all() and (up[1::2, 1::2] == img).all()
+    # corrupt payloads fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_rawi(b"JUNK" + bytes(20))
+    with _pytest.raises(ValueError):
+        M.decode_rawi(M.encode_rawi(img)[:-1])
+
+
+def test_image_features_pipeline(spark, sf_dir):
+    import numpy as np
+
+    from apachebeam_python_spark.operators import multimodal as M
+    from apachebeam_python_spark.session import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").limit(50)
+    feats = M.image_features(M.synth_images(docs)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        w = 8 + r.doc_id % 16
+        h = 8 + r.doc_id % 12
+        assert (r.width, r.height) == (w, h)
+        assert r.byte_len == 9 + h * w * 3
+        # recompute the thumbnail mean independently
+        a = ((r.doc_id + np.arange(h * w * 3)) % 256).reshape(h, w, 3)
+        t = M.resize_nearest(a, 8, 8)
+        assert abs(r.mean_r - round(float(t.reshape(-1, 3)[:, 0].mean()), 4)) < 1e-9
