@@ -99,13 +99,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """ns-as-long → µs timestamp (single source of truth — the streaming
-    reader applies the SAME conversion so batch ≡ stream holds). Integer
-    ``div``, not ``/``: float round-trip loses precision at 1e18 ns."""
-    from pyspark.sql.types import LongType
+    """Normalize ``events.ts`` to TimestampType (single source of truth — the
+    streaming reader applies the SAME conversion so batch ≡ stream holds).
+
+    Two fixture encodings exist across testdata generations:
+
+    - timestamp[ns] parquet → read as long (``nanosAsLong`` conf) → integer
+      ``div`` 1000, not ``/``: float round-trip loses precision at 1e18 ns.
+    - timestamp[us] parquet → read as TIMESTAMP_NTZ on Spark 4 → cast to
+      TimestampType. The session timezone is pinned to UTC (:func:`tune`),
+      so the cast preserves the wall-clock value exactly — and watermarks /
+      ``window()`` require TimestampType, not NTZ.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
