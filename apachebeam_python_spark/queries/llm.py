@@ -977,3 +977,45 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return image_features(synth_images(d))
+
+
+@register("q_kmeans", driver=False)  # rows-only: float centroid sums aren't SQL-replayable
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means cluster-quality report (SURVEY §2.11 similarity /
+    semantic-dedup substrate): k=10 over the embeddings table, 6 Lloyd
+    iterations. Assignment is a narrow zero-shuffle pass (centroids are
+    literal metadata); each update is ONE partial-agg shuffle of
+    O(partitions × k × dim) rows — see operators/clustering.py for the
+    100 TB story. Rows-only by design: the objective (inertia strictly
+    decreasing, NumPy-reference agreement, exact blob recovery) is pinned in
+    tests/test_clustering.py, which a SQL oracle could not express."""
+    from ..operators import clustering as CL
+
+    e = table(spark, sf_dir, "embeddings")
+    out = CL.kmeans_summary(e, "embedding", "vec_id", 10, n_iter=6)
+    return out.select(
+        "cluster", "n_vectors", F.round("inertia", 2).alias("inertia")
+    )
+
+
+@register("q_semantic_dedup", driver=False)  # rows-only: depends on k-means centroids
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: k-means (k=10) partitions the
+    embedding space, then exact-cosine near-dup pairs are generated ONLY
+    within clusters (O(Σ cluster²), not O(n²)) and the smallest id per
+    near-dup group survives. Per-cluster keep/drop census; the within-
+    cluster pair set is recall-checked against the brute-force
+    q_dedup_embedding anchor in tests/test_clustering.py."""
+    from ..operators import clustering as CL
+
+    e = table(spark, sf_dir, "embeddings")
+    out = CL.semantic_dedup(e, "embedding", "vec_id", k=10, threshold=0.35, n_iter=6)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )

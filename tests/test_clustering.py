@@ -1,0 +1,124 @@
+"""k-means + semantic dedup (operators/clustering.py) — objective-level
+checks a SQL oracle can't express (SURVEY §5.2 rows-only policy):
+
+1. exact recovery of well-separated synthetic blobs (purity 1.0);
+2. agreement with a NumPy Lloyd reference replayed from the SAME seeds on
+   the real embeddings fixture;
+3. the Lloyd objective (inertia) must not increase with more iterations;
+4. semantic_dedup drops injected exact duplicates, keeps the smallest id,
+   and its within-cluster pair generation loses nothing the brute-force
+   anchor finds inside the same cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators import clustering as CL
+from apachebeam_python_spark.session import table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_blob_recovery_exact(spark):
+    # 3 tight blobs far apart: k-means MUST partition them perfectly
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, center in enumerate([0.0, 50.0, -50.0]):
+        for i in range(40):
+            v = (rng.normal(center, 0.5, 8)).tolist()
+            rows.append((b * 100 + i, [float(x) for x in v], b))
+    df = spark.createDataFrame(rows, "id long, vec array<float>, blob int")
+    cents = CL.kmeans_centroids(df, "vec", "id", 3, n_iter=5)
+    a = CL.assign_clusters(df, cents, "vec", "id").join(df.select("id", "blob"), "id")
+    # every blob maps to exactly one cluster and vice versa
+    m = a.groupBy("blob").agg(F.countDistinct("cluster").alias("k")).collect()
+    assert all(r["k"] == 1 for r in m)
+    assert a.select("cluster").distinct().count() == 3
+
+
+def test_matches_numpy_reference(spark, emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    k, n_iter = 10, 4
+
+    # replay the SAME deterministic seeding (smallest xxhash64(vec_id))
+    seed_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    ]
+    c = np.stack([X[np.where(ids == s)[0][0]] for s in seed_ids])
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)
+        for j in range(k):
+            if (lab == j).any():
+                c[j] = X[lab == j].mean(0)
+
+    cents = CL.kmeans_centroids(emb, "embedding", "vec_id", k, n_iter=n_iter, tol=0.0)
+    a = CL.assign_clusters(emb, cents, "embedding", "vec_id").toPandas()
+    spark_lab = dict(zip(a["vec_id"], a["cluster"]))
+    agree = np.mean([spark_lab[i] == l for i, l in zip(ids, lab)])
+    # identical seeds + identical update rule; only float partial-sum order
+    # differs → boundary points may flip, nothing else
+    assert agree >= 0.95, f"agreement with NumPy Lloyd replay only {agree:.3f}"
+
+
+def test_inertia_monotone(spark, emb):
+    def inertia(n_iter):
+        s = CL.kmeans_summary(emb, "embedding", "vec_id", 10, n_iter=n_iter)
+        return s.agg(F.sum("inertia")).first()[0]
+
+    i1, i6 = inertia(1), inertia(6)
+    assert i6 <= i1 + 1e-9, f"Lloyd objective increased: {i1} -> {i6}"
+
+
+def test_semantic_dedup_drops_injected_duplicates(spark, emb):
+    base = emb.select("vec_id", "embedding")
+    # clone 10 vectors under ids shifted past the max: exact duplicates
+    clones = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    n_clones = clones.count()
+    df = base.unionByName(clones)
+    out = CL.semantic_dedup(df, "embedding", "vec_id", k=10, threshold=0.999, n_iter=3)
+    dropped = {r["vec_id"] for r in out.filter(~F.col("keep")).collect()}
+    expect = {r["vec_id"] for r in clones.collect()}
+    # every clone has an identical twin with a smaller id in the SAME
+    # cluster (identical vectors can't land in different cells) → dropped
+    assert expect <= dropped
+    # and nothing outside near-dup groups was dropped at τ=0.999
+    assert len(dropped) == n_clones
+    # originals all kept
+    kept = {r["vec_id"] for r in out.filter(F.col("keep")).collect()}
+    assert {r["vec_id"] for r in base.collect()} <= kept
+
+
+def test_within_cluster_pairs_vs_brute_force(spark, emb):
+    """Clustering only PARTITIONS pair generation — inside one cluster it
+    must find exactly the pairs brute force finds there."""
+    from apachebeam_python_spark.operators import dedup as D
+
+    cents = CL.kmeans_centroids(emb, "embedding", "vec_id", 10, n_iter=3)
+    a = CL.assign_clusters(emb, cents, "embedding", "vec_id")
+    brute = D.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    lab = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    same_cluster_brute = {
+        (r["id_a"], r["id_b"])
+        for r in brute.collect()
+        if lab[r["id_a"]] == lab[r["id_b"]]
+    }
+    sem = CL.semantic_dedup(emb, "embedding", "vec_id", k=10, threshold=0.35, n_iter=3)
+    sem_dropped = {r["vec_id"] for r in sem.filter(~F.col("keep")).collect()}
+    # every same-cluster brute pair's larger id must be dropped
+    assert {b for (_, b) in same_cluster_brute} <= sem_dropped
