@@ -49,3 +49,27 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+def quantize_scale(a: Column) -> Column:
+    """Per-vector symmetric int8 scale: max |x| / 127 (double)."""
+    return (
+        F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    )
+
+
+def quantize_int8(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: round-half-up via floor(x/s + 0.5) —
+    written as an explicit floor in BOTH engines because Spark's round()
+    (HALF_UP) and DuckDB's round() (half-away-from-zero) disagree on
+    negative .5 boundaries. Zero vectors (scale 0) quantize to zeros."""
+    return F.transform(
+        a,
+        lambda x: F.when(scale > 0, F.floor(x.cast("double") / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)

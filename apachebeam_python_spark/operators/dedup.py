@@ -38,6 +38,27 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_new_rows(new_df: DataFrame, snapshot_df: DataFrame, text_col: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: keep only the rows of ``new_df``
+    whose content hash does NOT already exist in ``snapshot_df`` — the
+    continuous-crawl situation where each ingest batch must be deduped
+    against the accumulated corpus, not just against itself.
+
+    Exact form: LEFT ANTI join on sha256(text). At 100 TB the snapshot side
+    is the big one, so the anti-join hash-shuffles both sides on the digest —
+    one shuffle, combiner-free, and the snapshot can be pre-bucketed by
+    digest (sources/layout.write_bucketed) to make every future ingest
+    zero-shuffle on the snapshot side. Spark's runtime bloom-filter
+    injection (proven in tests/test_scale_patterns.py) additionally
+    prefilters the scan when the batch is much smaller than the snapshot —
+    the classic bloom-then-verify shape without hand-building the filter.
+    """
+    snap = snapshot_df.select(T.content_hash(F.col(text_col)).alias("content_sha256")).distinct()
+    return new_df.withColumn("content_sha256", T.content_hash(F.col(text_col))).join(
+        snap, "content_sha256", "left_anti"
+    )
+
+
 def fingerprint_groups(df: DataFrame, text_col: str, id_col: str, prefix_tokens: int = 8) -> DataFrame:
     """Prefix-fingerprint clustering (rolling-hash-style cheap key)."""
     return (

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions import vectors as V
 from ..operators import curation as C
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -1018,4 +1019,100 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         )
         .orderBy("cluster")
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    driver=False,  # extra §2.11 dedup proof — pytest-only oracle
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'v2 ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT b.doc_id, sha256(b.text) AS content_sha256
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE sha256(s.text) = sha256(b.text))
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — dedupe an ingest batch against
+    the accumulated corpus, not just itself (the continuous-crawl shape).
+    The batch is a re-crawl of doc_id<150 (same text, new ids — must ALL be
+    dropped) plus edited 'v2' versions of every 7th doc (genuinely new —
+    must ALL survive). LEFT ANTI join on sha256; see
+    operators/dedup.incremental_new_rows for the bucketed-snapshot and
+    runtime-bloom 100 TB notes."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = S.flatten(
+        d.filter(F.col("doc_id") < 150).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ),
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        ),
+    )
+    return D.incremental_new_rows(batch, d, "text").select("doc_id", "content_sha256")
+
+
+@register(
+    "q_embedding_quantize",
+    driver=False,  # extra §2.11 embedding-storage proof — pytest-only oracle
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), r AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0 THEN
+           list_max(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+         ELSE 0.0 END AS max_err
+  FROM q
+)
+SELECT CAST(vec_id % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT)   AS n_vectors,
+       round(avg(scale), 6)       AS avg_scale,
+       round(avg(max_err), 6)     AS avg_max_err,
+       round(max(max_err), 6)     AS worst_err
+FROM r GROUP BY 1
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4× storage cut for ANN
+    shortlists): per-vector scale = max|x|/127, quantized values in
+    [-127, 127], reconstruction error ≤ scale/2 by construction — the
+    report's worst_err column proves the bound. Rounding is an explicit
+    floor(x/s + 0.5) in BOTH engines (Spark round and DuckDB round disagree
+    on negative halves). Fully narrow: zero shuffles except the final
+    8-bucket report agg."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "embedding", V.quantize_scale(F.col("embedding")).alias("scale")
+    ).select(
+        "vec_id",
+        "embedding",
+        "scale",
+        V.quantize_int8(F.col("embedding"), F.col("scale")).alias("qv"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            V.dequantize(F.col("qv"), F.col("scale")),
+            lambda x, r: F.abs(x.cast("double") - r),
+        )
+    )
+    return (
+        q.withColumn("max_err", F.when(F.col("scale") > 0, err).otherwise(F.lit(0.0)))
+        .groupBy((F.col("vec_id") % 8).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
     )

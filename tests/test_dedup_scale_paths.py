@@ -71,3 +71,54 @@ def test_connected_components_deep_chain_pointer_jump(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iter=12, pointer_jump=False)
+
+
+def test_incremental_dedup_semantics(spark, sf_dir):
+    """Re-crawled texts must all drop; edited texts must all survive."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.session import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    edited = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    batch = recrawl.unionByName(edited)
+    out = D.incremental_new_rows(batch, d, "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {r["doc_id"] for r in edited.collect()}
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """Reconstruction error is ≤ scale/2 element-wise, by construction."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.functions import vectors as V
+    from apachebeam_python_spark.session import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "embedding", V.quantize_scale(F.col("embedding")).alias("scale")
+    ).select(
+        "*", V.quantize_int8(F.col("embedding"), F.col("scale")).alias("qv")
+    )
+    checked = q.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with(
+                F.col("embedding"),
+                V.dequantize(F.col("qv"), F.col("scale")),
+                lambda x, r: F.abs(x.cast("double") - r),
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("qv", F.abs)).alias("max_q"),
+    )
+    bad = checked.filter(
+        (F.col("max_err") > F.col("scale") / 2 + 1e-12) | (F.col("max_q") > 127)
+    )
+    assert bad.count() == 0
