@@ -1116,3 +1116,193 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("max_err"), 6).alias("worst_err"),
         )
     )
+
+
+@register(
+    "q_bm25",
+    driver=False,  # extra §2.11 retrieval proof — pytest-only oracle
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc, count(*) AS dl FROM toks GROUP BY doc
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM toks
+  WHERE term IN ('hash', 'join', 'scan', 'window') GROUP BY doc, term
+), df_ AS (
+  SELECT term, CAST(count(DISTINCT doc) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc,
+         ln(1.0 + (c.n_docs - df_.df + 0.5) / (df_.df + 0.5))
+         * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+           AS contrib
+  FROM tf JOIN dl USING (doc) JOIN df_ USING (term) CROSS JOIN consts c
+), per_doc AS (
+  SELECT doc, round(sum(contrib), 6) AS score FROM scored GROUP BY doc
+)
+SELECT doc AS doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc) AS INTEGER) AS rank
+FROM per_doc ORDER BY score DESC, doc LIMIT 10
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {hash, join, scan, window} — lexical
+    retrieval next to the embedding similarity family (hybrid search /
+    decontamination-by-query both need it). Scores round to 6 dp BEFORE
+    ranking with a doc-id tiebreak, so the order is a total order both
+    engines agree on; see operators/retrieval.py for the inverted-index
+    100 TB shape."""
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"),
+        ["hash", "join", "scan", "window"],
+        "text",
+        "doc_id",
+        k=10,
+    )
+
+
+@register(
+    "q_hybrid_search",
+    driver=False,  # extra §2.11 retrieval proof — pytest-only oracle
+    oracle="""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc, count(*) AS dl FROM toks GROUP BY doc
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM toks
+  WHERE term IN ('hash', 'join', 'scan') GROUP BY doc, term
+), df_ AS (
+  SELECT term, CAST(count(DISTINCT doc) AS DOUBLE) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT doc, round(sum(
+           ln(1.0 + (c.n_docs - df_.df + 0.5) / (df_.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dl USING (doc) JOIN df_ USING (term) CROSS JOIN consts c
+  GROUP BY doc
+), bm_rank AS (
+  SELECT doc AS id, row_number() OVER (ORDER BY score DESC, doc) AS r
+  FROM bm ORDER BY score DESC, doc LIMIT 20
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qv AS (SELECT v FROM e WHERE vec_id = 0
+), cos_rank AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.v, qv.v) DESC, vec_id) AS r
+  FROM e CROSS JOIN qv WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(e.v, qv.v) DESC, vec_id LIMIT 20
+), fused AS (
+  SELECT coalesce(b.id, c.id) AS id,
+         round(coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + c.r), 0), 6)
+           AS rrf
+  FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.id = c.id
+)
+SELECT id AS doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
+FROM fused ORDER BY rrf DESC, id LIMIT 10
+""",
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 lexical
+    list and the exact-cosine vector list over the aligned doc/vec id space
+    — the standard two-tower composition every retrieval corpus pipeline
+    ships. Pure rank arithmetic on two already-proven operators: ranks are
+    ints, so both engines fuse identically; round-then-rank total order.
+    At scale each arm is independently index-backed (inverted index /
+    IVF-LSH) and the fusion join touches ≤ 2k rows per query."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["hash", "join", "scan"], "text", "doc_id", k=20).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("r_bm")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0)
+    cos = SIM.cosine_topk(emb, qvec, "embedding", "vec_id", k=20).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("r_cos")
+    )
+    fused = (
+        bm.join(cos, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    top = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(10)
+    return top.select(
+        F.col("id").alias("doc_id"),
+        "rrf",
+        F.row_number().over(W.orderBy(F.col("rrf").desc(), F.col("id"))).alias("rank"),
+    )
+
+
+@register(
+    "q_mixture_diagnostics",
+    driver=False,  # extra §2.11 curation proof — pytest-only oracle
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), sc AS (
+  SELECT source, term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1, 2
+), st AS (
+  SELECT source, sum(c) AS n FROM sc GROUP BY source
+), ct AS (
+  SELECT term, sum(c) AS cc FROM sc GROUP BY term
+), tot AS (
+  SELECT sum(cc) AS t FROM ct
+)
+SELECT sc.source,
+       CAST(st.n AS BIGINT)                                    AS n_tokens,
+       round(-sum((sc.c / st.n) * log2(sc.c / st.n)), 6)       AS entropy_bits,
+       round(sum((sc.c / st.n) * log2((sc.c / st.n) / (ct.cc / tot.t))), 6)
+                                                               AS kl_vs_corpus
+FROM sc JOIN st USING (source) JOIN ct USING (term) CROSS JOIN tot
+GROUP BY sc.source, st.n
+""",
+)
+def q_mixture_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture diagnostics per source: token-distribution entropy and
+    KL(source ‖ corpus) — the drift report a mixture-resampling pipeline
+    watches (a source whose KL jumps changed its content mix). One
+    explode → (source, term) count, then broadcast-joined marginals; all
+    log arithmetic JVM-side; sums round to 6 dp in both engines."""
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    sc = toks.groupBy("source", "term").agg(F.count("*").cast("double").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    tot = ct.agg(F.sum("cc").alias("t"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("t")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "entropy_bits",
+            "kl_vs_corpus",
+        )
+    )

@@ -92,6 +92,32 @@ def main() -> None:
     print("packed shards:", stats.count(), "— avg tokens/shard:",
           int(stats.agg(F.avg("tokens")).first()[0]))
 
+    # the NEXT crawl arrives: dedupe it against this snapshot, not just
+    # against itself (anti-join on content hash; at scale: bucketed
+    # snapshot + runtime bloom — operators.dedup.incremental_new_rows)
+    batch = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 18 == 0, F.concat(F.lit("v2 "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fresh = D.incremental_new_rows(batch, docs, "text")
+    print(f"incremental ingest: {fresh.count()}/{batch.count()} docs are new")
+
+    # semantic dedup (SemDeDup shape): k-means cells, near-dup pairs only
+    # within a cell — O(sum cell^2), not O(n^2)
+    from apachebeam_python_spark.operators import clustering as CL
+
+    sem = CL.semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.35, n_iter=4)
+    print("semantic dedup drops", sem.filter(~F.col("keep")).count(), "embeddings")
+
+    # lexical retrieval next to the vector index: BM25 over the corpus
+    from apachebeam_python_spark.operators.retrieval import bm25_topk
+
+    hits = bm25_topk(docs, ["hash", "join", "scan"], "text", "doc_id", k=5)
+    print("BM25 top-5 for query 'hash join scan':")
+    hits.show(5, truncate=False)
+
 
 if __name__ == "__main__":
     main()
