@@ -131,3 +131,27 @@ def test_merge_upsert_single_shuffle_no_sort(spark, sf_dir):
     df = q.QUERIES["q_merge_upsert"](spark, sf_dir)
     assert P.count_exchanges(df) == 1, P.executed_plan(df)
     assert "Window" not in P.executed_plan(df)
+
+
+def test_quantize_single_exchange(spark, sf_dir):
+    """int8 quantization is narrow per-vector work; only the final 8-bucket
+    report aggregates — exactly one exchange."""
+    df = q.QUERIES["q_embedding_quantize"](spark, sf_dir)
+    assert P.count_exchanges(df) == 1, P.executed_plan(df)
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    """Cross-snapshot dedup must be a LeftAnti hash join on the digest —
+    never a NOT IN nested loop."""
+    plan = P.executed_plan(q.QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_bm25_topk_take_ordered(spark, sf_dir):
+    """BM25 final top-k must be TakeOrderedAndProject (per-partition top-k
+    + merge), with df/idf joined by broadcast — no shuffle for the tiny
+    term-stats side."""
+    plan = P.executed_plan(q.QUERIES["q_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
