@@ -414,3 +414,45 @@ def connected_components(
             "shallow, so a deep chain suggests a degenerate pair generator)"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Blocked edit-distance (fuzzy) matching — the record-linkage / title-
+    dedup primitive: pairs whose Levenshtein distance ≤ ``max_dist``,
+    compared ONLY within a blocking key (never all-pairs).
+
+    Scale shape: the equi-join on the block key is one hash shuffle; cost is
+    O(Σ block²) × levenshtein, so the block key must bound block size (the
+    classic choices: normalized prefix, q-gram minhash, phonetic key — at
+    100 TB compose several and union the candidate sets). A length-difference
+    prefilter and Spark's THRESHOLDED levenshtein (early-exit, returns -1
+    past the bound) keep the per-pair cost at O(max_dist × len), not
+    O(len²).
+    """
+    if block is None:
+        block = F.substring(F.col(col), 1, 15)
+    b = df.select(F.col(id_col).alias("_fid"), F.col(col).alias("_fval"), block.alias("_blk"))
+    a2, b2 = b.alias("fa"), b.alias("fb")
+    return (
+        a2.join(
+            b2,
+            (F.col("fa._blk") == F.col("fb._blk")) & (F.col("fa._fid") < F.col("fb._fid")),
+        )
+        .filter(
+            F.abs(F.length(F.col("fa._fval")) - F.length(F.col("fb._fval"))) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein(F.col("fa._fval"), F.col("fb._fval"), max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(
+            F.col("fa._fid").alias("id_a"),
+            F.col("fb._fid").alias("id_b"),
+            "dist",
+        )
+    )

@@ -1306,3 +1306,32 @@ def q_mixture_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus",
         )
     )
+
+
+@register(
+    "q_fuzzy_match",
+    driver=False,  # extra §2.11 record-linkage proof — pytest-only oracle
+    oracle="""
+WITH b AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer
+)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (
+  SELECT levenshtein(a.c_name, c.c_name) AS dist
+  FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+  WHERE abs(len(a.c_name) - len(c.c_name)) <= 2
+    AND levenshtein(a.c_name, c.c_name) <= 2
+)
+GROUP BY dist
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) matching census over customer names: pairs at
+    Levenshtein ≤ 2 within prefix blocks, counted per distance. Spark uses
+    the THRESHOLDED levenshtein (early exit, -1 past the bound) — same pair
+    set as DuckDB's unbounded form filtered to ≤ 2; blocking keeps the
+    candidate join O(Σ block²). See operators/dedup.fuzzy_pairs."""
+    out = D.fuzzy_pairs(
+        table(spark, sf_dir, "customer"), "c_name", "c_custkey", max_dist=2
+    )
+    return out.groupBy("dist").agg(F.count("*").alias("n_pairs"))

@@ -166,3 +166,33 @@ def test_minhash_finds_high_jaccard_pair(spark):
         df, "text", "doc_id", threshold=0.5).collect()}
     assert (1, 2) in rows and rows[(1, 2)] > 0.8
     assert all(3 not in pair for pair in rows)
+
+
+def test_convert_event_ts_both_fixture_encodings(spark):
+    """The driver regenerates /root/testdata per round and has shipped
+    events.ts as BOTH timestamp[ns] (read as long under nanosAsLong) and
+    timestamp[us] (read as TIMESTAMP_NTZ on Spark 4). convert_event_ts must
+    normalize either to TimestampType with identical wall-clock values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from apachebeam_python_spark.session import convert_event_ts
+
+    ns = 1_700_000_000_123_456_789  # 2023-11-14T22:13:20.123456789Z
+    as_long = spark.createDataFrame([(ns,)], "ts long")
+    out_long = convert_event_ts(as_long)
+    assert isinstance(out_long.schema["ts"].dataType, TimestampType)
+
+    as_ntz = spark.sql(
+        "SELECT CAST('2023-11-14 22:13:20.123456' AS TIMESTAMP_NTZ) AS ts"
+    )
+    out_ntz = convert_event_ts(as_ntz)
+    assert isinstance(out_ntz.schema["ts"].dataType, TimestampType)
+
+    # same instant, µs precision, session tz UTC → identical strings
+    a = out_long.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()[0]
+    b = out_ntz.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")).first()[0]
+    assert a == b == "2023-11-14 22:13:20.123456"
+
+    # already-TimestampType input passes through untouched
+    assert convert_event_ts(out_ntz) is out_ntz
