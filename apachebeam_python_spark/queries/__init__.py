@@ -81,13 +81,16 @@ DRIVER_ORDER: list[str] = [
     "q_join_cross",
     "q_corpus_curation",
     "q_partition",
-    # tier 3 — rows-only (no oracle by design)
-    "q_ann_lsh",
-    "q_dedup_sketch",
-    "q_approx_sample",
+    # upgraded to oracle-backed in round 2 (DoFn arithmetic / serialized map
+    # output / deterministic stub predictions are all SQL-expressible) —
+    # ordered before the remaining rows-only tail per the coverage-first rule
     "q_pardo_tagged",
     "q_fn_map",
     "q_inference_stub",
+    # tier 3 — rows-only (no oracle by design: approximate / engine-hash)
+    "q_ann_lsh",
+    "q_dedup_sketch",
+    "q_approx_sample",
 ]
 
 _MAX_DRIVER_ENTRIES = 50

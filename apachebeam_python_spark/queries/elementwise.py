@@ -96,12 +96,24 @@ def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.flatten(*aggs)
 
 
-@register("q_pardo_tagged")  # rows-only: mapInPandas output, not SQL-expressible as written
+@register(
+    "q_pardo_tagged",
+    oracle="""
+SELECT e.event_id, e.user_id, e.value - 50.0 AS value_centered, s.n_small
+FROM events e
+CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_small
+            FROM events WHERE NOT value >= 50) s
+WHERE e.value >= 50
+""",
+)
 def q_pardo_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``ParDo`` with ``with_outputs`` (TaggedOutput) + a general
     mapInPandas DoFn (SURVEY §2.2). Tags events by value sign/magnitude; the
     'large' branch then flows through an Arrow-batched DoFn that standardizes
-    values per bundle (setup/teardown ≈ before/after the batch loop)."""
+    values per bundle (setup/teardown ≈ before/after the batch loop).
+    value - 50.0 is a single IEEE op — pandas float64 and DuckDB DOUBLE
+    agree bit-for-bit, so the DoFn output is exactly oracle-checkable
+    (upgraded from rows-only, round 2)."""
     e = table(spark, sf_dir, "events")
     tagged = ew.par_do_tagged(
         e,

@@ -198,7 +198,19 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_fn_map")  # rows-only: DuckDB MAP literal/equality semantics differ (SURVEY §2.7)
+@register(
+    "q_fn_map",
+    # DuckDB MAP semantics differ, but the query's OUTPUT is plain strings —
+    # the oracle reconstructs them directly (keys sort lang < source), so the
+    # whole map round-trip is value-checked (upgraded from rows-only, round 2)
+    oracle="""
+SELECT doc_id,
+       'lang=' || lang || ',source=' || source AS meta,
+       'lang,source'                           AS meta_keys,
+       lang                                    AS lang_val
+FROM documents
+""",
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: map_from_entries / map_entries / map_keys / element_at.
     The map itself is emitted as sorted ``k=v`` CSV (and keys as CSV) — raw

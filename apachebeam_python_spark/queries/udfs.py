@@ -127,7 +127,19 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_inference_stub")  # rows-only: model outputs aren't SQL-expressible
+@register(
+    "q_inference_stub",
+    # the stub model is deterministic arithmetic, so its predictions ARE
+    # SQL-expressible: both sides accumulate in float64 and round to 6 dp,
+    # burying the pairwise-vs-sequential summation ulp (upgraded from
+    # rows-only, round 2)
+    oracle="""
+SELECT vec_id,
+       round(0.5 + 2.0 * list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       / len(embedding), 6) AS score
+FROM embeddings
+""",
+)
 def q_inference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``RunInference`` pattern (SURVEY §2.10): model loaded ONCE per
     task via the par_do setup hook, then batched 'predictions' over Arrow
@@ -139,12 +151,23 @@ def q_inference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"bias": 0.5, "scale": 2.0}
 
     def predict(batches: Iterator[pd.DataFrame], model) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
+            # float64 accumulation (the Arrow column is float32): keeps the
+            # prediction within one ulp of the oracle's DOUBLE list_sum
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "score": pdf["embedding"].map(
-                        lambda v: float(model["bias"] + model["scale"] * sum(v) / len(v))
+                        lambda v: round(
+                            float(
+                                model["bias"]
+                                + model["scale"]
+                                * np.asarray(v, dtype=np.float64).sum() / len(v)
+                            ),
+                            6,
+                        )
                     ),
                 }
             )
