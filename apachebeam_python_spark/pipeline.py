@@ -104,6 +104,29 @@ class Pipeline:
     def flatten(self, *others: "Pipeline | DataFrame") -> "Pipeline":
         return Pipeline(_setops.flatten(self._df, *[_unwrap(o) for o in others]))
 
+    # ---- LLM-corpus operators -----------------------------------------
+    def dedup_exact(self, text_col: str, id_col: str) -> "Pipeline":
+        from .operators import dedup as _d
+
+        return Pipeline(_d.exact_dedup_groups(self._df, text_col, id_col))
+
+    def dedup_against(self, snapshot: "Pipeline | DataFrame", text_col: str) -> "Pipeline":
+        """Incremental dedup: keep only rows whose content is absent from
+        ``snapshot`` (operators.dedup.incremental_new_rows)."""
+        from .operators import dedup as _d
+
+        return Pipeline(_d.incremental_new_rows(self._df, _unwrap(snapshot), text_col))
+
+    def neardup_pairs(self, text_col: str, id_col: str, *, threshold: float = 0.5) -> "Pipeline":
+        from .operators import dedup as _d
+
+        return Pipeline(_d.minhash_lsh_pairs(self._df, text_col, id_col, threshold=threshold))
+
+    def bm25(self, terms: Sequence[str], text_col: str, id_col: str, *, k: int = 10) -> "Pipeline":
+        from .operators.retrieval import bm25_topk
+
+        return Pipeline(bm25_topk(self._df, list(terms), text_col, id_col, k=k))
+
     # ---- event-time windows -------------------------------------------
     def window_tumbling(self, ts: str, size: str, keys: Sequence[str] = (), **aggs: Column) -> "Pipeline":
         return Pipeline(_et.tumbling(self._df, ts, size, keys, **aggs))

@@ -62,3 +62,19 @@ def test_window_session_chain(spark, sf_dir):
     )
     via_query = q.QUERIES["q_session_window"](spark, sf_dir)
     assert out.count() == via_query.count()
+
+
+def test_corpus_operator_chain(spark, sf_dir):
+    """The LLM-corpus facade methods compose like any other transform."""
+    docs = Pipeline.of(table(spark, sf_dir, "documents"))
+    groups = docs.dedup_exact("text", "doc_id").to_df()
+    assert groups.count() == table(spark, sf_dir, "documents").count()  # fixture has no dups
+
+    snapshot = table(spark, sf_dir, "documents")
+    batch = Pipeline.of(
+        snapshot.selectExpr("doc_id + 1000000 AS doc_id", "text")
+    )
+    assert batch.dedup_against(snapshot, "text").to_df().count() == 0  # all re-crawls
+
+    hits = docs.bm25(["hash", "join"], "text", "doc_id", k=5).to_df()
+    assert hits.count() == 5
