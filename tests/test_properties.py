@@ -209,3 +209,79 @@ def test_zorder_key_is_injective_and_bounded(spark, pts):
     assert len(set(keys.values())) == len(keys)
     assert all(0 <= k < 2**20 for k in keys.values())
     assert keys[(0, 0)] == 0
+
+
+vec_lists = st.lists(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=4,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vecs=vec_lists)
+def test_quantize_int8_bound_on_random_vectors(spark, vecs):
+    """∀ float32 vectors (incl. zero vectors): quantized values fit int8 and
+    reconstruction error ≤ scale/2 element-wise."""
+    from apachebeam_python_spark.functions import vectors as V
+
+    dim = min(len(v) for v in vecs)
+    rows = [(i, [float(x) for x in v[:dim]]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = df.select(
+        "id", "vec", V.quantize_scale(F.col("vec")).alias("s")
+    ).select("*", V.quantize_int8(F.col("vec"), F.col("s")).alias("qv"))
+    checked = q.select(
+        F.array_max(
+            F.zip_with(
+                F.col("vec"),
+                V.dequantize(F.col("qv"), F.col("s")),
+                lambda x, r: F.abs(x.cast("double") - r),
+            )
+        ).alias("err"),
+        F.array_max(F.transform("qv", F.abs)).alias("maxq"),
+        F.col("s"),
+    ).collect()
+    for r in checked:
+        assert r["maxq"] is None or r["maxq"] <= 127
+        if r["s"] and r["s"] > 0:
+            assert r["err"] <= r["s"] / 2 + 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=10
+    )
+)
+def test_fuzzy_pairs_match_python_levenshtein(spark, texts):
+    """Blocked fuzzy matching with a constant block (= all-pairs on tiny
+    input) must find exactly the pairs a reference Levenshtein finds."""
+    from apachebeam_python_spark.operators import dedup as D
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.fuzzy_pairs(df, "txt", "id", max_dist=2, block=F.lit("x")).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2
+    }
+    assert got == want
