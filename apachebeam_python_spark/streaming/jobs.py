@@ -44,9 +44,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_event_ts(stream)
 
 
+def stream_tuned(spark: SparkSession) -> None:
+    """Size streaming STATE partitions to the state, not the core count.
+
+    Every shuffle partition of a stateful streaming operator materializes a
+    state-store instance, and each micro-batch pays a fixed per-instance
+    cost (open/commit/snapshot) — so tiny-state local streams want FEW
+    partitions (default 8 here; ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides),
+    while a 100 TB deployment raises it toward executors × cores to spread
+    state. Partition count never changes results — only where state lives.
+    Batch queries are unaffected: every registered query re-applies
+    ``tune()`` (32 + AQE) at build time, and streaming has no AQE, which is
+    exactly why it needs this static right-sizing."""
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, *, output_mode: str) -> None:
     """Drain an availableNow streaming query into an in-memory sink table
     (the TestStream-style harness: deterministic, bounded, then stops)."""
+    stream_tuned(result.sparkSession)
     q = (
         result.writeStream.format("memory")
         .queryName(name)
@@ -81,6 +100,7 @@ def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = N
     writes keyed by batch_id + checkpointing give end-to-end exactly-once —
     same contract Beam sinks implement with their own dedup keys.
     """
+    stream_tuned(result.sparkSession)
     w = (
         result.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)
