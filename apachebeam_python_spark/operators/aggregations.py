@@ -148,3 +148,32 @@ def sample_fixed_global(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     (TakeOrdered over rand() — avoids full-sort; nondeterministic across
     partition layouts, hence rows-only checked.)"""
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str, id_col: str, k: int, *, seed: int = 0
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (SURVEY §2.3
+    Sample family; Efraimidis-Spirakis A-ES): each row draws a uniform
+    u ∈ [0, 1) from ``xxhash64(id, seed)`` (reproducible — no RNG state,
+    no partition-layout dependence, unlike ``rand()``) and scores
+    u^(1/weight); the global top-k scores are the sample, with inclusion
+    probability proportional to weight.
+
+    Scale: compiles to TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver side of the exchange; no global sort, no
+    shuffle of the corpus. Rows with weight ≤ 0 are excluded (they carry
+    zero sampling mass; 1/0 would NaN-poison the order). Exactly replayable
+    off-Spark from the same hash (tests/test_operators.py does)."""
+    u = (
+        F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(seed)), 11).cast("double")
+        / F.lit(float(1 << 53))
+    )
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_skey")
+    )

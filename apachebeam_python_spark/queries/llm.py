@@ -1335,3 +1335,21 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer"), "c_name", "c_custkey", max_dist=2
     )
     return out.groupBy("dist").agg(F.count("*").alias("n_pairs"))
+
+
+@register("q_weighted_sample", driver=False)  # rows-only: xxhash64 uniforms aren't DuckDB-portable
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample (SURVEY §2.3 Sample family +
+    §2.11 curation): 50 documents drawn without replacement with inclusion
+    probability ∝ quality score — the standard "sample the best-ish, keep
+    diversity" curation draw, deterministic across runs and partition
+    layouts (hash-derived uniforms, Efraimidis-Spirakis keys; exact Python
+    replay asserted in tests/test_operators.py)."""
+    from ..operators.aggregations import weighted_sample
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "quality", F.round(T.quality_score(F.col("text")), 6)
+    )
+    return weighted_sample(d, "quality", "doc_id", 50).select(
+        "doc_id", "quality"
+    )

@@ -164,3 +164,48 @@ def test_image_features_pipeline(spark, sf_dir):
         a = ((r.doc_id + np.arange(h * w * 3)) % 256).reshape(h, w, 3)
         t = M.resize_nearest(a, 8, 8)
         assert abs(r.mean_r - round(float(t.reshape(-1, 3)[:, 0].mean()), 4)) < 1e-9
+
+
+def test_weighted_sample_exact_python_replay(spark, sf_dir):
+    """The A-ES draw must be exactly replayable from the same hash values —
+    proving determinism AND the scoring rule."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.operators.aggregations import weighted_sample
+    from apachebeam_python_spark.session import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars").cast("double")).alias("w")
+    )
+    got = [r["doc_id"] for r in weighted_sample(d, "w", "doc_id", 25).collect()]
+
+    rows = d.withColumn("h", F.shiftrightunsigned(F.xxhash64("doc_id", F.lit(0)), 11)).collect()
+    scored = sorted(
+        ((math.pow(r["h"] / float(1 << 53), 1.0 / r["w"]), r["doc_id"]) for r in rows if r["w"] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [i for _, i in scored[:25]]
+    assert got == want
+
+    # determinism across invocations
+    again = [r["doc_id"] for r in weighted_sample(d, "w", "doc_id", 25).collect()]
+    assert got == again
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity: across seeds, a 10x-weight row appears far more
+    often than a 1x row."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.operators.aggregations import weighted_sample
+
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy = 0
+    for seed in range(10):
+        picked = {r["id"] for r in weighted_sample(df, "w", "id", 20, seed=seed).collect()}
+        heavy += len([i for i in picked if i < 20])
+    # 20 heavy rows carry 200/380 ≈ 53% of the mass but are only 10% of rows
+    assert heavy >= 60, f"heavy rows picked only {heavy}/200 times"
