@@ -282,3 +282,44 @@ def repeated_passages(
         .agg(F.count("*").alias("n_docs"), F.sum("c").alias("n_occurrences"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def novelty_scores(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY vs an accumulated corpus: the fraction of
+    a new document's distinct n-grams never seen in the snapshot — the
+    "how much new information does this crawl add" signal that ranks ingest
+    batches (near-0 ⇒ re-crawl/boilerplate, near-1 ⇒ genuinely new content).
+
+    Returns (id, n_grams, n_novel, novelty ∈ [0,1]).
+
+    100 TB plan: the snapshot aggregates once to a distinct-gram table —
+    the same artifact decontamination uses, worth persisting bucketed by
+    gram — and the batch (the small side, an ingest increment) explodes
+    narrowly and LEFT-joins it on gram; per-doc counts aggregate the
+    batch's own (id, gram) rows only. The snapshot's text never moves; the
+    join shuffles O(batch grams) + streams the gram table.
+    """
+    snap_grams = snapshot.select(
+        F.explode(T.shingles(F.col(text_col), n)).alias("gram")
+    ).distinct().withColumn("_seen", F.lit(1))
+    grams = batch.select(
+        F.col(id_col), F.explode(T.shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        grams.join(snap_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )

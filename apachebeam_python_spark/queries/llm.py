@@ -1353,3 +1353,43 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "quality", "doc_id", 50).select(
         "doc_id", "quality"
     )
+
+
+@register(
+    "q_novelty",
+    driver=False,  # extra §2.11 curation proof — pytest-only oracle
+    oracle="""
+WITH snap AS (
+  SELECT DISTINCT unnest(list_distinct(
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 4 <> 0)
+), batch AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 4 = 0)
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT)                          AS n_grams,
+       CAST(sum(CASE WHEN s.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_novel,
+       round(sum(CASE WHEN s.gram IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+                                                         AS novelty
+FROM batch b LEFT JOIN snap s ON b.gram = s.gram
+GROUP BY b.doc_id
+""",
+)
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty of an ingest batch (doc_id%4=0) against the rest of
+    the corpus as the accumulated snapshot — ranks new crawls by how much
+    unseen content they add (operators.curation.novelty_scores; the
+    snapshot's distinct-gram table is the same artifact decontamination
+    broadcasts)."""
+    d = table(spark, sf_dir, "documents")
+    return C.novelty_scores(
+        d.filter(F.col("doc_id") % 4 == 0),
+        d.filter(F.col("doc_id") % 4 != 0),
+        "text",
+        "doc_id",
+        n=2,
+    )
