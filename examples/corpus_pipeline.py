@@ -118,6 +118,25 @@ def main() -> None:
     print("BM25 top-5 for query 'hash join scan':")
     hits.show(5, truncate=False)
 
+    # rank the ingest batch by how much UNSEEN content it adds, then draw a
+    # quality-weighted subsample of the corpus (deterministic, hash-seeded)
+    from apachebeam_python_spark.operators.aggregations import weighted_sample
+    from apachebeam_python_spark.operators.curation import novelty_scores
+
+    nov = novelty_scores(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        "text",
+        "doc_id",
+    )
+    print("ingest-batch novelty (top 3 most novel):")
+    nov.orderBy(F.col("novelty").desc(), "doc_id").show(3)
+
+    weighted = weighted_sample(
+        docs.withColumn("q", T.quality_score(F.col("text"))), "q", "doc_id", 10
+    )
+    print("quality-weighted subsample:", weighted.count(), "docs")
+
 
 if __name__ == "__main__":
     main()
