@@ -1393,3 +1393,46 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=2,
     )
+
+
+@register(
+    "q_quality_filter",
+    driver=False,  # extra §2.11 curation proof — pytest-only oracle
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.3 * (len(list_distinct(w)) / n)
+             + 0.5 * (1.0 - (len(list_filter(w, x -> list_contains(['the','a','of','and','or'], x))) / n))
+             + 0.2 * least(n / 100.0, 1.0), 6) AS q
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+        FROM documents)
+), thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS p25 FROM scored)
+SELECT CAST(count(*) FILTER (WHERE q >= p25) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE q <  p25) AS BIGINT) AS n_dropped,
+       round(min(CASE WHEN q >= p25 THEN q END), 6)     AS min_kept_quality,
+       p25
+FROM scored CROSS JOIN thr
+GROUP BY p25
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality gate: score every document, find the
+    corpus p25 (exact interpolated percentile — one tiny scalar), keep the
+    top three quartiles. The threshold is a 1-row broadcast cross join, so
+    the filter stays a narrow pass over the corpus; at 100 TB swap the
+    exact percentile for the approx sketch (q_approx_sample family) — the
+    report shape is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("q")
+    )
+    thr = scored.agg(F.round(F.percentile("q", F.lit(0.25)), 6).alias("p25"))
+    joined = scored.crossJoin(F.broadcast(thr))
+    return joined.groupBy("p25").agg(
+        F.sum((F.col("q") >= F.col("p25")).cast("long")).alias("n_kept"),
+        F.sum((F.col("q") < F.col("p25")).cast("long")).alias("n_dropped"),
+        F.round(F.min(F.when(F.col("q") >= F.col("p25"), F.col("q"))), 6).alias(
+            "min_kept_quality"
+        ),
+    ).select("n_kept", "n_dropped", "min_kept_quality", "p25")

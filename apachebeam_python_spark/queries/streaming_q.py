@@ -328,3 +328,37 @@ def q_stream_dedup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs.run_to_memory(s.dropDuplicates(["user_id", "event_type"]), name,
                        output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "q_stream_enrich",
+    driver=False,  # extra §2.8 streaming proof — pytest-only oracle
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (Beam's windowed side-input analogue,
+    SURVEY §2.8): the event stream broadcast-joins the static customer dim
+    inside each micro-batch — the stream never shuffles for the join — and
+    aggregates per segment; drained via availableNow and checked stream ≡
+    batch. At 100 TB the dim re-broadcasts per batch (O(GB) fine), and a
+    slowly-changing dim is just a re-read of the current snapshot."""
+    from pyspark.sql import functions as F
+
+    from ..session import table
+
+    sink = _sink("stream_enrich", sf_dir)
+    stream = jobs.events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(F.broadcast(dim), stream["user_id"] == dim["c_custkey"])
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    jobs.run_to_memory(agg, sink, output_mode="complete")
+    return spark.table(sink)
