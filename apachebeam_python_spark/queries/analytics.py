@@ -200,3 +200,68 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("tax").alias("kind"),
         F.round("amount", 2).alias("amount"),
     )
+
+
+@register(
+    "q_funnel",
+    driver=False,  # extra §2.3/§2.5 analytics proof — pytest-only oracle
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 'view'     AS step, CAST(1 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 'click'    AS step, CAST(2 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s2
+UNION ALL
+SELECT 'purchase' AS step, CAST(3 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s3
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly later timestamps):
+    how many users reach each step — the event-sequence analysis every
+    product-analytics engine ships. Three keyed min-aggregates, each
+    hash-partitioned on user_id, so the step joins land co-partitioned
+    behind the first shuffle; no collect_list of a user's history, no
+    window over the event table (both would move O(events) per user —
+    this moves 1 row per user per step). At 100× the plan is unchanged."""
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def census(df: DataFrame, step: str, no: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(no).alias("step_no"), "n_users"
+        )
+
+    return (
+        census(s1, "view", 1)
+        .unionByName(census(s2, "click", 2))
+        .unionByName(census(s3, "purchase", 3))
+    )
