@@ -265,3 +265,86 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(s2, "click", 2))
         .unionByName(census(s3, "purchase", 3))
     )
+
+
+@register(
+    "q_cohort_retention",
+    driver=False,  # extra §2.3 analytics proof — pytest-only oracle
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_no,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    every later week they return — the companion report to q_funnel. Two
+    keyed aggregates (first-week, then distinct user-weeks), both
+    hash-partitioned on user_id so the join is co-partitioned; the final
+    (cohort, week) census is tiny. No per-user history materializes."""
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_no"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q_event_transitions",
+    driver=False,  # extra §2.5 analytics proof — pytest-only oracle
+    oracle="""
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: counts of consecutive event-type
+    pairs per user journey — lead() over (user_id, ts, event_id): one
+    shuffle on user_id, per-partition sort, and the matrix aggregate is
+    |types|² rows. The (ts, event_id) order is total, so both engines walk
+    identical journeys."""
+    from pyspark.sql import Window
+
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
