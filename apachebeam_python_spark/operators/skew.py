@@ -96,3 +96,55 @@ def salted_join(
     )
     out = salted_fact.join(replicated, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_report(df, keys, *, shuffle_partitions: int = 32):
+    """Key-distribution diagnostic — run this BEFORE picking a join/agg
+    strategy on a new key (the measurement half of the salting decision):
+
+    - ``n_keys``, ``n_rows``: cardinality vs volume;
+    - ``max_share``: the hottest key's fraction of all rows;
+    - ``hot_partition_factor``: max_share × shuffle_partitions — how many
+      partitions' worth of data the hottest key drags into ONE task (> ~2
+      ⇒ AQE skew split will fire; ≫ that, or for aggregates, ⇒ salt);
+    - ``entropy_bits`` vs ``uniform_bits`` (log2 n_keys): how far the
+      distribution is from uniform;
+    - ``top_keys``: the usual suspects, serialized (count DESC, key ASC).
+
+    One count-per-key aggregate (partial-agg lifted), a 1-row broadcast of
+    the total, and a summary over n_keys rows — safe at any scale where
+    the KEY cardinality itself is aggregable, which is exactly when the
+    report is meaningful.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_t"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    p = F.col("_c") / F.col("_t")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("_c").alias("n_rows"),
+            F.round(F.max(p), 6).alias("max_share"),
+            F.round(F.max(p) * shuffle_partitions, 2).alias("hot_partition_factor"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.log2(F.count("*")), 6).alias("uniform_bits"),
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct((-F.col("_c")).alias("nc"), key_str.alias("k"))
+                            )
+                        ),
+                        lambda s: s["k"],
+                    ),
+                    1,
+                    5,
+                ),
+                ",",
+            ).alias("top_keys"),
+        )
+    )

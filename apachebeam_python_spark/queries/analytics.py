@@ -348,3 +348,34 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     return pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_skew_report",
+    driver=False,  # extra scale-tooling proof — pytest-only oracle
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS c FROM events GROUP BY 1
+), t AS (SELECT sum(c) AS t FROM c)
+SELECT CAST(count(*) AS BIGINT)                    AS n_keys,
+       CAST(sum(c) AS BIGINT)                      AS n_rows,
+       round(max(c / t.t), 6)                      AS max_share,
+       round(max(c / t.t) * 32, 2)                 AS hot_partition_factor,
+       round(-sum((c / t.t) * log2(c / t.t)), 6)   AS entropy_bits,
+       round(log2(count(*)), 6)                    AS uniform_bits,
+       array_to_string(
+         (SELECT list(event_type ORDER BY c DESC, event_type) FROM c)[1:5], ',')
+                                                   AS top_keys
+FROM c CROSS JOIN t
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic on events.event_type: cardinality, hottest-key
+    share, hot-partition factor (share × 32 partitions — the 'will one
+    task drown' number), distribution entropy vs uniform, and the top
+    keys. The measurement half of the salting/AQE-skew decision —
+    operators/skew.py holds the mitigation half."""
+    from ..operators.skew import skew_report
+    from ..session import table
+
+    return skew_report(table(spark, sf_dir, "events"), ["event_type"])
