@@ -379,3 +379,44 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import table
 
     return skew_report(table(spark, sf_dir, "events"), ["event_type"])
+
+
+@register(
+    "q_rolling_distinct",
+    driver=False,  # extra §2.3 analytics proof — pytest-only oracle
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+FROM days d
+JOIN du u ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+GROUP BY d.day
+""",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-DAU
+    metric. count(DISTINCT) can't ride a sliding window directly, so the
+    plan is: dedup to (day, user) once (the heavy shuffle, O(events) →
+    O(user-days)), then a range join of the small day grid against
+    user-days and a distinct count per day. At 100 TB swap the exact tail
+    for mergeable HLL sketches per day unioned over the trailing window
+    (hll_partial_sketches / hll_rollup_estimate — same report, KB-sized
+    shuffle)."""
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    joined = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
