@@ -33,3 +33,7 @@ def test_timeseries_example(spark, sf_dir):
 
 def test_lake_maintenance_example(spark, sf_dir):
     _run("lake_maintenance", sf_dir)
+
+
+def test_product_analytics_example(spark, sf_dir):
+    _run("product_analytics", sf_dir)
