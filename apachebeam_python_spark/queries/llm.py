@@ -1436,3 +1436,54 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_kept_quality"
         ),
     ).select("n_kept", "n_dropped", "min_kept_quality", "p25")
+
+
+@register(
+    "q_embedding_pool",
+    driver=False,  # extra §2.11 embedding proof — pytest-only oracle
+    oracle="""
+WITH x AS (
+  SELECT vec_id // 50 AS doc,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), m AS (
+  -- + 0.0 folds IEEE -0.0 to +0.0; DECIMAL(9,6) forces fixed-point text
+  -- (doubles stringify scientifically for small magnitudes in Spark)
+  SELECT doc, pos, CAST(round(avg(v), 6) + 0.0 AS DECIMAL(9,6)) AS mv
+  FROM x GROUP BY doc, pos
+)
+SELECT doc,
+       CAST(count(*) AS BIGINT) AS dim,
+       array_to_string(list(CAST(mv AS VARCHAR) ORDER BY pos), ',') AS pooled
+FROM m GROUP BY doc
+""",
+)
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool chunk embeddings into document embeddings (every 50
+    consecutive vec_ids = one 'document') — the standard chunk→doc pooling
+    step of an embedding pipeline. Element-wise mean via posexplode + one
+    (doc, dim)-keyed partial-agg shuffle — never collects a group's vectors
+    into one row — then the pooled vector rebuilds ordered by position.
+    Serialized to CSV in both engines (raw arrays crash the driver canon);
+    per-dimension rounds at 6 dp bury the partial-sum ulp."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        (F.col("vec_id") / 50).cast("long").alias("doc"),
+        F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))).alias(
+            "pos0", "v"
+        ),
+    )
+    m = exploded.groupBy("doc", (F.col("pos0") + 1).alias("pos")).agg(
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).cast("decimal(9,6)").alias("mv")
+    )
+    return m.groupBy("doc").agg(
+        F.count("*").alias("dim"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"].cast("string"),
+            ),
+            ",",
+        ).alias("pooled"),
+    )
