@@ -420,3 +420,56 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("d.day").alias("day")).agg(
         F.countDistinct("user_id").alias("active_7d")
     )
+
+
+@register(
+    "q_attribution",
+    driver=False,  # extra §2.5 analytics proof — pytest-only oracle
+    oracle="""
+SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
+FROM (
+  SELECT event_type,
+         coalesce(
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           'none') AS attributed
+  FROM events
+)
+WHERE event_type = 'purchase'
+GROUP BY attributed
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest PRECEDING
+    non-purchase event in the user's journey (window frame ending 1 row
+    before current, IGNORE NULLS — identical semantics both engines; the
+    (ts, event_id) order is total). One shuffle on user_id + per-partition
+    sort; the attribution census is |types| rows. First-touch is the same
+    plan with first_value."""
+    from pyspark.sql import Window
+
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = e.select(
+        "event_type",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("none"),
+        ).alias("attributed"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("attributed")
+        .agg(F.count("*").alias("n_purchases"))
+    )
