@@ -42,6 +42,11 @@ def main() -> None:
         F.col("day").desc()
     ).show(5)
 
+    print("last-touch attribution for purchases:")
+    QUERIES["q_attribution"](spark, sf_dir).orderBy(
+        F.col("n_purchases").desc(), "attributed"
+    ).show()
+
     print("key-skew diagnostic for event_type (pick the shuffle strategy):")
     QUERIES["q_skew_report"](spark, sf_dir).show(truncate=False)
 
