@@ -284,3 +284,66 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count("*").alias("n_ticks"),
     )
+
+
+@register(
+    "q_session_stats",
+    driver=False,  # extra §2.8 proof — pytest-only oracle
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT user_id,
+         epoch(max(ts)) - epoch(min(ts)) AS active_secs,
+         count(*) AS n_events
+  FROM islands GROUP BY user_id, sid
+)
+SELECT CAST(user_id % 10 AS BIGINT)          AS user_bucket,
+       CAST(count(*) AS BIGINT)              AS n_sessions,
+       round(avg(active_secs), 4)            AS avg_active_secs,
+       round(max(active_secs), 4)            AS max_active_secs,
+       round(avg(n_events), 6)               AS avg_events
+FROM sessions GROUP BY 1
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration statistics per user bucket: sessionize (native
+    session_window, the SAME proven gap semantics as q_session_window),
+    then aggregate active time (last event − first event — gap padding
+    excluded so the metric is engine-independent) and events per session.
+    Two keyed aggregates; the per-session intermediate is 1 row per
+    session, never the event list."""
+    from ..operators import event_time as ET2
+
+    sess = ET2.session(
+        table(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        n_events=F.count("*"),
+        first_ts=F.min("ts"),
+        last_ts=F.max("ts"),
+    )
+    per_session = sess.select(
+        "user_id",
+        (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+         + (F.col("last_ts").cast("double") % 1) - (F.col("first_ts").cast("double") % 1)
+         ).alias("active_secs"),
+        "n_events",
+    )
+    return per_session.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("active_secs"), 4).alias("avg_active_secs"),
+        F.round(F.max("active_secs"), 4).alias("max_active_secs"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )
