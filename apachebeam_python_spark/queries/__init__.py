@@ -87,10 +87,13 @@ DRIVER_ORDER: list[str] = [
     "q_pardo_tagged",
     "q_fn_map",
     "q_inference_stub",
-    # tier 3 — rows-only (no oracle by design: approximate / engine-hash)
-    "q_ann_lsh",
-    "q_dedup_sketch",
-    "q_approx_sample",
+    # round 3 (VERDICT r2 #1): the rows-only tail (q_ann_lsh, q_dedup_sketch,
+    # q_approx_sample) could never earn a hash-green row, so it's swapped for
+    # three oracle-backed queries from distinct capability families. The
+    # approximate queries keep their recall/property proofs in pytest.
+    "q_bm25",           # lexical retrieval (§2.11)
+    "q_funnel",         # ordered-event analytics (§2.3/§2.5)
+    "q_data_quality",   # Deequ-style profiling (§2.3)
 ]
 
 _MAX_DRIVER_ENTRIES = 50

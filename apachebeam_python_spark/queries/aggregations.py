@@ -416,7 +416,7 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hll_rollup_estimate(partials, ["event_type"], out="approx_users")
 
 
-@register("q_approx_sample")  # rows-only: sketch estimates + seeded sampling
+@register("q_approx_sample", driver=False)  # rows-only: sketch estimates + seeded sampling; off the driver surface since r3 (can't earn a hash-green row — VERDICT r2 #1), recall/property proofs live in pytest
 def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate/sampling combiner family in one tagged rows-only
     driver row (SURVEY §2.3; folds q_approx_distinct / q_approx_quantiles /
@@ -463,8 +463,7 @@ def q_approx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_data_quality",
-    driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
+    "q_data_quality",  # driver slot since r3: oracle-backed (swapped in for q_approx_sample)
     oracle="""
 WITH a AS (
   SELECT count(*) AS n,

@@ -203,8 +203,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_funnel",
-    driver=False,  # extra §2.3/§2.5 analytics proof — pytest-only oracle
+    "q_funnel",  # driver slot since r3: oracle-backed (swapped in for q_dedup_sketch)
     oracle="""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'

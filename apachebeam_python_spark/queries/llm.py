@@ -291,7 +291,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(e, queries, "embedding", "vec_id", k=5)
 
 
-@register("q_ann_lsh")  # rows-only: approximate candidates from LSH / IVF indexes
+@register("q_ann_lsh", driver=False)  # rows-only: approximate candidates from LSH / IVF indexes; off the driver surface since r3 (VERDICT r2 #1), recall bounds asserted in pytest
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOTH classic ANN scale paths, tagged (SURVEY §2.11), each + exact
     re-rank — the 100 TB alternatives to brute force (q_cosine_topk is the
@@ -512,7 +512,7 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.withColumn("fp_count", F.count("*").over(W.partitionBy("fp")))
 
 
-@register("q_dedup_sketch")  # rows-only: xxhash64-derived signatures aren't DuckDB-portable
+@register("q_dedup_sketch", driver=False)  # rows-only: xxhash64-derived signatures aren't DuckDB-portable; off the driver surface since r3 (VERDICT r2 #1), equivalence proofs in pytest
 def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three sketch/LSH near-dup SCALE paths in one tagged rows-only
     driver row (SURVEY §2.11; folds q_dedup_minhash / q_dedup_simhash and
@@ -1119,8 +1119,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_bm25",
-    driver=False,  # extra §2.11 retrieval proof — pytest-only oracle
+    "q_bm25",  # driver slot since r3: oracle-backed (swapped in for q_ann_lsh)
     oracle="""
 WITH toks AS (
   SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents

@@ -43,6 +43,37 @@ def test_rows_only_entries_last():
             assert not seen_rows_only, f"oracle-backed {name} after a rows-only entry"
 
 
+def test_driver_window_fully_oracle_backed():
+    """Since round 3 (VERDICT r2 #1) every driver entry is oracle-backed, so
+    each of the 50 slots can earn a rows+schema+hash green row. Approximate /
+    engine-hash queries live off-surface with pytest property proofs."""
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    missing = [n for n in qs if n not in os_]
+    assert not missing, f"rows-only queries on the driver surface: {missing}"
+
+
+def test_r2_green_set_never_demoted():
+    """Greenness pin (VERDICT r2 #8): every query that earned a hash-green
+    driver row in round 2 must stay on the driver surface with its oracle
+    intact. A registry edit that drops or de-oracles one fails here, locally,
+    before the driver ever sees it. (The VALUES are re-proven each run by the
+    full parity sweep in test_oracle_parity.py — driver queries are a subset —
+    so this pin only needs to guard membership.)"""
+    import json
+    import pathlib
+
+    record = pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r02.json"
+    green = [
+        name
+        for name, row in json.loads(record.read_text()).items()
+        if row.get("hash_match") is True
+    ]
+    assert len(green) == 47, f"expected 47 green rows in the r2 record, got {len(green)}"
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    demoted = [n for n in green if n not in qs or n not in os_]
+    assert not demoted, f"r2 hash-green queries demoted from the driver surface: {demoted}"
+
+
 def test_every_family_in_tier1():
     """The first 16 entries cover one query per SURVEY §2 family, so even an
     aggressively time-capped driver run still sees full-family coverage."""
