@@ -64,7 +64,10 @@ DRIVER_ORDER: list[str] = [
     "q_json_extract",
     "q_udaf_weighted_avg",
     "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
+    # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
+    # anchor) demoted to pytest-only; the embedding-family slot went to the
+    # scale-shaped chunk→doc mean-pooling query.
+    "q_embedding_pool",
     "q_stream_source",
     "q_star_join",
     "q_join_semi_anti",

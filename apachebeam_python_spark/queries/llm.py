@@ -244,6 +244,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_embedding",
+    driver=False,  # demoted from the driver surface in r3 (VERDICT r2 #4):
+    # the all-pairs O(n²) self-join must not be a driver-declared plan. It
+    # stays here as the oracle-checked exactness anchor for the pytest
+    # equivalence/recall assertions; q_embedding_pool took the slot.
     oracle="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)
@@ -256,9 +260,15 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at τ=0.35 (fixture max sim ≈0.51 — a
     synthetic corpus threshold; 271 pairs at sf0.01). This brute-force form
-    is the oracle-checked exactness anchor; the 100 TB answer is the
-    'emb_lsh' arm of q_dedup_sketch (hyperplane-LSH buckets + the same
-    verify expression), recall-asserted against this query in pytest."""
+    is the oracle-checked EXACTNESS ANCHOR, deliberately small-n and
+    pytest-only (VERDICT r2 #4: an all-pairs self-join is not a plan to
+    declare at 100 TB). The scale answer is the 'emb_lsh' arm of
+    q_dedup_sketch (hyperplane-LSH buckets + the same verify expression),
+    recall-asserted against this query in pytest. An LSH blocking tuned to
+    empirical recall 1.0 was rejected for the driver slot: the driver
+    regenerates fixtures every round, and a probabilistic blocking has no
+    exactness guarantee under new data — a hash-green slot must not depend
+    on one."""
     return D.embedding_neardup_pairs(
         table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
@@ -1484,8 +1494,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_embedding_pool",
-    driver=False,  # extra §2.11 embedding proof — pytest-only oracle
+    "q_embedding_pool",  # driver slot since r3: took q_dedup_embedding's place (VERDICT r2 #4)
     oracle="""
 WITH x AS (
   SELECT vec_id // 50 AS doc,

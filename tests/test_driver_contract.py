@@ -69,9 +69,19 @@ def test_r2_green_set_never_demoted():
         if row.get("hash_match") is True
     ]
     assert len(green) == 47, f"expected 47 green rows in the r2 record, got {len(green)}"
+    # Deliberate, documented exceptions only. q_dedup_embedding: all-pairs
+    # O(n²) anchor demoted per VERDICT r2 #4; stays oracle-checked in the
+    # local sweep, its slot went to q_embedding_pool.
+    intentionally_demoted = {"q_dedup_embedding"}
     qs, os_ = entry.queries(), entry.oracle_sql()
-    demoted = [n for n in green if n not in qs or n not in os_]
+    demoted = [
+        n for n in green
+        if n not in intentionally_demoted and (n not in qs or n not in os_)
+    ]
     assert not demoted, f"r2 hash-green queries demoted from the driver surface: {demoted}"
+    # the exception must keep its oracle in the local sweep (never deleted)
+    assert q.ORACLES.get("q_dedup_embedding"), "exactness anchor lost its oracle"
+    assert "q_embedding_pool" in os_, "replacement slot must be oracle-backed"
 
 
 def test_every_family_in_tier1():
