@@ -88,6 +88,11 @@ def kmeans_centroids(
     ).persist()  # one cache, n_iter linear passes; released below
     try:
         cents = _seed_centroids(df, vec_col, id_col, k)
+        if len(cents) < k:
+            raise ValueError(
+                f"k-means needs >= {k} input rows to seed {k} centroids, "
+                f"got {len(cents)} — lower k or supply more data"
+            )
         dim = len(cents[0])
         for _ in range(n_iter):
             lit = _lit_centroids(cents)

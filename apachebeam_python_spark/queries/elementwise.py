@@ -102,7 +102,7 @@ def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT e.event_id, e.user_id, e.value - 50.0 AS value_centered, s.n_small
 FROM events e
 CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_small
-            FROM events WHERE NOT value >= 50) s
+            FROM events WHERE value IS NULL OR value < 50) s
 WHERE e.value >= 50
 """,
 )
@@ -113,7 +113,9 @@ def q_pardo_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     values per bundle (setup/teardown ≈ before/after the batch loop).
     value - 50.0 is a single IEEE op — pandas float64 and DuckDB DOUBLE
     agree bit-for-bit, so the DoFn output is exactly oracle-checkable
-    (upgraded from rows-only, round 2)."""
+    (upgraded from rows-only, round 2). The 'small' branch is the
+    ``otherwise`` catch-all, so NULL values land there — the oracle counts
+    ``value IS NULL OR value < 50`` to match (ADVICE r2)."""
     e = table(spark, sf_dir, "events")
     tagged = ew.par_do_tagged(
         e,

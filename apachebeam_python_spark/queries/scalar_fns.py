@@ -205,9 +205,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole map round-trip is value-checked (upgraded from rows-only, round 2)
     oracle="""
 SELECT doc_id,
-       'lang=' || lang || ',source=' || source AS meta,
+       'lang=' || coalesce(lang, '') || ',source=' || coalesce(source, '') AS meta,
        'lang,source'                           AS meta_keys,
-       lang                                    AS lang_val
+       coalesce(lang, '')                      AS lang_val
 FROM documents
 """,
 )
@@ -215,12 +215,21 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: map_from_entries / map_entries / map_keys / element_at.
     The map itself is emitted as sorted ``k=v`` CSV (and keys as CSV) — raw
     map/array cells crash the driver's pandas canonicalizer even for the
-    rows-only count (same class as VERDICT r1 #2)."""
+    rows-only count (same class as VERDICT r1 #2). Map values are coalesced
+    to '' in BOTH engines: Spark's concat_ws silently skips NULLs while
+    DuckDB's || propagates them, so uncoalesced NULLs would diverge under a
+    fixture regen (ADVICE r2)."""
     d = table(spark, sf_dir, "documents")
     m = F.map_from_entries(
         F.array(
-            F.struct(F.lit("lang").alias("k"), F.col("lang").alias("v")),
-            F.struct(F.lit("source").alias("k"), F.col("source").alias("v")),
+            F.struct(
+                F.lit("lang").alias("k"),
+                F.coalesce(F.col("lang"), F.lit("")).alias("v"),
+            ),
+            F.struct(
+                F.lit("source").alias("k"),
+                F.coalesce(F.col("source"), F.lit("")).alias("v"),
+            ),
         )
     )
     meta_csv = F.array_join(
