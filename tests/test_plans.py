@@ -91,7 +91,11 @@ def test_dedup_clusters_pairs_have_no_gram_self_join(spark, sf_dir):
     )
     plan = P.executed_plan(pairs)
     assert "xxhash64" in plan, "minhash banding missing from plan"
-    assert "gram" not in plan, "gram self-join leaked into the clusters pair path"
+    # the quadratic path (ngram_jaccard_pairs) shuffle-joins on the exploded
+    # `gram` column; the bucketed path never shuffles on a gram
+    assert "hashpartitioning(gram#" not in plan, (
+        "gram self-join leaked into the clusters pair path"
+    )
 
 
 def test_curation_plan_shapes(spark, sf_dir):
