@@ -143,6 +143,41 @@ def hll_rollup_estimate(
     )
 
 
+def rolling_distinct_hll(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_days: int = 7,
+    lg_config_k: int = 12,
+    out: str = "active_7d_approx",
+) -> DataFrame:
+    """Trailing-window distinct count via mergeable HLL sketches — the
+    100 TB form of the rolling-DAU metric (q_rolling_distinct keeps the
+    exact small-scale anchor; VERDICT r2 #6).
+
+    One pass builds a KB-sized sketch per day (partial aggs combine
+    map-side, so the day shuffle carries sketches, not users); the
+    trailing window is then a day-grid × day-sketch range join — at most
+    |days|² KB-rows, regardless of corpus size — unioned and estimated
+    per grid day. The exact plan's range join grows with user-days
+    (O(users × days)); this one's input is O(days), which is what lets
+    the same report run on any event volume. Error bound vs exact is
+    asserted in tests (< 5% at the fixture's per-window cardinalities,
+    the standard HLL ~1.6%/√(2^lg_k) regime)."""
+    days = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"), F.col(id_col)
+    )
+    partials = hll_partial_sketches(days, ["day"], id_col, lg_config_k)
+    joined = partials.select("day").alias("d").join(
+        partials.alias("u"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") > F.col("d.day") - F.expr(f"INTERVAL {window_days} DAYS")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(out)
+    )
+
+
 def sample_fixed_global(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Beam ``Sample.FixedSizeGlobally``: uniform-ish n via seeded rand order.
     (TakeOrdered over rand() — avoids full-sort; nondeterministic across

@@ -400,10 +400,12 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric. count(DISTINCT) can't ride a sliding window directly, so the
     plan is: dedup to (day, user) once (the heavy shuffle, O(events) →
     O(user-days)), then a range join of the small day grid against
-    user-days and a distinct count per day. At 100 TB swap the exact tail
-    for mergeable HLL sketches per day unioned over the trailing window
-    (hll_partial_sketches / hll_rollup_estimate — same report, KB-sized
-    shuffle)."""
+    user-days and a distinct count per day. This exact form is the
+    small-scale anchor; the 100 TB form is q_rolling_distinct_hll
+    (operators.aggregations.rolling_distinct_hll): per-day mergeable HLL
+    sketches unioned over the trailing window — its range join sees
+    O(days) KB-sized rows instead of O(user-days), error < 5% asserted in
+    tests vs this query."""
     from ..session import table
 
     e = table(spark, sf_dir, "events")
@@ -419,6 +421,19 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("d.day").alias("day")).agg(
         F.countDistinct("user_id").alias("active_7d")
     )
+
+
+@register("q_rolling_distinct_hll", driver=False)  # rows-only: sketch estimates are engine-specific
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users via per-day mergeable HLL sketches —
+    the scale form of q_rolling_distinct (VERDICT r2 #6). The range join
+    sees one KB sketch per day instead of every (day, user) row; the window
+    union never re-reads events. Error < 5% vs the exact query asserted in
+    tests/test_operators.py::test_rolling_distinct_hll_error_bound."""
+    from ..operators.aggregations import rolling_distinct_hll
+    from ..session import table as _table
+
+    return rolling_distinct_hll(_table(spark, sf_dir, "events"))
 
 
 @register(

@@ -106,6 +106,24 @@ def test_hll_rollup_accuracy(spark, sf_dir):
         assert abs(got[k] - exact[k]) / exact[k] < 0.05, (k, got[k], exact[k])
 
 
+def test_rolling_distinct_hll_error_bound(spark, sf_dir):
+    """The sketch form of rolling DAU must track the exact range-join form
+    day-for-day within 5% (VERDICT r2 #6) — same day grid, same window."""
+    from apachebeam_python_spark import queries as q
+
+    got = {
+        r.day: r.active_7d_approx
+        for r in q.QUERIES["q_rolling_distinct_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.day: r.active_7d
+        for r in q.QUERIES["q_rolling_distinct"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact), "day grids differ between exact and sketch"
+    for day, nd in exact.items():
+        assert abs(got[day] - nd) / nd < 0.05, (day, got[day], nd)
+
+
 def test_resample_interp_known_values(spark):
     """ffill carries the last observation; linterp blends bracketing obs by
     time fraction; exact hits return the observation itself."""
