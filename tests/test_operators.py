@@ -164,6 +164,40 @@ def test_rawi_roundtrip_and_resize():
         M.decode_rawi(M.encode_rawi(img)[:-1])
 
 
+def test_ppm_bmp_codecs_roundtrip():
+    """Pure-Python PPM/BMP decode (VERDICT r2 #5): byte-exact round trips,
+    BMP row padding (w*3 not a multiple of 4), top-down BMPs, PPM header
+    comments, and decode_image format sniffing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    # w=5 → row 15 bytes → 1 pad byte per BMP row
+    img = (np.arange(7 * 5 * 3) * 11 % 256).astype(np.uint8).reshape(7, 5, 3)
+    assert (M.decode_ppm(M.encode_ppm(img)) == img).all()
+    assert (M.decode_bmp(M.encode_bmp(img)) == img).all()
+    # decode_image sniffs all three container formats
+    for enc in (M.encode_rawi, M.encode_ppm, M.encode_bmp):
+        assert (M.decode_image(enc(img)) == img).all()
+    # PPM comments and extra whitespace in the header are part of the grammar
+    ppm = b"P6\n# synthetic test image\n 5  7 \n# another comment\n255\n" + img.tobytes()
+    assert (M.decode_ppm(ppm) == img).all()
+    # top-down BMP (negative height) must decode to the same pixels
+    bu = bytearray(M.encode_bmp(img))
+    bu[22:26] = (-7).to_bytes(4, "little", signed=True)
+    stride = (5 * 3 + 3) // 4 * 4
+    body = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * ((-(5 * 3)) % 4) for y in range(7)
+    )
+    assert (M.decode_bmp(bytes(bu[:54]) + body) == img).all()
+    # unknown magic fails loudly, naming what IS supported
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n" + bytes(30))
+    with _pytest.raises(NotImplementedError):
+        M.decode_bmp(M.encode_bmp(img)[:28] + (8).to_bytes(2, "little") + M.encode_bmp(img)[30:])
+
+
 def test_image_features_pipeline(spark, sf_dir):
     import numpy as np
 
@@ -177,7 +211,12 @@ def test_image_features_pipeline(spark, sf_dir):
         w = 8 + r.doc_id % 16
         h = 8 + r.doc_id % 12
         assert (r.width, r.height) == (w, h)
-        assert r.byte_len == 9 + h * w * 3
+        expected_len = {
+            0: 9 + h * w * 3,                              # RAWI
+            1: 9 + len(str(w)) + len(str(h)) + h * w * 3,  # PPM
+            2: 54 + h * ((w * 3 + 3) // 4 * 4),            # BMP + row padding
+        }[r.doc_id % 3]
+        assert r.byte_len == expected_len, (r.doc_id, r.byte_len, expected_len)
         # recompute the thumbnail mean independently
         a = ((r.doc_id + np.arange(h * w * 3)) % 256).reshape(h, w, 3)
         t = M.resize_nearest(a, 8, 8)
