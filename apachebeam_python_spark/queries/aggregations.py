@@ -579,3 +579,86 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("bin"),
         F.round(b * 10.0, 1).alias("bin_lo"),
     ).agg(F.count("*").alias("n"))
+
+
+_MD5_U16 = (
+    "((strpos('0123456789abcdef', substr(md5(CAST({id} AS VARCHAR)), 1, 1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST({id} AS VARCHAR)), 2, 1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST({id} AS VARCHAR)), 3, 1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST({id} AS VARCHAR)), 4, 1))-1))"
+)
+
+
+@register(
+    "q_stratified_sample",
+    driver=False,  # extra §2.3 sampling proof — pytest-only oracle
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)      AS n_kept,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE {_MD5_U16.format(id='event_id')} / 65536.0 <
+      CASE event_type WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 0.5 ELSE 0.25 END
+GROUP BY event_type
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PORTABLE stratified sampling (operators.aggregations
+    .stratified_sample): per-event-type Bernoulli rates with the uniform
+    drawn from an md5 slice of the row id — the same rows survive on any
+    engine, any partitioning, so the oracle replays the EXACT selection
+    (census: per-stratum kept-count + id checksum pins membership, not just
+    counts). This is the auditable alternative to ``DataFrame.sampleBy``,
+    whose partition-seeded RNG can't be replayed in SQL. Zero shuffle: the
+    filter rides the scan; the census is one partial+final agg."""
+    from ..operators.aggregations import stratified_sample
+
+    kept = stratified_sample(
+        table(spark, sf_dir, "events"), "event_type", "event_id",
+        rates={"view": 0.1, "purchase": 0.5}, default_rate=0.25,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+@register(
+    "q_histogram_equidepth",
+    driver=False,  # extra §2.3 analytics shape — pytest-only oracle
+    oracle="""
+SELECT event_type, CAST(band AS INTEGER) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6)     AS lo,
+       round(max(value), 6)     AS hi
+FROM (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS band
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY event_type, band
+""",
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram — q_histogram's quantile-bucket sibling (the
+    profiling shape optimizers and drift monitors want: every band holds
+    ~n/10 rows, band edges ARE the deciles). ntile over the (value,
+    event_id) total order makes band assignment deterministic in both
+    engines (ties broken by id; NULLs filtered — Spark sorts them first,
+    DuckDB last). One shuffle on event_type for the window, then a
+    partial+final agg; at 100 TB swap exact ntile for the percentile
+    sketch (q_approx_sample family) when a single key's rows exceed one
+    partition's sort budget."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("band"))
+        .groupBy("event_type", "band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )

@@ -487,3 +487,51 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("attributed")
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "q_scd2_dims",
+    driver=False,  # extra §2.5 warehouse shape — pytest-only oracle
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts
+  FROM marked WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM changes
+""",
+)
+def q_scd2_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval build — the warehouse
+    versioning pattern: collapse each user's event_type stream to CHANGE
+    rows (lag ≠ current over the (ts, event_id) total order), then close
+    each version with the next change's timestamp (lead; NULL = current).
+    Two windows over ONE shuffle on user_id — Spark reuses the sort for
+    both lag and lead. At 100 TB this runs per natural key with no joins;
+    the output is the dimension table a point-in-time join (q_join_asof)
+    then probes. Changes-only output keeps it O(transitions), not
+    O(events)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "event_type", "ts",
+            F.lag("event_type").over(order).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    close = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(close).alias("valid_to"),
+        F.lead("ts").over(close).isNull().alias("is_current"),
+    )
