@@ -326,6 +326,43 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *, shingle_n:
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 2, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: score = |A∩B| / min(|A|, |B|) — the
+    asymmetric near-dup measure that catches a document EMBEDDED in a
+    larger one (quote farms, wrapper boilerplate, article + commentary),
+    which symmetric Jaccard dilutes: a 100-gram doc fully contained in a
+    1000-gram doc scores containment 1.0 but Jaccard 0.1. Same plan shape
+    as :func:`ngram_jaccard_pairs` (gram-explode equi-join, quadratic in
+    per-gram document frequency) — at 100 TB run it on LSH candidates,
+    i.e. swap the pair source for minhash_lsh_pairs(verify=False) and keep
+    this scoring join."""
+    grams = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash: per token, xxhash64 supplies the bit pattern; each bit
     votes ±1; the signature is the sign vector packed to a long. All

@@ -192,8 +192,138 @@ def extract_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "doc
 
 
 def frame_sample(df: DataFrame, payload_col: str, every_n: int):
-    """Video frame sampling — decode-dependent; stubbed like decode_image."""
+    """Video frame sampling — decode-dependent; stubbed like decode_image's
+    compressed-format arm (video containers all need codec libraries)."""
     raise NotImplementedError("video codecs unavailable in this environment")
+
+
+# ---------------------------------------------------------------------------
+# Audio: PCM WAV is a codec-free container (RIFF header + raw samples), so
+# the audio decode path is REAL too — the same pure-Python + numpy pattern
+# as PPM/BMP. Compressed audio (MP3/AAC/OGG) stays behind the codec gate.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """numpy (n,) or (n, channels) int16 → PCM WAV bytes (RIFF/WAVE fmt 1)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    byte_rate = sample_rate * ch * 2
+    data = a.tobytes()
+    return (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")       # block align
+        + (16).to_bytes(2, "little")           # bits per sample
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV → (numpy (n, channels) int16, sample_rate). Walks RIFF
+    chunks (fmt may not immediately precede data — some writers insert
+    LIST/fact chunks), supports 16-bit PCM only; compressed WAV raises."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return samples.reshape(-1, ch), sample_rate
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> DataFrame:
+    """Deterministic per-id mono WAV payloads: a sawtooth whose length,
+    rate, and amplitude are closed-form in the id — every downstream
+    feature is oracle-replayable, same design as synth_images."""
+    from ..session import fan_out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            payloads = []
+            for i in ids:
+                n = 64 + int(i) % 129               # 64..192 samples
+                amp = 100 + int(i) % 900            # peak amplitude
+                # sample(t) = ((i + t) mod 64) / 63 * amp - amp/2, exact int16
+                t = (int(i) + np.arange(n)) % 64
+                s = (t * amp // 63 - amp // 2).astype("<i2")
+                payloads.append(encode_wav(s, sample_rate=8_000))
+            yield pd.DataFrame({id_col: ids, out: payloads})
+
+    return fan_out(df.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, {out} binary"
+    )
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode → featurize for audio: REAL RIFF parse, duration /
+    sample-count / peak / mean-abs per payload — one Arrow batch at a
+    time, the same partition-sizing rules as image_features. Sums are
+    exact int64 so every feature is oracle-checkable bit-for-bit."""
+    from ..session import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_wav(payload)
+                mono = samples[:, 0].astype(np.int64)
+                # duration: one IEEE division — bit-exact cross-engine;
+                # mean_abs: explicit floor-rounding (x*1e6 stays exact int64
+                # range), the only cross-engine-stable 6-dp round
+                rows.append(
+                    (int(i), len(mono), rate,
+                     len(mono) / rate,
+                     int(np.abs(mono).max()),
+                     math.floor(float(np.abs(mono).sum()) * 1e6 / len(mono) + 0.5) / 1e6)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_samples", "sample_rate", "duration_s",
+                         "peak", "mean_abs"],
+            )
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        run,
+        schema=(f"{id_col} long, n_samples long, sample_rate long, "
+                "duration_s double, peak long, mean_abs double"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1548,3 +1548,74 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("pooled"),
     )
+
+
+@register(
+    "q_audio_pipeline",
+    driver=False,  # extra §2.11 multimodal proof — pytest-only oracle
+    oracle="""
+WITH params AS (
+  SELECT doc_id, 64 + doc_id % 129 AS n, 100 + doc_id % 900 AS amp
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, n, amp,
+         ((doc_id + t.t) % 64) * amp // 63 - amp // 2 AS s
+  FROM params, unnest(range(n)) t(t)
+)
+SELECT doc_id,
+       CAST(n AS BIGINT)                               AS n_samples,
+       CAST(8000 AS BIGINT)                            AS sample_rate,
+       n / 8000.0                                      AS duration_s,
+       CAST(max(abs(s)) AS BIGINT)                     AS peak,
+       floor(CAST(sum(abs(s)) AS DOUBLE) * 1000000.0 / n + 0.5) / 1000000.0
+                                                       AS mean_abs
+FROM samples GROUP BY doc_id, n, amp
+""",
+)
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode→featurize, END TO END REAL (operators.multimodal):
+    per-doc PCM WAV payloads synthesized closed-form in doc_id, parsed by
+    the real RIFF chunk walker (pure Python + numpy — PCM needs no codec
+    library, the audio sibling of the PPM/BMP image decoders), then
+    duration / peak / mean-abs features — all inside Arrow-batched
+    mapInPandas. The DuckDB oracle recomputes the same samples
+    arithmetically, so header parse, sample extraction, and every feature
+    are value-checked; mean_abs uses explicit floor-rounding (the only
+    cross-engine-stable element round — oracle-parity gotchas). Swap
+    decode_wav for a codec library (MP3/AAC) and the plan is unchanged."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return M.audio_features(M.synth_audio(d))
+
+
+@register(
+    "q_dedup_containment",
+    driver=False,  # extra §2.11 near-dup measure — pytest-only oracle
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), counts AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / least(ca.n_grams, cb.n_grams), 6) AS containment
+FROM shared
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE round(shared / least(ca.n_grams, cb.n_grams), 6) >= 0.6
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup via n-gram CONTAINMENT (|A∩B| / min|A|,|B| ≥
+    0.6) — catches a document embedded in a larger one, which Jaccard
+    dilutes (operators.dedup.ngram_containment_pairs; scale note there:
+    at 100 TB feed it LSH candidates instead of the full gram join)."""
+    return D.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.6
+    )

@@ -198,6 +198,37 @@ def test_ppm_bmp_codecs_roundtrip():
         M.decode_bmp(M.encode_bmp(img)[:28] + (8).to_bytes(2, "little") + M.encode_bmp(img)[30:])
 
 
+def test_wav_codec_roundtrip():
+    """PCM WAV decode: byte-exact round trips (mono + stereo), RIFF chunk
+    walking past inserted LIST chunks, and loud failures for compressed
+    or non-16-bit payloads."""
+    import numpy as np
+    import pytest as _pytest
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    mono = ((np.arange(100) * 37) % 2000 - 1000).astype("<i2")
+    out, rate = M.decode_wav(M.encode_wav(mono, sample_rate=8000))
+    assert rate == 8000 and (out[:, 0] == mono).all()
+    stereo = np.stack([mono, -mono], axis=1).astype("<i2")
+    out2, _ = M.decode_wav(M.encode_wav(stereo))
+    assert out2.shape == (100, 2) and (out2 == stereo).all()
+    # a LIST chunk between fmt and data must not break the walker
+    wav = M.encode_wav(mono)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    out3, _ = M.decode_wav(patched)
+    assert (out3[:, 0] == mono).all()
+    with _pytest.raises(ValueError):
+        M.decode_wav(b"OggS" + bytes(40))
+    # format 3 (IEEE float) is compressed-path territory
+    bad = bytearray(wav)
+    bad[20:22] = (3).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(bad))
+
+
 def test_image_features_pipeline(spark, sf_dir):
     import numpy as np
 
