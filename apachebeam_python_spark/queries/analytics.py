@@ -535,3 +535,102 @@ def q_scd2_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(close).alias("valid_to"),
         F.lead("ts").over(close).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_activity_streaks",
+    driver=False,  # extra §2.5 analytics shape — pytest-only oracle
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), grp AS (
+  SELECT user_id, day,
+         CAST(epoch(day) AS BIGINT) // 86400
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+  FROM du
+), streaks AS (
+  SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT)   AS longest_streak,
+       CAST(count(*) AS BIGINT)   AS n_streaks,
+       CAST(sum(len) AS BIGINT)   AS active_days
+FROM streaks GROUP BY user_id
+""",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks — the SQL gaps-and-islands pattern:
+    day_number − row_number is constant within a run of consecutive days,
+    so it IS the streak id; one groupBy later each user has longest-streak
+    / streak-count / active-day totals (the retention-analysis shape next
+    to q_cohort_retention). Two stages over ONE user_id shuffle: the
+    window sort and the streak aggs share partitioning; day-dedup is the
+    only wide op touching raw events."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    g = (
+        F.col("day").cast("long") / F.lit(86400)
+    ).cast("long") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    streaks = (
+        du.select("user_id", "day", g.alias("g"))
+        .groupBy("user_id", "g")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    driver=False,  # extra §2.5 timeseries shape — pytest-only oracle
+    oracle="""
+WITH obs AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       round(sum(value * (t_next - t)) / sum(t_next - t), 6) AS twa,
+       CAST(sum(t_next - t) AS BIGINT)                       AS span_us,
+       CAST(count(*) AS BIGINT)                              AS n_obs
+FROM obs WHERE t_next IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the hypertable/metrics staple that plain avg
+    gets wrong under irregular sampling: each observation holds until the
+    next one, so it weighs by its holding interval (value·Δt / Σ Δt over
+    the (ts, event_id) total order; the final open interval is dropped in
+    both engines). Timestamps in EXACT integer microseconds — a seconds
+    cast diverges cross-engine on fractional seconds (Spark floors,
+    DuckDB's epoch rounds). One user_id shuffle shared by the lead window
+    and the agg. Rounded at 6 dp in both engines (sum-order ulp drift —
+    same convention as q_agg_avg)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    obs = e.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return obs.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twa"),
+        F.sum(dt).alias("span_us"),
+        F.count("*").alias("n_obs"),
+    )
