@@ -16,6 +16,7 @@ Two surfaces come out of here:
 from . import (  # noqa: F401
     aggregations,
     analytics,
+    corpus_lm,
     elementwise,
     event_time,
     flagship,

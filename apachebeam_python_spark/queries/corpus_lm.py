@@ -1,0 +1,298 @@
+"""Corpus-level language-model statistics (SURVEY.md §2.11 extensions — the
+CCNet/Gopher-style curation tier a pretraining pipeline runs between raw
+ingest and tokenization): unigram-LM perplexity-proxy scoring, vocabulary
+build with OOV coverage, PMI collocation mining, inverted-index postings,
+and per-domain quota capping.
+
+All five are pure DataFrame compositions (no Python in the hot path); each
+oracle replays the identical arithmetic in DuckDB. Shared shape: one explode
+of ``documents.text`` into tokens, then token-keyed aggregations whose
+results are small enough to broadcast back against the exploded stream —
+the classic "corpus statistics are tiny relative to the corpus" asymmetry
+that makes these cheap at 100 TB (Heaps' law: a 10¹¹-token corpus has a
+~10⁸-type vocabulary; after min-count pruning it broadcasts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..session import table
+from ._registry import register
+
+
+@register(
+    "q_unigram_lm_score",
+    driver=False,  # §2.11 curation extension — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM cnt
+), scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT)                 AS n_tokens,
+         round(avg(-ln((c + 1.0) / (n + v))), 6)  AS nll
+  FROM tok JOIN cnt USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, nll,
+       CAST(ntile(4) OVER (ORDER BY nll, doc_id) AS INT) AS ppl_band
+FROM scored
+""",
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (CCNet-style quality scoring): train an
+    add-one-smoothed unigram model ON the corpus, score each document by its
+    mean token negative-log-likelihood, and band documents into perplexity
+    quartiles (band 1 = most predictable). The real CCNet uses a wiki-trained
+    KenLM; the *pipeline shape* is identical — model table built once, scored
+    in one pass.
+
+    Scale: the vocab count is one token-keyed shuffle; the (n, v) total is a
+    1-row broadcast; scoring re-joins the exploded stream against the vocab —
+    broadcast here (fixture vocab ≪ 8 GB), an equi-join on ``w`` for a
+    10⁸-type corpus (prune with ``HAVING c >= 2`` + an OOV bucket first).
+    The quartile band is a global ntile — at 100 TB replace with three
+    quantile cutpoints broadcast from ``approx_percentile`` (same swap as
+    q_quality_filter). Rounded at 6 dp in both engines (sum-order drift);
+    band ordered by (rounded nll, doc_id) so ties are engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    nll = -F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v")))
+    scored = (
+        tok.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("nll"),
+        )
+    )
+    band = F.ntile(4).over(Window.orderBy("nll", "doc_id"))
+    return scored.select("doc_id", "n_tokens", "nll", band.alias("ppl_band"))
+
+
+@register(
+    "q_vocab_coverage",
+    driver=False,  # §2.11 curation extension — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY w
+    ORDER BY c DESC, w LIMIT 500
+  )
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                          AS total_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS oov_tokens,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6)              AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY source
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + OOV coverage: take the top-500 corpus tokens by
+    frequency (the fixed-size vocabulary a tokenizer trainer would freeze)
+    and report, per source, what fraction of its token stream falls outside
+    it — the coverage curve that decides vocab size before a BPE train.
+
+    Scale: the vocab is ORDER BY count LIMIT V → TakeOrderedAndProject
+    (per-partition partial top-V before a single-partition merge of V-row
+    partials, never a global sort of the vocab) and is broadcast back as the
+    probe side; per-source coverage is one partial+final agg on ~sources
+    rows. Ties at the V boundary break by token text in both engines."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(500)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    oov = F.when(F.col("in_v").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(oov).alias("oov_tokens"),
+            F.round(F.sum(oov) / F.count("*").cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "q_pmi_collocations",
+    driver=False,  # §2.11 curation extension — pytest oracle
+    oracle="""
+WITH docs AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), ug AS (
+  SELECT unnest(ws) AS w FROM docs
+), c1 AS (
+  SELECT w, count(*) AS c FROM ug GROUP BY w
+), n1 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM c1
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM docs
+), n2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+), c2 AS (
+  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         count(*) AS pair_n
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT w1, w2, pair_n,
+       round(ln((pair_n / n2.n) / ((cx.c / n1.n) * (cy.c / n1.n))), 6) AS pmi
+FROM c2
+JOIN c1 cx ON c2.w1 = cx.w
+JOIN c1 cy ON c2.w2 = cy.w
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: the top-50 adjacent word pairs whose joint
+    frequency most exceeds independence — ln(p(xy) / (p(x)·p(y))) over
+    bigram/unigram counts, min pair support 5. The phrase-detection pass
+    (word2vec-style) a tokenizer or glossary builder runs over a corpus.
+
+    Scale: bigrams come from the same in-row ``transform(sequence(...))``
+    as shingles (zero shuffle to build); the bigram count is one shuffle on
+    the pair key; unigram counts broadcast twice onto the support-pruned
+    pair table (prune FIRST — the ≥5 filter drops the long tail before any
+    join); totals are 1-row broadcasts; the final top-50 is
+    TakeOrderedAndProject. Ordered by (rounded pmi, w1, w2) so the 50-row
+    cut is engine-stable."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(T.tokens(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    ug = docs.select(F.explode("ws").alias("w"))
+    c1 = ug.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = c1.agg(F.sum("c").alias("n1"))
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("w1"),
+            F.element_at(F.col("ws"), i + 1).alias("w2"),
+        ),
+    )
+    bg = docs.select(F.explode(pair).alias("b")).select("b.w1", "b.w2")
+    n2 = bg.agg(F.count("*").alias("n2"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 5)
+    )
+    cx = c1.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    cy = c1.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    pmi = F.log(
+        (F.col("pair_n") / F.col("n2"))
+        / ((F.col("cx") / F.col("n1")) * (F.col("cy") / F.col("n1")))
+    )
+    return (
+        c2.join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "pair_n", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@register(
+    "q_inverted_index",
+    driver=False,  # §2.11 retrieval extension — pytest oracle
+    oracle="""
+WITH p AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), inv AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         list(doc_id ORDER BY doc_id) AS ids
+  FROM p GROUP BY w
+)
+SELECT w, df, array_to_string(ids[1:20], ',') AS postings
+FROM inv WHERE df BETWEEN 5 AND 40
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists: token → sorted doc-id list + document
+    frequency, kept to the discriminative band (5 ≤ df ≤ 40 — stopword-like
+    tokens excluded, hapaxes excluded), postings truncated to the first 20
+    ids. The materialization step behind q_bm25's scoring joins — at scale
+    this is what you'd persist, bucketed by token, as the retrieval index.
+
+    Scale: per-doc ``array_distinct`` happens in-row before the explode (one
+    (doc, token) pair per distinct token, not per occurrence); one shuffle on
+    the token key builds df + postings together; the df band filter drops
+    the head (stopwords' giant lists) and the tail in the same pass. The
+    serialized-postings cap bounds output row width — full postings at 100 TB
+    are written as bucketed (token, id-chunk) rows instead (chunk = 10⁴ ids),
+    keeping every row group-limit-friendly. Postings sorted in both engines
+    so the serialized string is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("w"),
+    )
+    inv = p.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("ids"),
+    )
+    return inv.filter((F.col("df") >= 5) & (F.col("df") <= 40)).select(
+        "w",
+        "df",
+        F.array_join(F.slice("ids", 1, 20), ",").alias("postings"),
+    )
+
+
+@register(
+    "q_domain_cap",
+    driver=False,  # §2.11 curation extension — pytest oracle
+    oracle="""
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+  FROM documents
+) WHERE rk <= 100
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep at most 100 documents per source,
+    preferring longer documents (n_chars DESC, doc_id tiebreak) — the
+    anti-domination guard a web-corpus mixture applies so no single domain
+    floods the training set (the per-key sibling of q_mixture_resample's
+    global ratios).
+
+    Scale: rank-within-key ≤ k plans as WindowGroupLimit — each map task
+    keeps only its local top-k per key BEFORE the shuffle (same asserted
+    plan shape as q_topk_per_key, tests/test_plans.py), so the exchange
+    carries O(domains × k), not the corpus. Skewed domains are exactly the
+    point: the pre-shuffle limit bounds the hot key's traffic too."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+    )
