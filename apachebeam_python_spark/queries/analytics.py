@@ -634,3 +634,217 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dt).alias("span_us"),
         F.count("*").alias("n_obs"),
     )
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    """Unrolled power-iteration oracle: one CTE pair per round, identical
+    arithmetic (double teleport = 1.0 - damping, 1e-9 per-round rounding)."""
+    head = """
+WITH e AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), en AS MATERIALIZED (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e
+), nodes AS MATERIALIZED (
+  SELECT n_nationkey AS node FROM nation
+), nn AS MATERIALIZED (
+  SELECT count(*) AS n FROM nodes
+), r0 AS MATERIALIZED (
+  SELECT node, 1.0::DOUBLE / n AS r FROM nodes CROSS JOIN nn
+)"""
+    d = f"{damping}::DOUBLE"
+    iters = "".join(
+        f""", c{i} AS MATERIALIZED (
+  SELECT dst, sum(r * p) AS con FROM en JOIN r{i - 1} ON src = node GROUP BY dst
+), d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r), 0.0) AS dm FROM r{i - 1}
+  WHERE node NOT IN (SELECT DISTINCT src FROM en)
+), r{i} AS MATERIALIZED (
+  SELECT node, round((1.0::DOUBLE - {d}) / n
+                     + {d} * (coalesce(con, 0.0) + dm / n), 9) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} ON node = dst
+)"""
+        for i in range(1, iterations + 1)
+    )
+    tail = f"""
+SELECT n_name AS nation, round(r, 6) AS pagerank
+FROM r{iterations} JOIN nation ON node = n_nationkey
+"""
+    return head + iters + tail
+
+
+@register(
+    "q_pagerank",
+    driver=False,  # §2.9 iterative-algorithm extension — pytest oracle
+    oracle=_pagerank_oracle(),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (supplier nation → customer
+    nation, edge weight = lineitem count): the damped weighted power
+    iteration — the second bounded-iteration graph algorithm next to
+    q_dedup_clusters' label propagation (SURVEY §2.9 batch loops). Oracle:
+    the same 10 rounds unrolled as a CTE chain, byte-identical arithmetic
+    (per-round 1e-9 rounding swallows double-sum order drift — see
+    operators/graph.py for the determinism contract).
+
+    Scale: the edge build is the star join (broadcast dims onto lineitem);
+    per round, edges stay put (bucket by src at 100 TB → exchange-free
+    iteration), the rank vector broadcasts (co-bucket instead when it
+    outgrows the broadcast threshold), lineage is checkpoint-cut. Fixed
+    iteration count (not convergence) so the oracle can unroll it."""
+    from ..operators.graph import pagerank as _pr
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = _pr(edges, nodes, damping=0.85, iterations=10)
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(
+        F.broadcast(nat), F.col("node") == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))
+
+
+@register(
+    "q_mad_outliers",
+    driver=False,  # §2.3 robust-statistics extension — pytest oracle
+    oracle="""
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(value - med) AS adev, med
+  FROM e JOIN med USING (event_type)
+), st AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+            AS BIGINT)          AS n_outliers,
+       round(any_value(med), 6) AS med,
+       round(any_value(mad), 6) AS mad
+FROM dev d JOIN st USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median/MAD (median absolute
+    deviation) with the 1.4826 normal-consistency factor, flagging values
+    beyond 3 robust sigmas — the data-quality sibling of q_grouped_map_zscore
+    that a heavy-tailed metric stream needs (mean/stddev are themselves
+    dragged by the outliers they're meant to find).
+
+    Parity: Spark ``percentile`` ≡ DuckDB ``quantile_cont`` (exact linear
+    interpolation, no summation → no float drift; q_agg_stats precedent),
+    so the UNROUNDED medians agree and the strict-> outlier count is
+    engine-stable. Scale: two keyed percentile passes + a counting pass,
+    all on the event_type key; the medians table is a tiny broadcast. Exact
+    per-group percentiles need the group multiset — swap
+    ``approx_percentile`` in at 100 TB (the anchor/sketch pairing of
+    q_agg_stats / q_approx_sample)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    st = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    is_out = F.when(
+        F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        dev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(is_out).alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@register(
+    "q_winsorize",
+    driver=False,  # §2.3 robust-statistics extension — pytest oracle
+    oracle="""
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT)                             AS n,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+            AS BIGINT)                                      AS n_clipped,
+       round(avg(value), 6)                                 AS raw_mean,
+       round(avg(greatest(lo, least(hi, value))), 6)        AS wins_mean,
+       round(any_value(lo), 6)                              AS p05,
+       round(any_value(hi), 6)                              AS p95
+FROM e JOIN q USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event type: clamp values to the [p05, p95] band
+    and compare the clipped mean to the raw one — the standard tail-taming
+    transform before averaging a heavy-tailed metric (the transform sibling
+    of q_mad_outliers' census; same anchor/sketch percentile story).
+
+    Scale: one percentile pass builds a per-key (lo, hi) table — tiny,
+    broadcast back — then a single partial+final agg computes raw and
+    clipped means together; the clamp is a codegen ``greatest/least``, no
+    second shuffle. Strict <,> boundary comparisons use the UNROUNDED
+    interpolated percentiles, which agree cross-engine (no summation)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    n_clip = F.when(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(n_clip).alias("n_clipped"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("wins_mean"),
+            F.round(F.first("lo"), 6).alias("p05"),
+            F.round(F.first("hi"), 6).alias("p95"),
+        )
+    )
