@@ -347,3 +347,84 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("active_secs"), 4).alias("max_active_secs"),
         F.round(F.avg("n_events"), 6).alias("avg_events"),
     )
+
+
+@register(
+    "q_rollup_cascade",
+    driver=False,  # §2.8 hierarchical-rollup extension — pytest oracle
+    oracle="""
+SELECT 'hour' AS grain,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       event_type,
+       count(*)                                  AS n_events,
+       CAST(count(value) AS BIGINT)              AS n_values,
+       round(sum(value), 4)                      AS sum_value,
+       round(sum(value) / count(value), 8)       AS avg_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)  AS bucket,
+       event_type,
+       count(*)                                  AS n_events,
+       CAST(count(value) AS BIGINT)              AS n_values,
+       round(sum(value), 4)                      AS sum_value,
+       round(sum(value) / count(value), 8)       AS avg_value
+FROM events GROUP BY 2, 3
+""",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    cascade): minute partials from raw events, hours FROM the minute table,
+    days FROM the hour table — each coarser grain re-aggregates the previous
+    one's mergeable partials (count/sum), never the raw stream, and the avg
+    is derived sum/count at read time (an avg-of-avgs would be wrong; keep
+    partials algebraic). Oracle computes each grain directly from raw events
+    — associativity makes cascade ≡ direct, which is exactly the property
+    the pattern relies on.
+
+    Scale: this is THE way repeated dashboards over 100 TB of events stay
+    cheap — the minute partial table is O(keys × minutes) ≪ raw, each level
+    reads the previous level only, and all levels share the event_type key
+    so the cascade re-partitions tiny inputs. Sum rounded at 4 dp; avg at
+    8 dp, deliberately BEYOND the exact decimal width — 2-decimal fixture
+    values divided by power-of-two bucket counts land exactly ON 6 dp half
+    boundaries where the engines' double rounding disagrees, while every
+    exact ≤8-digit decimal sits 5e-9 from an 8 dp boundary (≫ 1e-13 sum
+    drift), so 8 dp is the boundary-safe depth."""
+    e = table(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count("value").alias("n_values"),
+        F.sum("value").alias("sum_value"),
+    )
+
+    def _up(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, F.col("bucket")).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+
+    hour = _up(minute, "hour")
+    day = _up(hour, "day")
+
+    def _fin(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n_events",
+            "n_values",
+            F.round("sum_value", 4).alias("sum_value"),
+            F.round(F.col("sum_value") / F.col("n_values"), 8).alias(
+                "avg_value"
+            ),
+        )
+
+    return _fin(hour, "hour").unionByName(_fin(day, "day"))

@@ -71,11 +71,15 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
 def get_spark(app_name: str = "apachebeam_python_spark") -> SparkSession:
     """Build a local session (tests / bench). The driver supplies its own."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # pre-size the heap (-Xms = -Xmx): heap-growth full GCs under 32 threads
+    # showed up as multi-second random per-query spikes in bench runs
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/root/repo/.tmp/warehouse")
         .getOrCreate()
