@@ -296,3 +296,98 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 100)
     )
+
+
+@register(
+    "q_sparse_cosine",
+    driver=False,  # §2.11 sparse-similarity extension — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), dft AS (
+  SELECT w, count(*) AS df FROM tok GROUP BY w
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), wt AS (
+  SELECT doc_id, t.w, tf * ln(n / df) AS wgt
+  FROM tok t JOIN dft USING (w) CROSS JOIN nd
+  WHERE df <= 40
+), nrm AS (
+  SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM wt GROUP BY doc_id
+), pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.wgt * b.wgt) AS dot, count(*) AS n_shared
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM pair
+JOIN nrm na ON doc_a = na.doc_id
+JOIN nrm nb ON doc_b = nb.doc_id
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+""",
+)
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity: document pairs scored by cosine in
+    TOKEN space (tf·idf weights over the shared-token inverted index), kept
+    at cos ≥ 0.3 — the sparse-vector sibling of q_dedup_embedding's dense
+    cosine and the scoring engine behind "more like this" retrieval.
+
+    Scale: the pair space is NOT all-pairs — pairs exist only through
+    shared tokens, and the df ≤ 40 prune (the same discriminative band as
+    q_inverted_index) bounds per-token fan-out at C(40,2), making total
+    work Σ_tokens df² — the standard prune that turns sparse similarity
+    from O(n²) into index-join shaped. The weighted-postings table is the
+    persist/bucket-by-token artifact at 100 TB (three consumers: norms and
+    both join sides — here recomputed, tiny). Thresholding happens on the
+    ROUNDED cosine in both engines so the boundary row set is identical;
+    ln-input doubles are engine-identical integer ratios so the 6 dp round
+    swallows any libm ulp."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tok.groupBy("w").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n"))
+    wt = (
+        tok.join(F.broadcast(dft), "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= 40)
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wgt"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wgt") * F.col("wgt"))).alias("nrm")
+    )
+    a = wt.select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("wgt").alias("wa")
+    )
+    b = wt.select(
+        F.col("doc_id").alias("doc_b"), "w", F.col("wgt").alias("wb")
+    )
+    pair = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pair.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
