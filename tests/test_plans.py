@@ -159,3 +159,40 @@ def test_bm25_topk_take_ordered(spark, sf_dir):
     plan = P.executed_plan(q.QUERIES["q_bm25"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_r3_corpus_lm_plan_shapes(spark, sf_dir):
+    """Round-3 corpus-statistics family: the scale properties their
+    docstrings claim must be visible in the physical plan."""
+    # domain cap: rank-within-key <= k keeps the pre-shuffle partial limit
+    assert P.has(q.QUERIES["q_domain_cap"](spark, sf_dir), "WindowGroupLimit")
+    # vocab build: top-V is TakeOrdered, never a global sort
+    df = q.QUERIES["q_vocab_coverage"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # corpus statistics broadcast back against the exploded token stream
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_r3_sparse_cosine_broadcast_norms(spark, sf_dir):
+    """Sparse cosine: norm/total tables broadcast; the only real shuffles
+    are the token-keyed aggregations and the pair aggregation."""
+    df = q.QUERIES["q_sparse_cosine"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_r3_rollup_cascade_reuses_partials(spark, sf_dir):
+    """The cascade's day level must aggregate the hour level, not re-scan
+    raw events: exactly one scan of the events parquet feeds all grains."""
+    df = q.QUERIES["q_rollup_cascade"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("Scan parquet") <= 2, plan  # one per union branch max
+
+
+def test_r3_mad_winsorize_broadcast_thresholds(spark, sf_dir):
+    """Robust stats: percentile threshold tables join back via broadcast —
+    the big event stream must never shuffle for the join."""
+    for name in ["q_mad_outliers", "q_winsorize"]:
+        df = q.QUERIES[name](spark, sf_dir)
+        assert P.has(df, "BroadcastHashJoin"), name
