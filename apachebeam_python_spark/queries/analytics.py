@@ -848,3 +848,149 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("hi"), 6).alias("p95"),
         )
     )
+
+
+@register(
+    "q_assoc_rules",
+    driver=False,  # §2.3 market-basket extension — pytest oracle
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT count(DISTINCT oid) AS n FROM b
+), ni AS (
+  SELECT item, count(*) AS n_i FROM b GROUP BY item
+), pr AS (
+  SELECT a.item AS ante, c.item AS cons, count(*) AS n_ab
+  FROM b a JOIN b c ON a.oid = c.oid AND a.item <> c.item
+  GROUP BY 1, 2 HAVING count(*) >= 50
+)
+SELECT ante, cons, n_ab,
+       round(n_ab / nb.n, 6)                    AS support,
+       round(n_ab / na.n_i, 6)                  AS confidence,
+       round((n_ab * nb.n) / (na.n_i * nc.n_i), 6) AS lift
+FROM pr
+JOIN ni na ON ante = na.item
+JOIN ni nc ON cons = nc.item
+CROSS JOIN nb
+""",
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market-basket): brand pairs co-purchased in
+    the same order, with support / confidence / lift — the FPGrowth-style
+    census over (basket = order, item = part brand), rules kept at pair
+    support ≥ 50. All three measures are exact integer ratios evaluated in
+    double, so cross-engine values are identical before the 6 dp round.
+
+    Scale: pair expansion joins the basket table to ITSELF ON THE BASKET
+    KEY — fan-out is Σ basket_size², bounded by real-world basket width,
+    never items²; hot items don't skew the join because the key is the
+    basket id. Item counts and the basket total are tiny broadcasts onto
+    the support-pruned pair table (prune FIRST via HAVING). The distinct
+    pass, pair count, and final joins share one shuffle each — at 100 TB
+    the basket table is the thing to bucket by oid."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = b.select("oid").distinct().agg(F.count("*").alias("n"))
+    ni = b.groupBy("item").agg(F.count("*").alias("n_i"))
+    a = b.select("oid", F.col("item").alias("ante"))
+    c = b.select("oid", F.col("item").alias("cons"))
+    pr = (
+        a.join(c, "oid")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    na = ni.select(F.col("item").alias("ante"), F.col("n_i").alias("n_a"))
+    nc = ni.select(F.col("item").alias("cons"), F.col("n_i").alias("n_c"))
+    return (
+        pr.join(F.broadcast(na), "ante")
+        .join(F.broadcast(nc), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n")) / (F.col("n_a") * F.col("n_c")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_triangles",
+    driver=False,  # §2.9 graph extension — pytest oracle
+    oracle="""
+WITH pairs AS (
+  SELECT a.item AS u, c.item AS v, count(*) AS n_ab
+  FROM (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey) a
+  JOIN (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey) c
+    ON a.oid = c.oid AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 80
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node, triangles FROM pernode
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the brand co-purchase graph (edge =
+    brands co-occurring in ≥ 80 orders — the thresholded pair table from
+    q_assoc_rules' family): the clustering-coefficient numerator, third
+    member of the graph family next to q_pagerank and q_dedup_clusters.
+
+    The canonical a<b<c orientation counts each triangle exactly once; the
+    per-node census explodes each triangle to its three corners. Scale:
+    triangle enumeration is two equi-joins on the ORIENTED edge table —
+    orientation (here by id; by degree at scale, low→high) is what bounds
+    the join fan-out, since every wedge is generated only at its smallest
+    corner; edges partition by join key each hop. The co-occurrence edge
+    build reuses the basket self-join shape (fan-out Σ basket²)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    u = b.select("oid", F.col("item").alias("u"))
+    v = b.select("oid", F.col("item").alias("v"))
+    edges = (
+        u.join(v, "oid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 80)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
