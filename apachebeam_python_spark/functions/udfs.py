@@ -82,3 +82,29 @@ def nation_balance_recon(key, cust: pd.DataFrame, supp: pd.DataFrame) -> pd.Data
             ),
         }]
     )
+
+
+@cache
+def compression_ratio():
+    """Scalar vectorized UDF: zlib-compressed length / raw byte length —
+    the compression-ratio quality heuristic (RefinedWeb/DCLM style: highly
+    repetitive text compresses far below normal prose; near-random noise
+    doesn't compress at all). zlib level pinned to 6 so the output is a
+    deterministic function of the bytes — the pytest oracle replays the
+    identical call. Arrow-batched: one Python hop per batch; at 100 TB this
+    is the same narrow-projection cost profile as any scalar UDF."""
+    import zlib
+
+    @pandas_udf("double")
+    def _compression_ratio(text: pd.Series) -> pd.Series:
+        def ratio(s):
+            if s is None:
+                return 0.0
+            raw = s.encode("utf-8")
+            if not raw:
+                return 0.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return text.map(ratio)
+
+    return _compression_ratio

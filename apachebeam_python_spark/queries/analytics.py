@@ -994,3 +994,63 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+@register(
+    "q_trending_terms",
+    driver=False,  # §2.3 trend-detection extension — pytest oracle
+    oracle="""
+WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS term,
+         (ts >= TIMESTAMP '2024-01-24 00:00:00') AS recent
+  FROM events WHERE props IS NOT NULL
+), per AS (
+  SELECT term,
+         CAST(sum(CASE WHEN recent THEN 1 ELSE 0 END) AS BIGINT)     AS n_recent,
+         CAST(sum(CASE WHEN NOT recent THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+  FROM k GROUP BY term
+), tot AS (
+  SELECT CAST(sum(n_recent) AS BIGINT) AS t_recent,
+         CAST(sum(n_base) AS BIGINT)   AS t_base,
+         count(*)                      AS v
+  FROM per
+)
+SELECT term, n_recent, n_base,
+       round(((n_recent + 1.0) / (t_recent + v))
+           / ((n_base + 1.0) / (t_base + v)), 6) AS lift
+FROM per CROSS JOIN tot
+""",
+)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection: per-term frequency lift of the trailing week
+    (ts ≥ Jan 24) against the preceding baseline, add-one smoothed — the
+    burst-detection census behind "trending now" surfaces, over the JSON
+    ``props.k`` term stream (same extraction as q_json_extract).
+
+    Scale: one pass builds per-term split counts (single term-keyed
+    shuffle, partial+final CASE sums fused into the scan); the totals are
+    a 1-row broadcast; lift is exact integer arithmetic in double. In
+    production the cutoff is a parameter — pinned literal here so both
+    engines split identically."""
+    e = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    term = F.get_json_object("props", "$.k").cast("long")
+    recent = F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    per = e.select(term.alias("term"), recent.alias("recent")).groupBy(
+        "term"
+    ).agg(
+        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_recent"),
+        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_base"),
+    )
+    tot = per.agg(
+        F.sum("n_recent").alias("t_recent"),
+        F.sum("n_base").alias("t_base"),
+        F.count("*").alias("v"),
+    )
+    lift = F.round(
+        ((F.col("n_recent") + F.lit(1.0)) / (F.col("t_recent") + F.col("v")))
+        / ((F.col("n_base") + F.lit(1.0)) / (F.col("t_base") + F.col("v"))),
+        6,
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "term", "n_recent", "n_base", lift.alias("lift")
+    )

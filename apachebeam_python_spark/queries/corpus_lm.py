@@ -391,3 +391,87 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+@register(
+    "q_compress_ratio",
+    driver=False,
+    oracle=None,  # zlib isn't expressible in DuckDB SQL — exact Python
+    # replay pytest instead (tests/test_properties.py), same pattern as
+    # q_weighted_sample's rows-only proof
+)
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality scoring: zlib(level 6) compressed size
+    over raw size per document, banded into low-entropy (boilerplate /
+    repetition, ratio < 0.35), normal, and high-entropy (noise-like,
+    ratio > 0.9) — the cheap single-signal filter real web-corpus
+    curation runs before any model-based scorer.
+
+    Scale: a narrow Arrow-batched projection (functions.udfs
+    ``compression_ratio``) plus a codegen band CASE — no shuffle at all;
+    the rows-only registration is because zlib has no SQL form, and the
+    pytest proof replays the identical zlib call on the same fixture
+    bytes (exact equality, not tolerance)."""
+    from ..functions import udfs as U
+
+    d = table(spark, sf_dir, "documents")
+    r = F.round(U.compression_ratio()(F.col("text")), 6)
+    band = (
+        F.when(F.col("ratio") < 0.35, "low_entropy")
+        .when(F.col("ratio") > 0.9, "high_entropy")
+        .otherwise("normal")
+    )
+    return d.select(
+        "doc_id", "n_chars", r.alias("ratio")
+    ).withColumn("band", band)
+
+
+@register(
+    "q_zipf_diag",
+    driver=False,  # §2.11 corpus-diagnostics extension — pytest oracle
+    oracle="""
+WITH cnt AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w ORDER BY c DESC, w LIMIT 200
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM cnt
+)
+SELECT CAST(count(*) AS BIGINT)                    AS n_types,
+       round(regr_slope(ln(c), ln(rk)), 6)         AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rk)), 6)     AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rk)), 6)            AS fit_r2
+FROM ranked
+""",
+)
+def q_zipf_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope of ln(count) vs
+    ln(rank) over the top-200 vocabulary — natural corpora fit slope ≈ −1;
+    a synthetic or template-heavy corpus shows up immediately as a flat or
+    kinked curve. The one-row corpus health check next to
+    q_mixture_diagnostics' entropy.
+
+    Scale: top-200 via TakeOrderedAndProject (partial top-V per partition),
+    then the regression runs on 200 rows — the rank window and regr_*
+    accumulators are driver-trivial at any corpus size. Both engines use
+    the same (count desc, word) total order for ranks; regr sums over 200
+    values drift ~1e-13, swallowed by the 6 dp round."""
+    d = table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(200)
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("rk"),
+    )
+    lc, lr = F.log("c"), F.log("rk")
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+    )

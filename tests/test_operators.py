@@ -297,3 +297,42 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         heavy += len([i for i in picked if i < 20])
     # 20 heavy rows carry 200/380 ≈ 53% of the mass but are only 10% of rows
     assert heavy >= 60, f"heavy rows picked only {heavy}/200 times"
+
+
+def test_compress_ratio_exact_zlib_replay(spark, sf_dir):
+    """q_compress_ratio has no SQL oracle (zlib) — its proof is an EXACT
+    replay: the same zlib level-6 call on the same fixture bytes must give
+    identical rounded ratios and bands for every document."""
+    import zlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from apachebeam_python_spark import queries as q
+
+    got = {
+        r["doc_id"]: (r["ratio"], r["band"])
+        for r in q.QUERIES["q_compress_ratio"](spark, sf_dir).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(rows)
+
+    def round_half_up(v: float) -> float:
+        # Spark's round() on doubles is BigDecimal HALF_UP over the shortest
+        # decimal repr; Python's built-in round() is half-even — replaying
+        # with the wrong mode fails on exact boundaries (93/128 = 0.7265625)
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        ratio = round_half_up(len(zlib.compress(raw, 6)) / len(raw)) if raw else 0.0
+        band = (
+            "low_entropy"
+            if ratio < 0.35
+            else ("high_entropy" if ratio > 0.9 else "normal")
+        )
+        assert got[doc_id] == (ratio, band), (doc_id, got[doc_id], ratio, band)
+    # the fixture word-soup corpus must actually exercise the scorer
+    assert any(v[0] > 0 for v in got.values())
