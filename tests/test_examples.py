@@ -37,3 +37,7 @@ def test_lake_maintenance_example(spark, sf_dir):
 
 def test_product_analytics_example(spark, sf_dir):
     _run("product_analytics", sf_dir)
+
+
+def test_corpus_diagnostics_example(spark, sf_dir):
+    _run("corpus_diagnostics", sf_dir)
