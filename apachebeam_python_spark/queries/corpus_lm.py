@@ -475,3 +475,74 @@ def q_zipf_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
     )
+
+
+@register(
+    "q_quantile_normalize",
+    driver=False,  # §2.11 cross-source calibration — pytest oracle
+    oracle="""
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS INT) AS rk_s,
+         count(*) OVER (PARTITION BY source)                       AS n_s
+  FROM documents
+), gcdf AS (
+  SELECT n_chars AS calib,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk_g
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT doc_id, source, n_chars, rk_s, calib
+FROM (
+  SELECT *, greatest(1, CAST(floor(((rk_s - 0.5) / n_s) * n + 0.5)
+                             AS BIGINT)) AS j
+  FROM src CROSS JOIN tot
+) probe JOIN gcdf ON probe.j = gcdf.rk_g
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: replace each document's score
+    (n_chars as the stand-in) with the GLOBAL value at the same within-
+    source rank fraction — the calibration step that makes one threshold
+    comparable across sources whose raw score distributions differ (a
+    quality gate tuned on one crawl would otherwise over/under-prune the
+    others).
+
+    The CDF probe is CLOSED FORM, not a join search: the global plotting
+    position g_j = (j−0.5)/N satisfies g_j ≤ f exactly when
+    j ≤ f·N + 0.5, so the matched index is floor(f·N + 0.5) — an
+    equi-join on row number, engine-identical because f and g are exact
+    integer-derived doubles. Scale: the global row_number is the exactness
+    anchor (single-partition sort of the SCORES, not the docs); at 100 TB
+    replace the `glob` table with a 1001-point `approx_percentile` grid
+    broadcast — the probe arithmetic is unchanged (same anchor/sketch
+    pairing as q_agg_stats)."""
+    d = table(spark, sf_dir, "documents")
+    w_s = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_s).alias("rk_s"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+    )
+    glob = d.select(
+        F.col("n_chars").alias("calib"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rk_g"),
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    j = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            ((F.col("rk_s") - F.lit(0.5)) / F.col("n_s")) * F.col("n")
+            + F.lit(0.5)
+        ),
+    )
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("j", j)
+        .join(glob, F.col("j") == F.col("rk_g"))
+        .select("doc_id", "source", "n_chars", "rk_s", "calib")
+    )
