@@ -5,6 +5,8 @@ backed by ``operators.dedup`` / ``operators.similarity`` /
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1618,4 +1620,113 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB feed it LSH candidates instead of the full gram join)."""
     return D.ngram_containment_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.6
+    )
+
+
+#: ideal DCG@10 for graded relevance 10..1 — embedded as the SAME literal in
+#: the Spark plan and the oracle so the engines agree bit-for-bit
+_IDCG10 = sum((11 - i) / math.log2(i + 1) for i in range(1, 11))
+
+
+@register(
+    "q_retrieval_eval",
+    driver=False,  # §2.11 evaluation tooling — pytest oracle
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM e
+), eq AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN list_transform(v, x -> floor(x / s + 0.5) * s)
+              ELSE v END AS v
+  FROM sc
+), exact AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                       c.vec_id) AS rank_a
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 40 = 0
+  ) WHERE rank_a <= 10
+), qtop AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                       c.vec_id) AS rank_b
+    FROM eq q JOIN eq c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id % 40 = 0
+  ) WHERE rank_b <= 10
+), j AS (
+  SELECT b.query_id, b.rank_b, a.rank_a
+  FROM qtop b LEFT JOIN exact a
+    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       round(sum(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6)
+         AS recall_at_10,
+       round(coalesce(max(CASE WHEN rank_a = 1 THEN 1.0 / rank_b END), 0.0), 6)
+         AS rr,
+       round(sum(CASE WHEN rank_a IS NOT NULL
+                      THEN (11 - rank_a) / log2(rank_b + 1.0) ELSE 0 END)
+             / {_IDCG10!r}, 6) AS ndcg_at_10
+FROM j GROUP BY query_id
+""",
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (recall@10 / reciprocal rank / nDCG@10):
+    how much does int8 quantization (q_embedding_quantize's transform) hurt
+    cosine retrieval, per query, against the exact ranking as ground truth —
+    the eval harness every ANN/quantization decision needs, as an engine
+    query rather than offline tooling. Graded relevance 11−rank_exact;
+    IDCG@10 embedded as the same double literal in both engines.
+
+    Scale: two broadcast-query top-k passes (same plan as q_cosine_topk —
+    corpus never shuffles, WindowGroupLimit rank) + a ranked-list join on
+    (query, neighbor) keys, O(queries × k) rows. Evaluating an ANN arm
+    instead of the quantized one is the same query with `qtop` swapped for
+    the index's candidates (rows-only then — LSH hashes aren't SQL)."""
+    e = table(spark, sf_dir, "embeddings")
+    eq = e.select(
+        "vec_id", V.quantize_scale(F.col("embedding")).alias("s"), "embedding"
+    ).select(
+        "vec_id",
+        F.when(
+            F.col("s") > 0,
+            V.dequantize(
+                V.quantize_int8(F.col("embedding"), F.col("s")), F.col("s")
+            ),
+        )
+        .otherwise(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .alias("embedding"),
+    )
+    exact = SIM.cosine_topk(
+        e, e.filter(F.col("vec_id") % 40 == 0), "embedding", "vec_id", k=10
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    qtop = SIM.cosine_topk(
+        eq, eq.filter(F.col("vec_id") % 40 == 0), "embedding", "vec_id", k=10
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    j = qtop.join(exact, ["query_id", "neighbor_id"], "left")
+    hit = F.col("rank_a").isNotNull()
+    dcg = F.sum(
+        F.when(
+            hit, (F.lit(11) - F.col("rank_a")) / F.log2(F.col("rank_b") + 1.0)
+        ).otherwise(F.lit(0.0))
+    )
+    return j.groupBy("query_id").agg(
+        F.round(
+            F.sum(F.when(hit, 1).otherwise(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("rank_a") == 1, 1.0 / F.col("rank_b"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+        F.round(dcg / F.lit(_IDCG10), 6).alias("ndcg_at_10"),
     )
