@@ -1054,3 +1054,109 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(tot)).select(
         "term", "n_recent", "n_base", lift.alias("lift")
     )
+
+
+@register(
+    "q_drift_psi",
+    driver=False,  # §2.3 snapshot-drift extension — pytest oracle
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS cur
+  FROM events WHERE value IS NOT NULL
+), edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ed
+  FROM e WHERE NOT cur GROUP BY event_type
+), bucketed AS (
+  SELECT e.event_type, cur,
+         len(list_filter(ed, x -> value > x)) AS b
+  FROM e JOIN edges ON e.event_type = edges.event_type
+), cnt AS (
+  SELECT event_type, b,
+         CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)     AS n_cur
+  FROM bucketed GROUP BY event_type, b
+), grid AS (
+  SELECT event_type, g.b, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM (SELECT DISTINCT event_type FROM e)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS b) g
+  LEFT JOIN cnt USING (event_type, b)
+), tot AS (
+  SELECT event_type,
+         CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM grid GROUP BY event_type
+)
+SELECT g.event_type, t_ref, t_cur,
+       round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                 * ln(((n_cur + 0.5) / (t_cur + 5.0))
+                      / ((n_ref + 0.5) / (t_ref + 5.0)))), 6) AS psi
+FROM grid g JOIN tot USING (event_type)
+GROUP BY g.event_type, t_ref, t_cur
+""",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between snapshots: decile edges learned
+    on the reference half (ts < Jan 16), both halves bucketed by them, and
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) per event type with +0.5
+    Laplace smoothing — the standard "did this feature's distribution
+    move" alarm (rule of thumb: > 0.2 = investigate) for any column a
+    model consumes.
+
+    Scale: the decile edges are per-key interpolated percentiles (exact
+    here, `approx_percentile` at 100 TB — the usual anchor/sketch swap)
+    broadcast as a 9-element array; bucketing is a codegen
+    `size(filter(...))` over that array — no join per edge, no shuffle
+    beyond the (key, bucket) count; the 10-bucket grid is materialized so
+    empty buckets still contribute their smoothed term identically in
+    both engines."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("cur"),
+        )
+    )
+    pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    edges = (
+        e.filter(~F.col("cur"))
+        .groupBy("event_type")
+        .agg(F.percentile("value", pcts).alias("ed"))
+    )
+    bucketed = e.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "cur",
+        F.size(F.filter(F.col("ed"), lambda x: F.col("value") > x)).alias("b"),
+    )
+    cnt = bucketed.groupBy("event_type", "b").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(
+            e.sparkSession.range(0, 10).select(F.col("id").alias("b"))
+        ))
+        .join(cnt, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "b",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    return (
+        grid.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "t_ref", "t_cur")
+        .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"))
+        .select("event_type", "t_ref", "t_cur", "psi")
+    )
