@@ -1730,3 +1730,66 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rr"),
         F.round(dcg / F.lit(_IDCG10), 6).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "q_video_pipeline",
+    driver=False,  # §2.11 multimodal video — pytest oracle
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 6 AS n,
+         8 + doc_id % 5 AS w,
+         6 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 4 = 0
+), frames AS (
+  SELECT doc_id, n, w, h, ff.f
+  FROM dims, unnest(range(0, n, 2)) ff(f)
+), px AS (
+  SELECT doc_id, n, w, h, f,
+         (doc_id + 37 * f + pp.p) % 256 AS v,
+         pp.p % 3 AS ch
+  FROM frames, unnest(range(h * w * 3)) pp(p)
+)
+SELECT doc_id,
+       CAST(any_value(n) AS INT)                      AS n_frames,
+       CAST(8 AS INT)                                 AS fps,
+       CAST(f AS INT)                                 AS frame_idx,
+       CAST(any_value(h) AS INT)                      AS height,
+       CAST(any_value(w) AS INT)                      AS width,
+       round(avg(CASE WHEN ch = 0 THEN v END), 4)     AS mean_r,
+       round(avg(CASE WHEN ch = 1 THEN v END), 4)     AS mean_g,
+       round(avg(CASE WHEN ch = 2 THEN v END), 4)     AS mean_b
+FROM px GROUP BY doc_id, f
+""",
+)
+def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline over the codec-free RAWV container: synthesize
+    deterministic multi-frame payloads (closed-form pixels), then
+    encode → decode → sample every 2nd frame → per-frame channel means,
+    entirely through the Arrow mapInPandas path (operators/multimodal:
+    ``synth_videos`` / ``frame_sample``). The oracle recomputes every
+    sampled frame's means arithmetically from the pixel formula — the
+    whole byte-level round trip is hash-checked, the same design that made
+    the image (RAWI/PPM/BMP) and audio (PCM WAV) paths real.
+
+    Scale: payload bytes ride the row through one fan-out + one Arrow
+    stage; the 1→N frame explode happens inside the batch (no Spark-side
+    explode of raw bytes); partition sizing budgets n_frames × frame bytes
+    per row (`arrow.maxRecordsPerBatch` low for long clips). Swapping
+    ``decode_rawv`` for an ffmpeg call changes one function, not the
+    plan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    vids = M.synth_videos(d, "doc_id")
+    sampled = M.frame_sample(vids, "payload", every_n=2, id_col="doc_id")
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "fps",
+        "frame_idx",
+        "height",
+        "width",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
