@@ -1160,3 +1160,95 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"))
         .select("event_type", "t_ref", "t_cur", "psi")
     )
+
+
+@register(
+    "q_clustering_coeff",
+    driver=False,  # §2.9 graph extension — pytest oracle
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.item AS u, c.item AS v
+  FROM b a JOIN b c ON a.oid = c.oid AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 80
+), und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY u
+), tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT e1.u AS node FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e2.v FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+  ) GROUP BY node
+)
+SELECT d.node, degree, coalesce(triangles, 0) AS triangles,
+       round(CASE WHEN degree >= 2
+                  THEN 2.0 * coalesce(triangles, 0) / (degree * (degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tri ON d.node = tri.node
+""",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2·triangles / (deg·(deg−1))
+    over the same thresholded brand co-purchase graph as q_triangles —
+    completing the graph family's neighborhood-density metric (nodes with
+    degree < 2 report 0). Exact integer inputs → the ratio is
+    engine-identical before the 6 dp round.
+
+    Scale: degree is one shuffle over the symmetrized edge list; triangle
+    counts reuse q_triangles' oriented two-hop join; the coefficient is a
+    broadcast-free left join of two per-node tables that are each
+    O(nodes)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    u = b.select("oid", F.col("item").alias("u"))
+    v = b.select("oid", F.col("item").alias("v"))
+    edges = (
+        u.join(v, "oid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 80)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri_abc = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri_abc.select(F.col("a").alias("node"))
+        .unionByName(tri_abc.select(F.col("b").alias("node")))
+        .unionByName(tri_abc.select(F.col("c").alias("node")))
+    )
+    tri = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    cc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.round(cc, 6).alias("clustering_coeff"),
+    )
