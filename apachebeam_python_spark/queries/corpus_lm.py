@@ -546,3 +546,122 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(glob, F.col("j") == F.col("rk_g"))
         .select("doc_id", "source", "n_chars", "rk_s", "calib")
     )
+
+
+def _bpe_oracle(steps: int = 5) -> str:
+    """Unrolled BPE-learn oracle: one (pair-count, best, merge) CTE trio per
+    round, MATERIALIZED so the self-referencing chain doesn't inline
+    exponentially (same technique as q_pagerank's oracle)."""
+    head = """
+WITH w AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq FROM w
+)"""
+    rounds = "".join(
+        f""", p{i} AS MATERIALIZED (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                                 j -> struct_pack(l := syms[j],
+                                                  r := syms[j + 1]))) AS pr
+    FROM (SELECT freq, string_split(trim(seq), ' ') AS syms FROM s{i - 1})
+    WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT freq, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' ') AS seq
+  FROM s{i - 1}, b{i} b
+)"""
+        for i in range(1, steps + 1)
+    )
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, l AS merge_l, r AS merge_r, c AS pair_freq FROM b{i}"
+        for i in range(1, steps + 1)
+    )
+    return head + rounds + "\n" + tail
+
+
+@register(
+    "q_bpe_learn",
+    driver=False,  # §2.11 tokenizer-training extension — pytest oracle
+    oracle=_bpe_oracle(),
+)
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning, first 5 merges: the classic
+    byte-pair-encoding trainer loop — count adjacent symbol pairs weighted
+    by word frequency, merge the most frequent pair corpus-wide, repeat —
+    run entirely as DataFrame rounds. Deterministic merge choice by
+    (count DESC, left, right); `replace` applies merges left-to-right
+    non-overlapping in both engines (the BPE convention). Oracle: the same
+    rounds unrolled as MATERIALIZED CTEs (q_pagerank's technique).
+
+    Scale: the state is the WORD-frequency table (Heaps-law small, not the
+    corpus — BPE trainers always run on the word census), so each round is
+    one pair-keyed partial/final agg + a TakeOrdered(1) + a broadcast-1-row
+    merge applied as a codegen string replace; `localCheckpoint` cuts the
+    per-round lineage exactly like connected_components / pagerank. Real
+    trainers run ~50k rounds of this same loop shape with an in-driver
+    heap for incremental pair-count maintenance — the distributed rounds
+    here are the out-of-core fallback when the word census itself doesn't
+    fit."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seqs = w.select(
+        "freq",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+        ).alias("seq"),
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, 6):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        pair = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda j: F.struct(
+                F.element_at(F.col("syms"), j).alias("l"),
+                F.element_at(F.col("syms"), j + 1).alias("r"),
+            ),
+        )
+        pc = (
+            seqs.select("freq", syms.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pc.orderBy(F.desc("c"), "l", "r").limit(1).localCheckpoint()
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("merge_l"),
+                F.col("r").alias("merge_r"),
+                F.col("c").alias("pair_freq"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("_l"), F.lit(" "), F.col("_r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
+        seqs = (
+            seqs.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("l").alias("_l"), F.col("r").alias("_r")
+                    )
+                )
+            )
+            .select("freq", F.replace(F.col("seq"), pat, rep).alias("seq"))
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
