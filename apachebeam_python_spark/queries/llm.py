@@ -1793,3 +1793,73 @@ def q_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+@register(
+    "q_sorted_neighborhood",
+    driver=False,  # §2.11 record-linkage, second blocking strategy — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+  FROM customer
+), nb AS (
+  SELECT a.c_custkey AS id_a, a.c_name AS name_a, a.rk AS rk_a,
+         b.c_custkey AS id_b, b.c_name AS name_b,
+         CAST(b.rk - a.rk AS INT) AS gap
+  FROM s a JOIN s b ON b.rk BETWEEN a.rk + 1 AND a.rk + 4
+)
+SELECT id_a, id_b, gap,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM nb WHERE levenshtein(name_a, name_b) <= 2
+""",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (the SECOND classic blocking
+    strategy next to q_fuzzy_match's key blocking): sort records by the
+    linkage key, compare each record only against its next 4 neighbors in
+    sort order, keep pairs within edit distance 2. Catches near-matches
+    that share a PREFIX even when the equi-block key differs — the two
+    strategies are complementary and real ER systems union their pairs.
+
+    The window pairing is an EQUI-join: each record explodes its 4
+    neighbor ranks (rank+1..rank+4) and joins on rank — no range/BNLJ.
+    Scale: the global row_number is the exactness anchor; the standard
+    parallel SNM swap is a range-partitioned sort with each partition
+    re-reading the w−1 boundary rows of its successor (overlap strips),
+    which preserves the exact neighbor set without a global window —
+    same anchor/production pairing as q_quantile_normalize."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from pyspark.sql import Window
+
+    s = c.select(
+        "c_custkey",
+        "c_name",
+        F.row_number().over(Window.orderBy("c_name", "c_custkey")).alias("rk"),
+    )
+    probe = s.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(
+            F.sequence(F.col("rk") + 1, F.col("rk") + 4)
+        ).alias("rk"),
+    )
+    nb = probe.join(
+        s.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("c_name").alias("name_b"),
+            "rk",
+        ),
+        "rk",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        nb.select(
+            "id_a",
+            "id_b",
+            (F.col("rk") - F.col("rk_a")).cast("int").alias("gap"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
