@@ -362,3 +362,81 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(agg, sink, output_mode="complete")
     return spark.table(sink)
+
+
+@register(
+    "q_stream_outer_join",
+    driver=False,  # §2.4/§2.9 stream-stream OUTER join — pytest oracle
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts AS l_ts, event_type AS l_type FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-30 22:30:00'
+), r AS (
+  SELECT user_id, ts AS r_ts, event_type AS r_type FROM events
+)
+SELECT l_type,
+       (r_type IS NOT NULL) AS matched,
+       CAST(count(*) AS BIGINT) AS n
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.r_ts > l.l_ts AND r.r_ts <= l.l_ts + INTERVAL 15 MINUTE
+GROUP BY l_type, matched
+""",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join BY THE STREAMING ENGINE:
+    post-purchase inactivity detection — each purchase left-joined to ANY
+    same-user follow-up event within 15 minutes; the outer form emits the
+    null-padded row only once the watermark proves no match can still
+    arrive (the semantics Beam users get from windowed CoGroupByKey with
+    empty groups). Stream ≡ batch oracle.
+
+    Two determinism constraints, both load-bearing:
+    - the left side is bounded away from the stream tail by more than
+      watermark + interval, so every retained row's fate is decided
+      before the availableNow drain ends (no-data micro-batches flush
+      the state);
+    - the right side is deliberately UNFILTERED: an event-type filter
+      gets pushed below the EventTimeWatermark node, so the right
+      watermark would track only the filtered subtype — with the default
+      min multiple-watermark policy the global watermark then stalls at
+      that subtype's last arrival (observed: sf0.001's last 'error' is
+      hours before the stream end, stranding 3 outer rows in state). In
+      production that stall is the CORRECT safety behavior; for a
+      deterministic drain the right stream must watermark on the full
+      feed — which is also the honest production shape for an
+      inactivity detector.
+    Scale: state per side is bounded by watermark + interval per user —
+    the time bound IS the buffer bound, same as the inner form."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_outer_join", sf_dir)
+    cut = F.lit("2024-01-30 22:30:00").cast("timestamp")
+    left = (
+        jobs.events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 minute")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") < cut))
+        .select("user_id", F.col("ts").alias("l_ts"), F.col("event_type").alias("l_type"))
+    )
+    right = (
+        jobs.events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_type").alias("r_type"),
+        )
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "leftOuter",
+    )
+    jobs.run_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("l_type", F.col("r_type").isNotNull().alias("matched"))
+        .agg(F.count("*").alias("n"))
+    )
