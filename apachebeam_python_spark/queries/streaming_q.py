@@ -440,3 +440,49 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_type", F.col("r_type").isNotNull().alias("matched"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_stream_threshold_alert",
+    driver=False,  # §2.9 emit-on-transition stateful shape — pytest oracle
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         sum(coalesce(value, 0.0)) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, ts AS alert_ts, round(cum, 6) AS cum_value,
+       CAST(rn AS BIGINT) AS n_seen
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rx
+  FROM o WHERE cum >= 1000.0
+) WHERE rx = 1
+""",
+)
+def q_stream_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user threshold-crossing alert BY THE STREAMING ENGINE
+    (streaming/stateful.threshold_alert_stream): one alert row at the
+    first event where the running value total reaches 1000 — the
+    emit-on-transition stateful pattern, third in the family after
+    emit-first dedup and emit-on-timeout sessions. Oracle: batch running
+    sum over the same (ts, event_id) total order, first crossing row —
+    stream ≡ batch because the sequential accumulation order is identical
+    (and the output total is rounded at 6 dp)."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_threshold_alert", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    jobs.run_to_memory(
+        stateful.threshold_alert_stream(s), name, output_mode="append"
+    )
+    return spark.table(name).select(
+        "user_id",
+        "alert_ts",
+        F.round("cum_value", 6).alias("cum_value"),
+        "n_seen",
+    )

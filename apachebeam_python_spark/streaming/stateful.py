@@ -61,3 +61,58 @@ def stateful_dedup_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def threshold_alert_stream(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """Stateful threshold-crossing alert (Beam ValueState accumulator DoFn):
+    per user, accumulate ``value`` in event-time order and emit EXACTLY ONE
+    alert row at the first event where the running total crosses
+    ``threshold`` — the emit-on-transition shape (fraud/quota/billing
+    alerts) that's distinct from dedup (emit-first) and sessionization
+    (emit-on-timeout).
+
+    State is two scalars per key (running total + alerted flag) — O(1),
+    the ideal state-store profile. Determinism contract: rows are sorted
+    by (ts, event_id) WITHIN each micro-batch before accumulating, so with
+    the fixture's single-file replay (one batch) the crossing point is the
+    batch-semantics answer exactly; across real unordered batches the
+    accumulation order is batch-arrival — production wants the
+    transformWithState event-time-timer form to reorder on watermark
+    (streaming/tws.py pattern)."""
+
+    def alert(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, done, seen_prior = (
+            state.get if state.exists else (0.0, False, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if not done and len(rows):
+            rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+            n = 0
+            for ts, v in zip(rows["ts"], rows["value"]):
+                if done:
+                    break
+                n += 1
+                total += 0.0 if pd.isna(v) else float(v)
+                if total >= threshold:
+                    done = True
+                    out.append((key[0], ts, total, seen_prior + n))
+        state.update((float(total), bool(done), int(seen_prior) + len(rows)))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "alert_ts", "cum_value", "n_seen"]
+            )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            alert,
+            outputStructType="user_id long, alert_ts timestamp, "
+            "cum_value double, n_seen long",
+            stateStructType="total double, done boolean, seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

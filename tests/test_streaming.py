@@ -431,3 +431,52 @@ def test_streaming_cdc_upsert_via_foreach_batch(spark, sf_dir):
     apply_cdc(upd_batch, 0)
     again = spark.read.parquet(path)
     assert {tuple(r) for r in again.collect()} == got_rows
+
+
+def test_threshold_alert_state_carries_across_batches(spark):
+    """threshold_alert_stream must accumulate ACROSS micro-batches and emit
+    exactly one alert per key at the crossing event (emit-on-transition) —
+    proven with a two-file source processed one file per trigger."""
+    import datetime as dt
+
+    from apachebeam_python_spark.streaming.stateful import threshold_alert_stream
+
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"thr_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    # batch 1: u1 accumulates 800 (no alert yet), u2 crosses immediately
+    spark.createDataFrame(
+        [
+            (1, base, 1, 400.0),
+            (1, base + dt.timedelta(minutes=1), 2, 400.0),
+            (2, base, 3, 1500.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: u1 crosses on its third event; u2 must stay silent
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=2), 4, 300.0),
+            (2, base + dt.timedelta(minutes=3), 5, 2000.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        threshold_alert_stream(stream, threshold=1000.0)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.cum_value, r.n_seen)
+        for r in spark.table(sink).collect()
+    }
+    assert got == {1: (1100.0, 3), 2: (1500.0, 1)}, got
