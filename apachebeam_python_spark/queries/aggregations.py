@@ -662,3 +662,181 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+#: portable 48-bit hash from the first 12 md5 nibbles — DuckDB has no conv(),
+#: so the oracle expands the hex digits positionally (same trick as _MD5_U16)
+_MD5_U48 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({{id}} AS VARCHAR)), {i + 1}, 1))-1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    + ")"
+)
+
+
+@register(
+    "q_kmv_sketch",
+    driver=False,  # §2.3 sketch family: set-op estimation — pytest oracle
+    oracle=f"""
+WITH ue AS (
+  SELECT event_type, user_id FROM events
+  GROUP BY event_type, user_id HAVING count(*) >= 14
+), hs AS (
+  SELECT DISTINCT event_type, {_MD5_U48.format(id='user_id')} AS h FROM ue
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hs
+  ) WHERE rk <= 32
+), tp AS (
+  SELECT a.event_type AS t1, b.event_type AS t2
+  FROM (SELECT DISTINCT event_type FROM ue) a
+  JOIN (SELECT DISTINCT event_type FROM ue) b ON a.event_type < b.event_type
+), merged AS (
+  SELECT t1, t2, h FROM (
+    SELECT t1, t2, h,
+           row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rk
+    FROM (
+      SELECT DISTINCT t1, t2, h FROM (
+        SELECT tp.t1, tp.t2, sk.h FROM tp JOIN sk ON sk.event_type = tp.t1
+        UNION ALL
+        SELECT tp.t1, tp.t2, sk.h FROM tp JOIN sk ON sk.event_type = tp.t2
+      )
+    )
+  ) WHERE rk <= 32
+), est AS (
+  SELECT m.t1, m.t2,
+         CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CASE WHEN s1.h IS NOT NULL AND s2.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k_inter
+  FROM merged m
+  LEFT JOIN sk s1 ON s1.event_type = m.t1 AND s1.h = m.h
+  LEFT JOIN sk s2 ON s2.event_type = m.t2 AND s2.h = m.h
+  GROUP BY m.t1, m.t2
+), exact AS (
+  SELECT tp.t1, tp.t2,
+         CAST(count(e2.user_id) AS BIGINT) AS n_inter,
+         (SELECT count(*) FROM ue WHERE event_type = tp.t1) AS n1,
+         (SELECT count(*) FROM ue WHERE event_type = tp.t2) AS n2
+  FROM tp
+  JOIN ue e1 ON e1.event_type = tp.t1
+  LEFT JOIN ue e2 ON e2.event_type = tp.t2 AND e2.user_id = e1.user_id
+  GROUP BY tp.t1, tp.t2
+)
+SELECT est.t1, est.t2, k_used,
+       round(k_inter / CAST(k_used AS DOUBLE), 6)            AS jaccard_est,
+       round(n_inter / CAST(n1 + n2 - n_inter AS DOUBLE), 6) AS jaccard_exact
+FROM est JOIN exact ON est.t1 = exact.t1 AND est.t2 = exact.t2
+""",
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch Jaccard between the user
+    sets of every event-type pair — the SET-OPERATION sketch the HLL/CMS
+    family can't provide: mergeable bottom-k signatures support
+    union/intersection/Jaccard estimation, the backbone of audience-overlap
+    and cross-corpus-contamination estimates. Estimate = fraction of the
+    merged bottom-k present in BOTH sketches; exact Jaccard computed
+    alongside as the error anchor (they coincide when a set is smaller
+    than k — the fixture's small strata make several pairs exact, which is
+    itself the KMV property under test).
+
+    The hash is the PORTABLE md5-slice (48 bits, same trick as the
+    pure-SQL CMS and stratified sampling) so DuckDB replays the exact
+    sketch. Scale: sketches are k rows per key built by WindowGroupLimit
+    (partial bottom-k before the shuffle); pair estimation touches only
+    O(pairs × k) sketch rows — audience overlap across thousands of
+    segments never rescans the raw events."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ue = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 14)
+        .select("event_type", "user_id")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hs = ue.select("event_type", h.alias("h")).distinct()
+    wk = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 32)
+        .select("event_type", "h")
+    )
+    types = ue.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("t1"))
+        .crossJoin(types.select(F.col("event_type").alias("t2")))
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    m1 = tp.join(F.broadcast(sk), F.col("event_type") == F.col("t1")).select("t1", "t2", "h")
+    m2 = tp.join(F.broadcast(sk), F.col("event_type") == F.col("t2")).select("t1", "t2", "h")
+    wp = Window.partitionBy("t1", "t2").orderBy("h")
+    merged = (
+        m1.unionByName(m2)
+        .distinct()
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 32)
+        .select("t1", "t2", "h")
+    )
+    s1 = sk.select(F.col("event_type").alias("st1"), F.col("h").alias("h1"))
+    s2 = sk.select(F.col("event_type").alias("st2"), F.col("h").alias("h2"))
+    est = (
+        merged.join(
+            F.broadcast(s1),
+            (F.col("t1") == F.col("st1")) & (F.col("h") == F.col("h1")),
+            "left",
+        )
+        .drop("st1")
+        .join(
+            F.broadcast(s2),
+            (F.col("t2") == F.col("st2")) & (F.col("h") == F.col("h2")),
+            "left",
+        )
+        .drop("st2")
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.when(
+                    F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("k_inter"),
+        )
+    )
+    e1 = ue.select(F.col("event_type").alias("t1"), "user_id")
+    e2 = ue.select(F.col("event_type").alias("et2"), F.col("user_id").alias("u2"))
+    sizes = ue.groupBy("event_type").agg(F.count("*").alias("n"))
+    inter = (
+        tp.join(e1, "t1")
+        .join(
+            e2,
+            (F.col("t2") == F.col("et2")) & (F.col("user_id") == F.col("u2")),
+            "left",
+        )
+        .drop("et2")
+        .groupBy("t1", "t2")
+        .agg(F.count("u2").alias("n_inter"))
+    )
+    n1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    exact = inter.join(F.broadcast(n1), "t1").join(F.broadcast(n2), "t2")
+    return est.join(exact, ["t1", "t2"]).select(
+        "t1",
+        "t2",
+        "k_used",
+        F.round(F.col("k_inter") / F.col("k_used").cast("double"), 6).alias(
+            "jaccard_est"
+        ),
+        F.round(
+            F.col("n_inter")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard_exact"),
+    )
