@@ -1252,3 +1252,174 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
         F.round(cc, 6).alias("clustering_coeff"),
     )
+
+
+#: EWMA(α=0.3) truncated to a 20-term horizon — weights embedded as the SAME
+#: full-precision literals in the Spark plan and the oracle
+_EWMA_ALPHA = 0.3
+_EWMA_W = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(20)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"{w!r} * coalesce(lag(v, {j}) OVER w, 0.0)" for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"{w!r} * (CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+SELECT user_id, event_id, round(({num}) / ({den}), 6) AS ewma
+FROM (SELECT user_id, event_id, ts, value AS v FROM events
+      WHERE value IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "q_ewma",
+    driver=False,  # §2.5 smoothing extension — pytest oracle
+    oracle=_ewma_oracle(),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3), truncated at a
+    20-term horizon: the metric-smoothing staple. The infinite recurrence
+    ewma_t = α·x_t + (1−α)·ewma_{t−1} is deliberately finite-horizoned so
+    it becomes a PURE WINDOW expression — 20 lag terms with literal
+    weights, renormalized over the lags that exist (series heads) — which
+    keeps it in whole-stage codegen, restartable, and oracle-replayable;
+    the dropped tail weighs (1−α)^20 < 0.08%. The true recurrence needs a
+    sequential scan (applyInPandas per key) — this is the form that
+    scales, one user_id shuffle shared by all 20 lags.
+
+    Weights are embedded as identical full-precision double literals in
+    both engines; the weighted sum is a fixed left-to-right expression
+    chain, so only the final division needs the 6 dp round."""
+    from pyspark.sql import Window
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", F.col("value").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lj = F.lag("v", j).over(w)
+        tn = F.lit(wt) * F.coalesce(lj, F.lit(0.0))
+        td = F.lit(wt) * F.when(lj.isNotNull(), 1.0).otherwise(0.0)
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    return e.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@register(
+    "q_benford",
+    driver=False,  # §2.3 data-audit extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+), t AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c
+)
+SELECT digit, n_obs,
+       round(n_obs / CAST(n AS DOUBLE), 6)              AS p_obs,
+       round(log10(1.0 + 1.0 / digit), 6)               AS p_benford,
+       round(n_obs / CAST(n AS DOUBLE)
+             - log10(1.0 + 1.0 / digit), 6)             AS deviation
+FROM c CROSS JOIN t
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed leading-
+    digit shares vs log10(1 + 1/d) — the classic fabricated-data /
+    integrity screen for financial columns (synthetic fixtures deviate,
+    which is exactly what the report shows). First digit extracted
+    arithmetically (x / 10^⌊log10 x⌋) — no string formatting, which
+    differs across engines.
+
+    Scale: one partial+final agg to 9 rows, a 1-row total broadcast —
+    free at any size."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("n"))
+    p_obs = F.col("n_obs") / F.col("n").cast("double")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(p_obs - p_ben, 6).alias("deviation"),
+    )
+
+
+@register(
+    "q_funnel_latency",
+    driver=False,  # §2.3 funnel-depth extension — pytest oracle
+    oracle="""
+WITH fv AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT f.user_id, min(e.ts) AS conv_ts, any_value(f.view_ts) AS view_ts
+  FROM fv f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts > f.view_ts
+  GROUP BY f.user_id
+)
+SELECT CAST(count(*) AS BIGINT)                                  AS n_converted,
+       round(quantile_cont(epoch_us(conv_ts) - epoch_us(view_ts),
+                           0.5) / 3600e6, 4)                     AS p50_hours,
+       round(quantile_cont(epoch_us(conv_ts) - epoch_us(view_ts),
+                           0.9) / 3600e6, 4)                     AS p90_hours
+FROM fp
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: latency from each user's first view
+    to their first subsequent purchase, summarized as p50/p90 hours — the
+    metric layer on top of q_funnel's step census (how LONG conversion
+    takes, not just whether it happens).
+
+    Latencies are EXACT integer microseconds (unix_micros ≡ epoch_us —
+    seconds casts diverge cross-engine, q_time_weighted_avg precedent);
+    the interpolated percentile of integers agrees cross-engine with no
+    summation. Scale: two keyed min-aggs (never an event-list collect) +
+    one global percentile over one row per converted user — swap
+    approx_percentile at 100 TB (anchor/sketch pairing)."""
+    e = table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    fp = (
+        fv.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("view_ts")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("conv_ts"), F.first("view_ts").alias("view_ts"))
+    )
+    lat = (F.unix_micros("conv_ts") - F.unix_micros("view_ts")).alias("lat")
+    return fp.select(lat).agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("lat", F.lit(0.5)) / F.lit(3600e6), 4).alias("p50_hours"),
+        F.round(F.percentile("lat", F.lit(0.9)) / F.lit(3600e6), 4).alias("p90_hours"),
+    )
