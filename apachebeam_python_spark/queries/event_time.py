@@ -428,3 +428,74 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _fin(hour, "hour").unionByName(_fin(day, "day"))
+
+
+@register(
+    "q_session_capped",
+    driver=False,  # §2.8 sequential-semantics extension — pytest oracle
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, ts, ts AS sess_start FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.ts,
+         CASE WHEN o.ts > r.ts + INTERVAL 30 MINUTE
+                OR o.ts > r.sess_start + INTERVAL 2 HOUR
+              THEN o.ts ELSE r.sess_start END
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, sess_start,
+       CAST(count(*) AS BIGINT)                               AS n_events,
+       CAST(max(epoch_us(ts)) - epoch_us(sess_start) AS BIGINT) AS span_us
+FROM r GROUP BY user_id, sess_start
+""",
+)
+def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped sessionization: a new session starts on a >30-minute gap OR
+    when the event lands more than 2 hours after the current session's
+    start — the max-duration rule real web analytics adds so an always-on
+    client can't produce an unbounded session. This is genuinely
+    SEQUENTIAL semantics (each assignment depends on the previous
+    session's start), which `session_window` / gaps-and-islands cannot
+    express — exactly the case SURVEY §2.10 reserves the grouped-map
+    escape hatch for: an Arrow-batched per-user Python scan
+    (applyInPandas), one user_id shuffle, O(events/user) memory. The
+    oracle is an independent per-user recursive CTE applying the same
+    recurrence.
+
+    Timestamp comparisons are exact integer µs on both sides; outputs are
+    session rollups (never event lists)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = pd.Timedelta(minutes=30)
+        cap = pd.Timedelta(hours=2)
+        out = []
+        start = prev = None
+        n = 0
+        for ts in pdf["ts"]:
+            if start is None or ts > prev + gap or ts > start + cap:
+                if start is not None:
+                    out.append((pdf["user_id"].iloc[0], start, n, prev))
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        out.append((pdf["user_id"].iloc[0], start, n, prev))
+        res = pd.DataFrame(
+            out, columns=["user_id", "sess_start", "n_events", "last_ts"]
+        )
+        res["span_us"] = (
+            (res["last_ts"] - res["sess_start"]).astype("int64") // 1000
+        )
+        return res.drop(columns=["last_ts"])
+
+    return e.groupBy("user_id").applyInPandas(
+        sessions,
+        schema="user_id long, sess_start timestamp, n_events long, span_us long",
+    )
