@@ -1035,11 +1035,16 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     term = F.get_json_object("props", "$.k").cast("long")
     recent = F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
-    per = e.select(term.alias("term"), recent.alias("recent")).groupBy(
-        "term"
-    ).agg(
-        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_recent"),
-        F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_base"),
+    per = (
+        e.select(term.alias("term"), recent.alias("recent"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias("n_recent"),
+            F.sum(F.when(~F.col("recent"), 1).otherwise(0)).alias("n_base"),
+        )
+        # materialize the tiny per-term table once: the totals branch would
+        # otherwise replay the full scan + term shuffle a second time
+        .localCheckpoint()
     )
     tot = per.agg(
         F.sum("n_recent").alias("t_recent"),

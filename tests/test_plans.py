@@ -196,3 +196,22 @@ def test_r3_mad_winsorize_broadcast_thresholds(spark, sf_dir):
     for name in ["q_mad_outliers", "q_winsorize"]:
         df = q.QUERIES[name](spark, sf_dir)
         assert P.has(df, "BroadcastHashJoin"), name
+
+
+def test_r3_second_wave_plan_shapes(spark, sf_dir):
+    """Plan pins for the later round-3 operators."""
+    # KMV sketches: bottom-k per key must be WindowGroupLimit (partial
+    # bottom-k before the shuffle), stats joins broadcast
+    df = q.QUERIES["q_kmv_sketch"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    # EWMA: all 20 lags share ONE window over one user_id shuffle
+    df = q.QUERIES["q_ewma"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("Window") >= 1 and P.count_exchanges(df) == 1, plan
+    # association rules: item counts and totals broadcast onto pruned pairs
+    df = q.QUERIES["q_assoc_rules"](spark, sf_dir)
+    assert P.executed_plan(df).count("BroadcastHashJoin") >= 2
+    # trending terms: one term-keyed shuffle + broadcast totals, nothing else
+    df = q.QUERIES["q_trending_terms"](spark, sf_dir)
+    assert P.count_exchanges(df) <= 2, P.executed_plan(df)
