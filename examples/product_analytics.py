@@ -50,6 +50,20 @@ def main() -> None:
     print("key-skew diagnostic for event_type (pick the shuffle strategy):")
     QUERIES["q_skew_report"](spark, sf_dir).show(truncate=False)
 
+    print("time-to-convert (first view → first purchase):")
+    QUERIES["q_funnel_latency"](spark, sf_dir).show()
+
+    print("value-distribution drift vs first-half baseline (PSI, >0.2 = investigate):")
+    QUERIES["q_drift_psi"](spark, sf_dir).orderBy(F.col("psi").desc()).show()
+
+    print("trending terms (trailing week vs baseline, top lifts):")
+    QUERIES["q_trending_terms"](spark, sf_dir).orderBy(
+        F.col("lift").desc(), "term"
+    ).show(5)
+
+    print("MAD outlier census per event type (3 robust sigmas):")
+    QUERIES["q_mad_outliers"](spark, sf_dir).orderBy("event_type").show()
+
 
 if __name__ == "__main__":
     main()
