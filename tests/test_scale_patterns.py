@@ -338,3 +338,41 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ivf_layout_partition_prunes_probes(spark, sf_dir):
+    """The IVF 'index lives in the table layout' claim (scale_notes /
+    similarity.ivf_ann_topk docstring): write the corpus partitioned BY
+    cell id, and a query's n_probe cells become partition filters — the
+    probe physically reads only its cells' files."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.operators import similarity as SIM
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, "embedding", "vec_id", 8).persist()
+    cells = SIM._assign_cells(emb, cents, "embedding", "vec_id", probe=1)
+    path = "/root/repo/.tmp/emb_ivf_cells"
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+
+    one_query = emb.orderBy("vec_id").limit(1)
+    probe_cells = [
+        r.centroid_id
+        for r in SIM._assign_cells(
+            one_query, cents, "embedding", "vec_id", probe=2
+        ).collect()
+    ]
+    assert len(probe_cells) == 2
+    probed = stored.filter(F.col("centroid_id").isin(probe_cells))
+    plan = P.formatted(probed)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "centroid_id" in pf[0], plan
+
+    files_probed = probed.select(F.input_file_name()).distinct().count()
+    files_total = stored.select(F.input_file_name()).distinct().count()
+    assert files_probed < files_total, (files_probed, files_total)
+    # and the pruned read returns exactly the probed cells' vectors
+    expect = cells.filter(F.col("centroid_id").isin(probe_cells)).count()
+    assert probed.count() == expect
+    cents.unpersist()
