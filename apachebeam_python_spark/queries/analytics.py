@@ -1428,3 +1428,75 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lat", F.lit(0.5)) / F.lit(3600e6), 4).alias("p50_hours"),
         F.round(F.percentile("lat", F.lit(0.9)) / F.lit(3600e6), 4).alias("p90_hours"),
     )
+
+
+@register(
+    "q_cusum",
+    driver=False,  # §2.3 monitoring extension (sequential) — pytest oracle
+    oracle="""
+WITH RECURSIVE m AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), mu AS (
+  SELECT event_type, round(avg(m), 6) AS mu FROM m GROUP BY 1
+), o AS (
+  SELECT m.event_type, day, m.m, mu.mu,
+         row_number() OVER (PARTITION BY m.event_type ORDER BY day) AS rn
+  FROM m JOIN mu USING (event_type)
+), r AS (
+  SELECT event_type, rn, day, m, mu,
+         greatest(0.0, m - mu - 1.5) AS s
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.m, o.mu,
+         greatest(0.0, r.s + o.m - o.mu - 1.5)
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, day, round(s, 6) AS cusum, (s > 3.0) AS alarm
+FROM r WHERE s > 0
+""",
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over daily metric means: the one-sided
+    cumulative-sum chart s_t = max(0, s_{t−1} + x_t − μ − k) with slack
+    k=1.5 and alarm threshold h=3 — the standard drift monitor that flags
+    a sustained upward shift long before any single day looks anomalous
+    (the sequential complement to q_drift_psi's two-snapshot test).
+
+    The clamped recurrence is order-dependent (not window-expressible), so
+    it runs as the grouped-map escape hatch — one event_type shuffle, a
+    ~30-row series per key — against a per-key recursive-CTE oracle, the
+    same sequential-semantics pattern as q_session_capped. Parity rests on
+    identical inputs: the daily means and per-key baseline are rounded at
+    6 dp in BOTH engines BEFORE the recurrence, and max/+ are exact IEEE
+    ops, so the raw s values agree bit-for-bit; outputs round at 6 dp."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    mu = m.groupBy("event_type").agg(F.round(F.avg("m"), 6).alias("mu"))
+    inp = m.join(F.broadcast(mu), "event_type")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        s = 0.0
+        rows = []
+        mu_v = float(pdf["mu"].iloc[0])
+        for day, mv in zip(pdf["day"], pdf["m"]):
+            s = max(0.0, s + float(mv) - mu_v - 1.5)
+            if s > 0:
+                rows.append((pdf["event_type"].iloc[0], day, s))
+        return pd.DataFrame(rows, columns=["event_type", "day", "s"])
+
+    out = inp.groupBy("event_type").applyInPandas(
+        cusum, schema="event_type string, day timestamp, s double"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round("s", 6).alias("cusum"),
+        (F.col("s") > 3.0).alias("alarm"),
+    )
