@@ -56,8 +56,9 @@ def main() -> None:
     print("top PMI collocations:")
     for r in q.QUERIES["q_pmi_collocations"](spark, sf_dir).limit(5).collect():
         print(f"  '{r.w1} {r.w2}' (n={r.pair_n}, pmi={r.pmi})")
-
-    spark.stop()
+    # NOTE: no spark.stop() — get_spark() returns the process-wide shared
+    # session (tests and other examples reuse it); stopping it here kills
+    # every later consumer in the same JVM.
 
 
 if __name__ == "__main__":

@@ -58,6 +58,20 @@ def test_no_rdd_usage_outside_partition_metadata():
             raise AssertionError(f"{rel}: RDD usage at offset {m.start()}")
 
 
+def test_examples_never_stop_the_shared_session():
+    """examples/ run inside the test suite against the process-wide shared
+    SparkSession (get_spark). A `spark.stop()` in one example kills every
+    later test in the same JVM — exactly the failure a corpus_diagnostics
+    stop() caused in round 3. Examples must leave the session running."""
+    ex_dir = PKG.parent / "examples"
+    for p in ex_dir.glob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            assert ".stop()" not in code, (
+                f"examples/{p.name}:{i}: stops the shared SparkSession"
+            )
+
+
 def test_no_private_py4j_handles_in_query_paths():
     """No `_jdf`/`_jvm`/`_jsc` reach anywhere a query executes (VERDICT r2
     #3: the Scala countMinSketch handle was the last one — replaced by a
