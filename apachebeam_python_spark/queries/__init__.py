@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     corpus_lm,
     elementwise,
     event_time,
+    experiments,
     flagship,
     joins,
     llm,

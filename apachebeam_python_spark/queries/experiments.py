@@ -1,0 +1,638 @@
+"""Experimentation & statistical-modeling queries (round 3, wave 3):
+A/B testing, OLS trend fits, autocorrelation, seasonal anomaly detection,
+Pareto skyline, deterministic per-key sampling, TPC-H Q3-shape priority
+ranking, rolling window quantiles, and bloom-filter decontamination.
+
+SURVEY §2.3/§2.5 statistical extensions + §2.11 pipeline-curation tier.
+Every query is DuckDB-oracle-backed: randomness is replaced by md5-derived
+arithmetic (``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` — verified identical), and
+float aggregates go through fixed-point DECIMAL partial sums so they are
+order-independent across engines (SURVEY §7.4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..session import table
+from ._registry import register
+
+#: 60-bit portable hash: Spark side. DuckDB twin: CAST('0x'||substr(md5(x),o,15) AS BIGINT)
+def _md5_int(col, offset: int = 1):
+    return F.conv(F.substring(F.md5(col), offset, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# A/B experiment read-out
+# --------------------------------------------------------------------------
+@register(
+    "q_ab_test",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT user_id % 2 AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS c
+  FROM pu GROUP BY 1
+), w AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN c END) AS c0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+       CASE WHEN c0 > 0 THEN
+         round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+               / (c0 / CAST(n0 AS DOUBLE)), 6) END AS rel_lift,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+         round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+               / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / n0 + 1.0 / n1)), 6) END AS z_stat
+FROM w
+""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B read-out: users split into variants by id parity
+    (a stand-in for the hash-bucketing an experiment framework applies),
+    conversion = any purchase above a value threshold; emits per-variant
+    counts, rates, relative lift, and the pooled two-proportion z
+    statistic. The z formula is written as the same expression tree in
+    both engines so the doubles agree bit-for-bit before the 6 dp round;
+    the degenerate cases (no conversions / all converted → zero pooled
+    variance) emit NULL under identical guards rather than tripping
+    ANSI-mode division-by-zero.
+
+    Scale: per-user conversion flags are one partial+final agg on user_id;
+    the variant rollup is 2 rows; the final read-out is a 1-row select —
+    the only shuffle is the user_id agg, unavoidable and key-uniform."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    v = pu.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    p0 = c0 / n0.cast("double")
+    p1 = c1 / n1.cast("double")
+    pp = (c0 + c1) / (n0 + n1).cast("double")
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.when(c0 > 0, F.round((p1 - p0) / p0, 6)).alias("rel_lift"),
+        F.when(
+            (c0 + c1 > 0) & (c0 + c1 < n0 + n1),
+            F.round(
+                (p1 - p0)
+                / F.sqrt(
+                    pp * (F.lit(1.0) - pp)
+                    * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+                ),
+                6,
+            ),
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OLS trend per key
+# --------------------------------------------------------------------------
+@register(
+    "q_ols_trend",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag,
+       CAST(count(*) AS BIGINT)            AS n_days,
+       round(regr_slope(rev, day), 6)      AS slope,
+       round(regr_intercept(rev, day), 4)  AS intercept,
+       round(regr_r2(rev, day), 6)         AS r2
+FROM d GROUP BY flag
+""",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordinary-least-squares trend fit: daily revenue regressed on
+    the day index per return flag, via the closed-form ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` aggregates (mergeable sum/sum²/sum-xy
+    accumulators — the same partial+final shape as any CombineFn; no
+    iterative solver needed for 1-D OLS). Daily revenue goes through an
+    exact DECIMAL(18,4) partial sum so the regression inputs are
+    order-independent and bit-identical across engines.
+
+    Scale: one (flag, day) partial+final agg, then a 3-group regr agg over
+    the day-level table — both shuffles carry ~rows/avg-group-size; the
+    regression state is 6 doubles per group regardless of input size."""
+    li = table(spark, sf_dir, "lineitem")
+    d = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-01"))
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    return d.groupBy("flag").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.regr_slope("rev", "day"), 6).alias("slope"),
+        F.round(F.regr_intercept("rev", "day"), 4).alias("intercept"),
+        F.round(F.regr_r2("rev", "day"), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of a daily series
+# --------------------------------------------------------------------------
+@register(
+    "q_acf",
+    driver=False,  # §2.5 time-series extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), l AS (
+  SELECT v,
+         lag(v, 1) OVER (ORDER BY day) AS v1,
+         lag(v, 2) OVER (ORDER BY day) AS v2,
+         lag(v, 7) OVER (ORDER BY day) AS v7
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(v, v1), 6) AS acf1,
+       round(corr(v, v2), 6) AS acf2,
+       round(corr(v, v7), 6) AS acf7
+FROM l
+""",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily metric series at lags 1, 2 and 7 —
+    the seasonality screen run before picking a forecasting model. The
+    raw events aggregate to one row per day (exact DECIMAL partial sum);
+    the lag window then runs over the AGGREGATED series, whose length is
+    the calendar span in days — bounded and tiny, so the unpartitioned
+    window is a non-issue (the heavy input never passes through it).
+
+    Scale: the only full-size shuffle is the day agg; everything after
+    operates on ≤ days rows. corr is a mergeable 5-accumulator combine."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+    return lagged.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("v", "v1"), 6).alias("acf1"),
+        F.round(F.corr("v", "v2"), 6).alias("acf2"),
+        F.round(F.corr("v", "v7"), 6).alias("acf7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline anomaly flags
+# --------------------------------------------------------------------------
+@register(
+    "q_seasonal_anomaly",
+    driver=False,  # §2.5 time-series extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), dw AS (
+  SELECT day, v,
+         date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) % 7 AS dow
+  FROM d
+), base AS (
+  SELECT dow, CAST(quantile_cont(v, 0.5) AS DOUBLE) AS baseline
+  FROM dw GROUP BY dow
+), r AS (
+  SELECT dw.day, dw.v, dw.dow, base.baseline,
+         round(dw.v - base.baseline, 6) AS resid
+  FROM dw JOIN base USING (dow)
+), m AS (
+  SELECT CAST(quantile_cont(abs(resid), 0.5) AS DOUBLE) AS mad FROM r
+)
+SELECT r.day, round(r.v, 6) AS v, round(r.baseline, 6) AS baseline,
+       r.resid,
+       CASE WHEN abs(r.resid) > 3 * round(m.mad, 6) THEN 1 ELSE 0 END
+         AS is_anomaly
+FROM r CROSS JOIN m
+""",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: day-of-week median as the
+    expected value, residual = actual − baseline, and a global
+    median-absolute-deviation threshold (|resid| > 3·MAD → anomaly) — the
+    robust STL-lite screen for daily operational metrics. The anomaly
+    decision compares ROUNDED residual vs ROUNDED MAD in both engines
+    (parity rule: decide on what both engines can agree on). Day-of-week
+    comes from pure date arithmetic (epoch-day mod 7), not locale- or
+    engine-dependent dayofweek().
+
+    Scale: the events→day agg is the only big shuffle; baselines are a
+    7-row broadcast, the MAD a 1-row broadcast."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    dw = d.select(
+        "day",
+        "v",
+        F.pmod(
+            F.datediff(F.to_date("day"), F.to_date(F.lit("2024-01-01"))),
+            F.lit(7),
+        ).alias("dow"),
+    )
+    base = dw.groupBy("dow").agg(
+        F.percentile("v", F.lit(0.5)).cast("double").alias("baseline")
+    )
+    r = dw.join(F.broadcast(base), "dow").select(
+        "day",
+        "v",
+        "baseline",
+        F.round(F.col("v") - F.col("baseline"), 6).alias("resid"),
+    )
+    m = r.agg(
+        F.percentile(F.abs("resid"), F.lit(0.5)).cast("double").alias("mad")
+    )
+    return r.crossJoin(F.broadcast(m)).select(
+        "day",
+        F.round("v", 6).alias("v"),
+        F.round("baseline", 6).alias("baseline"),
+        "resid",
+        (F.abs(F.col("resid")) > 3 * F.round(F.col("mad"), 6))
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto skyline
+# --------------------------------------------------------------------------
+@register(
+    "q_skyline",
+    driver=False,  # §2.6 order-analytics extension — pytest oracle
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part o
+  WHERE o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
+    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size)
+)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (minimize price, maximize size): the multi-objective
+    shortlist query. The oracle is the O(n²) NOT EXISTS definition; the
+    Spark plan is the scalable two-level prefix-max scheme:
+
+    1. collapse to distinct (price, size) pairs — on distinct pairs,
+       sorted by (price asc, size desc), a pair is dominated iff the
+       running max of size over STRICTLY EARLIER rows ≥ its size;
+    2. bucket by coarse price band, compute the running max per band
+       (parallel windows), and dominate across bands with a per-band
+       prefix-max — a tiny ordered pass over #bands rows, broadcast back;
+    3. rejoin survivors to the full table to emit every attaining part.
+
+    Scale: no self-join, no cartesian — one pair-dedup shuffle, one
+    banded window shuffle, a #bands-row broadcast, and a survivor
+    broadcast join back. Band count is price-range/step, independent of
+    row count."""
+    part = table(spark, sf_dir, "part")
+    pairs = (
+        part.groupBy("p_retailprice", "p_size").count().drop("count")
+    )
+    bucket = F.floor(F.col("p_retailprice") / F.lit(10.0))
+    pairs = pairs.withColumn("bucket", bucket)
+    wl = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = pairs.withColumn("cmax", F.max("p_size").over(wl))
+    bmax = local.groupBy("bucket").agg(F.max("p_size").alias("bsize"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = bmax.withColumn("pmax", F.max("bsize").over(wb)).select(
+        "bucket", "pmax"
+    )
+    survivors = (
+        local.join(F.broadcast(pmax), "bucket")
+        .filter(
+            (F.col("cmax").isNull() | (F.col("cmax") < F.col("p_size")))
+            & (F.col("pmax").isNull() | (F.col("pmax") < F.col("p_size")))
+        )
+        .select("p_retailprice", "p_size")
+    )
+    return part.join(
+        F.broadcast(survivors), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixed-size per-key sample (Beam Sample.FixedSizePerKey)
+# --------------------------------------------------------------------------
+@register(
+    "q_sample_per_key",
+    driver=False,  # §2.3 Sample.FixedSizePerKey — pytest oracle
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS sample_rank
+  FROM events
+)
+SELECT event_type, event_id, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+""",
+)
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Sample.FixedSizePerKey(5)`` with a DETERMINISTIC uniform
+    order: rank rows per key by md5 of their id — a fixed pseudo-random
+    permutation both engines reproduce exactly, so even the *sample* is
+    hash-checkable (the usual rows-only escape hatch is unnecessary).
+    Folds Beam's ``Sample.FixedSizeGlobally`` (drop the partition key).
+
+    Scale: row_number ≤ k over a partitioned window is rewritten by Spark
+    into WindowGroupLimit — each map task keeps only its local top-k per
+    key BEFORE the shuffle (asserted in tests/test_plans.py), so the
+    exchange carries ≈ k·keys rows, not the table."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority
+# --------------------------------------------------------------------------
+@register(
+    "q_shipping_priority",
+    driver=False,  # §2.4 composite-join showcase — pytest oracle
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE), 4) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — top-10 highest-revenue orders not yet shipped for
+    one market segment: the classic selective star join + agg + global
+    top-k. Revenue sums through DECIMAL(18,4) (order-independent), and the
+    top-10 boundary is made deterministic with an orderkey tiebreak.
+
+    Scale: the segment-filtered customer side broadcasts; orders joins it
+    pre-agg with its date filter pushed to the scan; lineitem arrives
+    already shipdate-filtered; the final ORDER BY+LIMIT collapses to
+    TakeOrderedAndProject (per-partition top-10, never a full sort)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling window quantile
+# --------------------------------------------------------------------------
+@register(
+    "q_rolling_quantile",
+    driver=False,  # §2.5 frame-quantile extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag, day, round(rev, 4) AS rev,
+       round(CAST(quantile_cont(rev, 0.5) OVER (
+         PARTITION BY flag ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 4) AS p50_7d
+FROM d
+""",
+)
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-observation median of daily revenue per return flag — the
+    robust moving-average alternative (median shrugs off the single-day
+    spikes that drag a mean). Spark's exact ``percentile`` works as a
+    window aggregate over the rows frame, matching DuckDB's
+    ``quantile_cont`` frame semantics; inputs pass through an exact
+    DECIMAL partial sum so the interpolation sees bit-identical doubles.
+
+    Scale: one (flag, day) partial+final agg collapses the table to the
+    day grid; the window then shuffles only day-level rows on flag. The
+    frame recomputes a 7-element median per row — constant work/row."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("day", "l_shipdate").alias("day"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return d.select(
+        "flag",
+        "day",
+        F.round("rev", 4).alias("rev"),
+        F.round(
+            F.percentile("rev", F.lit(0.5)).over(w).cast("double"), 4
+        ).alias("p50_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination
+# --------------------------------------------------------------------------
+@register(
+    "q_bloom_decontaminate",
+    driver=False,  # §2.11 curation-at-scale extension — pytest oracle
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         ))) AS gram
+  FROM toks
+), hp AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 1048576 AS h1,
+         CAST(('0x' || substr(md5(gram), 16, 15)) AS BIGINT) % 1048576 AS h2
+  FROM g
+), pos AS (
+  SELECT DISTINCT h FROM (
+    SELECT h1 AS h FROM hp WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT h2 AS h FROM hp WHERE doc_id % 50 = 0
+  )
+), flagged AS (
+  SELECT DISTINCT doc_id FROM hp
+  WHERE doc_id % 50 <> 0
+    AND h1 IN (SELECT h FROM pos) AND h2 IN (SELECT h FROM pos)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(f.doc_id) AS BIGINT) AS n_flagged
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.source
+""",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the 100 TB form of
+    q_decontaminate: instead of broadcasting the exact benchmark gram SET
+    (unbounded strings), broadcast its BLOOM positions (k=2 hashes into
+    2^20 bits — fixed kilobytes however big the benchmark grows). Docs
+    whose trigram hits both positions are flagged; false positives are
+    the documented price and — because the hash is the portable md5
+    construction — the oracle reproduces them bit-for-bit, making even
+    the approximation exactly checkable.
+
+    Scale: position set is a distinct-int broadcast (≤ 2·|bench grams|,
+    capped by m=2^20 slots); corpus grams probe it with two broadcast
+    semi joins — corpus text never shuffles. The per-doc verdict is one
+    distinct + left join."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(T.shingles(F.col("text"), 3)).alias("gram"),
+    )
+    m = 1 << 20
+    hp = grams.select(
+        "doc_id",
+        "source",
+        F.pmod(_md5_int(F.col("gram"), 1), F.lit(m)).alias("h1"),
+        F.pmod(_md5_int(F.col("gram"), 16), F.lit(m)).alias("h2"),
+    )
+    bench = hp.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    pos = (
+        bench.select(F.col("h1").alias("h"))
+        .unionAll(bench.select(F.col("h2").alias("h")))
+        .distinct()
+    )
+    corpus = hp.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    hits = (
+        corpus.join(F.broadcast(pos), corpus.h1 == pos.h, "left_semi")
+        .join(F.broadcast(pos), F.col("h2") == pos.h, "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    return (
+        d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("flag").alias("n_flagged"),
+        )
+    )

@@ -215,3 +215,29 @@ def test_r3_second_wave_plan_shapes(spark, sf_dir):
     # trending terms: one term-keyed shuffle + broadcast totals, nothing else
     df = q.QUERIES["q_trending_terms"](spark, sf_dir)
     assert P.count_exchanges(df) <= 2, P.executed_plan(df)
+
+
+def test_r3_experiments_plan_shapes(spark, sf_dir):
+    """Plan pins for the experiments/statistics wave (round 3, wave 3)."""
+    # skyline: the scalable prefix-max scheme — no self-join, no cartesian
+    df = q.QUERIES["q_skyline"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # survivors rejoin
+    # deterministic per-key sample: local top-k before the shuffle
+    df = q.QUERIES["q_sample_per_key"](spark, sf_dir)
+    assert P.has(df, "WindowGroupLimit"), P.executed_plan(df)
+    # TPC-H Q3 shape: broadcast dims + global top-10 never full-sorts
+    df = q.QUERIES["q_shipping_priority"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # bloom decontamination: position set broadcast onto both probes;
+    # corpus text never shuffles (only the per-doc verdict aggregates)
+    df = q.QUERIES["q_bloom_decontaminate"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # A/B read-out: one user_id shuffle, then metadata-sized rollups
+    df = q.QUERIES["q_ab_test"](spark, sf_dir)
+    assert P.count_exchanges(df) <= 3, P.executed_plan(df)
