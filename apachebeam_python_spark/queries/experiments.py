@@ -636,3 +636,270 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("flag").alias("n_flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B
+# --------------------------------------------------------------------------
+@register(
+    "q_cuped",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         user_id % 2 AS variant,
+         COALESCE(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+           AS pre,
+         COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+           AS post
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), g AS (
+  SELECT CASE WHEN var_pop(pre) > 0
+              THEN covar_pop(post, pre) / var_pop(pre) END AS theta,
+         avg(pre) AS mpre
+  FROM pu
+), adj AS (
+  SELECT variant, post, post - g.theta * (pre - g.mpre) AS cuped
+  FROM pu CROSS JOIN g
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT)        AS n,
+       round(avg(post), 6)             AS mean_post,
+       round(avg(cuped), 6)            AS mean_cuped,
+       CASE WHEN var_pop(post) > 0 THEN
+         round(var_pop(cuped) / var_pop(post), 6) END AS var_ratio
+FROM adj GROUP BY variant
+""",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B experiments: the pre-period metric
+    (first half of the month) is the covariate, θ = cov(post, pre) /
+    var(pre) pooled over all users, adjusted metric = post − θ·(pre −
+    mean(pre)). Emits per-variant adjusted means and the variance ratio —
+    the fraction of metric variance the covariate removed. Per-user sums
+    go through DECIMAL so both engines feed the moment aggregates
+    identical doubles; the degenerate zero-variance cases NULL out under
+    mirrored guards.
+
+    Scale: one user-keyed agg (the only full-size shuffle), a 1-row
+    (θ, mean) broadcast, then a |variants|-row rollup — the CUPED math
+    adds zero shuffles over the plain A/B read-out."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    vdec = F.col("value").cast("decimal(18,6)")
+    pu = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cutoff, vdec)).cast("double"),
+            F.lit(0.0),
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cutoff, vdec)).cast("double"),
+            F.lit(0.0),
+        ).alias("post"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "pre", "post"
+    )
+    g = pu.agg(
+        F.when(
+            F.var_pop("pre") > 0, F.covar_pop("post", "pre") / F.var_pop("pre")
+        ).alias("theta"),
+        F.avg("pre").alias("mpre"),
+    )
+    adj = pu.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "post",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mpre"))
+        ).alias("cuped"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("post"), 6).alias("mean_post"),
+        F.round(F.avg("cuped"), 6).alias("mean_cuped"),
+        F.when(
+            F.var_pop("post") > 0,
+            F.round(F.var_pop("cuped") / F.var_pop("post"), 6),
+        ).alias("var_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining (ordered pairs within a time window)
+# --------------------------------------------------------------------------
+@register(
+    "q_sequence_mining",
+    driver=False,  # §2.4 ordered-pattern extension — pytest oracle
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), pr AS (
+  SELECT DISTINCT a.user_id, a.event_type AS a_type, b.event_type AS b_type
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id
+   AND b.t > a.t AND b.t <= a.t + 1800000000
+), sup AS (
+  SELECT a_type, b_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM pr GROUP BY a_type, b_type
+), ut AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+  FROM ev GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ev
+)
+SELECT s.a_type, s.b_type, s.n_users,
+       round(s.n_users / CAST(ua.nu AS DOUBLE), 6) AS confidence,
+       round(s.n_users * tot.n
+             / CAST(ua.nu * ub.nu AS DOUBLE), 6) AS lift
+FROM sup s
+JOIN ut ua ON ua.event_type = s.a_type
+JOIN ut ub ON ub.event_type = s.b_type
+CROSS JOIN tot
+""",
+)
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: ordered event-type pairs a→b occurring
+    within 30 minutes for the same user (distinct per user), with support,
+    confidence (vs users showing a at all) and lift vs independence —
+    the non-adjacent complement to q_event_transitions' Markov matrix.
+    Time math in exact integer microseconds (no float timestamps).
+
+    Scale: the pair join is user-keyed — one co-partitioned shuffle; the
+    fan-out is Σ per-user-events² bounded by the 30-min window. At 100 TB
+    sessionize first (q_session_window) and join within (user, session)
+    so the quadratic term is per-session, not per-user-history. Type
+    supports are a 5-row broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.t") > F.col("a.t"))
+            & (F.col("b.t") <= F.col("a.t") + F.lit(1800000000)),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("a_type"),
+            F.col("b.event_type").alias("b_type"),
+        )
+        .distinct()
+    )
+    sup = pr.groupBy("a_type", "b_type").agg(F.count("*").alias("n_users"))
+    ut = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nu")
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n"))
+    ua = ut.select(F.col("event_type").alias("a_type"), F.col("nu").alias("nua"))
+    ub = ut.select(F.col("event_type").alias("b_type"), F.col("nu").alias("nub"))
+    return (
+        sup.join(F.broadcast(ua), "a_type")
+        .join(F.broadcast(ub), "b_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a_type",
+            "b_type",
+            "n_users",
+            F.round(F.col("n_users") / F.col("nua").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_users") * F.col("n")
+                / (F.col("nua") * F.col("nub")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded BFS reachability
+# --------------------------------------------------------------------------
+@register(
+    "q_bfs_reachability",
+    driver=False,  # §2.9 bounded-iteration graph extension — pytest oracle
+    oracle="""
+WITH e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 150
+), l1 AS (
+  SELECT DISTINCT dst AS node FROM e WHERE src = 0
+), l2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
+), l3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
+), u AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT 0 AS node, 0 AS dist
+    UNION ALL SELECT node, 1 FROM l1
+    UNION ALL SELECT node, 2 FROM l2
+    UNION ALL SELECT node, 3 FROM l3
+  ) GROUP BY node
+)
+SELECT n.n_name AS nation, u.dist
+FROM u JOIN nation n ON u.node = n.n_nationkey
+""",
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search: minimum trade-hops (≤ 3) from nation 0
+    over the thresholded supplier→customer trade graph — the third
+    bounded-iteration graph pattern next to q_pagerank (power iteration)
+    and q_dedup_clusters (label propagation). Levels are unrolled (fixed
+    depth), each frontier is a distinct node set joined back onto the
+    edge table, and min(dist) merges the levels; the oracle unrolls the
+    identical three CTE hops.
+
+    Scale: the edge build is the star join (dims broadcast onto
+    lineitem); per hop the FRONTIER broadcasts (≤ |nodes| rows) onto the
+    partitioned edge table — edges never move. Unreachable nodes simply
+    never appear; depth bounds the work to hops × |edges| lookups."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 150)
+        .select("src", "dst")
+    )
+    # the edge subtree appears once per hop in ONE plan — Spark's
+    # ReuseExchange collapses the identical builds; at 100 TB checkpoint
+    # the edge table instead (it is the expensive star join)
+    l1 = e.filter(F.col("src") == 0).select(F.col("dst").alias("node")).distinct()
+    l2 = (
+        e.join(F.broadcast(l1), e.src == l1.node)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    l3 = (
+        e.join(F.broadcast(l2), e.src == l2.node)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    levels = (
+        spark.range(1).select(F.lit(0).alias("node"), F.lit(0).alias("dist"))
+        .unionAll(l1.select("node", F.lit(1).alias("dist")))
+        .unionAll(l2.select("node", F.lit(2).alias("dist")))
+        .unionAll(l3.select("node", F.lit(3).alias("dist")))
+    )
+    u = levels.groupBy("node").agg(F.min("dist").cast("long").alias("dist"))
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return u.join(F.broadcast(nat), u.node == F.col("n_nationkey")).select(
+        F.col("n_name").alias("nation"), "dist"
+    )

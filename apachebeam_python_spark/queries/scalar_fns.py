@@ -339,3 +339,52 @@ def q_fn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "even_cust_price"
         ),
     )
+
+
+@register(
+    "q_regex",
+    driver=False,  # §2.2 Beam Regex transform family — pytest oracle
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s_words,
+       regexp_extract(text, '(s[a-z]+)', 1)                     AS first_s,
+       CAST((length(text) - length(regexp_replace(text, 'stream', '', 'g')))
+            / 6 AS BIGINT)                                      AS n_stream,
+       CASE WHEN regexp_matches(text, 'table|scan') THEN 1 ELSE 0 END
+                                                                AS has_tbl_scan,
+       substr(regexp_replace(text, 'table', 'tbl', 'g'), 1, 40) AS replaced_head
+FROM documents
+""",
+)
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam's ``Regex`` transform family (matches / find_all / replace_all)
+    in one projection: match-count via ``regexp_extract_all``, first match,
+    occurrence count via replace-and-measure, boolean match, and a global
+    replace — all in the Java∩RE2 pattern subset both engines parse
+    identically (plain literals and character classes, no lookaround).
+    Note Spark's ``regexp_replace`` is global by default where DuckDB
+    needs the explicit ``'g'`` flag — an easy silent-divergence trap.
+
+    Scale: pure codegen projection fused into the scan — zero shuffles,
+    zero Python."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("s[a-z]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_s_words"),
+        F.regexp_extract("text", "(s[a-z]+)", 1).alias("first_s"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "stream", ""))
+            )
+            / 6
+        )
+        .cast("long")
+        .alias("n_stream"),
+        F.col("text").rlike("table|scan").cast("int").alias("has_tbl_scan"),
+        F.substring(
+            F.regexp_replace("text", "table", "tbl"), 1, 40
+        ).alias("replaced_head"),
+    )

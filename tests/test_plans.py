@@ -241,3 +241,22 @@ def test_r3_experiments_plan_shapes(spark, sf_dir):
     # A/B read-out: one user_id shuffle, then metadata-sized rollups
     df = q.QUERIES["q_ab_test"](spark, sf_dir)
     assert P.count_exchanges(df) <= 3, P.executed_plan(df)
+
+
+def test_r3_wave2_plan_shapes(spark, sf_dir):
+    """Plan pins for CUPED / sequence mining / BFS / regex."""
+    # CUPED: θ and mean(pre) arrive as a 1-row broadcast, never a shuffle
+    df = q.QUERIES["q_cuped"](spark, sf_dir)
+    assert P.has(df, "BroadcastNestedLoopJoin") or P.has(df, "BroadcastHashJoin"), \
+        P.executed_plan(df)
+    # sequence mining: the pair join must be a user-keyed hash join,
+    # never a cartesian
+    df = q.QUERIES["q_sequence_mining"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # BFS: frontiers broadcast onto the edge table each hop
+    df = q.QUERIES["q_bfs_reachability"](spark, sf_dir)
+    assert P.executed_plan(df).count("BroadcastHashJoin") >= 2
+    # regex family: fused into the scan — zero exchanges
+    df = q.QUERIES["q_regex"](spark, sf_dir)
+    assert P.count_exchanges(df) == 0, P.executed_plan(df)
