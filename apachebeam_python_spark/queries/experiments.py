@@ -903,3 +903,97 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.join(F.broadcast(nat), u.node == F.col("n_nationkey")).select(
         F.col("n_name").alias("nation"), "dist"
     )
+
+
+# --------------------------------------------------------------------------
+# Beam Metrics (Counter/Distribution) via the Observation side channel
+# --------------------------------------------------------------------------
+@register(
+    "q_pipeline_metrics",
+    driver=False,  # §2.2 Beam Metrics mapping — pytest oracle
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS input_n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS input_n_null_value,
+       CAST(sum(CASE WHEN value IS NOT NULL AND value > 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_n_rows,
+       round(CAST(sum(CASE WHEN value IS NOT NULL AND value > 100
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+         AS kept_sum_value,
+       round(max(CASE WHEN value IS NOT NULL AND value > 100
+                 THEN value END), 6) AS kept_max_value
+FROM events
+""",
+)
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Metrics`` (counters + distributions) mapped to Spark's
+    ``Observation`` side channel (operators/metrics.py): two observation
+    points — raw input and post-filter — piggyback on ONE materializing
+    action, exactly Beam's no-extra-pass cost model (counters are
+    harvested from task-side partials as metadata, never a second scan).
+    The harvested metrics are re-emitted as a 1-row DataFrame so the
+    DuckDB oracle can recompute every counter exactly; the kept-sum
+    distribution goes through DECIMAL so it is order-independent.
+
+    Scale: observe cost is a handful of accumulators per task regardless
+    of data size; the noop action is the pipeline's own materialization."""
+    from ..operators.metrics import observe_point, run_with_metrics
+
+    e = table(spark, sf_dir, "events")
+    e_obs, inp = observe_point(
+        e,
+        "input",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    kept = e_obs.filter(F.col("value").isNotNull() & (F.col("value") > 100))
+    kept_obs, kp = observe_point(
+        kept,
+        "kept",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    m = run_with_metrics(kept_obs, {"input": inp, "kept": kp})
+    row = [
+        (
+            int(m["input_n_rows"]),
+            int(m["input_n_null_value"]),
+            int(m["kept_n_rows"]),
+            round(float(m["kept_sum_value"]), 6),
+            round(float(m["kept_max_value"]), 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "input_n_rows long, input_n_null_value long, kept_n_rows long, "
+        "kept_sum_value double, kept_max_value double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA projection (rows-only: float partials, no SQL eigensolve)
+# --------------------------------------------------------------------------
+@register("q_pca_project", driver=False)  # §2.11 — rows-only by nature
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimensionality reduction: distributed two-pass PCA
+    (operators/decomposition.py) — Arrow-batched moment partials, one
+    metadata-sized (kind,pos) merge shuffle, driver eigensolve on the
+    64×64 covariance, literal-component narrow projection. Output: each
+    vector's top-4 principal coordinates (rounded) plus the explained
+    variance of its leading component as a constant column.
+
+    Rows-only by nature: the eigensolve is not SQL-expressible and float
+    partial sums drift ~1e-12 across partitionings; correctness is pinned
+    in pytest by full-numpy replay (allclose), orthonormality, and
+    explained-variance ≡ eigenvalue assertions."""
+    from ..operators import decomposition as DC
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, evals = DC.pca_model(emb, "embedding", dim=64, k=4)
+    proj = DC.project(emb.select("vec_id", "embedding"), "embedding", mean, comps)
+    return proj.select(
+        "vec_id",
+        *[F.round(f"p{i}", 4).alias(f"p{i}") for i in range(4)],
+        F.round(F.lit(evals[0]), 4).alias("ev0"),
+    )

@@ -17,6 +17,7 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "apachebeam_python_spark"
 #: file → number of sanctioned bounded-metadata `.collect()` calls
 ALLOWED_COLLECTS = {
     "operators/clustering.py": 2,  # seed vectors (k rows) + centroid sums (k*dim rows)
+    "operators/decomposition.py": 1,  # PCA moment partials (dim^2+dim+1 rows)
 }
 
 

@@ -122,3 +122,79 @@ def test_within_cluster_pairs_vs_brute_force(spark, emb):
     sem_dropped = {r["vec_id"] for r in sem.filter(~F.col("keep")).collect()}
     # every same-cluster brute pair's larger id must be dropped
     assert {b for (_, b) in same_cluster_brute} <= sem_dropped
+
+
+# ---------------------------------------------------------------------------
+# PCA (operators/decomposition.py)
+# ---------------------------------------------------------------------------
+
+def test_pca_matches_full_numpy(spark, sf_dir):
+    """Distributed moment-partials PCA ≡ single-shot numpy PCA (allclose:
+    float partial sums may drift ~1e-12 across batchings)."""
+    import numpy as np
+    from apachebeam_python_spark.operators import decomposition as DC
+    from apachebeam_python_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, evals = DC.pca_model(emb, "embedding", dim=64, k=4)
+
+    V = np.stack([r.embedding for r in emb.select("embedding").collect()]).astype(
+        "float64"
+    )
+    mu = V.mean(axis=0)
+    cov = (V.T @ V) / len(V) - np.outer(mu, mu)
+    ev_np, evec_np = np.linalg.eigh(cov)
+    order = np.argsort(ev_np)[::-1][:4]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(evals, ev_np[order], atol=1e-9)
+    for c, j in zip(comps, order):
+        v = evec_np[:, j]
+        v = v * np.sign(v[int(np.argmax(np.abs(v)))] or 1.0)
+        assert np.allclose(c, v, atol=1e-6)
+
+
+def test_pca_components_orthonormal_and_variance(spark, sf_dir):
+    """Components are orthonormal; the variance of each projected
+    coordinate equals its eigenvalue (the definition of PCA)."""
+    import numpy as np
+    from apachebeam_python_spark.operators import decomposition as DC
+    from apachebeam_python_spark.session import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, evals = DC.pca_model(emb, "embedding", dim=64, k=3)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    assert evals[0] >= evals[1] >= evals[2] > 0
+
+    proj = DC.project(emb.select("embedding"), "embedding", mean, comps)
+    got = proj.agg(
+        *[F.var_pop(f"p{i}").alias(f"v{i}") for i in range(3)]
+    ).collect()[0]
+    for i in range(3):
+        assert abs(got[f"v{i}"] - evals[i]) < 1e-6 * max(1.0, evals[i])
+
+
+def test_pca_projection_plan_is_narrow(spark, sf_dir):
+    """After the fit, the projection itself must be a zero-exchange
+    codegen pipeline — no Python, no shuffle."""
+    from apachebeam_python_spark.operators import decomposition as DC
+    from apachebeam_python_spark.plans import inspect as P
+    from apachebeam_python_spark.session import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = DC.pca_model(emb, "embedding", dim=64, k=2)
+    proj = DC.project(emb.select("vec_id", "embedding"), "embedding", mean, comps)
+    assert P.count_exchanges(proj) == 0, P.executed_plan(proj)
+
+
+def test_pca_raises_on_tiny_input(spark):
+    from apachebeam_python_spark.operators import decomposition as DC
+    import pytest as _pt
+
+    one = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="needs >= 2"):
+        DC.pca_model(one, "embedding", dim=64, k=2)
