@@ -997,3 +997,233 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(f"p{i}", 4).alias(f"p{i}") for i in range(4)],
         F.round(F.lit(evals[0]), 4).alias("ev0"),
     )
+
+
+# --------------------------------------------------------------------------
+# GenerateSequence (Beam's bounded generator source)
+# --------------------------------------------------------------------------
+@register(
+    "q_generate_sequence",
+    driver=False,  # §2.1 GenerateSequence/Create source — pytest oracle
+    oracle="""
+SELECT range AS id,
+       range * range AS id_sq,
+       CAST(DATE '2024-01-01' + INTERVAL (range % 365) DAY AS TIMESTAMP)
+         AS day,
+       CAST(range % 7 AS BIGINT) AS bucket
+FROM range(0, 1000)
+""",
+)
+def q_generate_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``GenerateSequence`` / ``Create``: the bounded generator source,
+    mapped to ``spark.range`` — rows are synthesized per partition with no
+    input files at all. Derives a calendar spine (the standard use: build
+    a date dimension / gapfill grid without reading anything).
+
+    Scale: range() parallelizes by slicing the index space — N rows appear
+    as numSlices narrow partitions, no scan, no shuffle; this is also the
+    canonical driver for synthetic load tests."""
+    r = spark.range(0, 1000)  # (sf_dir unused: a generator has no input)
+    return r.select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("id_sq"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            F.pmod(F.col("id"), F.lit(365)).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("day"),
+        F.pmod(F.col("id"), F.lit(7)).alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dead-letter routing around a fallible parse (Beam error-output pattern)
+# --------------------------------------------------------------------------
+@register(
+    "q_dead_letter",
+    driver=False,  # §2.2 ParDo dead-letter pattern — pytest oracle
+    oracle="""
+WITH raw AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 17 = 0 THEN substr(props, 2) ELSE props END
+           AS payload
+  FROM events
+), parsed AS (
+  SELECT event_id, user_id, payload,
+         CASE WHEN json_valid(payload)
+              THEN CAST(json_extract(payload, '$.k') AS INT) END AS k
+  FROM raw
+)
+SELECT CASE WHEN k IS NOT NULL THEN 'ok' ELSE 'dead_letter' END AS route,
+       CAST(count(*) AS BIGINT)                 AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+       CAST(sum(k) AS BIGINT)                   AS sum_k
+FROM parsed GROUP BY 1
+""",
+)
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Beam dead-letter pattern: a fallible parse inside a ParDo routes
+    failures to an error output instead of crashing the pipeline. Here a
+    deterministic slice of payloads is corrupted (drop the leading brace),
+    ``from_json`` yields NULL for them (Spark's PERMISSIVE mode ≡ DuckDB's
+    ``json_valid`` guard — verified: trailing-garbage JSON parses in BOTH,
+    leading corruption fails in both), and rows route to 'ok' /
+    'dead_letter' with per-route stats — the tagged-output shape of
+    q_pardo_tagged applied to error handling.
+
+    Scale: parse + route are narrow codegen; the census is one 2-group
+    agg. The real-world version writes the dead-letter route to its own
+    sink for replay — same plan plus a partitioned write."""
+    e = table(spark, sf_dir, "events")
+    raw = e.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(17)) == 0,
+            F.substring(F.col("props"), 2, 1 << 30),
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = raw.select(
+        "event_id",
+        "user_id",
+        F.from_json("payload", "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.select(
+            F.when(F.col("k").isNotNull(), "ok")
+            .otherwise("dead_letter")
+            .alias("route"),
+            "user_id",
+            "k",
+        )
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (unionByName with missing columns)
+# --------------------------------------------------------------------------
+@register(
+    "q_union_by_name",
+    driver=False,  # §2.6 Flatten across evolved schemas — pytest oracle
+    oracle="""
+SELECT 'orders' AS src, o_orderkey AS id, o_totalprice AS amount,
+       o_orderstatus AS status, CAST(NULL AS VARCHAR) AS kind
+FROM orders
+UNION ALL
+SELECT 'events', event_id, value, CAST(NULL AS VARCHAR), event_type
+FROM events
+""",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``Flatten`` across EVOLVED schemas: two sources that share only
+    part of their columns union by NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)``) — the schema-evolution
+    staple when a field was added to one feed but not another. Positional
+    UNION (q_union_all) would silently misalign; by-name is the safe form.
+
+    Scale: pure narrow concatenation — no shuffle, each source keeps its
+    own partitioning and pushdown."""
+    o = table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    e = table(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"),
+        F.col("event_id").alias("id"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("kind"),
+    )
+    return o.unionByName(e, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential forecast (sequential recurrence)
+# --------------------------------------------------------------------------
+@register(
+    "q_forecast_holt",
+    driver=False,  # §2.5 forecasting extension (sequential) — pytest oracle
+    oracle="""
+WITH RECURSIVE m AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(avg(value), 6) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), o AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM m
+), r AS (
+  SELECT event_type, rn, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.x,
+         0.5 * o.x + 0.5 * (r.l + r.b)            AS l,
+         0.25 * (0.5 * o.x + 0.5 * (r.l + r.b) - r.l) + 0.75 * r.b AS b
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, day, x,
+       round(l, 6)     AS level,
+       round(b, 6)     AS trend,
+       round(l + b, 6) AS forecast_next
+FROM r
+""",
+)
+def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over daily metric
+    means, with the one-step-ahead forecast ℓ+b per day — the workhorse
+    short-horizon forecaster. The recurrence ℓ_t = αx_t+(1−α)(ℓ+b),
+    b_t = β(ℓ_t−ℓ)+(1−β)b is order-dependent, so it runs as the
+    grouped-map sequential escape hatch (one event_type shuffle, ~30-row
+    series per key) against a per-key recursive-CTE oracle — the
+    q_cusum/q_session_capped pattern. α=0.5 and β=0.25 are EXACT binary
+    fractions and inputs are pre-rounded at 6 dp in both engines, so the
+    recurrence is bit-identical without any intermediate rounding.
+
+    Scale: work per key is its day count; keys parallelize. For
+    high-cardinality keys this is the applyInPandas sweet spot — numpy
+    recurrences per group, state never crosses group boundaries."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        rows = []
+        l = b = None
+        for day, x in zip(pdf["day"], pdf["x"]):
+            x = float(x)
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                l = l_new
+            rows.append((pdf["event_type"].iloc[0], day, x, l, b))
+        return pd.DataFrame(
+            rows, columns=["event_type", "day", "x", "l", "b"]
+        )
+
+    out = m.groupBy("event_type").applyInPandas(
+        holt, schema="event_type string, day timestamp, x double, l double, b double"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+        F.round(F.col("l") + F.col("b"), 6).alias("forecast_next"),
+    )

@@ -260,3 +260,18 @@ def test_r3_wave2_plan_shapes(spark, sf_dir):
     # regex family: fused into the scan — zero exchanges
     df = q.QUERIES["q_regex"](spark, sf_dir)
     assert P.count_exchanges(df) == 0, P.executed_plan(df)
+
+
+def test_r3_wave4_plan_shapes(spark, sf_dir):
+    """Plan pins for generator source / dead-letter / schema union."""
+    # GenerateSequence: a pure Range source — no scan, no exchange
+    df = q.QUERIES["q_generate_sequence"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "Range" in plan and "Scan parquet" not in plan, plan
+    assert P.count_exchanges(df) == 0, plan
+    # dead-letter: narrow parse+route, single 2-group census agg
+    df = q.QUERIES["q_dead_letter"](spark, sf_dir)
+    assert "CartesianProduct" not in P.executed_plan(df)
+    # unionByName: pure concatenation, zero exchanges
+    df = q.QUERIES["q_union_by_name"](spark, sf_dir)
+    assert P.count_exchanges(df) == 0, P.executed_plan(df)
