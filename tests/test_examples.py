@@ -41,3 +41,7 @@ def test_product_analytics_example(spark, sf_dir):
 
 def test_corpus_diagnostics_example(spark, sf_dir):
     _run("corpus_diagnostics", sf_dir)
+
+
+def test_experimentation_example(spark, sf_dir):
+    _run("experimentation", sf_dir)
