@@ -27,3 +27,18 @@ def observed(df: DataFrame, name: str, **metrics: Column) -> tuple[DataFrame, Ob
     obs = Observation(name)
     out = df.observe(obs, *[m.alias(n) for n, m in metrics.items()])
     return out, obs
+
+
+def run_with_metrics(df: DataFrame, observations: dict[str, Observation]) -> dict:
+    """Materialize ``df`` via the no-op sink (the cheapest full action) and
+    harvest every observation point, merged into one flat dict with keys
+    ``{point_name}_{metric_alias}``. 100 TB note: observed metrics are
+    task-side partials merged as driver metadata — cost independent of data
+    size; put a point at every stage boundary you would have put a Beam
+    counter."""
+    df.write.mode("overwrite").format("noop").save()
+    out: dict = {}
+    for name, obs in observations.items():
+        for k, v in obs.get.items():
+            out[f"{name}_{k}"] = v
+    return out

@@ -927,7 +927,7 @@ FROM events
 )
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``Metrics`` (counters + distributions) mapped to Spark's
-    ``Observation`` side channel (operators/metrics.py): two observation
+    ``Observation`` side channel (plans/metrics.py): two observation
     points — raw input and post-filter — piggyback on ONE materializing
     action, exactly Beam's no-extra-pass cost model (counters are
     harvested from task-side partials as metadata, never a second scan).
@@ -937,22 +937,22 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: observe cost is a handful of accumulators per task regardless
     of data size; the noop action is the pipeline's own materialization."""
-    from ..operators.metrics import observe_point, run_with_metrics
+    from ..plans.metrics import observed, run_with_metrics
 
     e = table(spark, sf_dir, "events")
-    e_obs, inp = observe_point(
+    e_obs, inp = observed(
         e,
         "input",
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        n_rows=F.count(F.lit(1)),
+        n_null_value=F.sum(F.col("value").isNull().cast("long")),
     )
     kept = e_obs.filter(F.col("value").isNotNull() & (F.col("value") > 100))
-    kept_obs, kp = observe_point(
+    kept_obs, kp = observed(
         kept,
         "kept",
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
-        F.max("value").alias("max_value"),
+        n_rows=F.count(F.lit(1)),
+        sum_value=F.sum(F.col("value").cast("decimal(18,6)")),
+        max_value=F.max("value"),
     )
     m = run_with_metrics(kept_obs, {"input": inp, "kept": kp})
     row = [
