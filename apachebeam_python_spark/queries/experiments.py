@@ -1227,3 +1227,132 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b", 6).alias("trend"),
         F.round(F.col("l") + F.col("b"), 6).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup (temporal dimension join)
+# --------------------------------------------------------------------------
+@register(
+    "q_scd2_lookup",
+    driver=False,  # §2.4 temporal-join extension — pytest oracle
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), dim AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM (SELECT user_id, event_type, ts FROM marked
+        WHERE prev IS NULL OR prev <> event_type)
+), facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.event_id, d.event_type AS state_at_event
+FROM facts f JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""",
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each fact row is enriched
+    with the SCD2 version valid AT its timestamp — the warehouse pattern
+    that q_scd2_dims builds the dimension for. The oracle states it as the
+    interval join (valid_from ≤ ts < valid_to); the Spark plan is the
+    UNION+WINDOW as-of trick (q_join_asof): dim starts and facts interleave
+    on one (user, ts, kind) sort, last_value(state) IGNORE NULLS carries
+    the active version forward — ONE user-keyed shuffle, no range join,
+    no per-fact × per-version fan-out.
+
+    Scale: cost is sort(|facts|+|versions|) per key; version history rides
+    the same partition as its facts. The interval-join formulation (a
+    BNLJ or fan-out equi-join) is strictly worse — the oracle keeps it as
+    semantics, not as the plan."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(order).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("ts"),
+            F.col("event_type").alias("state"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("kind"),
+        "event_id",
+    )
+    merged = dim.unionByName(facts)
+    carry = Window.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        merged.withColumn(
+            "state_at_event", F.last("state", ignorenulls=True).over(carry)
+        )
+        .filter(F.col("kind") == 1)
+        .select("user_id", "event_id", "state_at_event")
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel paths (top event-type trigrams)
+# --------------------------------------------------------------------------
+@register(
+    "q_funnel_paths",
+    driver=False,  # §2.5 path-analysis extension — pytest oracle
+    oracle="""
+WITH seq AS (
+  SELECT event_type
+           || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS path
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE path IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+""",
+)
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 10 most common 3-step event-type paths over
+    each user's (ts, event_id)-ordered stream — the path-analysis
+    complement to q_funnel (fixed steps) and q_event_transitions (single
+    hops). String concat makes NULL tails (streams shorter than 3) drop
+    in both engines identically.
+
+    Scale: both leads share ONE user-keyed window sort; the path census
+    is a partial+final agg on a low-cardinality key (|types|³ max) and
+    the top-10 collapses to TakeOrderedAndProject."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("guard"),
+    ).filter(F.col("guard").isNotNull())
+    return (
+        seq.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -275,3 +275,20 @@ def test_r3_wave4_plan_shapes(spark, sf_dir):
     # unionByName: pure concatenation, zero exchanges
     df = q.QUERIES["q_union_by_name"](spark, sf_dir)
     assert P.count_exchanges(df) == 0, P.executed_plan(df)
+
+
+def test_r3_wave5_plan_shapes(spark, sf_dir):
+    """Plan pins for the temporal lookup + path analysis queries."""
+    # SCD2 lookup: the union+window as-of — ONE user shuffle, no range
+    # join, no nested loop
+    df = q.QUERIES["q_scd2_lookup"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # funnel paths: both leads share one window sort; top-10 never
+    # full-sorts
+    df = q.QUERIES["q_funnel_paths"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window") == 1, plan
