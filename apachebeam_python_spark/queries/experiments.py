@@ -1,9 +1,13 @@
-"""Experimentation & statistical-modeling queries (round 3, wave 3):
-A/B testing, OLS trend fits, autocorrelation, seasonal anomaly detection,
-Pareto skyline, deterministic per-key sampling, TPC-H Q3-shape priority
-ranking, rolling window quantiles, and bloom-filter decontamination.
+"""Experimentation & statistical-modeling queries (round 3, waves 3-5):
+A/B testing (plain + CUPED), OLS trend fits, autocorrelation, seasonal
+anomaly detection, Holt forecasting, Pareto skyline, deterministic
+per-key sampling, TPC-H Q3-shape priority ranking, rolling window
+quantiles, bloom-filter decontamination, sequential pattern mining,
+bounded BFS reachability, the GenerateSequence source, dead-letter
+routing, schema-evolution unions, Beam-Metrics observation points,
+distributed PCA, SCD2 point-in-time lookups, and funnel-path analysis.
 
-SURVEY §2.3/§2.5 statistical extensions + §2.11 pipeline-curation tier.
+SURVEY §2.1-§2.5 statistical extensions + §2.11 pipeline-curation tier.
 Every query is DuckDB-oracle-backed: randomness is replaced by md5-derived
 arithmetic (``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
 ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` — verified identical), and
