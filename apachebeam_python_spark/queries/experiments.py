@@ -882,9 +882,11 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 150)
         .select("src", "dst")
     )
-    # the edge subtree appears once per hop in ONE plan — Spark's
-    # ReuseExchange collapses the identical builds; at 100 TB checkpoint
-    # the edge table instead (it is the expensive star join)
+    # the edge subtree appears once per hop — materialize it ONCE with a
+    # lineage cut (localCheckpoint, the operators/graph.py discipline;
+    # measured: without it the star-join build replans 6× and ReuseExchange
+    # does NOT collapse the copies across the broadcast frontiers)
+    e = e.localCheckpoint(eager=True)
     l1 = e.filter(F.col("src") == 0).select(F.col("dst").alias("node")).distinct()
     l2 = (
         e.join(F.broadcast(l1), e.src == l1.node)
