@@ -1362,3 +1362,114 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity join with prefix filtering (PPJoin-style)
+# --------------------------------------------------------------------------
+SETSIM_T = 0.5
+
+
+def setsim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered candidate pairs for q_setsim_join (exposed for the
+    pruning-effectiveness test). A pair can reach Jaccard ≥ t only if the
+    two docs share a token among their RARITY-ORDERED PREFIXES of length
+    |s| − ⌈t·|s|⌉ + 1 (pigeonhole on the ordered sets) — so joining only
+    prefix tokens is EXACT pruning, not an approximation.
+
+    No global rank table is materialized: rarity order is the (df, gram)
+    tuple itself, so the per-doc prefix is one row_number window over a
+    doc-keyed sort — scale-free."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
+    )
+    dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = grams.join(dfreq, "gram").join(sz, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pref = ranked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
+    )
+    a = pref.select(F.col("doc_id").alias("da"), "gram")
+    b = pref.select(F.col("doc_id").alias("db"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+@register(
+    "q_setsim_join",
+    driver=False,  # §2.11 exact similarity join — pytest oracle
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         ))) AS gram
+  FROM toks
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, inter,
+       round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {SETSIM_T}
+""",
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (trigram-set Jaccard ≥ t) with
+    prefix filtering — the PPJoin-family technique: candidates come only
+    from pairs sharing a token in their rarity-ordered prefixes (length
+    |s|−⌈t·|s|⌉+1), which is provably lossless, then exact Jaccard
+    verifies. Unlike MinHash LSH (q_dedup_minhash) the result is EXACT —
+    this is the scale path when missed pairs are unacceptable. The oracle
+    states the naive all-shared-token join; pruning effectiveness (and
+    losslessness) is pinned in tests/test_dedup_scale_paths.py.
+
+    Scale: the prefix join's fan-out is Σ df(prefix-token)² over RARE
+    tokens only — orders of magnitude below the full shared-token join
+    (which fans out on the most common tokens); verification touches only
+    candidate pairs. Rank-free prefixing keeps the whole pipeline at
+    three gram-keyed / doc-keyed shuffles."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
+    )
+    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = setsim_candidates(spark, sf_dir)
+    ga = grams.select(F.col("doc_id").alias("da"), "gram")
+    gb = grams.select(
+        F.col("doc_id").alias("db_b"), F.col("gram").alias("gram_b")
+    )
+    inter = (
+        cand.join(ga, "da")
+        .join(
+            gb,
+            (F.col("db") == F.col("db_b")) & (F.col("gram") == F.col("gram_b")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast(
+        "double"
+    )
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= SETSIM_T)
+        .select("da", "db", "inter", F.round(jac, 6).alias("jaccard"))
+    )

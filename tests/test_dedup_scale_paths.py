@@ -122,3 +122,33 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         (F.col("max_err") > F.col("scale") / 2 + 1e-12) | (F.col("max_q") > 127)
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (q_setsim_join)
+# ---------------------------------------------------------------------------
+
+def test_setsim_prefix_filter_is_lossless_and_prunes(spark, ddb, sf_dir):
+    """The PPJoin-style prefix filter must (a) never lose a qualifying
+    pair — every Jaccard ≥ t pair appears among the candidates — and
+    (b) actually prune: candidates ≪ the full shared-gram pair space."""
+    from apachebeam_python_spark.queries.experiments import setsim_candidates
+    from apachebeam_python_spark import queries as q
+
+    cand = {
+        (r.da, r.db)
+        for r in setsim_candidates(spark, sf_dir).collect()
+    }
+    result = {
+        (r.da, r.db) for r in q.QUERIES["q_setsim_join"](spark, sf_dir).collect()
+    }
+    assert result <= cand, "prefix filter lost qualifying pairs"
+
+    full = ddb.execute("""
+WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       range(1,len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) gram FROM toks)
+SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
+                      FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id<b.doc_id)
+""").fetchone()[0]
+    assert len(cand) * 5 < full, (len(cand), full)

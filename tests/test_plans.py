@@ -292,3 +292,10 @@ def test_r3_wave5_plan_shapes(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_setsim_join_plan_has_no_cartesian(spark, sf_dir):
+    df = q.QUERIES["q_setsim_join"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
