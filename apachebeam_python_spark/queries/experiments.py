@@ -1473,3 +1473,110 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= SETSIM_T)
         .select("da", "db", "inter", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — declarative transitive closure
+# --------------------------------------------------------------------------
+@register(
+    "q_recursive_cte",
+    driver=False,  # §2.6 SQL-completeness: declarative iteration — pytest oracle
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 150
+), walk AS (
+  SELECT dst AS node, 1 AS hops FROM e WHERE src = 0
+  UNION ALL
+  SELECT e.dst, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < 4
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative transitive closure via ``WITH RECURSIVE`` — Spark 4's
+    recursive CTE, run through ``spark.sql`` with the SAME query text the
+    DuckDB oracle executes (dialect-identical). Semantically the walk is
+    q_bfs_reachability's unrolled frontier iteration, but here the ENGINE
+    owns the loop — the declarative form a SQL-first user migrates with.
+    Depth-bounded (hops < 4) so both engines terminate without a cycle
+    check.
+
+    Scale: each recursion step is the same frontier⋈edges join the manual
+    unroll makes; the depth bound caps total work at hops × |edges|. For
+    very deep graphs prefer the pointer-jumping label propagation
+    (operators/graph.py) — O(log diameter) rounds instead of O(diameter)."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 150
+), walk AS (
+  SELECT dst AS node, 1 AS hops FROM e WHERE src = 0
+  UNION ALL
+  SELECT e.dst, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < 4
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row dependent computation)
+# --------------------------------------------------------------------------
+@register(
+    "q_lateral_topk",
+    driver=False,  # §2.6 SQL-completeness: LATERAL — pytest oracle
+    oracle="""
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a LATERAL correlated subquery — the SQL-standard
+    dependent-join form (each nation row drives its own ordered+limited
+    customer scan), dialect-identical in both engines. Catalyst decorrelates
+    it into the same window/top-k machinery q_topk_per_key uses directly —
+    proof that the declarative form migrates without a manual rewrite.
+
+    Scale: after decorrelation this is one customer shuffle keyed by
+    nation + per-key limit; the naive interpretation (a scan per outer
+    row) never executes."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 3
+) t
+"""
+    )

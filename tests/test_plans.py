@@ -299,3 +299,15 @@ def test_setsim_join_plan_has_no_cartesian(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sql_completeness_plan_shapes(spark, sf_dir):
+    """Recursive CTE plans as the engine-owned UnionLoop; LATERAL
+    decorrelates to the same WindowGroupLimit machinery as q_topk_per_key
+    (never a per-outer-row rescan)."""
+    df = q.QUERIES["q_recursive_cte"](spark, sf_dir)
+    assert "UnionLoop" in P.executed_plan(df), P.executed_plan(df)
+    df = q.QUERIES["q_lateral_topk"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
