@@ -498,12 +498,13 @@ WITH marked AS (
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events
 ), changes AS (
-  SELECT user_id, event_type, ts
+  SELECT user_id, event_type, ts, event_id
   FROM marked WHERE prev IS NULL OR prev <> event_type
 )
 SELECT user_id, event_type, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
 FROM changes
 """,
 )
@@ -523,12 +524,15 @@ def q_scd2_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
-            "user_id", "event_type", "ts",
+            "user_id", "event_type", "ts", "event_id",
             F.lag("event_type").over(order).alias("prev"),
         )
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
     )
-    close = Window.partitionBy("user_id").orderBy("ts")
+    # Close over the same (ts, event_id) total order the change rows were
+    # derived with: a ts-only sort leaves same-ts change rows tie-ambiguous
+    # and the engines may close different versions (code-review r3).
+    close = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id", "event_type",
         F.col("ts").alias("valid_from"),
@@ -850,6 +854,60 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-purchase edge threshold shared by q_triangles / q_clustering_coeff —
+#: one constant so the two graph views can never silently desynchronize
+_EDGE_MIN_COPURCHASE = 80
+
+
+def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) basket table — the shared input of the
+    market-basket and co-purchase-graph family (q_assoc_rules, q_triangles,
+    q_clustering_coeff). Broadcast part onto lineitem, one distinct."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) co-purchase edges with ≥ _EDGE_MIN_COPURCHASE shared
+    orders, localCheckpointed: every consumer references the edge table 3-4×
+    (two-hop joins, symmetrization) and ReuseExchange does not collapse the
+    repeated basket self-join subtrees (same discipline as
+    q_bfs_reachability)."""
+    b = _brand_baskets(spark, sf_dir)
+    u = b.select("oid", F.col("item").alias("u"))
+    v = b.select("oid", F.col("item").alias("v"))
+    return (
+        u.join(v, "oid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _EDGE_MIN_COPURCHASE)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+
+
+def _triangle_corners(edges: DataFrame) -> DataFrame:
+    """Triangles of an oriented (u < v) edge table, exploded to their three
+    corner nodes (column ``node``). The a<b<c orientation enumerates each
+    triangle exactly once; at scale orient by degree (low→high) so every
+    wedge is generated only at its smallest corner."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+
+
 @register(
     "q_assoc_rules",
     driver=False,  # §2.3 market-basket extension — pytest oracle
@@ -890,13 +948,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the support-pruned pair table (prune FIRST via HAVING). The distinct
     pass, pair count, and final joins share one shuffle each — at 100 TB
     the basket table is the thing to bucket by oid."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
-        .distinct()
-    )
+    b = _brand_baskets(spark, sf_dir)
     nb = b.select("oid").distinct().agg(F.count("*").alias("n"))
     ni = b.groupBy("item").agg(F.count("*").alias("n_i"))
     a = b.select("oid", F.col("item").alias("ante"))
@@ -967,32 +1019,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join fan-out, since every wedge is generated only at its smallest
     corner; edges partition by join key each hop. The co-occurrence edge
     build reuses the basket self-join shape (fan-out Σ basket²)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
-        .distinct()
-    )
-    u = b.select("oid", F.col("item").alias("u"))
-    v = b.select("oid", F.col("item").alias("v"))
-    edges = (
-        u.join(v, "oid")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 80)
-        .select("u", "v")
-    )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    corners = _triangle_corners(_brand_edges(spark, sf_dir))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
 
@@ -1212,40 +1239,18 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts reuse q_triangles' oriented two-hop join; the coefficient is a
     broadcast-free left join of two per-node tables that are each
     O(nodes)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    b = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
-        .distinct()
-    )
-    u = b.select("oid", F.col("item").alias("u"))
-    v = b.select("oid", F.col("item").alias("v"))
-    edges = (
-        u.join(v, "oid")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 80)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    edges = _brand_edges(spark, sf_dir)
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
     )
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri_abc = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri_abc.select(F.col("a").alias("node"))
-        .unionByName(tri_abc.select(F.col("b").alias("node")))
-        .unionByName(tri_abc.select(F.col("c").alias("node")))
+    tri = (
+        _triangle_corners(edges)
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
     )
-    tri = corners.groupBy("node").agg(F.count("*").alias("triangles"))
     cc = F.when(
         F.col("degree") >= 2,
         2.0 * F.coalesce(F.col("triangles"), F.lit(0))

@@ -17,6 +17,8 @@ order-independent across engines (SURVEY §7.4.4).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -252,7 +254,8 @@ WITH d AS (
   FROM events WHERE value IS NOT NULL GROUP BY 1
 ), dw AS (
   SELECT day, v,
-         date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) % 7 AS dow
+         ((date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) % 7) + 7) % 7
+           AS dow
   FROM d
 ), base AS (
   SELECT dow, CAST(quantile_cont(v, 0.5) AS DOUBLE) AS baseline
@@ -961,13 +964,20 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_value=F.max("value"),
     )
     m = run_with_metrics(kept_obs, {"input": inp, "kept": kp})
+
+    def round6(x):
+        # Mirror DuckDB round() (half-away-from-zero; inputs are > 100 so
+        # nonneg) — Python round() is banker's and diverges on midpoints.
+        # An empty kept-set yields NULL in the oracle; pass None through.
+        return None if x is None else math.floor(float(x) * 1e6 + 0.5) / 1e6
+
     row = [
         (
             int(m["input_n_rows"]),
             int(m["input_n_null_value"]),
             int(m["kept_n_rows"]),
-            round(float(m["kept_sum_value"]), 6),
-            round(float(m["kept_max_value"]), 6),
+            round6(m["kept_sum_value"]),
+            round6(m["kept_max_value"]),
         )
     ]
     return spark.createDataFrame(
@@ -1249,8 +1259,8 @@ WITH marked AS (
   FROM events
 ), dim AS (
   SELECT user_id, event_type, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-  FROM (SELECT user_id, event_type, ts FROM marked
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM (SELECT user_id, event_type, ts, event_id FROM marked
         WHERE prev IS NULL OR prev <> event_type)
 ), facts AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
@@ -1283,6 +1293,7 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
+            "event_id",
             F.lag("event_type").over(order).alias("prev"),
         )
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
@@ -1291,6 +1302,7 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts"),
             F.col("event_type").alias("state"),
             F.lit(0).alias("kind"),
+            F.col("event_id").alias("seq"),
             F.lit(None).cast("long").alias("event_id"),
         )
     )
@@ -1299,10 +1311,15 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(None).cast("string").alias("state"),
         F.lit(1).alias("kind"),
+        F.col("event_id").alias("seq"),
         "event_id",
     )
     merged = dim.unionByName(facts)
-    carry = Window.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(
+    # (ts, kind, seq): dim versions precede facts at the same instant, and
+    # same-ts change rows are totally ordered by their source event_id —
+    # mirroring the oracle's `lead(ts) ... ORDER BY ts, event_id` close, so
+    # both engines pick the max-event_id version among same-ts changes.
+    carry = Window.partitionBy("user_id").orderBy("ts", "kind", "seq").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
@@ -1347,6 +1364,9 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-10 collapses to TakeOrderedAndProject."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Guard every component, not just lead-2: concat_ws SKIPS nulls while the
+    # oracle's || propagates them, so a NULL event_type anywhere in the
+    # trigram must drop the row in BOTH engines (ADVICE-r2 class trap).
     seq = e.select(
         F.concat_ws(
             ">",
@@ -1354,8 +1374,12 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_type", 1).over(w),
             F.lead("event_type", 2).over(w),
         ).alias("path"),
-        F.lead("event_type", 2).over(w).alias("guard"),
-    ).filter(F.col("guard").isNotNull())
+        F.col("event_type").alias("g0"),
+        F.lead("event_type", 1).over(w).alias("g1"),
+        F.lead("event_type", 2).over(w).alias("g2"),
+    ).filter(
+        F.col("g0").isNotNull() & F.col("g1").isNotNull() & F.col("g2").isNotNull()
+    )
     return (
         seq.groupBy("path")
         .agg(F.count("*").alias("n"))
@@ -1370,7 +1394,24 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 SETSIM_T = 0.5
 
 
-def setsim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _setsim_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot (doc_id, gram) trigram table for the set-similarity family,
+    localCheckpointed so its explode+scan subtree is planned ONCE and shared
+    by every consumer (df table, sizes, both prefix-join sides, both verify
+    sides) — the same shared-subtree discipline as q_bfs_reachability:
+    ReuseExchange does not collapse repeated explode subtrees across joins.
+    At 100 TB the checkpoint becomes a parquet write-through of the gram
+    table (a few× the text column), amortized across the join stages."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
+    )
+    return grams.localCheckpoint(eager=True)
+
+
+def setsim_candidates(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
     """Prefix-filtered candidate pairs for q_setsim_join (exposed for the
     pruning-effectiveness test). A pair can reach Jaccard ≥ t only if the
     two docs share a token among their RARITY-ORDERED PREFIXES of length
@@ -1380,10 +1421,8 @@ def setsim_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     No global rank table is materialized: rarity order is the (df, gram)
     tuple itself, so the per-doc prefix is one row_number window over a
     doc-keyed sort — scale-free."""
-    d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
-    )
+    if grams is None:
+        grams = _setsim_grams(spark, sf_dir)
     dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
     sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ranked = grams.join(dfreq, "gram").join(sz, "doc_id")
@@ -1442,13 +1481,11 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens only — orders of magnitude below the full shared-token join
     (which fans out on the most common tokens); verification touches only
     candidate pairs. Rank-free prefixing keeps the whole pipeline at
-    three gram-keyed / doc-keyed shuffles."""
-    d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
-    )
+    three gram-keyed / doc-keyed shuffles, and the gram explode is built
+    (and localCheckpointed) exactly once for all its consumers."""
+    grams = _setsim_grams(spark, sf_dir)
     sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = setsim_candidates(spark, sf_dir)
+    cand = setsim_candidates(spark, sf_dir, grams=grams)
     ga = grams.select(F.col("doc_id").alias("da"), "gram")
     gb = grams.select(
         F.col("doc_id").alias("db_b"), F.col("gram").alias("gram_b")

@@ -86,9 +86,11 @@ def main() -> None:
         from apachebeam_python_spark.sources.layout import rewrite_for_parallel_scan
 
         bench_dir = tempfile.mkdtemp(prefix="spark_graft_bench_")
+        cleanup_dir = bench_dir  # full fixture copy — remove on exit
         rewrite_for_parallel_scan(spark, sf_dir, bench_dir, TABLES)
     else:
         bench_dir = sf_dir
+        cleanup_dir = None
 
     from apachebeam_python_spark.operators.dedup import release_signature_caches
 
@@ -107,7 +109,13 @@ def main() -> None:
     # wall-clock, the standard convention for damping transient host noise
     # (this box shows random multi-second steal-time stalls that can hit
     # ANY single pass; two passes were not enough to dodge them reliably).
-    passes = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+    try:
+        passes = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+    finally:
+        if cleanup_dir is not None:
+            import shutil
+
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
     best = {n: min(p[n] for p in passes) for n in HEADLINE}
 
     print(

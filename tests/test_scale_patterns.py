@@ -167,9 +167,15 @@ def test_zorder_layout_skips_files_on_both_dims(spark, sf_dir):
     c_y = files_touched(cpath, F.col("y") < 32)
     total = spark.read.parquet(zpath).select(F.input_file_name()).distinct().count()
     assert total == 8
-    # z-order: both dimensions skip; x-clustered: y-filter hits every file
-    assert z_x <= total // 2, f"x-filter touched {z_x}/{total} z-ordered files"
-    assert z_y <= total // 2, f"y-filter touched {z_y}/{total} z-ordered files"
+    # z-order: both dimensions skip; x-clustered: y-filter hits every file.
+    # A 1/32-selective filter constrains one high Morton bit per level, so at
+    # most half the key space matches — but repartitionByRange boundaries come
+    # from SAMPLED quantiles, and a boundary landing inside a matching prefix
+    # region spills a handful of rows into one neighboring file. Allow that
+    # single straddler; the claim under test is "both dims skip ~half the
+    # files" vs the control's "one dim hits every file".
+    assert z_x <= total // 2 + 1, f"x-filter touched {z_x}/{total} z-ordered files"
+    assert z_y <= total // 2 + 1, f"y-filter touched {z_y}/{total} z-ordered files"
     assert c_y == 8, f"control: expected y-filter to touch all x-clustered files, got {c_y}"
 
 
