@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     scans,
     setops,
     streaming_q,
+    tpch,
     udfs,
     windows,
 )

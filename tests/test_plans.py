@@ -311,3 +311,27 @@ def test_sql_completeness_plan_shapes(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_wave_plan_shapes(spark, sf_dir):
+    """The warehouse-benchmark wave: dimensions broadcast (never
+    sort-merge at fixture scale), selective fact filters reach the scan,
+    and ranked outputs collapse to TakeOrderedAndProject."""
+    # Q7: both nation-filtered dim sides broadcast; fact shuffles once
+    df = q.QUERIES["q_volume_shipping"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "GreaterThanOrEqual(l_shipdate" in P.pushed_filters(df)
+    # Q10: returnflag pushdown + deterministic global top-20
+    df = q.QUERIES["q_returned_items"](spark, sf_dir)
+    assert "EqualTo(l_returnflag,R)" in P.pushed_filters(df)
+    assert P.has(df, "TakeOrderedAndProject")
+    # Q14: one broadcast join, ONE exchange total (global agg merge)
+    df = q.QUERIES["q_promo_revenue"](spark, sf_dir)
+    assert P.has(df, "BroadcastHashJoin")
+    assert P.count_exchanges(df) <= 1, P.executed_plan(df)
+    # Q18: aggregated-membership semi join stays a semi join
+    df = q.QUERIES["q_large_orders"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
