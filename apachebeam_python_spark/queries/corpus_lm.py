@@ -548,10 +548,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(steps: int = 5) -> str:
-    """Unrolled BPE-learn oracle: one (pair-count, best, merge) CTE trio per
-    round, MATERIALIZED so the self-referencing chain doesn't inline
-    exponentially (same technique as q_pagerank's oracle)."""
+def _bpe_rounds(steps: int = 5) -> str:
+    """Shared WITH-chain for the BPE oracles: word census, char-split seed,
+    and one (pair-count, best, merge) CTE trio per round, MATERIALIZED so
+    the self-referencing chain doesn't inline exponentially (same technique
+    as q_pagerank's oracle). q_bpe_learn selects the b{i} merge rows;
+    q_bpe_apply chains the same b{i} onto per-document sequences."""
     head = """
 WITH w AS MATERIALIZED (
   SELECT word, count(*) AS freq FROM (
@@ -579,11 +581,41 @@ WITH w AS MATERIALIZED (
 )"""
         for i in range(1, steps + 1)
     )
+    return head + rounds
+
+
+def _bpe_oracle(steps: int = 5) -> str:
     tail = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS step, l AS merge_l, r AS merge_r, c AS pair_freq FROM b{i}"
         for i in range(1, steps + 1)
     )
-    return head + rounds + "\n" + tail
+    return _bpe_rounds(steps) + "\n" + tail
+
+
+def _bpe_apply_oracle(steps: int = 5) -> str:
+    """Apply the learned merges to every document's word stream and roll up
+    per-doc token counts."""
+    docw = """, d0 AS MATERIALIZED (
+  SELECT doc_id, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)"""
+    applies = "".join(
+        f""", d{i} AS MATERIALIZED (
+  SELECT doc_id, replace(seq, ' ' || b.l || ' ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' ') AS seq
+  FROM d{i - 1}, b{i} b
+)"""
+        for i in range(1, steps + 1)
+    )
+    tail = f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens,
+       round(CAST(sum(len(string_split(trim(seq), ' '))) AS DOUBLE)
+             / count(*), 6) AS tokens_per_word
+FROM d{steps} GROUP BY doc_id"""
+    return _bpe_rounds(steps) + docw + applies + tail
 
 
 @register(
@@ -609,6 +641,18 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap for incremental pair-count maintenance — the distributed rounds
     here are the out-of-core fallback when the word census itself doesn't
     fit."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The BPE trainer loop shared by q_bpe_learn and q_bpe_apply: returns
+    one 1-row DataFrame per learned merge, in merge order (columns step /
+    merge_l / merge_r / pair_freq), each localCheckpointed so downstream
+    consumers replay nothing."""
     d = table(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
@@ -661,7 +705,66 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("freq", F.replace(F.col("seq"), pat, rep).alias("seq"))
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges
+
+
+@register(
+    "q_bpe_apply",
+    driver=False,  # §2.11 tokenizer-apply extension — pytest oracle
+    oracle=_bpe_apply_oracle(),
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side of q_bpe_learn's trainer: run the 5
+    learned merges, in order, over every document's word stream and report
+    per-doc subword counts (n_words, n_tokens, tokens_per_word). Merges
+    apply as left-to-right non-overlapping string replaces (the BPE
+    convention, identical `replace` semantics in both engines); the oracle
+    re-derives the same merge table and applies it in the same order.
+
+    Scale: the apply path is the hot one (it touches the corpus, unlike the
+    trainer which runs on the Heaps-law word census) — here it is a pure
+    narrow codegen chain: 5 broadcast 1-row crossjoins + string replaces
+    fused into one projection over the exploded word stream, then ONE
+    doc-keyed partial+final agg. At a real ~50k-merge vocabulary the
+    replace chain becomes an Arrow-batched pandas UDF holding the merge
+    ranks in a dict (greedy pair-merge per word) — same shape, one scan,
+    zero shuffles before the rollup."""
+    merges = _bpe_learn_merges(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    seqs = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("seq"),
+        )
+    )
+    for best in merges:
+        pat = F.concat(F.lit(" "), F.col("_l"), F.lit(" "), F.col("_r"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" "))
+        seqs = seqs.crossJoin(
+            F.broadcast(
+                best.select(
+                    F.col("merge_l").alias("_l"), F.col("merge_r").alias("_r")
+                )
+            )
+        ).select("doc_id", F.replace(F.col("seq"), pat, rep).alias("seq"))
+    n_tok = F.size(F.split(F.trim(F.col("seq")), " "))
+    return (
+        seqs.select("doc_id", n_tok.alias("n_tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -471,6 +471,100 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_canonical",
+    driver=False,  # §2.11 dedup pipeline tail — pytest oracle
+    oracle="""
+WITH RECURSIVE pairs AS (
+  WITH grams AS (
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  ), counts AS (
+    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+  ), shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b FROM shared
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE round(shared / (ca.n_grams + cb.n_grams - shared), 6) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+), clus AS (
+  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+), members AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+), surv AS (
+  SELECT cluster_id, doc_id AS survivor_id
+  FROM (SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM members)
+  WHERE rn = 1
+)
+SELECT m.doc_id, m.cluster_id, s.survivor_id,
+       m.doc_id = s.survivor_id AS kept
+FROM members m JOIN surv s ON s.cluster_id = m.cluster_id
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's TAIL: near-dup clusters → one canonical
+    SURVIVOR per cluster (longest text wins, doc_id tiebreak) → a full
+    doc_id → (cluster, survivor, kept) assignment, singletons surviving as
+    themselves. This is the step that turns detection into an actionable
+    rewrite: filter kept=true to materialize the deduplicated corpus, or
+    join survivor_id to redirect references. Completes
+    q_dedup_minhash (pairs) → q_dedup_clusters (components) →
+    canonical selection.
+
+    Scale: clusters cover only docs that appear in some near-dup pair —
+    a small fraction of the corpus — so the cluster table broadcasts onto
+    the LEFT join with documents; survivor election is one
+    WindowGroupLimit-eligible row_number over clusters (cluster-keyed,
+    cluster sizes are near-dup group sizes, never corpus-scale); the
+    survivor table (one row per cluster) broadcasts back. The corpus
+    itself never shuffles."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=2, num_hashes=64, bands=32, threshold=0.5, verify=True,
+    )
+    clus = D.connected_components(pairs)
+    members = docs.join(
+        F.broadcast(clus.withColumnRenamed("cluster_id", "_cid")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    surv = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"))
+    )
+    return members.join(F.broadcast(surv), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("kept"),
+    )
+
+
+@register(
     "q_doc_features",
     oracle=f"""
 WITH base AS (

@@ -335,3 +335,17 @@ def test_tpch_wave_plan_shapes(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "LeftSemi" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_apply_and_canonical_plan_shapes(spark, sf_dir):
+    """BPE apply: the corpus-side replace chain is narrow — exactly one
+    exchange (the per-doc rollup). Canonical selection: survivor election
+    fires WindowGroupLimit and the corpus-side assignment join broadcasts
+    (no corpus shuffle, no cartesian)."""
+    df = q.QUERIES["q_bpe_apply"](spark, sf_dir)
+    assert P.count_exchanges(df) <= 1, P.executed_plan(df)
+    df = q.QUERIES["q_dedup_canonical"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
