@@ -137,6 +137,22 @@ def main() -> None:
     )
     print("quality-weighted subsample:", weighted.count(), "docs")
 
+    # dedup pipeline TAIL: clusters -> canonical survivor per cluster ->
+    # the deduplicated corpus (filter kept)
+    from apachebeam_python_spark.queries import QUERIES
+
+    canon = QUERIES["q_dedup_canonical"](spark, sf_dir)
+    n_total = canon.count()
+    n_kept = canon.filter(F.col("kept")).count()
+    print(f"canonical selection keeps {n_kept}/{n_total} docs")
+
+    # tokenizer: learn 5 BPE merges on the word census, encode the corpus
+    enc = QUERIES["q_bpe_apply"](spark, sf_dir)
+    enc.agg(
+        F.sum("n_tokens").alias("corpus_subwords"),
+        F.round(F.avg("tokens_per_word"), 3).alias("avg_tokens_per_word"),
+    ).show()
+
 
 if __name__ == "__main__":
     main()
