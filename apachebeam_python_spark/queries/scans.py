@@ -242,3 +242,100 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderdate",
     )
+
+
+@register(
+    "q_variant_json",
+    driver=False,  # §2.7 semi-structured VARIANT extension — pytest oracle
+    oracle="""
+WITH j AS (
+  SELECT event_type,
+         '{"meta":{"type":"' || event_type || '","k":'
+           || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+           || '},"vals":['
+           || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+           || ','
+           || CAST(2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+           || ']}' AS doc
+  FROM events
+  WHERE json_valid(props)
+)
+SELECT CAST(json_extract_string(doc, '$.meta.type') AS VARCHAR) AS type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(doc, '$.vals[1]') AS BIGINT))
+            AS BIGINT) AS sum_v1,
+       CAST(max(CAST(json_extract_string(doc, '$.meta.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM j GROUP BY 1
+""",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type (SURVEY
+    §2.7's JSON family taken to its modern form): nested JSON documents are
+    ingested ONCE with ``parse_json`` into the binary VARIANT encoding, then
+    every access is a typed path extraction (``variant_get`` with object
+    fields AND array indexing) — no per-access re-parse, no schema
+    declaration up front. The documents are built from the events table's
+    embedded JSON (integer fields only, so the text forms are byte-identical
+    across engines); the oracle runs the same paths through DuckDB's JSON
+    engine — two independent JSON parsers agreeing on every extracted value.
+
+    Scale: VARIANT's win at 100 TB is decode-once: the parse cost is paid at
+    ingest and the binary encoding supports direct path seeks per access
+    (vs get_json_object re-parsing the string per call). The whole query is
+    one narrow projection + a low-cardinality partial+final agg."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.format_string(
+        '{"meta":{"type":"%s","k":%d},"vals":[%d,%d]}',
+        F.col("event_type"), k, k, (2 * k).cast("long"),
+    )
+    v = F.parse_json(doc)
+    return (
+        e.filter(k.isNotNull())
+        .select(v.alias("v"))
+        .select(
+            F.variant_get("v", "$.meta.type", "string").alias("type"),
+            F.variant_get("v", "$.vals[1]", "bigint").alias("v1"),
+            F.variant_get("v", "$.meta.k", "bigint").alias("k"),
+        )
+        .groupBy("type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v1").alias("sum_v1"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q_provenance",
+    driver=False,  # §2.1 source-metadata extension — pytest oracle
+    oracle="""
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+""",
+)
+def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden ``_metadata`` struct (SURVEY §2.1's
+    source-introspection capability): every scanned row carries its source
+    file identity with ZERO storage cost — the lineage/debugging primitive
+    behind "which input file produced this bad row". The fixture table is a
+    single file, so the oracle pins the (constant) name and the per-file
+    rollup; with a multi-file table the same query yields one row per file.
+
+    Scale: _metadata is populated by the reader per split — a constant
+    column within each task, never shuffled wider than the rollup; at
+    100 TB this is the audit query run after every compaction/backfill
+    (pair with sources/layout.py's rewriters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
