@@ -840,3 +840,116 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard_exact"),
     )
+
+
+@register(
+    "q_quantile_histogram_rollup",
+    driver=False,  # §2.3 mergeable-quantile sketch — pytest oracle
+    oracle="""
+WITH part AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(floor(value / 8.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), h AS (
+  SELECT bin, CAST(sum(c) AS BIGINT) AS c,
+         CAST(sum(sum(c)) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM part GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM h
+), e50 AS (
+  SELECT h.bin * 8.0 + 8.0 * (0.5 * tot.n - (h.cum - h.c)) / h.c AS est
+  FROM h, tot
+  WHERE h.bin = (SELECT min(bin) FROM h, tot WHERE cum >= 0.5 * n)
+), e90 AS (
+  SELECT h.bin * 8.0 + 8.0 * (0.9 * tot.n - (h.cum - h.c)) / h.c AS est
+  FROM h, tot
+  WHERE h.bin = (SELECT min(bin) FROM h, tot WHERE cum >= 0.9 * n)
+), ex AS (
+  SELECT CAST(quantile_cont(value, 0.5) AS DOUBLE) AS x50,
+         CAST(quantile_cont(value, 0.9) AS DOUBLE) AS x90
+  FROM events WHERE value IS NOT NULL
+)
+SELECT tot.n AS n,
+       round(e50.est, 6) AS est_p50,
+       round(e90.est, 6) AS est_p90,
+       round(ex.x50, 6) AS exact_p50,
+       round(ex.x90, 6) AS exact_p90
+FROM tot, e50, e90, ex
+""",
+)
+def q_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — completing the sketch-rollup family
+    (q_hll_rollup = distinct, q_heavy_hitters = frequency, q_kmv_sketch =
+    set ops): per-day equi-width histogram PARTIALS (bin width 8) are the
+    mergeable state; the rollup is a plain per-bin count sum, and p50/p90
+    come from linear interpolation inside the first bin whose cumulative
+    count crosses q·n. Every step is exact integer/double arithmetic, so
+    unlike GK/KLL the estimate itself is oracle-hash-checkable; the exact
+    percentiles ride along in the same row, making the ≤ bin-width error
+    bound directly visible (and pinned in pytest).
+
+    Scale: the per-day partial is what you'd persist per partition/segment
+    at 100 TB (a KB per day regardless of row count); merging k days is
+    summing k tiny histograms — associative, re-aggregable along any
+    rollup dimension, the property approx_percentile's GK state does not
+    expose in SQL. Plan: two partial+final aggs + a 64-row window."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    part = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") / 8.0).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    h = (
+        part.groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    tot = h.agg(F.sum("c").alias("n"))
+    hn = h.crossJoin(F.broadcast(tot))
+
+    def est(qf: float):
+        target = F.lit(qf) * F.col("n")
+        qual = hn.filter(F.col("cum") >= target).agg(
+            F.min("bin").alias("qbin")
+        )
+        return (
+            hn.join(F.broadcast(qual), F.col("bin") == F.col("qbin"))
+            .select(
+                (
+                    F.col("bin") * 8.0
+                    + 8.0 * (target - (F.col("cum") - F.col("c"))) / F.col("c")
+                ).alias("est")
+            )
+        )
+
+    ex = e.agg(
+        F.percentile("value", F.lit(0.5)).cast("double").alias("x50"),
+        F.percentile("value", F.lit(0.9)).cast("double").alias("x90"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(est(0.5).select(F.col("est").alias("e50"))))
+        .crossJoin(F.broadcast(est(0.9).select(F.col("est").alias("e90"))))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "n",
+            F.round("e50", 6).alias("est_p50"),
+            F.round("e90", 6).alias("est_p90"),
+            F.round("x50", 6).alias("exact_p50"),
+            F.round("x90", 6).alias("exact_p90"),
+        )
+    )

@@ -336,3 +336,13 @@ def test_compress_ratio_exact_zlib_replay(spark, sf_dir):
         assert got[doc_id] == (ratio, band), (doc_id, got[doc_id], ratio, band)
     # the fixture word-soup corpus must actually exercise the scorer
     assert any(v[0] > 0 for v in got.values())
+
+
+def test_quantile_histogram_rollup_error_bound(spark, sf_dir):
+    """The interpolated histogram quantile can be off by at most one bin
+    width (8.0) from the exact percentile — the sketch's guarantee."""
+    from apachebeam_python_spark import queries as q
+
+    r = q.QUERIES["q_quantile_histogram_rollup"](spark, sf_dir).collect()[0]
+    assert abs(r.est_p50 - r.exact_p50) <= 8.0, r
+    assert abs(r.est_p90 - r.exact_p90) <= 8.0, r
