@@ -1617,3 +1617,66 @@ FROM nation n, LATERAL (
 ) t
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtesting: seasonal-naive baseline + error metrics
+# --------------------------------------------------------------------------
+@register(
+    "q_forecast_backtest",
+    driver=False,  # §2.5 forecast-evaluation extension — pytest oracle
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), f AS (
+  SELECT event_type, day, x,
+         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM m
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_evaluated,
+       round(avg(abs(x - fc)), 6) AS mae,
+       round(avg(CASE WHEN x <> 0.0 THEN abs(x - fc) / abs(x) END) * 100.0, 6)
+         AS mape_pct,
+       round(avg(x - fc), 6) AS mean_bias
+FROM f WHERE fc IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast EVALUATION — the operational sibling of q_forecast_holt: a
+    seasonal-naive baseline (ŷ(d) = y(d−7), the forecast every model must
+    beat) backtested over the whole daily series, scored with MAE, MAPE,
+    and mean bias per series. Daily totals go through DECIMAL and are
+    rounded BEFORE differencing so the error metrics are engine-identical;
+    zero-actual days are excluded from MAPE in both engines (the standard
+    definition), and the first 7 days have no forecast (lag NULL → dropped).
+
+    Scale: one events→day partial+final agg, then lag-7 rides a single
+    per-series window sort over day-level rows (365 rows/series/year —
+    metadata-sized regardless of event volume); the metric rollup is one
+    more tiny agg. The same shape scores ANY forecast column — swap the
+    lag for a forecasts table join to backtest Holt or an external model."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = m.withColumn("fc", F.lag("x", 7).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    ape = F.when(
+        F.col("x") != 0.0, F.abs(F.col("x") - F.col("fc")) / F.abs("x")
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n_evaluated"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("fc"))), 6).alias("mae"),
+        F.round(F.avg(ape) * 100.0, 6).alias("mape_pct"),
+        F.round(F.avg(F.col("x") - F.col("fc")), 6).alias("mean_bias"),
+    )
