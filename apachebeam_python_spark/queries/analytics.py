@@ -1505,3 +1505,196 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 6).alias("cusum"),
         (F.col("s") > 3.0).alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (dialect-identical SQL, both engines)
+# --------------------------------------------------------------------------
+_MARKOV_ROUNDS = 8
+
+_MARKOV_HEAD = """
+WITH ev AS {M}(
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END
+           AS state
+  FROM events
+), rn1 AS {M}(
+  SELECT user_id, state,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev
+), rn2 AS {M}(
+  SELECT user_id, state, rn,
+         min(CASE WHEN state = 'CONV' THEN rn END)
+           OVER (PARTITION BY user_id) AS conv_rn
+  FROM rn1
+), J AS {M}(
+  SELECT user_id, state, rn FROM rn2
+  WHERE conv_rn IS NULL OR rn <= conv_rn
+), tr AS {M}(
+  SELECT src, dst FROM (
+    SELECT user_id, state AS src,
+           lead(state) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+    FROM J
+  ) WHERE src <> 'CONV'
+), trans AS {M}(
+  SELECT src, coalesce(dst, 'DROP') AS dst FROM tr
+  UNION ALL
+  SELECT 'START' AS src, state AS dst FROM J WHERE rn = 1
+), counts AS {M}(
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2
+), chans AS {M}(
+  SELECT DISTINCT src AS ch FROM counts WHERE src <> 'START'
+), scen AS {M}(
+  SELECT 'base' AS scenario, CAST(NULL AS STRING) AS removed
+  UNION ALL
+  SELECT ch AS scenario, ch AS removed FROM chans
+), redirected AS {M}(
+  SELECT s.scenario, c.src,
+         CASE WHEN s.removed IS NOT NULL AND c.dst = s.removed
+              THEN 'DROP' ELSE c.dst END AS dst,
+         c.c
+  FROM counts c CROSS JOIN scen s
+), norm AS {M}(
+  SELECT scenario, src, dst,
+         round(CAST(sum(c) AS DOUBLE)
+               / sum(sum(c)) OVER (PARTITION BY scenario, src), 12) AS p
+  FROM redirected GROUP BY scenario, src, dst
+)"""
+
+
+def _markov_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
+    """Bounded-horizon Markov attribution, unrolled for DuckDB with
+    MATERIALIZED CTEs — each round references the previous TWICE, so
+    without materialization the inlining is exponential (the q_pagerank /
+    q_bpe_learn oracle technique). Spark runs the SAME head SQL once and
+    iterates the rounds imperatively with localCheckpoint (same
+    arithmetic, per-round 12 dp rounding)."""
+    head = _MARKOV_HEAD.format(M="MATERIALIZED ") + """, states AS MATERIALIZED (
+  SELECT DISTINCT st FROM (
+    SELECT src AS st FROM norm UNION SELECT dst AS st FROM norm
+  )
+), v0 AS MATERIALIZED (
+  SELECT sc.scenario, s.st,
+         CAST(CASE WHEN s.st = 'CONV' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS p
+  FROM states s CROSS JOIN (SELECT DISTINCT scenario FROM scen) sc
+)"""
+    steps = "".join(
+        f""", v{i} AS MATERIALIZED (
+  SELECT v.scenario, v.st,
+         round(CASE WHEN v.st = 'CONV' THEN 1.0
+                    WHEN v.st = 'DROP' THEN 0.0
+                    ELSE coalesce(t.nextp, 0.0) END, 12) AS p
+  FROM v{i - 1} v LEFT JOIN (
+    SELECT n.scenario, n.src AS st, sum(n.p * w.p) AS nextp
+    FROM norm n JOIN v{i - 1} w
+      ON w.scenario = n.scenario AND w.st = n.dst
+    GROUP BY 1, 2
+  ) t ON t.scenario = v.scenario AND t.st = v.st
+)"""
+        for i in range(1, rounds + 1)
+    )
+    tail = f"""
+SELECT c.ch AS channel,
+       round(b.p, 6) AS p_conv_base,
+       round(r.p, 6) AS p_conv_removed,
+       round(CASE WHEN b.p > 0.0 THEN (b.p - r.p) / b.p
+                  ELSE 0.0 END, 6) AS removal_effect
+FROM chans c
+JOIN v{rounds} b ON b.scenario = 'base' AND b.st = 'START'
+JOIN v{rounds} r ON r.scenario = c.ch AND r.st = 'START'"""
+    return head + steps + tail
+
+
+@register(
+    "q_markov_attribution",
+    driver=False,  # §2.5 data-driven attribution — pytest oracle
+    oracle=_markov_oracle(),
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the principled
+    successor to last-touch (q_attribution): journeys truncate at first
+    conversion, a first-order transition matrix is estimated, and each
+    channel's credit is the RELATIVE DROP in START→CONV probability when
+    that channel's inbound edges are redirected to DROP. Conversion
+    probability is DEFINED as 8-step bounded-horizon reachability of CONV
+    (journeys are short; 8 steps carries effectively all mass) — a fixed
+    quantity both engines compute with identical arithmetic: the transition
+    build runs as ONE shared SQL head, and each round rounds at 12 dp
+    (the q_pagerank float-iteration discipline). Spark iterates the rounds
+    imperatively with localCheckpoint — the unrolled form references each
+    previous vector twice, which inlines exponentially without DuckDB's
+    MATERIALIZED hint.
+
+    Scale: journey building is one user-keyed window pass over the events
+    scan (once); the transition matrix is |states|² ≈ tens of rows, so all
+    8 rounds × |channels|+1 scenarios are metadata-sized regardless of
+    event volume. At 100 TB: one shuffle on user_id, then driver-trivial
+    iteration."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    norm = spark.sql(
+        _MARKOV_HEAD.format(M="") + "\nSELECT scenario, src, dst, p FROM norm"
+    ).localCheckpoint()
+    states = (
+        norm.select(F.col("src").alias("st"))
+        .union(norm.select(F.col("dst").alias("st")))
+        .distinct()
+    )
+    scens = norm.select("scenario").distinct()
+    v = states.crossJoin(scens).select(
+        "scenario",
+        "st",
+        F.when(F.col("st") == "CONV", 1.0).otherwise(0.0).alias("p"),
+    ).localCheckpoint()
+    for _ in range(_MARKOV_ROUNDS):
+        nxt = (
+            norm.alias("n")
+            .join(
+                v.alias("w"),
+                (F.col("w.scenario") == F.col("n.scenario"))
+                & (F.col("w.st") == F.col("n.dst")),
+            )
+            .groupBy(F.col("n.scenario").alias("scenario"),
+                     F.col("n.src").alias("st"))
+            .agg(F.sum(F.col("n.p") * F.col("w.p")).alias("nextp"))
+        )
+        v = (
+            v.join(nxt, ["scenario", "st"], "left")
+            .select(
+                "scenario",
+                "st",
+                F.round(
+                    F.when(F.col("st") == "CONV", 1.0)
+                    .when(F.col("st") == "DROP", 0.0)
+                    .otherwise(F.coalesce(F.col("nextp"), F.lit(0.0))),
+                    12,
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    chans = norm.filter(F.col("scenario") != "base").select(
+        F.col("scenario").alias("ch")
+    ).distinct()
+    base = v.filter((F.col("scenario") == "base") & (F.col("st") == "START")).select(
+        F.col("p").alias("bp")
+    )
+    rem = v.filter(F.col("st") == "START").select(
+        F.col("scenario").alias("ch"), F.col("p").alias("rp")
+    )
+    return (
+        chans.join(rem, "ch")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("ch").alias("channel"),
+            F.round("bp", 6).alias("p_conv_base"),
+            F.round("rp", 6).alias("p_conv_removed"),
+            F.round(
+                F.when(
+                    F.col("bp") > 0.0,
+                    (F.col("bp") - F.col("rp")) / F.col("bp"),
+                ).otherwise(0.0),
+                6,
+            ).alias("removal_effect"),
+        )
+    )
