@@ -1680,3 +1680,152 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ape) * 100.0, 6).alias("mape_pct"),
         F.round(F.avg(F.col("x") - F.col("fc")), 6).alias("mean_bias"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classification evaluation: exact ROC AUC (rank-sum) + Brier score
+# --------------------------------------------------------------------------
+@register(
+    "q_auc_brier",
+    driver=False,  # §2.11 model-evaluation extension — pytest oracle
+    oracle="""
+WITH scored AS (
+  SELECT event_id,
+         round((value + (event_id % 97)) / 600.0, 12) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT y, score,
+         rank() OVER (ORDER BY score) AS rmin,
+         CAST(count(*) OVER (PARTITION BY score) AS BIGINT) AS nt
+  FROM scored
+), agg AS (
+  SELECT CAST(sum(y) AS BIGINT) AS np,
+         CAST(sum(1 - y) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN y = 1
+                  THEN rmin + (nt - 1) / 2.0 END) AS DOUBLE) AS rsum,
+         CAST(sum(CAST(round((score - y) * (score - y), 12)
+                       AS DECIMAL(20,12))) AS DOUBLE) AS sqerr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT n, np, nn,
+       round((rsum - np * (np + 1) / 2.0) / (CAST(np AS DOUBLE) * nn), 6)
+         AS auc,
+       round(sqerr / n, 6) AS brier
+FROM agg
+""",
+)
+def q_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation at corpus scale — EXACT tie-aware ROC AUC via
+    the Mann-Whitney rank-sum identity (AUC = (Σ avg-ranks of positives −
+    n⁺(n⁺+1)/2) / (n⁺·n⁻)) plus the Brier score. The average rank of a tie
+    group is min-rank + (ties−1)/2 — pure integer arithmetic from rank()
+    and a partition count, so the AUC is an exact rational both engines
+    agree on bit-for-bit. The score is a rational function of the row (no
+    exp/log — libm results differ in the last ulp across engines; +,−,×,÷
+    are IEEE-identical), and the Brier sum routes squared errors through
+    DECIMAL for order-independence. Label = purchase events.
+
+    Scale: ONE global sort (the rank window) — the same cost as any
+    top-k-by-score report; everything else is a single pass of partial+
+    final aggregation. At 100 TB swap exact ranks for a quantile-binned
+    AUC (the histogram-sketch trick of q_quantile_histogram_rollup) —
+    error ≤ bin mass, no global sort."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.round((F.col("value") + F.col("event_id") % 97) / 600.0, 12).alias(
+            "score"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    ranked = scored.select(
+        "y",
+        "score",
+        F.rank().over(Window.orderBy("score")).alias("rmin"),
+        F.count("*").over(Window.partitionBy("score")).alias("nt"),
+    )
+    avg_rank = F.col("rmin") + (F.col("nt") - 1) / 2.0
+    sq = F.round((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")), 12)
+    agg = ranked.agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, avg_rank)).cast("double").alias("rsum"),
+        F.sum(sq.cast("decimal(20,12)")).cast("double").alias("sqerr"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "n",
+        "np",
+        "nn",
+        F.round(
+            (F.col("rsum") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+        F.round(F.col("sqerr") / F.col("n"), 6).alias("brier"),
+    )
+
+
+@register(
+    "q_calibration",
+    driver=False,  # §2.11 model-evaluation extension — pytest oracle
+    oracle="""
+WITH scored AS (
+  SELECT event_id,
+         round((value + (event_id % 97)) / 600.0, 12) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT ntile(10) OVER (ORDER BY score, event_id) AS decile, score, y
+  FROM scored
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(score AS DECIMAL(20,12))) AS DOUBLE)
+             / count(*), 6) AS mean_predicted,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS observed_rate
+FROM binned GROUP BY decile
+""",
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table — q_auc_brier's diagnostic sibling:
+    rows are score deciles (ntile over the (score, event_id) TOTAL order,
+    so bin boundaries are engine-identical even at score ties), columns
+    compare the decile's mean predicted probability to its observed
+    positive rate. A calibrated model tracks the diagonal; this is the
+    standard pre-deployment check next to AUC. Mean predictions sum
+    through DECIMAL (order-independent); observed rate is an exact
+    integer ratio.
+
+    Scale: one global sort shared by the decile assignment, then a 10-row
+    rollup; at 100 TB assign bins from quantile cutpoints (broadcast) to
+    avoid the total order."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        "event_id",
+        F.round((F.col("value") + F.col("event_id") % 97) / 600.0, 12).alias(
+            "score"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.ntile(10).over(Window.orderBy("score", "event_id")).alias("decile"),
+        "score",
+        "y",
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(20,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_predicted"),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias(
+            "observed_rate"
+        ),
+    )
