@@ -1698,3 +1698,117 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_effect"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (time to first conversion, right-censored)
+# --------------------------------------------------------------------------
+@register(
+    "q_survival_km",
+    driver=False,  # §2.5 survival-analysis extension (sequential) — pytest oracle
+    oracle="""
+WITH RECURSIVE u AS (
+  SELECT user_id,
+         min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT user_id,
+         CASE WHEN conv_ts IS NOT NULL
+              THEN date_diff('day', CAST(t0 AS DATE), CAST(conv_ts AS DATE))
+              ELSE date_diff('day', CAST(t0 AS DATE), CAST(last_ts AS DATE))
+         END AS t,
+         CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS death
+  FROM u
+), tt AS (
+  SELECT t, CAST(sum(death) AS BIGINT) AS d,
+         CAST(sum(1 - death) AS BIGINT) AS c
+  FROM dur GROUP BY t
+), o AS (
+  SELECT t, d, c,
+         CAST(sum(d + c) OVER (ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM tt
+), r AS (
+  SELECT t, d, c, n_at_risk, rn,
+         1.0 - CAST(d AS DOUBLE) / n_at_risk AS s
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.t, o.d, o.c, o.n_at_risk, o.rn,
+         r.s * (1.0 - CAST(o.d AS DOUBLE) / o.n_at_risk)
+  FROM r JOIN o ON o.rn = r.rn + 1
+)
+SELECT t AS t_days, n_at_risk, d AS d_events, c AS c_censored,
+       round(s, 6) AS survival
+FROM r
+""",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-first-conversion with
+    right censoring — the churn/conversion-latency curve: each user
+    contributes a duration (first event → first purchase, else → last
+    event, censored), and S(t) = Π_{u ≤ t} (1 − d_u/n_u) over the ordered
+    distinct durations. The risk-set table (d, c, n-at-risk) is pure
+    integer arithmetic; the survival product runs the SAME sequential
+    order in both engines (recursive CTE vs grouped-map loop), and each
+    factor is one IEEE divide — so the raw product is bit-identical with
+    NO intermediate rounding (per-step Python round() would be banker's
+    vs DuckDB's half-away — the r3 gotcha); outputs round at 6 dp.
+
+    Scale: one user-keyed agg collapses events to |users| durations; the
+    risk-set rollup is |distinct durations| rows (days — metadata-sized),
+    and only THAT tiny series enters the sequential grouped-map. At
+    100 TB nothing changes: the recurrence input is bounded by the
+    observation window, not the event volume."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = u.select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.to_date("conv_ts"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("t0")))
+        .alias("t"),
+        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    tt = dur.groupBy("t").agg(
+        F.sum("death").alias("d"), F.sum(1 - F.col("death")).alias("c")
+    )
+    w = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    o = tt.withColumn("n_at_risk", F.sum(F.col("d") + F.col("c")).over(w))
+
+    def km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        s = 1.0
+        rows = []
+        for t, d, c, n in zip(pdf["t"], pdf["d"], pdf["c"], pdf["n_at_risk"]):
+            s = s * (1.0 - float(d) / float(n))
+            rows.append((int(t), int(n), int(d), int(c), s))
+        return pd.DataFrame(
+            rows, columns=["t_days", "n_at_risk", "d_events", "c_censored", "s"]
+        )
+
+    out = o.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        km,
+        schema="t_days long, n_at_risk long, d_events long, c_censored long, "
+        "s double",
+    )
+    return out.select(
+        "t_days",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.round("s", 6).alias("survival"),
+    )
