@@ -349,3 +349,25 @@ def test_bpe_apply_and_canonical_plan_shapes(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_eval_and_survival_plan_shapes(spark, sf_dir):
+    """The evaluation/survival wave: histogram-quantile and backtest stay
+    at day-level row counts after one fact agg; AUC's only wide op is the
+    rank sort; KM's sequential stage receives a duration-level (not
+    event-level) input."""
+    df = q.QUERIES["q_quantile_histogram_rollup"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final day partials
+    df = q.QUERIES["q_forecast_backtest"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    df = q.QUERIES["q_auc_brier"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("HashAggregate") >= 1, plan
+    # KM: the grouped-map (FlatMapGroupsInPandas) input is the risk-set
+    # table, which has already been aggregated twice (user, duration)
+    df = q.QUERIES["q_survival_km"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
