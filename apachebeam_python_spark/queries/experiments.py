@@ -1829,3 +1829,75 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+@register(
+    "q_theilsen",
+    driver=False,  # §2.5 robust-statistics extension — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(quantile_cont(slope, 0.5) AS DOUBLE), 6) AS ts_slope
+FROM pairs GROUP BY event_type
+""",
+)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the slope is the MEDIAN of all
+    pairwise (Δy/Δx) slopes over the daily series — ~29% breakdown point,
+    immune to the outlier days that drag q_ols_trend's least-squares fit.
+    Daily totals go through DECIMAL and are rounded before differencing,
+    so every pairwise slope is the same IEEE division in both engines and
+    the exact median interpolates identically (the q_rolling_quantile
+    percentile discipline).
+
+    Scale: the pairwise self-join runs on the DAY-level series (~365
+    rows/series/year → ~66k pairs), never on raw events — the events scan
+    collapses first, and the join is keyed per series so pairs of one
+    series ride one partition. For decade-long series swap the exact
+    median for the histogram-sketch quantile (q_quantile_histogram_rollup)
+    over the same pair stream."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", "ts")),
+            F.to_date(F.lit("2024-01-01")),
+        ).cast("long").alias("x"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("y")
+    )
+    a = d.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya"))
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)).cast("double"), 6).alias(
+            "ts_slope"
+        ),
+    )
