@@ -382,3 +382,30 @@ def test_ivf_layout_partition_prunes_probes(spark, sf_dir):
     expect = cells.filter(F.col("centroid_id").isin(probe_cells)).count()
     assert probed.count() == expect
     cents.unpersist()
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """Join-driven DYNAMIC partition pruning: when the fact table is
+    directory-partitioned on the join key and the dim side arrives
+    filtered, Spark injects a runtime pruning subquery into the fact
+    scan's PartitionFilters — only the partitions matching the dim
+    survive. The 100 TB pattern behind star joins over date-partitioned
+    facts."""
+    path = "/root/repo/.tmp/events_by_type_dpp"
+    write_parquet(
+        table(spark, sf_dir, "events"), path, partition_by=("event_type",)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], "event_type string, weight int"
+    ).filter(F.col("weight") == 1)
+    joined = fact.join(dim, "event_type")
+    plan = P.formatted(joined)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0], plan
+    expected = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert joined.count() == expected
