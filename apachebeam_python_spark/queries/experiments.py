@@ -1630,35 +1630,34 @@ WITH m AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS x
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-), f AS (
-  SELECT event_type, day, x,
-         lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
-  FROM m
 )
-SELECT event_type,
+SELECT a.event_type,
        CAST(count(*) AS BIGINT) AS n_evaluated,
-       round(avg(abs(x - fc)), 6) AS mae,
-       round(avg(CASE WHEN x <> 0.0 THEN abs(x - fc) / abs(x) END) * 100.0, 6)
-         AS mape_pct,
-       round(avg(x - fc), 6) AS mean_bias
-FROM f WHERE fc IS NOT NULL
-GROUP BY event_type
+       round(avg(abs(a.x - b.x)), 6) AS mae,
+       round(avg(CASE WHEN a.x <> 0.0 THEN abs(a.x - b.x) / abs(a.x) END)
+             * 100.0, 6) AS mape_pct,
+       round(avg(a.x - b.x), 6) AS mean_bias
+FROM m a JOIN m b
+  ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
+GROUP BY a.event_type
 """,
 )
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast EVALUATION — the operational sibling of q_forecast_holt: a
     seasonal-naive baseline (ŷ(d) = y(d−7), the forecast every model must
     beat) backtested over the whole daily series, scored with MAE, MAPE,
-    and mean bias per series. Daily totals go through DECIMAL and are
-    rounded BEFORE differencing so the error metrics are engine-identical;
-    zero-actual days are excluded from MAPE in both engines (the standard
-    definition), and the first 7 days have no forecast (lag NULL → dropped).
+    and mean bias per series. The forecast joins on day − 7 CALENDAR days
+    (a lag-7-ROWS window would silently fetch older days across gaps —
+    code-review r3), so days without a week-ago observation simply don't
+    score. Daily totals go through DECIMAL and are rounded BEFORE
+    differencing so the error metrics are engine-identical; zero-actual
+    days are excluded from MAPE in both engines (the standard definition).
 
-    Scale: one events→day partial+final agg, then lag-7 rides a single
-    per-series window sort over day-level rows (365 rows/series/year —
+    Scale: one events→day partial+final agg, then a self-join on the
+    (series, day−7) key over day-level rows (365 rows/series/year —
     metadata-sized regardless of event volume); the metric rollup is one
-    more tiny agg. The same shape scores ANY forecast column — swap the
-    lag for a forecasts table join to backtest Holt or an external model."""
+    more tiny agg. The same shape scores ANY forecast column — point the
+    join at a forecasts table to backtest Holt or an external model."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     m = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -1667,10 +1666,12 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
         ).alias("x")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    f = m.withColumn("fc", F.lag("x", 7).over(w)).filter(
-        F.col("fc").isNotNull()
+    prev = m.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("x").alias("fc"),
     )
+    f = m.join(prev, ["event_type", "day"])
     ape = F.when(
         F.col("x") != 0.0, F.abs(F.col("x") - F.col("fc")) / F.abs("x")
     )
@@ -1685,13 +1686,24 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Classification evaluation: exact ROC AUC (rank-sum) + Brier score
 # --------------------------------------------------------------------------
+#: the synthetic classifier score shared by q_auc_brier and q_calibration —
+#: ONE definition in each dialect so the reliability table always describes
+#: the classifier the AUC measures (code-review r3). Rational arithmetic
+#: only: exp/log differ across libm implementations in the last ulp.
+_SCORE_SQL = "round((value + (event_id % 97)) / 600.0, 12)"
+
+
+def _score_col():
+    return F.round((F.col("value") + F.col("event_id") % 97) / 600.0, 12)
+
+
 @register(
     "q_auc_brier",
     driver=False,  # §2.11 model-evaluation extension — pytest oracle
-    oracle="""
+    oracle=f"""
 WITH scored AS (
   SELECT event_id,
-         round((value + (event_id % 97)) / 600.0, 12) AS score,
+         {_SCORE_SQL} AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events WHERE value IS NOT NULL
 ), ranked AS (
@@ -1732,13 +1744,9 @@ def q_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregation. At 100 TB swap exact ranks for a quantile-binned
     AUC (the histogram-sketch trick of q_quantile_histogram_rollup) —
     error ≤ bin mass, no global sort."""
-    from pyspark.sql import Window
-
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = e.select(
-        F.round((F.col("value") + F.col("event_id") % 97) / 600.0, 12).alias(
-            "score"
-        ),
+        _score_col().alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     ranked = scored.select(
@@ -1772,10 +1780,10 @@ def q_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_calibration",
     driver=False,  # §2.11 model-evaluation extension — pytest oracle
-    oracle="""
+    oracle=f"""
 WITH scored AS (
   SELECT event_id,
-         round((value + (event_id % 97)) / 600.0, 12) AS score,
+         {_SCORE_SQL} AS score,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events WHERE value IS NOT NULL
 ), binned AS (
@@ -1803,14 +1811,10 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one global sort shared by the decile assignment, then a 10-row
     rollup; at 100 TB assign bins from quantile cutpoints (broadcast) to
     avoid the total order."""
-    from pyspark.sql import Window
-
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     scored = e.select(
         "event_id",
-        F.round((F.col("value") + F.col("event_id") % 97) / 600.0, 12).alias(
-            "score"
-        ),
+        _score_col().alias("score"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     binned = scored.select(

@@ -417,10 +417,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_clusters",
-    oracle="""
-WITH RECURSIVE pairs AS (
+#: Shared oracle prefix for the near-dup family: exact 2-gram Jaccard ≥ 0.5
+#: pairs, symmetrized edges, and the recursive min-reachable-vertex closure.
+#: q_dedup_clusters and q_dedup_canonical both build on it — one copy so the
+#: two correctness authorities can never silently diverge (code-review r3).
+_NEARDUP_REACH_CTES = """WITH RECURSIVE pairs AS (
   WITH grams AS (
     SELECT doc_id, unnest(list_distinct(
              list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
@@ -444,7 +445,12 @@ WITH RECURSIVE pairs AS (
   SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
   UNION
   SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-)
+)"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_NEARDUP_REACH_CTES + """
 SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
 """,
 )
@@ -473,32 +479,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_canonical",
     driver=False,  # §2.11 dedup pipeline tail — pytest oracle
-    oracle="""
-WITH RECURSIVE pairs AS (
-  WITH grams AS (
-    SELECT doc_id, unnest(list_distinct(
-             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-  ), counts AS (
-    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
-  ), shared AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-  )
-  SELECT doc_a, doc_b FROM shared
-  JOIN counts ca ON ca.doc_id = doc_a
-  JOIN counts cb ON cb.doc_id = doc_b
-  WHERE round(shared / (ca.n_grams + cb.n_grams - shared), 6) >= 0.5
-), edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-), reach AS (
-  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-), clus AS (
+    oracle=_NEARDUP_REACH_CTES + """, clus AS (
   SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
 ), members AS (
   SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars

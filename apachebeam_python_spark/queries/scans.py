@@ -248,17 +248,21 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json",
     driver=False,  # §2.7 semi-structured VARIANT extension — pytest oracle
     oracle="""
-WITH j AS (
+WITH kk AS (
   SELECT event_type,
-         '{"meta":{"type":"' || event_type || '","k":'
-           || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
-           || '},"vals":['
-           || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
-           || ','
-           || CAST(2 * CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
-           || ']}' AS doc
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
   WHERE json_valid(props)
+), j AS (
+  SELECT event_type,
+         '{"meta":{"type":"' || event_type || '","k":'
+           || CAST(k AS VARCHAR)
+           || '},"vals":['
+           || CAST(k AS VARCHAR)
+           || ','
+           || CAST(2 * k AS VARCHAR)
+           || ']}' AS doc
+  FROM kk WHERE k IS NOT NULL
 )
 SELECT CAST(json_extract_string(doc, '$.meta.type') AS VARCHAR) AS type,
        CAST(count(*) AS BIGINT) AS n,
@@ -285,7 +289,11 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vs get_json_object re-parsing the string per call). The whole query is
     one narrow projection + a low-cardinality partial+final agg."""
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast mirrors the oracle's TRY_CAST: a non-integer k becomes NULL
+    # (never an ANSI cast error) and is dropped by the isNotNull filter in
+    # BOTH engines; get_json_object returning NULL covers invalid JSON the
+    # way the oracle's json_valid() guard does (code-review r3).
+    k = F.get_json_object("props", "$.k").try_cast("long")
     doc = F.format_string(
         '{"meta":{"type":"%s","k":%d},"vals":[%d,%d]}',
         F.col("event_type"), k, k, (2 * k).cast("long"),

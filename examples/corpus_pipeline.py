@@ -142,9 +142,13 @@ def main() -> None:
     from apachebeam_python_spark.queries import QUERIES
 
     canon = QUERIES["q_dedup_canonical"](spark, sf_dir)
-    n_total = canon.count()
-    n_kept = canon.filter(F.col("kept")).count()
-    print(f"canonical selection keeps {n_kept}/{n_total} docs")
+    # one action for both numbers — the LSH+components tail is the most
+    # expensive stage here, don't materialize it twice
+    totals = canon.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    ).collect()[0]
+    print(f"canonical selection keeps {totals.n_kept}/{totals.n_total} docs")
 
     # tokenizer: learn 5 BPE merges on the word census, encode the corpus
     enc = QUERIES["q_bpe_apply"](spark, sf_dir)
