@@ -1905,3 +1905,146 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_slope"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic, hash-seeded)
+# --------------------------------------------------------------------------
+#: Poisson(1) CDF cutoffs for k = 0..7 as full-precision literals — embedding
+#: them (rather than calling exp()) keeps the weight draw libm-free and
+#: bit-identical across engines; P(k>8) < 1e-6 is folded into weight 8.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+_BOOT_B = 100  #: bootstrap replicas
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = "".join(
+        f"WHEN {u} < {c!r} THEN {k} " for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches}ELSE 8 END"
+
+
+@register(
+    "q_bootstrap_ci",
+    driver=False,  # §2.3 resampling-statistics extension — pytest oracle
+    oracle=f"""
+WITH r AS (
+  SELECT e.value, b.b,
+         CAST(CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR)
+                                       || '_' || CAST(b.b AS VARCHAR)), 1, 15)
+              AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM events e
+  CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+  WHERE e.value IS NOT NULL
+), w AS (
+  SELECT b, value, {_pois_w_sql("u")} AS wt FROM r
+), reps AS (
+  SELECT b,
+         round(CAST(sum(wt * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / sum(wt), 6) AS mean_b
+  FROM w GROUP BY b HAVING sum(wt) > 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM events WHERE value IS NOT NULL)
+         AS n,
+       (SELECT round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) FROM events WHERE value IS NOT NULL)
+         AS mean,
+       CAST(count(*) AS BIGINT) AS n_replicas,
+       round(CAST(quantile_cont(mean_b, 0.025) AS DOUBLE), 6) AS ci_lo,
+       round(CAST(quantile_cont(mean_b, 0.975) AS DOUBLE), 6) AS ci_hi
+FROM reps
+""",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE scalable bootstrap: instead of resampling n
+    rows with replacement (which needs global coordination), each row draws
+    an independent Poisson(1) replication weight per replica, and each
+    replica's weighted mean approximates a classical bootstrap draw. Here
+    the weights are DETERMINISTIC: a portable md5-slice uniform per
+    (row, replica) inverted through the Poisson(1) CDF embedded as literal
+    constants — no RNG state, no libm exp(), every engine draws the same
+    weights, so the 95% CI itself is oracle-hash-checkable. Weighted sums
+    route through DECIMAL; replica means round at 6 dp before the exact
+    percentile (engine-identical interpolation).
+
+    Scale: this is the map-reduce bootstrap used at petabyte scale —
+    replicas explode ×B inside the scan (narrow), each replica mean is a
+    partial+final agg on the B-key, and the CI is a percentile over B
+    rows. No global resample, no shuffle of raw data beyond the B-keyed
+    agg; B scales the cost linearly and independently of n."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r = e.select(
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "event_id",
+    ).select(
+        "value",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(1152921504606846976.0)
+        ).alias("u"),
+    )
+    wt = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wt = F.when(F.col("u") < _POIS1_CDF[k], k).otherwise(wt)
+    w = r.select("b", "value", wt.alias("wt"))
+    reps = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("value").cast("decimal(18,6)")).alias(
+                "ws"
+            ),
+            F.sum("wt").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select(
+            F.round(F.col("ws").cast("double") / F.col("wn"), 6).alias(
+                "mean_b"
+            )
+        )
+    )
+    base = e.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean"),
+    )
+    ci = reps.agg(
+        F.count("*").alias("n_replicas"),
+        F.round(F.percentile("mean_b", F.lit(0.025)).cast("double"), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.percentile("mean_b", F.lit(0.975)).cast("double"), 6).alias(
+            "ci_hi"
+        ),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n", "mean", "n_replicas", "ci_lo", "ci_hi"
+    )

@@ -346,3 +346,14 @@ def test_quantile_histogram_rollup_error_bound(spark, sf_dir):
     r = q.QUERIES["q_quantile_histogram_rollup"](spark, sf_dir).collect()[0]
     assert abs(r.est_p50 - r.exact_p50) <= 8.0, r
     assert abs(r.est_p90 - r.exact_p90) <= 8.0, r
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The Poisson-bootstrap 95% interval must bracket the point estimate
+    and have positive width (100 deterministic replicas)."""
+    from apachebeam_python_spark import queries as q
+
+    r = q.QUERIES["q_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.n_replicas == 100, r
+    assert r.ci_lo < r.mean < r.ci_hi, r
+    assert 0 < (r.ci_hi - r.ci_lo) < r.mean, r
