@@ -1812,3 +1812,104 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_censored",
         F.round("s", 6).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities (synchronous, deterministic tie-break)
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Synchronous LPA unrolled: each round every node adopts the most
+    frequent label among its neighbors (ties → smallest label), integer
+    arithmetic only — deterministic, so the oracle replays it exactly."""
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT a.item AS u, c.item AS v, count(*) AS n_ab
+  FROM (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey) a
+  JOIN (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey) c
+    ON a.oid = c.oid AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 80
+), und AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM und
+)"""
+    rounds_sql = "".join(
+        f""", c{i} AS MATERIALIZED (
+  SELECT und.u AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM und JOIN l{i - 1} l ON l.node = und.v
+  GROUP BY 1, 2
+), l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        for i in range(1, rounds + 1)
+    )
+    tail = f"""
+SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       min(l.node) AS min_member
+FROM l{rounds} l GROUP BY 1"""
+    return head + rounds_sql + tail
+
+
+@register(
+    "q_communities_lpa",
+    driver=False,  # §2.9 graph-community extension — pytest oracle
+    oracle=_lpa_oracle(),
+)
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the brand
+    co-purchase graph — the density-based complement to connected
+    components (q_dedup_clusters finds anything linked; LPA finds groups
+    that are INTERNALLY denser than their surroundings): every node starts
+    as its own label and, for 3 synchronous rounds, adopts the most
+    frequent label among its neighbors with ties broken toward the
+    smallest label. Pure integer counting + a deterministic tie-break, so
+    the oracle replays the exact rounds (unrolled MATERIALIZED CTEs).
+
+    Scale: each round is one join of the edge list against the O(nodes)
+    label table + a (node, label)-keyed count + a WindowGroupLimit-shaped
+    argmax — the label table, not the graph, is the per-round state.
+    Synchronous rounds are the deterministic choice (async LPA is
+    order-dependent); bounded rounds keep the plan finite, exactly like
+    q_pagerank / bounded BFS. Edges localCheckpoint once (shared-subtree
+    discipline)."""
+    from pyspark.sql import Window
+
+    edges = _brand_edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wl = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_member"),
+    )
