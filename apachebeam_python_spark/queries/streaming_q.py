@@ -486,3 +486,61 @@ def q_stream_threshold_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum_value", 6).alias("cum_value"),
         "n_seen",
     )
+
+
+@register(
+    "q_stream_topk",
+    driver=False,  # §2.8 streaming rank extension — pytest oracle
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, n, rk
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                                    ORDER BY n DESC, event_type) AS BIGINT)
+              AS rk
+  FROM c
+)
+WHERE rk <= 3
+""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: the STREAMING engine owns the heavy part
+    (file replay → 1h windowed per-type counts, complete mode — the same
+    state-store shape as q_stream_tumbling), and the rank-3 cut runs as a
+    trivial batch step over the drained, already-aggregated sink (windows ×
+    types rows). This is the production split for streaming leaderboards —
+    ranking inside a streaming agg isn't expressible in one stage, so the
+    dashboard layer ranks the tiny materialized aggregate each refresh;
+    stream ≡ batch is oracle-checked end-to-end.
+
+    Scale: the stream shuffles once into (window, type) state; the ranked
+    post-pass touches |windows|×|types| rows — metadata-sized no matter
+    the event volume."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_topk", sf_dir)
+    s = jobs.events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    t = spark.table(name)
+    w = Window.partitionBy("window").orderBy(F.col("n").desc(), "event_type")
+    return (
+        t.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "rk",
+        )
+    )
