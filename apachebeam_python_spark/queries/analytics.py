@@ -1913,3 +1913,80 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.min("node").alias("min_member"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of revenue across customers
+# --------------------------------------------------------------------------
+@register(
+    "q_gini_concentration",
+    driver=False,  # §2.5 concentration-metric extension — pytest oracle
+    oracle="""
+WITH cr AS (
+  SELECT o_custkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+  FROM cr
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(sum(i * CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS weighted
+  FROM ranked
+)
+SELECT n,
+       round(total, 2) AS total_revenue,
+       round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini
+FROM agg
+""",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Gini coefficient) across customers — the
+    inequality metric behind "what share of revenue comes from the top
+    customers": G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the revenue-sorted
+    customer list. Per-customer revenue and both sums route through
+    DECIMAL (exact, order-independent); ranks come from a total order
+    with a custkey tiebreak, so rank×revenue products are identical in
+    both engines and the Gini is exact before its 6 dp round.
+
+    Scale: one custkey rollup, then ONE global sort of |customers| rows
+    (the same cost class as any ranked report — far below the fact scan),
+    then a single-row aggregate. For sort-free approximation at extreme
+    scale, bin revenues with the histogram sketch
+    (q_quantile_histogram_rollup) and integrate the Lorenz curve over
+    bins."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("rev")
+    )
+    ranked = cr.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy("rev", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("rev").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        F.round("total", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2048,3 +2048,112 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(F.broadcast(ci)).select(
         "n", "mean", "n_replicas", "ci_lo", "ci_hi"
     )
+
+
+# --------------------------------------------------------------------------
+# Covariate balance check (standardized mean difference per covariate)
+# --------------------------------------------------------------------------
+@register(
+    "q_covariate_balance",
+    driver=False,  # §2.3 experiment-hygiene extension — pytest oracle
+    oracle="""
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CAST(count(*) AS DECIMAL(18,6)) AS x_events,
+         CAST(coalesce(round(avg(value), 6), 0.0) AS DECIMAL(18,6)) AS x_value,
+         CAST(count(DISTINCT event_type) AS DECIMAL(18,6)) AS x_types
+  FROM events GROUP BY user_id
+), long AS (
+  SELECT variant, 'n_events' AS covariate, x_events AS x FROM pu
+  UNION ALL SELECT variant, 'mean_value', x_value FROM pu
+  UNION ALL SELECT variant, 'n_types', x_types FROM pu
+), s AS (
+  SELECT covariate, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM long GROUP BY 1, 2
+), wide AS (
+  SELECT covariate,
+         max(CASE WHEN variant = 0 THEN n END) AS n0,
+         max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+         max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+         max(CASE WHEN variant = 1 THEN n END) AS n1,
+         max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+         max(CASE WHEN variant = 1 THEN sxx END) AS sxx1
+  FROM s GROUP BY covariate
+)
+SELECT covariate,
+       round(sx0 / n0, 6) AS mean_a,
+       round(sx1 / n1, 6) AS mean_b,
+       round((sx0 / n0 - sx1 / n1)
+             / sqrt(greatest(
+                 ((sxx0 - sx0 * sx0 / n0) / (n0 - 1)
+                  + (sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / 2.0,
+                 1e-300)), 6) AS smd
+FROM wide
+""",
+)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment hygiene — covariate balance: before reading out an A/B
+    test (q_ab_test, q_cuped), check that PRE-metrics are balanced across
+    variants via the standardized mean difference, SMD = (μ_A − μ_B) /
+    √((s²_A + s²_B)/2), per covariate (events per user, mean value,
+    distinct types). |SMD| ≲ 0.1 is the conventional "balanced" bar; a
+    large SMD means the split is confounded and the read-out untrustworthy.
+    Per-user covariates round at 6 dp, then every sum (Σx, Σx²) routes
+    through DECIMAL — exact and order-independent — and the remaining
+    arithmetic is plain IEEE (sqrt is correctly-rounded by the standard,
+    so it is engine-identical, unlike exp/log); a floor guard absorbs
+    catastrophic-cancellation negatives in the variance.
+
+    Scale: one user-keyed agg over events, a 3×2-row moment rollup, a
+    3-row read-out. The covariate explode is a narrow 3× union of the
+    per-user table — never the raw events."""
+    e = table(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count("*").cast("decimal(18,6)").alias("x_events"),
+        F.coalesce(F.round(F.avg("value"), 6), F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("x_value"),
+        F.countDistinct("event_type").cast("decimal(18,6)").alias("x_types"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    long = None
+    for name, col in [
+        ("n_events", "x_events"),
+        ("mean_value", "x_value"),
+        ("n_types", "x_types"),
+    ]:
+        part = pu.select(
+            "variant", F.lit(name).alias("covariate"), F.col(col).alias("x")
+        )
+        long = part if long is None else long.unionByName(part)
+    s = long.groupBy("covariate", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    def pick(v, c):
+        return F.max(F.when(F.col("variant") == v, F.col(c)))
+    wide = s.groupBy("covariate").agg(
+        pick(0, "n").alias("n0"), pick(0, "sx").alias("sx0"),
+        pick(0, "sxx").alias("sxx0"),
+        pick(1, "n").alias("n1"), pick(1, "sx").alias("sx1"),
+        pick(1, "sxx").alias("sxx1"),
+    )
+    var_pooled = (
+        (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        + (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    ) / 2.0
+    return wide.select(
+        "covariate",
+        F.round(F.col("sx0") / F.col("n0"), 6).alias("mean_a"),
+        F.round(F.col("sx1") / F.col("n1"), 6).alias("mean_b"),
+        F.round(
+            (F.col("sx0") / F.col("n0") - F.col("sx1") / F.col("n1"))
+            / F.sqrt(F.greatest(var_pooled, F.lit(1e-300))),
+            6,
+        ).alias("smd"),
+    )
