@@ -1990,3 +1990,75 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+@register(
+    "q_rfm_segments",
+    driver=False,  # §2.5 retail-segmentation extension — pytest oracle
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order, o_custkey)  AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey)   AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey)    AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS segment_revenue
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic retail customer taxonomy: quintile
+    scores for Recency (latest order date), Frequency (order count), and
+    Monetary (DECIMAL-exact revenue), rolled up to segment sizes and
+    revenue. Every ntile runs over a (metric, custkey) TOTAL order, so
+    quintile boundaries are engine-identical even at metric ties (the
+    q_calibration binning discipline).
+
+    Scale: one custkey rollup over orders, then three rank passes over the
+    |customers| table — at 100 TB replace exact ntiles with broadcast
+    quantile cutpoints (q_quantile_histogram_rollup's sketch) to avoid
+    the total orders; the rollup output is ≤ 125 segment rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("monetary"),
+    )
+    scored = rfm.select(
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias(
+            "r_score"
+        ),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias(
+            "f_score"
+        ),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias(
+            "m_score"
+        ),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("segment_revenue"),
+    )
