@@ -953,3 +953,162 @@ def q_quantile_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("x90", 6).alias("exact_p90"),
         )
     )
+
+
+@register(
+    "q_fk_integrity",
+    driver=False,  # §2.4 lake-integrity audit — pytest oracle
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+""",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the lake-maintenance companion to
+    q_data_quality: for each declared foreign-key relationship, count the
+    child rows whose key has no parent (LEFT ANTI join). Run after every
+    backfill/compaction; a nonzero orphan count means a partial write or
+    out-of-order publish.
+
+    Scale: each relationship is one anti join — parent keys deduplicate to
+    a key-only projection (broadcast when small, else shuffled semi
+    structure), and the child side streams through with no wide rows. The
+    four audits share nothing, so they parallelize as independent jobs;
+    counts are 1-row results unioned driver-free."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+
+    def audit(name, child, key, parent, pkey):
+        orphans = child.join(
+            parent.select(pkey).distinct(),
+            child[key] == parent[pkey],
+            "left_anti",
+        )
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+
+    out = audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+    for args in [
+        ("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        ("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"),
+    ]:
+        out = out.unionByName(audit(*args))
+    return out
+
+
+@register(
+    "q_incremental_agg",
+    driver=False,  # §2.3 incremental-maintenance extension — pytest oracle
+    oracle="""
+WITH state AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-25' AND value IS NOT NULL
+  GROUP BY event_type
+), delta AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-25' AND value IS NOT NULL
+  GROUP BY event_type
+), merged AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s) AS DECIMAL(28,6)) AS s
+  FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+  GROUP BY event_type
+), fullr AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT m.event_type, m.n,
+       round(CAST(m.s AS DOUBLE), 6) AS total,
+       round(CAST(m.s AS DOUBLE) / m.n, 6) AS mean,
+       (m.n = f.n AND m.s = f.s) AS matches_full_recompute
+FROM merged m JOIN fullr f ON f.event_type = m.event_type
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the re-aggregability pattern
+    behind every incremental ETL: a persisted per-key STATE (count + exact
+    DECIMAL sum, built from history) absorbs a DELTA batch by a plain
+    key-merge, and the result provably equals the full recompute (the
+    query emits the equality check itself as a column — TRUE everywhere
+    because count/sum are associative over DECIMAL; avg derives at read
+    time, never stored). The same state shape serves HLL (q_hll_rollup)
+    and histogram-quantile (q_quantile_histogram_rollup) partials.
+
+    Scale: the delta shuffle is O(delta), not O(history) — the whole
+    point; the state table stays |keys|-sized and re-aggregable along any
+    dimension. At 100 TB this runs per partition/day with the state as a
+    bucketed table (sources/layout.py)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit("2024-01-25").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("s"),
+        )
+
+    state = partial(e.filter(F.col("ts") < cut))
+    delta = partial(e.filter(F.col("ts") >= cut))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("decimal(28,6)").alias("s"),
+        )
+    )
+    full = partial(e).select(
+        F.col("event_type"), F.col("n").alias("fn"), F.col("s").alias("fs")
+    )
+    return merged.join(full, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("s").cast("double"), 6).alias("total"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean"),
+        ((F.col("n") == F.col("fn")) & (F.col("s") == F.col("fs"))).alias(
+            "matches_full_recompute"
+        ),
+    )
