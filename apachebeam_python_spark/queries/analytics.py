@@ -2062,3 +2062,82 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
         ).alias("segment_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue by cohort age)
+# --------------------------------------------------------------------------
+@register(
+    "q_cohort_ltv",
+    driver=False,  # §2.5 lifetime-value extension — pytest oracle
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(min(year(ts) * 12 + month(ts)) AS BIGINT) AS cohort_m
+  FROM events GROUP BY user_id
+), rev AS (
+  SELECT f.cohort_m,
+         CAST(year(e.ts) * 12 + month(e.ts) AS BIGINT) - f.cohort_m AS age,
+         e.user_id,
+         CAST(CASE WHEN e.event_type = 'purchase' AND e.value IS NOT NULL
+                   THEN CAST(e.value AS DECIMAL(18,6))
+                   ELSE CAST(0.0 AS DECIMAL(18,6)) END AS DECIMAL(18,6))
+           AS r
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+), ca AS (
+  SELECT cohort_m, age,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+         CAST(sum(r) AS DECIMAL(28,6)) AS rev
+  FROM rev GROUP BY 1, 2
+)
+SELECT cohort_m, age, n_active,
+       round(CAST(rev AS DOUBLE), 6) AS revenue,
+       round(CAST(sum(rev) OVER (PARTITION BY cohort_m ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS cum_revenue
+FROM ca
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    q_cohort_retention: users bucket by first-seen month (integer
+    year·12+month arithmetic, no engine-dependent months_between), and
+    each cohort accumulates purchase revenue by cohort age. The cumulative
+    sum runs over DECIMAL partials inside the window (exact), converting
+    to double only at output.
+
+    Scale: one user-keyed min to build cohorts, one broadcast-or-shuffled
+    enrich join, then a (cohort, age) rollup — the curve table is
+    |cohorts|×|ages| rows, and the running sum rides a per-cohort window
+    over that metadata-sized table."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    mkey = (F.year("ts") * 12 + F.month("ts")).cast("long")
+    first_seen = e.groupBy("user_id").agg(F.min(mkey).alias("cohort_m"))
+    zero = F.lit(0.0).cast("decimal(18,6)")
+    rev = e.join(first_seen, "user_id").select(
+        "cohort_m",
+        (mkey - F.col("cohort_m")).alias("age"),
+        "user_id",
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+            F.col("value").cast("decimal(18,6)"),
+        )
+        .otherwise(zero)
+        .alias("r"),
+    )
+    ca = rev.groupBy("cohort_m", "age").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum("r").cast("decimal(28,6)").alias("rev"),
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ca.select(
+        "cohort_m",
+        "age",
+        "n_active",
+        F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 6).alias("cum_revenue"),
+    )

@@ -1938,3 +1938,74 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "q_keywords_tfidf",
+    driver=False,  # §2.11 keyword-extraction extension — pytest oracle
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (CAST(nd.n AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, score, rk FROM (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — the doc-side complement to BM25
+    retrieval (q_bm25): each document's top-3 terms by a rational tf-idf
+    (tf · N/df — the plain inverse-frequency ratio, deliberately libm-free:
+    ln() differs across engines in the last ulp, and the RATIO variant is
+    the same kind of rarity weighting with exactly-reproducible scores).
+    Ties break on the term itself, so the top-3 cut is engine-identical.
+    The extracted keywords are the metadata-enrichment step before
+    faceting / mixture reports in a curation pipeline.
+
+    Scale: explode → (doc, term) partial+final agg; df is a term-keyed agg
+    over the (already collapsed) tf table, broadcast back; N is a 1-row
+    broadcast; the per-doc top-3 is WindowGroupLimit-shaped (partial top-k
+    before the doc shuffle). Nothing touches raw text twice."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.col("n").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
