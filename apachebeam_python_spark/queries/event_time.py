@@ -499,3 +499,54 @@ def q_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions,
         schema="user_id long, sess_start timestamp, n_events long, span_us long",
     )
+
+
+@register(
+    "q_interarrival",
+    driver=False,  # §2.5 operational-latency extension — pytest oracle
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(round(CAST(quantile_cont(gap_us, 0.5) AS DOUBLE), 0) AS BIGINT)
+         AS p50_us,
+       CAST(round(CAST(quantile_cont(gap_us, 0.9) AS DOUBLE), 0) AS BIGINT)
+         AS p90_us,
+       CAST(max(gap_us) AS BIGINT) AS max_us
+FROM gaps WHERE gap_us IS NOT NULL
+""",
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution: per-user event gaps in EXACT
+    integer microseconds (unix_micros ≡ epoch_us — the timestamps gotcha:
+    seconds-level casts diverge), summarized as p50/p90/max. The
+    engagement-cadence metric next to q_session_stats; percentiles
+    interpolate over integers and round to whole µs, so the outputs are
+    engine-identical.
+
+    Scale: one user-keyed window pass for the lag, then a single global
+    aggregate; the quantiles swap to the histogram sketch
+    (q_quantile_histogram_rollup) when the gap table must not sort."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)).cast("double"), 0)
+        .cast("long")
+        .alias("p50_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)).cast("double"), 0)
+        .cast("long")
+        .alias("p90_us"),
+        F.max("gap_us").alias("max_us"),
+    )

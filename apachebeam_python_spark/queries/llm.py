@@ -2009,3 +2009,69 @@ def q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "score", "rk")
     )
+
+
+@register(
+    "q_source_overlap",
+    driver=False,  # §2.11 curation-diagnostic extension — pytest oracle
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT source, md5(text) AS h FROM documents
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(p.n_shared / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+         AS containment
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation diagnostic behind
+    "which feeds are re-publishing each other": per source pair, the
+    number of exact-duplicate documents (content hash) and the containment
+    ratio shared/min(|A|,|B|). High containment between two sources means
+    one should be dropped or deprioritized in the mixture (q_mixture_*)
+    before near-dup passes spend compute on them.
+
+    Scale: one distinct over (source, md5) — 16-byte keys — then a
+    hash-keyed self-join whose fan-out is the duplicate multiplicity
+    across sources (≈ |dups|, not |corpus|²); source sizes broadcast back
+    onto the |sources|² result."""
+    d = table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("h")).distinct()
+    a = h.select(F.col("source").alias("source_a"), "h")
+    b = h.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = h.groupBy("source").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
