@@ -2141,3 +2141,70 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double"), 6).alias("revenue"),
         F.round(F.sum("rev").over(w).cast("double"), 6).alias("cum_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration per nation
+# --------------------------------------------------------------------------
+@register(
+    "q_hhi_concentration",
+    driver=False,  # §2.5 market-structure extension — pytest oracle
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, p.p_brand AS brand,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS r
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       round(CAST(sum(r * r) AS DOUBLE)
+             / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6)
+         AS hhi
+FROM rev GROUP BY nation
+""",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration (Herfindahl-Hirschman index) of brand revenue
+    within each supplier nation: HHI = Σ share² = Σ r² / (Σ r)², computed
+    WITHOUT materializing float shares — both Σ r and Σ r² sum exact
+    DECIMALs (order-independent), and the single double division happens
+    once per nation. 1/n_brands ≤ HHI ≤ 1; the Gini's (q_gini_concentration)
+    market-structure sibling.
+
+    Scale: the (nation, brand) rollup rides the broadcast star join —
+    dims broadcast, lineitem shuffles once; the HHI table is
+    |nations| rows from a |nations|×|brands| intermediate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(28,4)")
+            .alias("r")
+        )
+    )
+    return rev.groupBy("nation").agg(
+        F.count("*").alias("n_brands"),
+        F.round(
+            F.sum(F.col("r") * F.col("r")).cast("double")
+            / (
+                F.sum("r").cast("double") * F.sum("r").cast("double")
+            ),
+            6,
+        ).alias("hhi"),
+    )
