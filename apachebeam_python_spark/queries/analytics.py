@@ -2208,3 +2208,90 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Comparable-sales (common-basket) month-over-month growth
+# --------------------------------------------------------------------------
+@register(
+    "q_basket_growth",
+    driver=False,  # §2.5 economic-index extension — pytest oracle
+    oracle="""
+WITH pm AS (
+  SELECT l_partkey,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS spend,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS qty
+  FROM lineitem GROUP BY 1, 2
+), paired AS (
+  SELECT cur.m,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(cur.spend) AS DECIMAL(38,2)) AS cur_spend,
+         CAST(sum(base.spend) AS DECIMAL(38,2)) AS base_spend,
+         CAST(sum(cur.qty) AS DECIMAL(38,2)) AS cur_qty,
+         CAST(sum(base.qty) AS DECIMAL(38,2)) AS base_qty
+  FROM pm cur JOIN pm base
+    ON base.l_partkey = cur.l_partkey AND base.m = cur.m - 1
+  GROUP BY cur.m
+)
+SELECT m, n_parts,
+       round(CAST(cur_spend AS DOUBLE), 2) AS cur_spend,
+       round(CAST(base_spend AS DOUBLE), 2) AS base_spend,
+       round(100.0 * CAST(cur_spend AS DOUBLE) / CAST(base_spend AS DOUBLE),
+             6) AS spend_index,
+       round((CAST(cur_spend AS DOUBLE) / CAST(cur_qty AS DOUBLE))
+             / (CAST(base_spend AS DOUBLE) / CAST(base_qty AS DOUBLE))
+             * 100.0, 6) AS unit_price_index
+FROM paired
+""",
+)
+def q_basket_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparable-sales index — month-over-month growth restricted to the
+    COMMON part basket (parts traded in both months), the retail
+    "same-store sales" control for assortment churn: spend_index = 100 ×
+    Σspend_t / Σspend_{t−1}, plus an aggregate unit-price index from the
+    same exact sums. Every Σ is DECIMAL (order-independent); the only
+    float ops are the final divisions of already-exact totals — one IEEE
+    op each, engine-identical (per-part unit-price quotients are
+    deliberately avoided: rounding raw double quotients at fixed
+    precision is NOT engine-stable — round-impl boundary disagreements).
+
+    Scale: one (part, month) rollup is the only fact shuffle; the
+    month-pair join runs on the collapsed |parts|×|months| table; output
+    is |months| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    m = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long")
+    pm = li.groupBy(F.col("l_partkey"), m.alias("m")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("spend"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("qty"),
+    )
+    cur = pm.select("l_partkey", "m", F.col("spend").alias("cs"),
+                    F.col("qty").alias("cq"))
+    base = pm.select(
+        "l_partkey",
+        (F.col("m") + 1).alias("m"),
+        F.col("spend").alias("bs"),
+        F.col("qty").alias("bq"),
+    )
+    paired = cur.join(base, ["l_partkey", "m"]).groupBy("m").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cs").cast("decimal(38,2)").alias("cur_spend"),
+        F.sum("bs").cast("decimal(38,2)").alias("base_spend"),
+        F.sum("cq").cast("decimal(38,2)").alias("cur_qty"),
+        F.sum("bq").cast("decimal(38,2)").alias("base_qty"),
+    )
+    cs, bs = F.col("cur_spend").cast("double"), F.col("base_spend").cast("double")
+    cq, bq = F.col("cur_qty").cast("double"), F.col("base_qty").cast("double")
+    return paired.select(
+        "m",
+        "n_parts",
+        F.round(cs, 2).alias("cur_spend"),
+        F.round(bs, 2).alias("base_spend"),
+        F.round(100.0 * cs / bs, 6).alias("spend_index"),
+        F.round((cs / cq) / (bs / bq) * 100.0, 6).alias("unit_price_index"),
+    )

@@ -550,3 +550,67 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@register(
+    "q_concurrency_sweep",
+    driver=False,  # §2.5 interval-counting extension — pytest oracle
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS s,
+         CAST(date_trunc('day', max(l.l_shipdate)) AS TIMESTAMP)
+           + INTERVAL 1 DAY AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), pts AS (
+  SELECT s AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS day, -1 AS delta FROM iv
+), d AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM pts GROUP BY day
+)
+SELECT day, net,
+       CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM d
+""",
+)
+def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE — how many orders are
+    open (placed but not fully shipped) on each day: every interval
+    contributes a +1 at its start day and a −1 the day after its last
+    shipment, and a running sum over the (collapsed) day grid IS the
+    concurrency curve. The O(n log n) pattern that replaces the
+    day-grid × interval range join (the BNLJ q_rolling_distinct documents
+    as its own scale ceiling) — integer deltas, so exact everywhere.
+
+    Scale: interval endpoints collapse to ≤ 2 rows each, the day grid
+    aggregates to |days| rows BEFORE the running sum, and the final
+    window is a single tiny ordered pass. At 100 TB the same sweep
+    handles sessions, connections, or inventory holds — anything
+    interval-shaped."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("s"),
+            (
+                F.date_trunc("day", "last_ship") + F.expr("INTERVAL 1 DAY")
+            ).alias("e"),
+        )
+    )
+    pts = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("day"), F.lit(-1).alias("delta"))
+    )
+    d = pts.groupBy("day").agg(F.sum("delta").cast("long").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day", "net", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
