@@ -2295,3 +2295,64 @@ def q_basket_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * cs / bs, 6).alias("spend_index"),
         F.round((cs / cq) / (bs / bq) * 100.0, 6).alias("unit_price_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment-latency SLA by order priority
+# --------------------------------------------------------------------------
+@register(
+    "q_fulfillment_sla",
+    driver=False,  # §2.5 operational-SLA extension — pytest oracle
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(max(l.l_shipdate) AS DATE)) AS BIGINT)
+           AS days_to_ship
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(quantile_cont(days_to_ship, 0.5) AS DOUBLE), 1) AS p50_days,
+       round(CAST(quantile_cont(days_to_ship, 0.9) AS DOUBLE), 1) AS p90_days,
+       CAST(max(days_to_ship) AS BIGINT) AS max_days,
+       CAST(sum(CASE WHEN days_to_ship > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breaching
+FROM lat GROUP BY o_orderpriority
+""",
+)
+def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA report — the operational counterpart to
+    TPC-H Q4 (expressible here without l_commitdate): per priority class,
+    the distribution of days from order placement to the LAST line
+    shipment (exact integer day diffs), p50/p90, the worst case, and the
+    count breaching a 90-day SLA. Integer inputs make the percentile
+    interpolation engine-identical at 1 dp.
+
+    Scale: the per-order latency is a rollup riding the o⋈l orderkey
+    join's own shuffle; the SLA report is |priorities| rows. At extreme
+    scale the percentiles swap to the histogram sketch over integer
+    day buckets (exact, since latencies ARE integers)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("days_to_ship"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("days_to_ship", F.lit(0.5)).cast("double"), 1)
+        .alias("p50_days"),
+        F.round(F.percentile("days_to_ship", F.lit(0.9)).cast("double"), 1)
+        .alias("p90_days"),
+        F.max("days_to_ship").alias("max_days"),
+        F.sum((F.col("days_to_ship") > 90).cast("long")).alias("n_breaching"),
+    )
