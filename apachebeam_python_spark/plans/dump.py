@@ -135,6 +135,21 @@ def main() -> None:
         "q_hhi_concentration",
         "q_concurrency_sweep",
         "q_basket_growth",
+        "q_fulfillment_sla",
+        # round-3 TPC-H completion wave (Q2/Q4/Q6/Q9/Q11/Q12/Q15/Q16/Q19/
+        # Q20/Q21/Q22 shapes — the full 22-query decision-support kit)
+        "q_forecast_revenue",
+        "q_priority_fulfillment",
+        "q_top_supplier",
+        "q_delay_priority_census",
+        "q_bracket_revenue",
+        "q_dormant_customers",
+        "q_min_cost_supplier",
+        "q_product_profit",
+        "q_important_stock",
+        "q_supplier_census",
+        "q_dominant_suppliers",
+        "q_waiting_orders",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",
