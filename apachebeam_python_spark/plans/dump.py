@@ -150,6 +150,11 @@ def main() -> None:
         "q_supplier_census",
         "q_dominant_suppliers",
         "q_waiting_orders",
+        # round-3 sixth wave: graph link prediction + LLM training-data ops
+        "q_link_prediction",
+        "q_hard_negatives",
+        "q_temperature_mix",
+        "q_url_normalize",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

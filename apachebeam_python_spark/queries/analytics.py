@@ -2356,3 +2356,95 @@ def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("days_to_ship").alias("max_days"),
         F.sum((F.col("days_to_ship") > 90).cast("long")).alias("n_breaching"),
     )
+
+
+@register(
+    "q_link_prediction",
+    driver=False,  # §2.9 graph extension — pytest oracle
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), edges AS (
+  SELECT a.item AS u, c.item AS v
+  FROM baskets a JOIN baskets c ON a.oid = c.oid AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+), wedges AS (
+  SELECT e1.v AS a, e2.v AS b, e1.u AS z
+  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+), cand AS (
+  SELECT w.a, w.b,
+         CAST(count(*) AS BIGINT)             AS common_neighbors,
+         CAST(sum(1000000000 // d.deg) AS BIGINT) AS ra_index_e9
+  FROM wedges w JOIN deg d ON d.node = w.z
+  GROUP BY 1, 2
+)
+SELECT c.a AS u, c.b AS v, c.common_neighbors, c.ra_index_e9
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.a AND e.v = c.b)
+""",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the PART-level co-purchase graph (edge = parts
+    sharing ≥ 2 orders — the brand graph is complete at every threshold,
+    so prediction is vacuous there): for every NON-adjacent node pair
+    sharing at least one neighbor, the common-neighbor count and the
+    resource-allocation index Σ 1/deg(z) over shared neighbors z — the
+    log-free classic next to Adamic-Adar (whose ln(deg) is not
+    correctly-rounded identically across engines). The RA term is
+    integer-scaled (floor(1e9/deg) per neighbor, summed as BIGINT) so the
+    score is exact, order-independent, and engine-identical. Fourth
+    member of the graph family (q_pagerank / q_triangles /
+    q_communities_lpa).
+
+    Scale: wedges enumerate per CENTER node (e1.u = e2.u) — the join key
+    is the shared neighbor, so fan-out is Σ deg², the same bound as the
+    triangle census, and hot centers salt the same way. Degrees are a
+    |V|-row table joined on the wedge center (broadcast while |V| is
+    dimension-sized; key-partitioned beyond). The adjacency exclusion is
+    an anti join against the thresholded edge table. No all-pairs
+    product ever materializes: only wedge-connected pairs exist."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    u = b.select("oid", F.col("item").alias("u"))
+    v = b.select("oid", F.col("item").alias("v"))
+    edges = (
+        u.join(v, "oid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = sym.select(F.col("u").alias("z"), F.col("v").alias("a"))
+    e2 = sym.select(F.col("u").alias("z"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "z").filter(F.col("a") < F.col("b"))
+    cand = (
+        wedges.join(F.broadcast(deg), wedges.z == deg.node)
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.floor(F.lit(1000000000) / F.col("deg"))).alias("ra_index_e9"),
+        )
+    )
+    return cand.join(
+        F.broadcast(edges),
+        (cand.a == edges.u) & (cand.b == edges.v),
+        "left_anti",
+    ).select(
+        F.col("a").alias("u"),
+        F.col("b").alias("v"),
+        "common_neighbors",
+        "ra_index_e9",
+    )

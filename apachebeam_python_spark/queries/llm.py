@@ -2075,3 +2075,242 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "q_hard_negatives",
+    driver=False,  # §2.11 retrieval-training extension — pytest oracle
+    oracle="""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 40 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS negative_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM q JOIN e c ON c.label <> q.label
+)
+SELECT query_id, query_label, negative_id,
+       round(sim, 6) AS cos_sim, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, negative_id) AS rn
+      FROM pairs)
+WHERE rn <= 4
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for each
+    query vector, the top-4 most-similar vectors of a DIFFERENT label —
+    the highest-loss negatives a trainer wants in each batch (random
+    negatives are too easy; these sit right at the decision boundary).
+    Exact cosine ranking with the (sim DESC, id) total order; labels ride
+    the embeddings fixture.
+
+    Scale: same plan spine as q_cosine_topk — the query set broadcasts
+    with precomputed norms, the corpus never shuffles, and per-query
+    top-4 cuts through WindowGroupLimit (per-partition partial top-k
+    before the rank shuffle). The label inequality is a join residual on
+    the broadcast row, not a second pass. At 100 TB mine within ANN
+    cells first (the 'emb_lsh'/'ivf' arms) and exact-rank only the
+    candidates — same verify expressions, bucketed candidate
+    generation."""
+    from pyspark.sql import Window
+
+    from ..session import fan_out
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    c = fan_out(e).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_label") != F.col("c_label"))
+    sims = pairs.withColumn(
+        "cos_sim",
+        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+_MD5_U16_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))-1))"
+)
+
+
+@register(
+    "q_temperature_mix",
+    driver=False,  # §2.11 data-mixing extension — pytest oracle
+    oracle=f"""
+WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n_s,
+         sqrt(CAST((SELECT min(n_s) FROM n) AS DOUBLE) / n_s) AS keep_rate
+  FROM n
+)
+SELECT d.source, r.n_s,
+       round(r.keep_rate, 9)         AS keep_rate,
+       CAST(count(*) AS BIGINT)      AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d
+JOIN rates r ON r.source = d.source
+WHERE {_MD5_U16_SQL} / 65536.0 < r.keep_rate
+GROUP BY d.source, r.n_s, r.keep_rate
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (T = 2), the data-mixing step
+    between raw crawl shares and training shares: source s keeps rate
+    √(n_min / n_s) — the rarest source keeps everything, dominant sources
+    are downsampled toward the T=2 flattened distribution (keep ∝
+    share^(1/T − 1)). The rate is ONE exact integer ratio through ONE
+    division and ONE sqrt — both correctly rounded IEEE ops, so the
+    boundary is bit-identical across engines (no cross-source float sum,
+    no pow/libm). Selection replays exactly: the uniform is an md5 slice
+    of doc_id, and the census pins membership by id checksum, not just
+    counts (same discipline as q_stratified_sample).
+
+    Scale: per-source counts are a partial+final agg (|sources| rows →
+    1-row min broadcast); the keep filter is pure codegen riding the
+    scan — zero extra shuffle at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = n.agg(F.min("n_s").alias("n_min"))
+    rates = n.join(F.broadcast(n_min)).select(
+        "source",
+        "n_s",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_s")).alias("keep_rate"),
+    )
+    u16 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1) * 4096
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)) - 1) * 256
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 4, 1)) - 1)
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        u16 / 65536.0 < F.col("keep_rate")
+    )
+    return kept.groupBy(
+        "source", "n_s", F.round("keep_rate", 9).alias("keep_rate")
+    ).agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
+    "q_url_normalize",
+    driver=False,  # §2.11 web-curation extension — pytest oracle
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM:443/Docs//'
+           || CAST(doc_id % 5 AS VARCHAR)
+           || '/page?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)
+           || '&id=' || CAST(doc_id AS VARCHAR)
+           || '&utm_campaign=x#frag' AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+           '^www\\.|:(443|80)$', '', 'g')                     AS host,
+         regexp_replace(
+           regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+                          '/{2,}', '/', 'g'),
+           '(.)/$', '\\1')                                    AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')
+                  AND p <> '')),
+           '&')                                               AS clean_query
+  FROM raw
+)
+SELECT doc_id,
+       'https://' || host || path ||
+         CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END
+         AS canonical_url,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+FROM parts
+""",
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first step of web-corpus curation (every
+    crawl dedup keys on the canonical URL before any content hash):
+    lowercase the host, strip the www prefix and default ports, collapse
+    duplicate path slashes, drop the trailing slash and the fragment,
+    remove tracking parameters (utm_*, ref, fbclid, gclid), and SORT the
+    surviving query parameters so equivalent URLs serialize identically.
+    The raw URL is synthesized deterministically from fixture columns
+    (the fixture has no URL column); the normalization chain — the
+    actual operator — is the same regexp/array pipeline a crawl would
+    run, expressed identically in both engines. The registered domain
+    (last two host labels) comes along for per-domain quotas
+    (q_domain_cap) and blocklists.
+
+    Scale: pure codegen projection — regexp_replace / split / sort / join
+    on each row independently, zero shuffle, scales linearly with no
+    coordination. At 100 TB this runs fused into the ingest scan."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Docs//"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/page?utm_source=feed&ref="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.|:(443|80)$", "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+            r"/{2,}", "/",
+        ),
+        r"(.)/$", r"$1",
+    )
+    clean_query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+                lambda p: ~p.rlike(r"^(utm_[^=]*|ref|fbclid|gclid)=") & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), host, path,
+            F.when(clean_query != "", F.concat(F.lit("?"), clean_query)).otherwise(
+                F.lit("")
+            ),
+        ).alias("canonical_url"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )
