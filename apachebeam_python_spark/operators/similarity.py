@@ -224,3 +224,57 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def binary_codes(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFrame:
+    """Sign-binarized embedding codes: dim sign bits packed into
+    ``ceil(dim/32)`` 32-bit words (kept in longs — no sign-bit overflow).
+    32× smaller than float32 vectors; a billion 64-dim codes is ~8 GB, so
+    code tables broadcast where vector tables cannot. Each word is an
+    MSB-first fold (acc·2 + bit) ≡ Σ bit_i·2^i — F.shiftleft does not
+    take a column shift amount."""
+    n_words = (dim + 31) // 32
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(F.col(vec_col), w * 32 + i + 1) > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.select(F.col(id_col), words.alias("code"))
+
+
+def binary_hamming_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int, dim: int
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-binarized codes — the cheap
+    first tier of two-tier retrieval (binary prefilter → exact re-rank).
+    Pure integer arithmetic: the whole ranking is engine-exact. Queries
+    broadcast; the corpus scans its 8-byte codes without shuffling;
+    per-query top-k cuts through WindowGroupLimit."""
+    qc = binary_codes(queries, vec_col, id_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
+    )
+    cc = fan_out(binary_codes(corpus, vec_col, id_col, dim)).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    pairs = cc.join(F.broadcast(qc), F.col("query_id") != F.col("neighbor_id"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("qcode"), F.col("code"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -155,6 +155,9 @@ def main() -> None:
         "q_hard_negatives",
         "q_temperature_mix",
         "q_url_normalize",
+        "q_binary_hamming",
+        "q_passage_dedup_rewrite",
+        "q_map_in_arrow",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

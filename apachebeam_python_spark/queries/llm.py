@@ -2314,3 +2314,150 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("canonical_url"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
     )
+
+
+@register(
+    "q_binary_hamming",
+    driver=False,  # §2.11 binary-quantized retrieval — pytest oracle
+    oracle="""
+WITH codes AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 1] > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS lo,
+         list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 33] > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS hi
+  FROM embeddings
+), q AS (SELECT * FROM codes WHERE vec_id % 40 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+              AS BIGINT) AS hamming
+  FROM q JOIN codes c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+""",
+)
+def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) embedding quantization + Hamming-distance retrieval —
+    the 32×-compression tier below int8 (q_embedding_quantize): each
+    64-dim vector becomes two 32-bit sign words, and retrieval ranks by
+    popcount(xor) — pure integer arithmetic, so unlike cosine scores the
+    ENTIRE ranking is engine-exact and hash-checkable, not just rounded.
+    Per query: top-5 by (hamming ASC, id) total order
+    (operators.similarity.binary_hamming_topk).
+
+    Scale: codes are 8 bytes/vector (64 dims) — a billion vectors fit in
+    8 GB, so the query side always broadcasts and the corpus scans
+    narrow code columns only; popcount+xor stay in whole-stage codegen.
+    The top-5 cut is WindowGroupLimit (per-partition partial top-k).
+    In production: binary prefilter to ~10% candidates, then exact
+    re-rank on the float vectors (the standard two-tier retrieval);
+    recall of exact-top-5-within-binary-top-50 ≥ 0.7 is asserted in
+    pytest (test_operators.test_binary_hamming_two_tier_recall)."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    return SIM.binary_hamming_topk(e, queries, "embedding", "vec_id", k=5, dim=64)
+
+
+
+@register(
+    "q_passage_dedup_rewrite",
+    driver=False,  # §2.11 exact substring-dedup REWRITE — pytest oracle
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) > 0
+), chunks AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(w[p * 8 + 1 : p * 8 + 8], ' ') AS chunk
+  FROM words, UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(p)
+), owners AS (
+  SELECT chunk, min(doc_id * 1000000 + pos) AS owner_key
+  FROM chunks GROUP BY chunk
+), kept AS (
+  SELECT c.doc_id, c.pos, c.chunk
+  FROM chunks c JOIN owners o
+    ON o.chunk = c.chunk AND c.doc_id * 1000000 + c.pos = o.owner_key
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT)                    AS n_chunks,
+       CAST(count(k.pos) AS BIGINT)                AS n_kept,
+       md5(coalesce(string_agg(k.chunk, ' ' ORDER BY c.pos)
+           FILTER (WHERE k.pos IS NOT NULL), ''))  AS clean_md5
+FROM chunks c
+LEFT JOIN kept k ON k.doc_id = c.doc_id AND k.pos = c.pos
+GROUP BY c.doc_id
+""",
+)
+def q_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact passage-level dedup REWRITE (the Lee-et-al deduplicate-text-
+    datasets step at paragraph granularity): split every document into
+    non-overlapping 8-token passages, keep each distinct passage only at
+    its FIRST corpus occurrence (min (doc_id, pos), encoded as one
+    integer key so the argmin is engine-exact), and reassemble the
+    surviving passages in order — emitting per doc the passage counts
+    and the md5 of the rewritten text. Unlike the detection-only censuses
+    (q_repeated_passages), this produces the cleaned corpus itself.
+
+    Scale: one shuffle keyed by passage text (at 100 TB: by its 16-byte
+    hash) carrying (chunk, owner-key) pairs — map-side combine collapses
+    per-partition repeats; the keep/drop join is on the fact table's own
+    (doc, pos) key; reassembly is a per-doc sort inside one aggregation
+    (passage lists are doc-sized, never corpus-sized)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") > 0
+    )
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("w") / F.lit(8.0)).cast("long") - 1,
+            )
+        ).alias("pos"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice(F.col("w"), F.col("pos") * 8 + 1, 8), " ").alias(
+            "chunk"
+        ),
+    )
+    owners = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("owner_key")
+    )
+    marked = chunks.join(owners, "chunk").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        (F.col("doc_id") * 1000000 + F.col("pos") == F.col("owner_key")).alias(
+            "keep"
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

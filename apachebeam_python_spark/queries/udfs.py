@@ -243,3 +243,55 @@ def q_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="nationkey long, n_cust long, n_supp long, balance_gap double",
         )
     )
+
+
+@register(
+    "q_map_in_arrow",
+    driver=False,  # §2.10 Arrow RecordBatch surface — pytest oracle
+    oracle="""
+SELECT event_id,
+       value * 100                  AS value_cents,
+       upper(event_type)            AS event_type_uc
+FROM events
+WHERE value IS NOT NULL AND value >= 5.0
+""",
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.mapInArrow`` — the lowest-level Python execution surface
+    (SURVEY §2.10): the kernel receives raw ``pyarrow.RecordBatch``es,
+    no pandas conversion at all — the zero-copy path for kernels that
+    operate on Arrow buffers directly (tokenizers, codecs, FFI into
+    native libs). The kernel filters and transforms batch-at-a-time via
+    ``pyarrow.compute``; the oracle replays the arithmetic in SQL,
+    proving the Arrow round trip value-exact. Completes the §2.10 ladder:
+    mapInArrow < mapInPandas < pandas UDF < built-in expressions.
+
+    Scale: per-batch narrow transform, no shuffle, batch size bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — memory-safe at
+    any scale; columns prune at the scan because the kernel declares its
+    schema up front."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = "event_id long, value_cents double, event_type_uc string"
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            keep = pc.and_(
+                pc.is_valid(b.column(1)),
+                pc.greater_equal(b.column(1), pa.scalar(5.0)),
+            )
+            f = b.filter(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    f.column(0),
+                    pc.multiply(f.column(1), pa.scalar(100.0)),
+                    pc.utf8_upper(f.column(2)),
+                ],
+                names=["event_id", "value_cents", "event_type_uc"],
+            )
+
+    e = fan_out(table(spark, sf_dir, "events")).select(
+        "event_id", "value", "event_type"
+    )
+    return e.mapInArrow(kernel, schema=schema)

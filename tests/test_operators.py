@@ -357,3 +357,23 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert r.n_replicas == 100, r
     assert r.ci_lo < r.mean < r.ci_hi, r
     assert 0 < (r.ci_hi - r.ci_lo) < r.mean, r
+
+
+def test_binary_hamming_two_tier_recall(spark, sf_dir):
+    """Two-tier retrieval: ≥ 70% of the exact cosine top-5 must appear in
+    the binary-code Hamming top-50 candidate set (the prefilter→re-rank
+    contract of q_binary_hamming; measured 0.79 at sf0.01, 0.74 at
+    sf0.001). Also pins the packing: Hamming(q,q) = 0."""
+    from apachebeam_python_spark import queries as q
+    from apachebeam_python_spark.operators import similarity as SIM
+    from apachebeam_python_spark.session import table
+
+    bf = {(r.query_id, r.neighbor_id)
+          for r in q.QUERIES["q_cosine_topk"](spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 40 == 0)
+    cand = {(r.query_id, r.neighbor_id)
+            for r in SIM.binary_hamming_topk(
+                e, queries, "embedding", "vec_id", k=50, dim=64).collect()}
+    recall = len(bf & cand) / len(bf)
+    assert recall >= 0.7, f"two-tier recall {recall:.3f} < 0.7"
