@@ -158,6 +158,8 @@ def main() -> None:
         "q_binary_hamming",
         "q_passage_dedup_rewrite",
         "q_map_in_arrow",
+        "q_xml_extract",
+        "q_quality_classifier",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

@@ -2461,3 +2461,74 @@ def q_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+@register(
+    "q_quality_classifier",
+    driver=False,  # §2.11 model-based quality filtering — pytest oracle
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('value', 'row', 'table'))) AS BIGINT) AS n_filler,
+         n_chars
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+), scored AS (
+  SELECT doc_id, n_tok,
+         ((0.9 * (CAST(n_uniq AS DOUBLE) / n_tok)
+           - 1.4 * (CAST(n_filler AS DOUBLE) / n_tok))
+          + 0.05 * (CAST(n_chars AS DOUBLE) / n_tok)) - 0.1 AS log_odds
+  FROM feats
+)
+SELECT doc_id, n_tok, round(log_odds, 6) AS log_odds,
+       CASE WHEN log_odds >= 0.45 THEN 'high'
+            WHEN log_odds >= 0.25 THEN 'mid'
+            ELSE 'low' END AS quality_band
+FROM scored
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the fasttext/DCLM-classifier pattern):
+    a LINEAR model over engineered text features — unique-token ratio,
+    filler-word ratio, chars-per-token — emitting the raw log-odds and a
+    quality band. The sigmoid is deliberately NOT applied: exp() is not
+    correctly-rounded identically across engines, while the linear
+    log-odds (a fixed-order chain of IEEE mul/add on identical feature
+    doubles) is bit-exact — and the band thresholds are monotone in
+    log-odds anyway, so filtering decisions are unchanged. Weights are
+    literals standing in for trained parameters; swapping in a real
+    model's coefficients is a one-line change (q_inference_stub shows
+    the Arrow batch path when the model is not expressible as SQL).
+
+    Scale: features and score are one codegen projection over the scan —
+    zero shuffle, zero Python; the classifier runs at ingest speed. The
+    band cut feeds q_mixture_resample / q_quality_filter downstream."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    feats = d.filter(F.size(w) > 0).select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        F.size(F.filter(w, lambda x: x.isin("value", "row", "table")))
+        .cast("long")
+        .alias("n_filler"),
+        "n_chars",
+    )
+    log_odds = (
+        (
+            0.9 * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+            - 1.4 * (F.col("n_filler").cast("double") / F.col("n_tok"))
+        )
+        + 0.05 * (F.col("n_chars").cast("double") / F.col("n_tok"))
+    ) - 0.1
+    return feats.select(
+        "doc_id",
+        "n_tok",
+        F.round(log_odds, 6).alias("log_odds"),
+        F.when(log_odds >= 0.45, "high")
+        .when(log_odds >= 0.25, "mid")
+        .otherwise("low")
+        .alias("quality_band"),
+    )

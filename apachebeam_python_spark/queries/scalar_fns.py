@@ -388,3 +388,58 @@ def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", "table", "tbl"), 1, 40
         ).alias("replaced_head"),
     )
+
+
+@register(
+    "q_xml_extract",
+    driver=False,  # §2.7 XML fns (Spark 4 native XML) — pytest oracle
+    oracle="""
+WITH x AS (
+  SELECT event_id,
+         '<event type="' || event_type || '"><k>'
+           || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS VARCHAR)
+           || '</k><id>' || CAST(event_id AS VARCHAR) || '</id></event>'
+           AS xml
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_id,
+       regexp_extract(xml, 'type="([^"]*)"', 1)          AS xml_type,
+       CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1)
+            AS BIGINT)                                   AS xml_k,
+       regexp_extract(xml, 'type="([^"]*)"', 1)          AS xp_type,
+       CAST(regexp_extract(xml, '<id>([0-9]+)</id>', 1)
+            AS BIGINT)                                   AS xp_id
+FROM x
+""",
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML column extraction — the third semi-structured format next to
+    JSON (q_json_extract) and VARIANT (q_variant_json): Spark 4's native
+    ``from_xml`` (schema'd struct parse; attributes surface under the
+    ``_`` prefix) AND the Hive ``xpath_*`` family, both exercised on the
+    same synthesized payload. The oracle re-derives every field with
+    regexes (DuckDB has no XML engine) — a cross-parser agreement check:
+    a real XML parser and a pattern extractor must see identical values
+    on well-formed single-level documents.
+
+    Scale: both parse paths are per-row codegen'd expressions (no
+    Python, no shuffle); ``from_xml`` decodes once into a struct — at
+    100 TB project the struct ONCE and read fields from it rather than
+    re-running xpath per field (same decode-once economics as
+    q_variant_json)."""
+    e = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    xml = F.concat(
+        F.lit('<event type="'), F.col("event_type"), F.lit('"><k>'),
+        F.get_json_object("props", "$.k").cast("long").cast("string"),
+        F.lit("</k><id>"), F.col("event_id").cast("string"),
+        F.lit("</id></event>"),
+    )
+    parsed = F.from_xml(xml, "_type STRING, k BIGINT, id BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("_type").alias("xml_type"),
+        parsed.getField("k").alias("xml_k"),
+        F.xpath_string(xml, F.lit("/event/@type")).alias("xp_type"),
+        F.xpath_long(xml, F.lit("/event/id")).alias("xp_id"),
+    )
