@@ -371,3 +371,53 @@ def test_eval_and_survival_plan_shapes(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_tpch_completion_plan_shapes(spark, sf_dir):
+    """The round-3 completion wave: Q6 is a ZERO-join zero-shuffle-input
+    scan-agg with every predicate pushed; Q4's EXISTS stays a semi join;
+    Q15 reuses the revenue agg for both consumers (no second fact scan in
+    the final plan); Q19's part-side residue (brand set) is still pushed
+    below the join despite the straddling OR; Q21 never self-joins
+    lineitem three times — one orderkey agg + one broadcast probe."""
+    # Q6: pure pushdown scan-agg
+    df = q.QUERIES["q_forecast_revenue"](spark, sf_dir)
+    pf = P.pushed_filters(df)
+    assert "GreaterThanOrEqual(l_shipdate" in pf, pf
+    assert "LessThan(l_quantity,24" in pf, pf
+    assert "Join" not in P.executed_plan(df)
+    # Q4: EXISTS with a correlated date predicate stays LeftSemi
+    df = q.QUERIES["q_priority_fulfillment"](spark, sf_dir)
+    assert "LeftSemi" in P.executed_plan(df), P.executed_plan(df)
+    # Q19: BOTH residues of the straddling OR are extracted and pushed —
+    # the quantity-range disjunction to the lineitem scan (first scan's
+    # PushedFilters) and the brand set to the part scan (formatted plan)
+    df = q.QUERIES["q_bracket_revenue"](spark, sf_dir)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in P.pushed_filters(df), (
+        P.pushed_filters(df)
+    )
+    assert "EqualTo(p_brand,Brand#3)" in P.pushed_filters(df), (
+        P.pushed_filters(df)
+    )
+    assert P.has(df, "BroadcastHashJoin")
+    # Q21: decorrelated census — no triple lineitem self-join
+    df = q.QUERIES["q_waiting_orders"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert plan.count("FileScan parquet") <= 3, plan  # lineitem, orders, supplier
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_binary_and_passage_plan_shapes(spark, sf_dir):
+    """Binary Hamming retrieval: query codes broadcast, ranked top-k cuts
+    through WindowGroupLimit pre-shuffle. Passage rewrite: the owner
+    argmin is a partial+final agg on the passage key and reassembly adds
+    exactly one more keyed exchange — no cartesian anywhere."""
+    df = q.QUERIES["q_binary_hamming"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    df = q.QUERIES["q_passage_dedup_rewrite"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
