@@ -157,6 +157,35 @@ def main() -> None:
         F.round(F.avg("tokens_per_word"), 3).alias("avg_tokens_per_word"),
     ).show()
 
+    # two-tier retrieval: binary sign codes prefilter (8 B/vector, integer
+    # Hamming ranking), exact cosine re-ranks only the survivors — the
+    # production split when the float vectors no longer fit the fast tier
+    cand = SIM.binary_hamming_topk(emb, queries, "embedding", "vec_id",
+                                   k=20, dim=64)
+    survivors = emb.join(
+        cand.select(F.col("neighbor_id").alias("vec_id")).distinct(), "vec_id"
+    )
+    rerank = SIM.cosine_topk(survivors, queries, "embedding", "vec_id", k=3)
+    print("two-tier retrieval (binary top-20 -> exact top-3):",
+          rerank.count(), "rows")
+
+    # passage-level REWRITE: drop every repeated 8-token passage at all but
+    # its first corpus occurrence, keep the per-doc survival stats
+    rewrite = QUERIES["q_passage_dedup_rewrite"](spark, sf_dir)
+    rewrite.agg(
+        F.sum("n_chunks").alias("passages"),
+        F.sum("n_kept").alias("kept"),
+    ).show()
+
+    # model-based quality banding (linear log-odds classifier) feeding the
+    # mixture: band shares before temperature rebalancing
+    bands = QUERIES["q_quality_classifier"](spark, sf_dir)
+    bands.groupBy("quality_band").agg(F.count("*").alias("docs")).orderBy(
+        "quality_band"
+    ).show()
+    mix = QUERIES["q_temperature_mix"](spark, sf_dir)
+    print("temperature-rebalanced source census (T=2):", mix.count(), "sources")
+
 
 if __name__ == "__main__":
     main()
