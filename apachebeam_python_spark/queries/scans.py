@@ -347,3 +347,41 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+@register(
+    "q_scan_avro",
+    driver=False,  # §2.1 Avro container round trip (pure-Python codec)
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)     AS id_sum,
+       CAST(sum(n_chars) AS BIGINT)    AS chars_sum,
+       min(text)                       AS first_text
+FROM documents
+GROUP BY source
+""",
+)
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteToAvro → ReadFromAvro round trip (SURVEY §2.1) — implemented
+    jar-free: ``sources.avro_lite`` writes/reads real Avro Object
+    Container Files (magic, metadata map, zigzag-varint blocks, sync
+    markers) in pure Python, task-side via mapInPandas. The oracle
+    aggregates the ORIGINAL parquet table, so a green hash proves the
+    Avro byte round trip is lossless for long/string columns including
+    per-source text minima. Production swaps in the spark-avro
+    datasource with no query changes (documented in the module)."""
+    from ..sources.avro_lite import read_avro, write_avro
+
+    out = os.path.join(_scratch_dir(), f"avro_{_sfkey(sf_dir)}")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    write_avro(docs, out)
+    back = read_avro(spark, out)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("text").alias("first_text"),
+    )

@@ -377,3 +377,28 @@ def test_binary_hamming_two_tier_recall(spark, sf_dir):
                 e, queries, "embedding", "vec_id", k=50, dim=64).collect()}
     recall = len(bf & cand) / len(bf)
     assert recall >= 0.7, f"two-tier recall {recall:.3f} < 0.7"
+
+
+def test_avro_lite_round_trip_edge_cases(spark, tmp_path):
+    """The pure-Python Avro container codec must round-trip the encodings
+    the fixture never exercises: negative longs (zigzag), large longs
+    (multi-byte varint), NULLs in union fields, and exact doubles."""
+    from apachebeam_python_spark.sources.avro_lite import read_avro, write_avro
+
+    rows = [
+        (-1, "neg one", -0.5),
+        (0, "", 0.0),
+        (2**40 + 7, "big", 1.25e300),
+        (None, None, None),
+        (63, "sixty three", -2.5e-300),
+        (64, "boundary", float("inf")),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    out = str(tmp_path / "avro_rt")
+    write_avro(df, out)
+    back = sorted(
+        ((r.k, r.s, r.v) for r in read_avro(spark, out).collect()),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0),
+    )
+    expect = sorted(rows, key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0))
+    assert back == expect, back
