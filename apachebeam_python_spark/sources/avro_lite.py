@@ -11,8 +11,8 @@ specification (https://avro.apache.org/docs/current/specification/):
   the binary-encoded records, sync marker;
 - binary encoding: zigzag-varint longs, length-prefixed UTF-8 strings,
   IEEE little-endian doubles, record fields in schema order;
-- codec: ``null`` (uncompressed). deflate would be a zlib one-liner but
-  ``null`` keeps the byte stream debuggable.
+- codecs: ``null`` (uncompressed) and ``deflate`` (raw RFC-1951 via
+  stdlib zlib, per the spec: no zlib header, no checksum).
 
 Supported field types: ``long``, ``double``, ``string``, and their
 ``["null", T]`` unions — the subset the fixture tables (and most analytics
@@ -31,11 +31,11 @@ projection prunes.
 
 from __future__ import annotations
 
-import io as _io
 import json
 import os
 import struct
 import uuid
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -154,15 +154,19 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
             pos += n
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec != "null":
-        raise ValueError(f"avro_lite reads codec 'null' only, got {codec!r}")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_lite reads codecs null/deflate, got {codec!r}")
     sync = data[pos : pos + 16]
     pos += 16
     fields = _field_types(schema)
     rows: list[dict] = []
     while pos < len(data):
         n_obj, pos = _dec_long(data, pos)
-        _size, pos = _dec_long(data, pos)
+        size, pos = _dec_long(data, pos)
+        if codec == "deflate":
+            block = zlib.decompress(data[pos : pos + size], -15)
+            sync_at = pos + size
+            _outer, data, pos = data, block, 0
         for _ in range(n_obj):
             row = {}
             for name, base, nullable in fields:
@@ -179,6 +183,8 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
                 else:
                     row[name], pos = _dec_str(data, pos)
             rows.append(row)
+        if codec == "deflate":
+            data, pos = _outer, sync_at  # restore the container stream
         assert data[pos : pos + 16] == sync, "sync marker mismatch"
         pos += 16
     return schema, rows
@@ -187,11 +193,14 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
 # --------------------------------------------------------------------------
 # DataFrame contract
 # --------------------------------------------------------------------------
-def write_avro(df: DataFrame, path: str) -> None:
-    """Write ``df`` as Avro container part-files under ``path`` (codec
-    ``null``). Encoding runs task-side in ``mapInPandas`` — parallel with
-    the data, nothing gathers on the driver; each task writes
-    ``part-<uuid>.avro`` (a production sink adds the rename-commit step)."""
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
+    """Write ``df`` as Avro container part-files under ``path``. ``codec``
+    is ``null`` or ``deflate`` (raw RFC-1951, spec-conform). Encoding runs
+    task-side in ``mapInPandas`` — parallel with the data, nothing gathers
+    on the driver; each task writes ``part-<uuid>.avro`` (a production
+    sink adds the rename-commit step)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec must be 'null' or 'deflate', got {codec!r}")
     os.makedirs(path, exist_ok=True)
     schema = _avro_schema(df.schema)
     fields = _field_types(schema)
@@ -201,7 +210,7 @@ def write_avro(df: DataFrame, path: str) -> None:
         + _enc_str("avro.schema")
         + (lambda b: _enc_long(len(b)) + b)(json.dumps(schema).encode())
         + _enc_str("avro.codec")
-        + (lambda b: _enc_long(len(b)) + b)(b"null")
+        + (lambda b: _enc_long(len(b)) + b)(codec.encode())
         + _enc_long(0)
         + _SYNC
     )
@@ -212,6 +221,9 @@ def write_avro(df: DataFrame, path: str) -> None:
         for pdf in batches:
             if len(pdf):
                 enc = _encode_rows(pdf, fields)
+                if codec == "deflate":
+                    c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
+                    enc = c.compress(enc) + c.flush()
                 body += _enc_long(len(pdf)) + _enc_long(len(enc)) + enc + _SYNC
                 n_rows += len(pdf)
         if n_rows:

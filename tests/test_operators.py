@@ -394,11 +394,12 @@ def test_avro_lite_round_trip_edge_cases(spark, tmp_path):
         (64, "boundary", float("inf")),
     ]
     df = spark.createDataFrame(rows, "k long, s string, v double")
-    out = str(tmp_path / "avro_rt")
-    write_avro(df, out)
-    back = sorted(
-        ((r.k, r.s, r.v) for r in read_avro(spark, out).collect()),
-        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0),
-    )
-    expect = sorted(rows, key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0))
-    assert back == expect, back
+    key = lambda t: (t[0] is None, t[0] if t[0] is not None else 0)  # noqa: E731
+    expect = sorted(rows, key=key)
+    for codec in ("null", "deflate"):
+        out = str(tmp_path / f"avro_rt_{codec}")
+        write_avro(df, out, codec=codec)
+        back = sorted(
+            ((r.k, r.s, r.v) for r in read_avro(spark, out).collect()), key=key
+        )
+        assert back == expect, (codec, back)
