@@ -160,6 +160,8 @@ def main() -> None:
         "q_map_in_arrow",
         "q_xml_extract",
         "q_quality_classifier",
+        "q_scan_avro",
+        "q_png_pipeline",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

@@ -2532,3 +2532,50 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("quality_band"),
     )
+
+
+@register(
+    "q_png_pipeline",
+    driver=False,  # §2.11 COMPRESSED-codec multimodal proof — pytest oracle
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + doc_id % 12 AS h
+  FROM documents
+),
+thumb AS (
+  SELECT doc_id, w, h,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 0) % 256 AS r,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 1) % 256 AS g,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 2) % 256 AS b
+  FROM dims, unnest(range(8)) ty(yy), unnest(range(8)) tx(xx)
+)
+SELECT doc_id,
+       CAST(w AS INTEGER)        AS width,
+       CAST(h AS INTEGER)        AS height,
+       round(avg(r), 4)          AS mean_r,
+       round(avg(g), 4)          AS mean_g,
+       round(avg(b), 4)          AS mean_b
+FROM thumb GROUP BY doc_id, w, h
+""",
+)
+def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-codec multimodal pipeline: an all-PNG corpus (stdlib
+    zlib IDAT, CRC-checked chunks) through the same decode→resize→
+    featurize path as q_image_pipeline. Pixel content is closed-form in
+    doc_id, so thumbnail channel means are oracle-exact — proving the
+    DEFLATE inflate + filter reconstruction recovers every pixel bit-for-
+    bit, not just plumbing shape. (Byte length is intentionally absent
+    from the output: compressed size is not SQL-expressible.) JPEG/WebP
+    remain the Pillow swap-in point; PNG shows the compressed path is
+    real, not stubbed.
+
+    Scale: same economics as q_image_pipeline — payload bytes stay in
+    the row, decode is Arrow-batched mapInPandas, no shuffle before the
+    per-doc feature row."""
+    from ..operators.multimodal import encode_png, image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(encode_png,)))
+    return feats.drop("byte_len")
