@@ -162,6 +162,8 @@ def main() -> None:
         "q_quality_classifier",
         "q_scan_avro",
         "q_png_pipeline",
+        "q_export_webdataset",
+        "q_export_tfrecord",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

@@ -385,3 +385,89 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
         F.min("text").alias("first_text"),
     )
+
+
+@register(
+    "q_export_webdataset",
+    driver=False,  # §2.1/§2.11 training-export round trip — pytest oracle
+    oracle="""
+SELECT source, lang,
+       CAST(count(*) AS BIGINT)    AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
+FROM documents
+GROUP BY source, lang
+""",
+)
+def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export → re-ingest round trip (the training-
+    data hand-off format most LLM loaders stream): docs shard by
+    doc_id/64, each shard becomes one deterministic ``<shard>.tar`` of
+    ``<key>.txt`` + ``<key>.json`` members written per-shard inside
+    applyInPandas (``sources.mlexport``), read back via binaryFile +
+    stdlib tarfile. The oracle aggregates the ORIGINAL table — the green
+    hash proves text AND json metadata survive the container byte-exact,
+    ordered-md5 included."""
+    from ..sources.mlexport import read_webdataset, write_webdataset
+
+    out = os.path.join(_scratch_dir(), f"wds_{_sfkey(sf_dir)}")
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") / 64).cast("long")
+    )
+    write_webdataset(docs, out, "doc_id", "text", ["source", "lang"], "shard")
+    back = read_webdataset(spark, out, ["source", "lang"])
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("key").alias("id_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("key", "text"))),
+                    lambda x: x.text,
+                ),
+                "|",
+            )
+        ).alias("text_md5"),
+    )
+
+
+@register(
+    "q_export_tfrecord",
+    driver=False,  # §2.1/§2.11 TFRecord round trip — pytest oracle
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)     AS id_sum,
+       CAST(sum(n_chars) AS BIGINT)    AS chars_sum,
+       md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
+FROM documents
+""",
+)
+def q_export_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord export → re-ingest round trip: docs shard by doc_id/64
+    into ``<shard>.tfrecord`` files of hand-encoded ``tf.train.Example``
+    records (protobuf wire format written directly — no protobuf library)
+    framed with masked CRC-32C checksums, which the reader VERIFIES on
+    every record. The oracle aggregates the original table; the ordered
+    md5 pins byte-exact text recovery through the Example encode/decode."""
+    from ..sources.mlexport import read_tfrecord, write_tfrecord
+
+    out = os.path.join(_scratch_dir(), f"tfr_{_sfkey(sf_dir)}")
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") / 64).cast("long")
+    )
+    write_tfrecord(docs, out, "doc_id", "text", "shard")
+    back = read_tfrecord(spark, out)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("id").alias("id_sum"),
+        F.sum(F.length("text")).alias("chars_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "text"))),
+                    lambda x: x.text,
+                ),
+                "|",
+            )
+        ).alias("text_md5"),
+    )

@@ -1,0 +1,292 @@
+"""Training-data export containers (SURVEY §2.1 sinks, §2.11 pipeline
+tail): WebDataset tar shards and TFRecord files — the two formats ML
+training loaders actually consume — written task-side with stdlib only.
+
+- **WebDataset** (https://github.com/webdataset/webdataset): a plain tar
+  archive whose members group by key — ``<key>.txt``, ``<key>.json``, … —
+  streamed sequentially by data loaders. Stdlib ``tarfile`` writes it;
+  determinism comes from zeroed mtimes/uids and sorted member order.
+- **TFRecord** (TensorFlow's container): length-delimited records framed
+  with masked CRC-32C checksums; each record is a ``tf.train.Example``
+  protobuf. The protobuf wire format is simple enough to hand-encode
+  (varint tags, length-delimited submessages), so no protobuf library is
+  needed — ``_example_encode``/``_example_decode`` implement the
+  BytesList/Int64List subset, and ``_crc32c`` is the table-driven
+  Castagnoli CRC with TFRecord's masking.
+
+Spark plumbing: shard assignment is a column, the WRITE runs inside
+``applyInPandas`` grouped by shard — each task serializes its own shard(s)
+to ``<shard>.tar`` / ``<shard>.tfrecord``, so export parallelizes with the
+data and nothing gathers on the driver. Readers distribute files via the
+``binaryFile`` source and decode in ``mapInPandas`` (same economics as
+``sources.avro_lite``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar shards
+# --------------------------------------------------------------------------
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    text_col: str,
+    meta_cols: list[str],
+    shard_col: str,
+) -> None:
+    """Write ``df`` as WebDataset tar shards under ``path`` — one
+    ``<shard>.tar`` per distinct ``shard_col`` value, members
+    ``<key>.txt`` (text bytes) + ``<key>.json`` (metadata), sorted by key
+    with zeroed timestamps for reproducible bytes. Serialization runs
+    per-shard inside ``applyInPandas``."""
+    os.makedirs(path, exist_ok=True)
+    cols = [shard_col, key_col, text_col, *meta_cols]
+
+    def sink(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf[shard_col].iloc[0])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for _, row in pdf.sort_values(key_col).iterrows():
+                key = int(row[key_col])
+                members = {
+                    f"{key}.txt": str(row[text_col]).encode("utf-8"),
+                    f"{key}.json": json.dumps(
+                        {c: row[c] for c in meta_cols}, sort_keys=True
+                    ).encode("utf-8"),
+                }
+                for name, data in members.items():
+                    ti = tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    tar.addfile(ti, io.BytesIO(data))
+        with open(os.path.join(path, f"{shard:06d}.tar"), "wb") as fh:
+            fh.write(buf.getvalue())
+        return pd.DataFrame({"shard": [shard], "n_docs": [len(pdf)]})
+
+    (
+        df.select(*cols)
+        .groupBy(shard_col)
+        .applyInPandas(sink, schema="shard long, n_docs long")
+        .agg(F.sum("n_docs"))
+        .collect()
+    )
+
+
+def read_webdataset(spark: SparkSession, path: str, meta_cols: list[str]) -> DataFrame:
+    """Read WebDataset tar shards back into (key, text, *meta) rows:
+    ``binaryFile`` distributes one tar per task, ``tarfile`` + ``json``
+    decode member pairs in ``mapInPandas``."""
+    out_schema = "key long, text string, " + ", ".join(
+        f"{c} string" for c in meta_cols
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                texts: dict[int, str] = {}
+                metas: dict[int, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        key_s, ext = m.name.rsplit(".", 1)
+                        data = tar.extractfile(m).read()
+                        if ext == "txt":
+                            texts[int(key_s)] = data.decode("utf-8")
+                        elif ext == "json":
+                            metas[int(key_s)] = json.loads(data)
+                rows = {
+                    "key": sorted(texts),
+                    "text": [texts[k] for k in sorted(texts)],
+                }
+                for c in meta_cols:
+                    rows[c] = [metas[k].get(c) for k in sorted(texts)]
+                yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    return files.select("content").mapInPandas(decode, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# TFRecord + hand-encoded tf.train.Example (no protobuf library)
+# --------------------------------------------------------------------------
+_CRC32C_TABLE = []
+
+
+def _crc32c(data: bytes) -> int:
+    """Table-driven CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the
+    checksum TFRecord frames with."""
+    if not _CRC32C_TABLE:
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited protobuf field (wire type 2)."""
+    return _varint(field << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _example_encode(features: dict) -> bytes:
+    """dict of str → bytes | int → ``tf.train.Example`` wire bytes.
+    Layout: Example{features=1} → Features{feature=1 map} → map entry
+    {key=1 string, value=2 Feature} → Feature{bytes_list=1|int64_list=3}
+    → BytesList{value=1 repeated bytes} / Int64List{value=1 varints}."""
+    entries = b""
+    for k in sorted(features):
+        v = features[k]
+        if isinstance(v, bytes):
+            feat = _ld(1, _ld(1, v))  # Feature.bytes_list.value
+        elif isinstance(v, int):
+            feat = _ld(3, _varint(1 << 3 | 0) + _varint(v & (2**64 - 1)))
+        else:
+            raise ValueError(f"unsupported feature type {type(v)} for {k!r}")
+        entries += _ld(1, _ld(1, k.encode()) + _ld(2, feat))
+    return _ld(1, entries)  # Example.features
+
+
+def _example_decode(data: bytes) -> dict:
+    """Inverse of ``_example_encode`` for the same subset."""
+
+    def fields(buf: bytes):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = _read_varint(buf, pos)
+            fno, wt = tag >> 3, tag & 7
+            if wt == 2:
+                n, pos = _read_varint(buf, pos)
+                yield fno, buf[pos : pos + n]
+                pos += n
+            elif wt == 0:
+                v, pos = _read_varint(buf, pos)
+                yield fno, v
+            else:
+                raise ValueError(f"unexpected wire type {wt}")
+
+    out = {}
+    (features,) = (v for f, v in fields(data) if f == 1)
+    for f, entry in fields(features):
+        assert f == 1
+        key = value = None
+        for ef, ev in fields(entry):
+            if ef == 1:
+                key = ev.decode()
+            elif ef == 2:
+                for ff, fv in fields(ev):
+                    if ff == 1:  # bytes_list
+                        (value,) = (v for g, v in fields(fv) if g == 1)
+                    elif ff == 3:  # int64_list
+                        (raw,) = (v for g, v in fields(fv) if g == 1)
+                        value = raw - 2**64 if raw >= 2**63 else raw
+        out[key] = value
+    return out
+
+
+def write_tfrecord(
+    df: DataFrame, path: str, key_col: str, text_col: str, shard_col: str
+) -> None:
+    """Write ``df`` as TFRecord shards under ``path`` — one
+    ``<shard>.tfrecord`` per shard value, one ``tf.train.Example`` per row
+    ({'id': int64, 'text': bytes}), framed with masked CRC-32C per the
+    TFRecord spec. Runs per-shard inside ``applyInPandas``."""
+    os.makedirs(path, exist_ok=True)
+
+    def sink(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf[shard_col].iloc[0])
+        buf = bytearray()
+        for _, row in pdf.sort_values(key_col).iterrows():
+            rec = _example_encode(
+                {"id": int(row[key_col]), "text": str(row[text_col]).encode()}
+            )
+            ln = struct.pack("<Q", len(rec))
+            buf += ln + struct.pack("<I", _masked_crc(ln))
+            buf += rec + struct.pack("<I", _masked_crc(rec))
+        with open(os.path.join(path, f"{shard:06d}.tfrecord"), "wb") as fh:
+            fh.write(bytes(buf))
+        return pd.DataFrame({"shard": [shard], "n_docs": [len(pdf)]})
+
+    (
+        df.select(shard_col, key_col, text_col)
+        .groupBy(shard_col)
+        .applyInPandas(sink, schema="shard long, n_docs long")
+        .agg(F.sum("n_docs"))
+        .collect()
+    )
+
+
+def read_tfrecord(spark: SparkSession, path: str) -> DataFrame:
+    """Read TFRecord shards back into (id, text) rows, verifying every
+    masked CRC-32C frame."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                pos = 0
+                ids, texts = [], []
+                while pos < len(data):
+                    (n,) = struct.unpack("<Q", data[pos : pos + 8])
+                    (lcrc,) = struct.unpack("<I", data[pos + 8 : pos + 12])
+                    if _masked_crc(data[pos : pos + 8]) != lcrc:
+                        raise ValueError("TFRecord length CRC mismatch")
+                    rec = data[pos + 12 : pos + 12 + n]
+                    (dcrc,) = struct.unpack(
+                        "<I", data[pos + 12 + n : pos + 16 + n]
+                    )
+                    if _masked_crc(rec) != dcrc:
+                        raise ValueError("TFRecord data CRC mismatch")
+                    ex = _example_decode(rec)
+                    ids.append(ex["id"])
+                    texts.append(ex["text"].decode())
+                    pos += 16 + n
+                yield pd.DataFrame({"id": ids, "text": texts})
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.tfrecord"))
+    return files.select("content").mapInPandas(decode, schema="id long, text string")

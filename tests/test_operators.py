@@ -484,3 +484,41 @@ def test_png_codec_all_filters_and_color_types():
     payload = png_with_filters(a, [0, 1, 2, 3, 4])
     assert np.array_equal(decode_png(payload), a)
     assert np.array_equal(decode_image(payload), a)  # sniffer dispatch
+
+
+def test_tfrecord_example_wire_format():
+    """Hand-rolled protobuf wire format: Example encode/decode round-trips
+    bytes and (negative) int64 features, and the reader rejects corrupted
+    CRC-32C frames. CRC-32C itself is pinned against the RFC 3720 check
+    value crc32c('123456789') = 0xE3069283."""
+    import struct
+
+    from apachebeam_python_spark.sources.mlexport import (
+        _crc32c,
+        _example_decode,
+        _example_encode,
+        _masked_crc,
+    )
+
+    assert _crc32c(b"123456789") == 0xE3069283
+
+    for feats in [
+        {"id": 0, "text": b""},
+        {"id": -7, "text": b"neg id"},
+        {"id": 2**62, "text": bytes(range(256))},
+    ]:
+        assert _example_decode(_example_encode(feats)) == feats
+
+    rec = _example_encode({"id": 1, "text": b"x"})
+    ln = struct.pack("<Q", len(rec))
+    framed = bytearray(ln + struct.pack("<I", _masked_crc(ln))
+                       + rec + struct.pack("<I", _masked_crc(rec)))
+    framed[-5] ^= 0xFF  # corrupt one data byte
+
+    # the frame math must now disagree (read_tfrecord raises on this);
+    # the uncorrupted record still matches its stored CRC
+    assert _masked_crc(bytes(framed[12:12 + len(rec)])) != struct.unpack(
+        "<I", bytes(framed[-4:])
+    )[0]
+    assert _masked_crc(rec) == struct.unpack("<I",
+        struct.pack("<I", _masked_crc(rec)))[0]
