@@ -691,3 +691,48 @@ def decode_png(payload: bytes):
     elif nch == 4:
         img = img[:, :, :3]
     return img
+
+
+def audio_spectral(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """REAL spectral featurization over WAV payloads (numpy rFFT inside the
+    Arrow batch — no DSP library): per clip, the dominant non-DC frequency
+    (Hz), its share of total spectral energy, and ``n_bands`` equal-width
+    band energy fractions — the features a speech/music classifier or a
+    silence/noise gate consumes. Pure per-row compute after decode: no
+    shuffle, scales like every other mapInPandas featurizer. Rows-only by
+    nature (FFT floats aren't SQL-replayable); the physics is pinned in
+    pytest: the synthesized sawtooth's recovered fundamental must sit
+    within one bin of rate/64."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                id_col: [], "dominant_hz": [], "dominant_share": [],
+                **{f"band_{b}": [] for b in range(n_bands)},
+            }
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(blob))
+                x = samples[:, 0].astype("float64")
+                spec = np.abs(np.fft.rfft(x - x.mean())) ** 2
+                spec[0] = 0.0
+                total = float(spec.sum()) or 1.0
+                k = int(spec.argmax())
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                bands = np.array_split(spec[1:], n_bands)
+                out[id_col].append(int(i))
+                out["dominant_hz"].append(float(freqs[k]))
+                out["dominant_share"].append(float(spec[k] / total))
+                for b in range(n_bands):
+                    out[f"band_{b}"].append(float(bands[b].sum() / total))
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, dominant_hz double, dominant_share double, "
+        + ", ".join(f"band_{b} double" for b in range(n_bands))
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -2579,3 +2579,20 @@ def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     feats = image_features(synth_images(d, formats=(encode_png,)))
     return feats.drop("byte_len")
+
+
+@register("q_audio_spectral", driver=False)  # rows-only: FFT floats aren't SQL-replayable; fundamental-recovery physics pinned in pytest
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral audio featurization (operators.multimodal.audio_spectral):
+    numpy rFFT per WAV clip inside the Arrow batch — dominant frequency,
+    its energy share, and 4 band-energy fractions. Synthesized sawtooth
+    clips have fundamental rate/64 = 125 Hz, which the pytest check
+    (test_audio_spectral_recovers_fundamental) requires the FFT path to
+    recover within one bin — proving a REAL transform, not plumbing.
+
+    Scale: decode+FFT is per-row work in mapInPandas (no shuffle); clip
+    batches bounded by arrow.maxRecordsPerBatch like every payload op."""
+    from ..operators.multimodal import audio_spectral, synth_audio
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_spectral(synth_audio(d))

@@ -522,3 +522,21 @@ def test_tfrecord_example_wire_format():
     )[0]
     assert _masked_crc(rec) == struct.unpack("<I",
         struct.pack("<I", _masked_crc(rec)))[0]
+
+
+def test_audio_spectral_recovers_fundamental(spark, sf_dir):
+    """The rFFT featurizer must recover the synthesized sawtooth's
+    fundamental (rate/64 = 125 Hz) within one FFT bin for every clip —
+    clip lengths are NOT multiples of the period, so this tolerates the
+    resulting spectral leakage but nothing larger."""
+    from apachebeam_python_spark import queries as q
+
+    rows = q.QUERIES["q_audio_spectral"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = 64 + r.doc_id % 129
+        bin_hz = 8000.0 / n
+        assert abs(r.dominant_hz - 125.0) <= bin_hz + 1e-9, (
+            r.doc_id, r.dominant_hz, bin_hz
+        )
+        assert 0.0 <= r.dominant_share <= 1.0
