@@ -2596,3 +2596,25 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return audio_spectral(synth_audio(d))
+
+
+@register("q_jpeg_pipeline", driver=False)  # rows-only by nature: JPEG is lossy, so decoded features are near-exact, not hash-equal; fidelity pinned in pytest
+def q_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY-codec multimodal pipeline: an all-JPEG corpus (baseline
+    sequential DCT from ``operators.jpeg_lite`` — our own spec-faithful
+    encoder) through decode→resize→featurize. Dimensions survive exactly;
+    pixel means shift by quantization error, so this is rows-only with
+    the fidelity contract in pytest
+    (test_jpeg_pipeline_fidelity: every thumbnail channel mean within ±8
+    of the closed-form reference, dims exact, codec deterministic).
+
+    Scale: identical economics to q_image_pipeline/q_png_pipeline; the
+    entropy decode is the per-row hot loop — at 100 TB this is the one
+    place a C codec (Pillow-SIMD, nvJPEG) buys real money, and
+    decode_image is the single swap-in point."""
+    from ..operators.jpeg_lite import encode_jpeg
+    from ..operators.multimodal import image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(lambda a: encode_jpeg(a, 90),)))
+    return feats.drop("byte_len")

@@ -540,3 +540,59 @@ def test_audio_spectral_recovers_fundamental(spark, sf_dir):
             r.doc_id, r.dominant_hz, bin_hz
         )
         assert 0.0 <= r.dominant_share <= 1.0
+
+
+def test_jpeg_pipeline_fidelity(spark, sf_dir):
+    """JPEG is lossy, so q_jpeg_pipeline can't hash-match an oracle —
+    instead pin the fidelity contract: decoded dimensions exact, every
+    8×8-thumbnail channel mean within ±8 of the closed-form pixel
+    reference (quality 90), for every document."""
+    import numpy as np
+
+    from apachebeam_python_spark import queries as q
+
+    rows = q.QUERIES["q_jpeg_pipeline"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        i = r.doc_id
+        w, h = 8 + i % 16, 8 + i % 12
+        assert (r.width, r.height) == (w, h), (i, r.width, r.height)
+        a = ((i + np.arange(h * w * 3)) % 256).reshape(h, w, 3)
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        thumb = a[np.ix_(ys, xs)]
+        for ch, got in enumerate((r.mean_r, r.mean_g, r.mean_b)):
+            ref = float(thumb[:, :, ch].mean())
+            assert abs(got - ref) <= 8.0, (i, ch, got, ref)
+
+
+def test_jpeg_codec_contract():
+    """operators.jpeg_lite: flat blocks decode exactly, smooth gradients
+    round-trip at PSNR ≥ 30 dB, odd (non-multiple-of-8) dimensions crop
+    correctly, grayscale works, and encoding is bit-deterministic."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators.jpeg_lite import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((24, 16, 3), 130, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+    for shape in [(13, 21, 3), (40, 56, 3), (9, 17)]:
+        y, x = np.mgrid[0 : shape[0], 0 : shape[1]]
+        base = (x * 5 + y * 7) % 256
+        img = (
+            np.stack([base, (base + 40) % 256, (base + 90) % 256], axis=-1)
+            if len(shape) == 3
+            else base
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 90))
+        ref = img if len(shape) == 3 else np.repeat(img[:, :, None], 3, axis=2)
+        assert dec.shape == ref.shape
+        mse = np.mean((dec.astype(float) - ref.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) >= 30.0, shape
+
+    img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    assert encode_jpeg(img, 90) == encode_jpeg(img, 90)
