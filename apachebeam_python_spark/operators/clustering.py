@@ -220,3 +220,46 @@ def semantic_dedup(
         "cluster",
         F.col("_dropped").isNull().alias("keep"),
     )
+
+
+def kcenter_select(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[tuple[int, float]]:
+    """Greedy k-center (farthest-point) coreset selection — the diverse-
+    subset primitive for training-data curation (pick the k most mutually
+    distant examples; 2-approximation of the optimal k-center cover).
+    Deterministic: seed = the vector with the smallest id; each round adds
+    the point with the MAXIMUM distance to its nearest selected center,
+    ties broken by id. Returns [(id, dist_sq_at_selection), ...] — the
+    first entry's distance is 0.0 by convention.
+
+    Scale: each round is ONE narrow pass — selected centers travel as
+    literal arrays (metadata, like kmeans), the per-row min-distance is a
+    codegen fold, and the argmax is TakeOrderedAndProject(1); driver
+    traffic is k rows total. k rounds = k scans; for large k switch to
+    the classic two-level variant (pre-cluster with k-means, run k-center
+    on cell representatives)."""
+    first = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .orderBy(id_col)
+        .limit(1)
+        .collect()[0]
+    )
+    selected = [(int(first[id_col]), 0.0)]
+    cents = [list(first["v"])]
+    for _ in range(1, k):
+        lit = _lit_centroids(cents)
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        min_d = F.array_min(F.transform(lit, lambda c: _l2sq(v, c)))
+        far = (
+            df.select(F.col(id_col), F.col(vec_col), min_d.alias("d"))
+            .orderBy(F.col("d").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((int(far[id_col]), float(far["d"])))
+        cents.append([float(x) for x in far[vec_col]])
+    return selected

@@ -2618,3 +2618,24 @@ def q_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     feats = image_features(synth_images(d, formats=(lambda a: encode_jpeg(a, 90),)))
     return feats.drop("byte_len")
+
+
+@register("q_coreset_kcenter", driver=False)  # rows-only: greedy float argmax selection isn't SQL-replayable; exact NumPy replay pinned in pytest
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse-subset (coreset) selection: greedy k-center over the
+    embeddings (operators.clustering.kcenter_select, k=12) — the
+    farthest-point 2-approximation used to pick maximally-spread training
+    examples / eval probes. Output: selection order, chosen vec_id, and
+    the (monotonically non-increasing after round 1) covering radius² at
+    each pick. Rows-only by nature — the argmax chain is a sequential
+    float recurrence; tests/test_clustering.py replays it EXACTLY in
+    NumPy and pins the radius monotonicity + the coverage guarantee
+    (every vector within the final radius of some center)."""
+    from ..operators.clustering import kcenter_select
+
+    e = table(spark, sf_dir, "embeddings")
+    picks = kcenter_select(e, "embedding", "vec_id", k=12)
+    return spark.createDataFrame(
+        [(i, vid, round(d, 6)) for i, (vid, d) in enumerate(picks)],
+        "pick int, vec_id long, radius_sq double",
+    )

@@ -198,3 +198,40 @@ def test_pca_raises_on_tiny_input(spark):
     )
     with _pt.raises(ValueError, match="needs >= 2"):
         DC.pca_model(one, "embedding", dim=64, k=2)
+
+
+def test_kcenter_matches_numpy_replay(spark, sf_dir):
+    """Greedy k-center must agree EXACTLY with a NumPy replay (same seed
+    rule, same tie-break), its covering radius must be non-increasing
+    after the seed row, and every vector must lie within the final radius
+    of some selected center (the 2-approximation's cover property)."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators.clustering import kcenter_select
+    from apachebeam_python_spark.session import table
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8
+    picks = kcenter_select(e, "embedding", "vec_id", k=k)
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    vecs = np.array([[float(x) for x in r.embedding] for r in rows])
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+
+    sel = [0]  # smallest id
+    dmin = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    expect = [(int(ids[0]), 0.0)]
+    for _ in range(1, k):
+        far = int(np.lexsort((ids, -dmin))[0])
+        expect.append((int(ids[far]), float(dmin[far])))
+        sel.append(far)
+        dmin = np.minimum(dmin, ((vecs - vecs[far]) ** 2).sum(axis=1))
+
+    assert [p for p, _ in picks] == [p for p, _ in expect], (picks, expect)
+    for (_, got), (_, want) in zip(picks[1:], expect[1:]):
+        assert abs(got - want) <= 1e-6 * max(1.0, want)
+    radii = [d for _, d in picks[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:])), radii
+    assert dmin.max() <= picks[-1][1] + 1e-9  # cover property
