@@ -164,6 +164,10 @@ def main() -> None:
         "q_png_pipeline",
         "q_export_webdataset",
         "q_export_tfrecord",
+        "q_scan_avro_ds",
+        "q_coreset_kcenter",
+        "q_audio_spectral",
+        "q_jpeg_pipeline",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

@@ -471,3 +471,45 @@ def q_export_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text_md5"),
     )
+
+
+@register(
+    "q_scan_avro_ds",
+    driver=False,  # §2.1 custom Python DataSource (format("avro_lite")) — pytest oracle
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)     AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)  AS id_sum,
+       min(text)                    AS first_text
+FROM documents
+GROUP BY source
+""",
+)
+def q_scan_avro_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource round trip (SURVEY §2.1 — Beam's
+    ``iobase.BoundedSource``/``FileBasedSink`` surface, Spark-4-idiomatic):
+    the Avro-lite codec registered as ``format("avro_lite")`` via
+    ``spark.dataSource.register`` (sources/pyds.py), written with
+    ``df.write.format(...)`` and read back with ``spark.read.format(...)``
+    — schema inferred from the container header, one InputPartition per
+    file, per-task writer with commit/abort lifecycle. Oracle = the
+    original table: a green hash proves the full DataSource V2 Python
+    path is lossless."""
+    from ..sources.pyds import AvroLiteDataSource
+
+    try:
+        spark.dataSource.register(AvroLiteDataSource)
+    except Exception:
+        pass  # already registered in this session
+    out = os.path.join(_scratch_dir(), f"avro_ds_{_sfkey(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs.write.format("avro_lite").mode("append").save(out)
+    back = spark.read.format("avro_lite").load(out)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("text").alias("first_text"),
+    )

@@ -261,3 +261,47 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
     return files.select("content").mapInPandas(decode, schema=out_schema)
+
+
+def _header_for_spark_schema(spark_schema) -> tuple[bytes, list]:
+    """(container header bytes, union-normalized field list) for a Spark
+    StructType — shared by write_avro and the Python DataSource writer."""
+    schema = _avro_schema(spark_schema)
+    fields = _field_types(schema)
+    header = (
+        _MAGIC
+        + _enc_long(2)
+        + _enc_str("avro.schema")
+        + (lambda b: _enc_long(len(b)) + b)(json.dumps(schema).encode())
+        + _enc_str("avro.codec")
+        + (lambda b: _enc_long(len(b)) + b)(b"null")
+        + _enc_long(0)
+        + _SYNC
+    )
+    return header, fields
+
+
+def _encode_rows_py(rows, fields) -> bytes:
+    """Encode an iterable of Row/tuple records (attribute or positional
+    access by field order) — the non-pandas twin of ``_encode_rows`` for
+    the Python DataSource writer."""
+    buf = bytearray()
+    for row in rows:
+        for idx, (name, base, nullable) in enumerate(fields):
+            try:
+                v = row[name]
+            except (TypeError, KeyError, IndexError):
+                v = row[idx]
+            is_null = v is None or (isinstance(v, float) and v != v)
+            if nullable:
+                if is_null:
+                    buf += _enc_long(0)
+                    continue
+                buf += _enc_long(1)
+            if base == "long":
+                buf += _enc_long(int(v))
+            elif base == "double":
+                buf += struct.pack("<d", float(v))
+            else:
+                buf += _enc_str(str(v))
+    return bytes(buf)
