@@ -544,3 +544,65 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@register(
+    "q_stream_custom_source",
+    driver=False,  # §2.1 custom Python STREAMING DataSource — pytest oracle
+    oracle="""
+SELECT event_type, count(*) AS n, max(ts) AS max_ts,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UNBOUNDED source via the Spark 4 Python DataSource streaming
+    API (sources/pyds.py EventsReplayDataSource) — the registrable
+    Pub/Sub-shape: ``readStream.format("events_replay")`` replays the
+    events table in deterministic row-offset micro-batches (the
+    (partition, offset) recovery contract of a real broker source),
+    drained under availableNow into per-type counts + max ts + id
+    checksum. Oracle = batch aggregation of the same table: a green hash
+    proves the custom source delivers exactly the batch contents — no
+    loss, no duplication — across multiple micro-batches.
+
+    Scale: the simple (driver-serving) reader is the prototype tier;
+    the partition-parallel DataSourceStreamReader is the same API one
+    level down when per-batch volume needs executor-side reads."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.pyds import EventsReplayDataSource
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:
+        pass
+    name = _sink("stream_custom", sf_dir)
+    s = (
+        spark.readStream.format("events_replay")
+        .option("path", _os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "2500")
+        .load()
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("ts").alias("max_ts"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    # availableNow prefetches only the FIRST simple-reader batch (the
+    # wrapped prefetcher snapshots one read() call), so drain explicitly:
+    # run continuously and block until the source stops advancing.
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
