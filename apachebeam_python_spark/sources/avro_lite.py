@@ -11,8 +11,9 @@ specification (https://avro.apache.org/docs/current/specification/):
   the binary-encoded records, sync marker;
 - binary encoding: zigzag-varint longs, length-prefixed UTF-8 strings,
   IEEE little-endian doubles, record fields in schema order;
-- codecs: ``null`` (uncompressed) and ``deflate`` (raw RFC-1951 via
-  stdlib zlib, per the spec: no zlib header, no checksum).
+- codecs: ``null`` (uncompressed), ``deflate`` (raw RFC-1951 via stdlib
+  zlib, per the spec: no zlib header, no checksum), and ``bzip2``
+  (stdlib bz2) — three of the spec's codec registry, all stdlib.
 
 Supported field types: ``long``, ``double``, ``string``, and their
 ``["null", T]`` unions — the subset the fixture tables (and most analytics
@@ -34,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import bz2
 import uuid
 import zlib
 from collections.abc import Iterator
@@ -154,8 +156,10 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
             pos += n
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro_lite reads codecs null/deflate, got {codec!r}")
+    if codec not in ("null", "deflate", "bzip2"):
+        raise ValueError(
+            f"avro_lite reads codecs null/deflate/bzip2, got {codec!r}"
+        )
     sync = data[pos : pos + 16]
     pos += 16
     fields = _field_types(schema)
@@ -163,8 +167,13 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
     while pos < len(data):
         n_obj, pos = _dec_long(data, pos)
         size, pos = _dec_long(data, pos)
-        if codec == "deflate":
-            block = zlib.decompress(data[pos : pos + size], -15)
+        if codec != "null":
+            raw_block = data[pos : pos + size]
+            block = (
+                zlib.decompress(raw_block, -15)
+                if codec == "deflate"
+                else bz2.decompress(raw_block)
+            )
             sync_at = pos + size
             _outer, data, pos = data, block, 0
         for _ in range(n_obj):
@@ -183,7 +192,7 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
                 else:
                     row[name], pos = _dec_str(data, pos)
             rows.append(row)
-        if codec == "deflate":
+        if codec != "null":
             data, pos = _outer, sync_at  # restore the container stream
         assert data[pos : pos + 16] == sync, "sync marker mismatch"
         pos += 16
@@ -199,8 +208,10 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
     task-side in ``mapInPandas`` — parallel with the data, nothing gathers
     on the driver; each task writes ``part-<uuid>.avro`` (a production
     sink adds the rename-commit step)."""
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"codec must be 'null' or 'deflate', got {codec!r}")
+    if codec not in ("null", "deflate", "bzip2"):
+        raise ValueError(
+            f"codec must be 'null', 'deflate', or 'bzip2', got {codec!r}"
+        )
     os.makedirs(path, exist_ok=True)
     schema = _avro_schema(df.schema)
     fields = _field_types(schema)
@@ -224,6 +235,8 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
                 if codec == "deflate":
                     c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
                     enc = c.compress(enc) + c.flush()
+                elif codec == "bzip2":
+                    enc = bz2.compress(enc)
                 body += _enc_long(len(pdf)) + _enc_long(len(enc)) + enc + _SYNC
                 n_rows += len(pdf)
         if n_rows:

@@ -57,6 +57,34 @@ def main() -> None:
     Pipeline.of(report).write_parquet(out)
     print(f"wrote {out}")
 
+    # interchange sinks beyond parquet: the jar-free Avro container codec,
+    # registered as a first-class format via the Python DataSource API
+    from apachebeam_python_spark.sources.pyds import AvroLiteDataSource
+
+    spark.dataSource.register(AvroLiteDataSource)
+    avro_out = "/root/repo/.tmp/examples/customer_report_avro"
+    import shutil
+
+    shutil.rmtree(avro_out, ignore_errors=True)
+    report.write.format("avro_lite").mode("append").save(avro_out)
+    n = spark.read.format("avro_lite").load(avro_out).count()
+    print(f"avro round trip via format('avro_lite'): {n} rows")
+
+    # training-data hand-off: WebDataset tar shards the loaders stream
+    from apachebeam_python_spark.sources.mlexport import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") / 64).cast("long")
+    )
+    wds_out = "/root/repo/.tmp/examples/corpus_wds"
+    shutil.rmtree(wds_out, ignore_errors=True)
+    write_webdataset(docs, wds_out, "doc_id", "text", ["source", "lang"], "shard")
+    m = read_webdataset(spark, wds_out, ["source", "lang"]).count()
+    print(f"webdataset round trip: {m} docs in tar shards")
+
 
 if __name__ == "__main__":
     main()

@@ -396,7 +396,7 @@ def test_avro_lite_round_trip_edge_cases(spark, tmp_path):
     df = spark.createDataFrame(rows, "k long, s string, v double")
     key = lambda t: (t[0] is None, t[0] if t[0] is not None else 0)  # noqa: E731
     expect = sorted(rows, key=key)
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "bzip2"):
         out = str(tmp_path / f"avro_rt_{codec}")
         write_avro(df, out, codec=codec)
         back = sorted(
