@@ -65,6 +65,8 @@ def decode_image(payload: bytes):
         from .jpeg_lite import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
         "WebP/AVIF/... need codec libraries this environment lacks; "
         "baseline JPEG (jpeg_lite), PNG (stdlib zlib), PPM (P6), 24-bpp "
@@ -743,3 +745,180 @@ def audio_spectral(
         + ", ".join(f"band_{b} double" for b in range(n_bands))
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# GIF — the dictionary-compression (LZW) family, pure Python (round 3).
+# Lossless for ≤256-color images, so pipelines over GIF payloads stay
+# oracle-exact like PNG. Scope: GIF87a/89a, global/local color tables,
+# interlace, first frame; animation frames beyond the first are ignored.
+# --------------------------------------------------------------------------
+def encode_gif(arr) -> bytes:
+    """numpy (h, w, 3) uint8 with ≤256 distinct colors → GIF89a bytes
+    (real LZW compression, sorted-palette for determinism)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF needs ≤256 distinct colors")
+    bits = max(2, int(len(palette) - 1).bit_length())  # palette size exponent
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+
+    # LZW encode (variable width, clear=2^bits, eoi=clear+1)
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    out_codes.append((clear, width))
+    seq: tuple[int, ...] = ()
+    for px in inverse.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        out_codes.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096 - 1:
+            out_codes.append((clear, width))
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (px,)
+    if seq:
+        out_codes.append((table[seq], width))
+    out_codes.append((eoi, width))
+
+    # pack codes LSB-first (GIF bit order), then 255-byte sub-blocks
+    acc = n = 0
+    data = bytearray()
+    for code, cw in out_codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    head = b"GIF89a"
+    head += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])  # GCT flag+size
+    head += gct.tobytes()
+    img = b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(
+        2, "little"
+    ) + b"\x00"
+    return head + img + bytes([min_code]) + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a first frame → numpy (h, w, 3) uint8 RGB: real LZW
+    decode (variable code width, clear/EOI, 4096-entry dictionary),
+    global/local color tables, interlace row reordering; extensions
+    skipped via the sub-block walk."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02X}")
+        # image descriptor
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        interlaced = bool(iflags & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+
+        # LZW decode (LSB-first bit order)
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        acc = n_bits = bitpos = 0
+        pixels = bytearray()
+        prev: bytes | None = None
+        while True:
+            while n_bits < width:
+                if bitpos >= len(data):
+                    raise ValueError("GIF: truncated LZW stream")
+                acc |= data[bitpos] << n_bits
+                bitpos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            pixels += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        idx = np.frombuffer(bytes(pixels[: w * h]), np.uint8)
+        if interlaced:
+            rows = np.empty(h, np.int64)
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            rows[np.array(order)] = np.arange(h)
+            idx = idx.reshape(h, w)[rows].reshape(-1)
+        return ct[idx].reshape(h, w, 3)
+    raise ValueError(f"GIF: no image frame found ({sw}x{sh} screen)")

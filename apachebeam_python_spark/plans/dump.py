@@ -168,6 +168,8 @@ def main() -> None:
         "q_coreset_kcenter",
         "q_audio_spectral",
         "q_jpeg_pipeline",
+        "q_gif_pipeline",
+        "q_stream_custom_source",
     ]
     lines = [
         "# PLANS — physical-plan evidence for the headline queries",

@@ -2639,3 +2639,47 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vid, round(d, 6)) for i, (vid, d) in enumerate(picks)],
         "pick int, vec_id long, radius_sq double",
     )
+
+
+@register(
+    "q_gif_pipeline",
+    driver=False,  # §2.11 LZW-codec multimodal proof — pytest oracle
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16 AS w,
+         8 + doc_id % 12 AS h
+  FROM documents
+),
+thumb AS (
+  SELECT doc_id, w, h,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 0) % 256 AS r,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 1) % 256 AS g,
+         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 2) % 256 AS b
+  FROM dims, unnest(range(8)) ty(yy), unnest(range(8)) tx(xx)
+)
+SELECT doc_id,
+       CAST(w AS INTEGER)        AS width,
+       CAST(h AS INTEGER)        AS height,
+       round(avg(r), 4)          AS mean_r,
+       round(avg(g), 4)          AS mean_g,
+       round(avg(b), 4)          AS mean_b
+FROM thumb GROUP BY doc_id, w, h
+""",
+)
+def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DICTIONARY-compression (LZW) multimodal pipeline: an all-GIF
+    corpus through decode→resize→featurize. The synthesized pixel pattern
+    has exactly ≤256 distinct colors, so GIF is lossless here and the
+    closed-form pixel oracle checks the whole path hash-exact — proving
+    the LZW decode (variable code widths, dictionary growth/reset)
+    recovers every pixel, completing the codec-family triptych:
+    DEFLATE+filters (PNG), DCT+Huffman (JPEG), LZW+palette (GIF).
+
+    Scale: identical economics to the other image pipelines — per-row
+    Arrow-batched decode, no shuffle before the feature row."""
+    from ..operators.multimodal import encode_gif, image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(encode_gif,)))
+    return feats.drop("byte_len")

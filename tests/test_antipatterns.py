@@ -16,8 +16,10 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "apachebeam_python_spark"
 
 #: file → number of sanctioned bounded-metadata `.collect()` calls
 ALLOWED_COLLECTS = {
-    "operators/clustering.py": 2,  # seed vectors (k rows) + centroid sums (k*dim rows)
+    "operators/clustering.py": 4,  # seeds (k) + centroid sums (k*dim) + k-center seed (1) + per-round argmax (1)
     "operators/decomposition.py": 1,  # PCA moment partials (dim^2+dim+1 rows)
+    "sources/avro_lite.py": 1,  # sink action: 1 row per write task (row counts)
+    "sources/mlexport.py": 2,  # sink actions: 1 row per shard (tar / tfrecord)
 }
 
 

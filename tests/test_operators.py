@@ -191,9 +191,10 @@ def test_ppm_bmp_codecs_roundtrip():
         img[y, :, ::-1].tobytes() + b"\x00" * ((-(5 * 3)) % 4) for y in range(7)
     )
     assert (M.decode_bmp(bytes(bu[:54]) + body) == img).all()
-    # unknown magic fails loudly, naming what IS supported
+    # unknown magic fails loudly, naming what IS supported (WebP is the
+    # documented swap-in gap now that PNG/JPEG/GIF decode natively)
     with _pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG\r\n\x1a\n" + bytes(30))
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(30))
     with _pytest.raises(NotImplementedError):
         M.decode_bmp(M.encode_bmp(img)[:28] + (8).to_bytes(2, "little") + M.encode_bmp(img)[30:])
 
@@ -596,3 +597,43 @@ def test_jpeg_codec_contract():
 
     img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
     assert encode_jpeg(img, 90) == encode_jpeg(img, 90)
+
+
+def test_gif_codec_lzw_round_trip():
+    """The GIF/LZW codec: lossless round trips for small palettes, the
+    full-256-color palette, dictionary-reset streams (>4095 codes), and
+    interlaced images decode via the 4-pass row reorder."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal7 = rng.integers(0, 256, size=(7, 3)).astype(np.uint8)
+    for shape in [(13, 9), (40, 33), (1, 1)]:
+        a = pal7[rng.integers(0, 7, size=shape)]
+        assert np.array_equal(decode_gif(encode_gif(a)), a), shape
+
+    base = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = base[rng.integers(0, 256, size=(80, 90))]  # forces dict resets
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+    # interlaced: permute an encoded image's rows per the 4-pass scheme and
+    # set the interlace flag — the decoder must undo it
+    small = pal7[rng.integers(0, 7, size=(11, 6))]
+    payload = bytearray(encode_gif(small))
+    h = 11
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    reordered = small[np.array(order)]
+    enc = bytearray(encode_gif(reordered))
+    # image descriptor starts right after header+GCT; find 0x2C
+    gct_n = 2 << (payload[10] & 0x07)
+    desc = 13 + gct_n * 3
+    assert enc[desc] == 0x2C
+    enc[desc + 9] |= 0x40  # interlace flag
+    assert np.array_equal(decode_gif(bytes(enc)), small)
