@@ -606,3 +606,57 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
     return spark.table(name)
+
+
+@register(
+    "q_stream_avro_sink",
+    driver=False,  # §2.1 custom STREAMING sink (DataSource streamWriter) — pytest oracle
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_avro_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via the Python DataSource streamWriter API
+    (sources/pyds.py AvroLiteStreamWriter): the events file-stream writes
+    Avro container part-files per micro-batch with the exactly-once
+    two-step every real file sink performs — task-side .tmp files, then a
+    driver-side commit(batchId) rename + manifest (a replayed batch
+    re-renames instead of double-appending). The result re-ingests the
+    sink's OWN files and hash-matches the batch oracle: nothing lost,
+    nothing duplicated through the streaming write path.
+
+    Scale: per-task serialization (no driver gather); the commit step
+    touches file metadata only — the same O(files) cost any commit
+    protocol pays."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from ..sources.avro_lite import read_avro
+    from ..sources.pyds import AvroLiteDataSource
+    from .scans import _scratch_dir, _sfkey
+
+    try:
+        spark.dataSource.register(AvroLiteDataSource)
+    except Exception:
+        pass
+    out = _os.path.join(_scratch_dir(), f"stream_avro_{_sfkey(sf_dir)}")
+    ckpt = out + "_ckpt"
+    _shutil.rmtree(out, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    s = jobs.events_stream(spark, sf_dir).select("event_id", "event_type")
+    (
+        s.writeStream.format("avro_lite")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = read_avro(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )

@@ -139,6 +139,9 @@ class AvroLiteDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return AvroLiteWriter(self.options, schema)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return AvroLiteStreamWriter(self.options, schema)
+
 
 _SPARK_TYPES = {
     "long": LongType(),
@@ -232,3 +235,57 @@ class EventsReplayDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return EventsReplayStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# custom STREAMING sink (Beam's custom Write/FileBasedSink shape)
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class AvroLiteStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch Avro sink with idempotent-commit bookkeeping: each
+    task writes ``batch-<id>-<uuid>.avro.tmp``; the driver-side
+    ``commit(batchId)`` renames that batch's temp files into place and
+    records a ``_commit_<batchId>`` manifest (the rename-then-manifest
+    two-step every exactly-once file sink performs — a replayed batch
+    overwrites its manifest instead of double-appending); ``abort``
+    deletes the temp files."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        self.schema = schema
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        header, fields = _header_for_spark_schema(self.schema)
+        rows = list(iterator)
+        fname = os.path.join(self.path, f"batch-{uuid.uuid4().hex}.avro.tmp")
+        if rows:
+            body = _encode_rows_py(rows, fields)
+            with open(fname, "wb") as fh:
+                fh.write(
+                    header
+                    + _enc_long(len(rows))
+                    + _enc_long(len(body))
+                    + body
+                    + _SYNC
+                )
+        return AvroLiteCommit(fname if rows else "", len(rows))
+
+    def commit(self, messages, batchId) -> None:
+        n = 0
+        for m in messages:
+            if m and m.file and os.path.exists(m.file):
+                final = m.file[: -len(".tmp")].replace(
+                    "batch-", f"batch-{batchId:06d}-"
+                )
+                os.replace(m.file, final)
+                n += m.n_rows
+        with open(os.path.join(self.path, f"_commit_{batchId:06d}"), "w") as fh:
+            fh.write(str(n))
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            if m and m.file and os.path.exists(m.file):
+                os.remove(m.file)
