@@ -358,9 +358,12 @@ def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """PCM WAV → (numpy (n, channels) int16, sample_rate). Walks RIFF
-    chunks (fmt may not immediately precede data — some writers insert
-    LIST/fact chunks), supports 16-bit PCM only; compressed WAV raises."""
+    """WAV → (numpy (n, channels) int16, sample_rate). Walks RIFF chunks
+    (fmt may not immediately precede data — some writers insert LIST/fact
+    chunks). Supports 16-bit linear PCM plus the two G.711 telephony
+    codecs — µ-law (format 7) and A-law (format 6), expanded to int16 by
+    the ITU closed-form segment/mantissa rule; other compressed formats
+    raise."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -381,12 +384,97 @@ def decode_wav(payload: bytes):
     ch = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    elif audio_format == 7 and bits == 8:  # G.711 µ-law
+        samples = _ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+            "supported WAV encodings: 16-bit PCM, 8-bit G.711 mu-law/A-law "
+            f"(got format={audio_format}, bits={bits})"
         )
-    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     return samples.reshape(-1, ch), sample_rate
+
+
+def _ulaw_expand(u: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 µ-law byte → linear int16 (the table every decoder
+    ships, computed from the segment/mantissa closed form)."""
+    import numpy as np
+
+    u = ~u & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant.astype(np.int32) << 3) + 0x84) << seg
+    mag -= 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_expand(a: "np.ndarray") -> "np.ndarray":
+    """ITU-T G.711 A-law byte → linear int16."""
+    import numpy as np
+
+    a = (a ^ 0x55) & 0xFF
+    sign = a & 0x80  # A-law: sign bit SET means positive
+    seg = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1)
+    )
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def encode_wav_g711(samples, sample_rate: int = 8_000, law: str = "ulaw") -> bytes:
+    """int16 mono samples → 8-bit G.711 WAV (format 7 µ-law / 6 A-law) —
+    the compressed telephony container, for testing the decode arms."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if law == "ulaw":
+        enc = _ulaw_compress(s)
+        fmt_code = 7
+    else:
+        enc = _alaw_compress(s)
+        fmt_code = 6
+    data = enc.tobytes()
+    fmt = (
+        fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    riff = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    riff += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        riff += b"\x00"
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _ulaw_compress(s: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    x = s.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    seg = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _alaw_compress(s: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    x = s.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    seg = np.where(
+        mag < 256, 0,
+        (np.floor(np.log2(np.maximum(mag, 1))) - 7).clip(0, 7),
+    ).astype(np.int32)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
 
 
 def synth_audio(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> DataFrame:

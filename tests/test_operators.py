@@ -637,3 +637,32 @@ def test_gif_codec_lzw_round_trip():
     assert enc[desc] == 0x2C
     enc[desc + 9] |= 0x40  # interlace flag
     assert np.array_equal(decode_gif(bytes(enc)), small)
+
+
+def test_g711_telephony_codecs():
+    """G.711 µ-law/A-law WAV arms: quantization error within the codec's
+    segment bound (≤ 6.25% µ-law / 12.5% A-law of magnitude, 64-count
+    floor), and expand∘compress∘expand is a fixpoint over all 256 codes
+    (canonical normalization, both laws)."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators.multimodal import (
+        _alaw_compress,
+        _alaw_expand,
+        _ulaw_compress,
+        _ulaw_expand,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(3)
+    s = rng.normal(0, 6000, 4000).clip(-32000, 32000).astype(np.int16)
+    for law, bound in (("ulaw", 0.0625), ("alaw", 0.125)):
+        dec, rate = decode_wav(encode_wav_g711(s, 8000, law))
+        assert rate == 8000
+        err = np.abs(dec[:, 0].astype(int) - s.astype(int))
+        rel = err / np.maximum(np.abs(s.astype(int)), 64)
+        assert rel.max() <= bound + 1e-9, (law, rel.max())
+    b = np.arange(256, dtype=np.uint8)
+    for exp, comp in ((_ulaw_expand, _ulaw_compress), (_alaw_expand, _alaw_compress)):
+        assert np.array_equal(exp(comp(exp(b))), exp(b))
