@@ -214,10 +214,11 @@ def frame_sample(
     3 — the video sibling of RAWI/PPM/BMP images and PCM WAV audio):
     decode, keep every ``every_n``-th frame, emit one row per sampled frame
     with per-channel means — the 1→N mapInPandas shape a real
-    ffmpeg-backed sampler would use (swap ``decode_rawv`` for the codec
-    call; the Arrow plumbing, explode shape, and partition sizing are
-    identical). Compressed containers (MP4/WebM/…) still raise — they
-    genuinely need codec libraries this environment lacks."""
+    ffmpeg-backed sampler would use. Sniffs TWO containers: RAWV (raw
+    frames) and MJPG (Motion JPEG — each frame an independently-coded
+    baseline JPEG through operators.jpeg_lite, the real compressed-video
+    structure). MP4/WebM inter-frame codecs (H.264/VP9) still raise —
+    they genuinely need codec libraries this environment lacks."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -229,7 +230,11 @@ def frame_sample(
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                frames, fps = decode_rawv(payload)
+                raw = bytes(payload)
+                if raw[:4] == _MJPG_MAGIC:
+                    frames, fps = decode_mjpeg(raw)
+                else:
+                    frames, fps = decode_rawv(raw)
                 n, h, w, _c = frames.shape
                 for f in range(0, n, every_n):
                     m = frames[f].reshape(-1, 3).mean(axis=0, dtype=np.float64)
@@ -1010,3 +1015,45 @@ def decode_gif(payload: bytes):
             idx = idx.reshape(h, w)[rows].reshape(-1)
         return ct[idx].reshape(h, w, 3)
     raise ValueError(f"GIF: no image frame found ({sw}x{sh} screen)")
+
+
+_MJPG_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames, fps: int = 8, quality: int = 90) -> bytes:
+    """numpy (n, h, w, 3) uint8 → MJPG container: magic, n_frames(2B BE),
+    fps(1B), then per frame a 4-byte BE length + a COMPLETE baseline JPEG
+    (operators.jpeg_lite). This is Motion JPEG's actual structure —
+    independently-coded JPEG frames — in a minimal length-prefixed
+    container (AVI/MOV wrap the same frames in RIFF/QuickTime atoms)."""
+    import numpy as np
+
+    from .jpeg_lite import encode_jpeg
+
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    out = bytearray(_MJPG_MAGIC)
+    out += len(a).to_bytes(2, "big") + bytes([fps])
+    for frame in a:
+        j = encode_jpeg(frame, quality)
+        out += len(j).to_bytes(4, "big") + j
+    return bytes(out)
+
+
+def decode_mjpeg(payload: bytes):
+    """MJPG container → (numpy (n, h, w, 3) uint8, fps): length-prefixed
+    walk, each frame through the baseline JPEG decoder."""
+    import numpy as np
+
+    from .jpeg_lite import decode_jpeg
+
+    if payload[:4] != _MJPG_MAGIC:
+        raise ValueError("not an MJPG payload")
+    n = int.from_bytes(payload[4:6], "big")
+    fps = payload[6]
+    pos = 7
+    frames = []
+    for _ in range(n):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        frames.append(decode_jpeg(payload[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return np.stack(frames), fps

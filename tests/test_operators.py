@@ -666,3 +666,33 @@ def test_g711_telephony_codecs():
     b = np.arange(256, dtype=np.uint8)
     for exp, comp in ((_ulaw_expand, _ulaw_compress), (_alaw_expand, _alaw_compress)):
         assert np.array_equal(exp(comp(exp(b))), exp(b))
+
+
+def test_mjpeg_video_frame_sampling(spark):
+    """Motion-JPEG container: per-frame baseline-JPEG round trip at high
+    PSNR, and frame_sample sniffs MJPG next to RAWV — sampled frame rows
+    carry near-reference channel means (lossy tolerance ±3)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from apachebeam_python_spark.operators.multimodal import (
+        decode_mjpeg,
+        encode_mjpeg,
+        frame_sample,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+    frames = np.stack([((x * 3 + y * 2 + 17 * f) % 256) for f in range(6)])
+    vid = np.repeat(frames[:, :, :, None], 3, axis=3).astype(np.uint8)
+    dec, fps = decode_mjpeg(encode_mjpeg(vid, fps=8, quality=90))
+    assert dec.shape == vid.shape and fps == 8
+    mse = ((dec.astype(float) - vid.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) >= 35.0
+
+    payload = encode_mjpeg(vid, fps=8, quality=90)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = frame_sample(df, "payload", every_n=2).collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r in rows:
+        ref = float(vid[r.frame_idx].reshape(-1, 3)[:, 0].mean())
+        assert abs(r.mean_r - ref) <= 3.0, (r.frame_idx, r.mean_r, ref)
