@@ -239,6 +239,12 @@ def kcenter_select(
     traffic is k rows total. k rounds = k scans; for large k switch to
     the classic two-level variant (pre-cluster with k-means, run k-center
     on cell representatives)."""
+    n_rows = df.limit(k).count()  # bounded probe — never a full count at scale
+    if n_rows < k:
+        raise ValueError(
+            f"k-center needs >= {k} input rows to pick {k} distinct centers, "
+            f"got {n_rows} — lower k or supply more data"
+        )
     first = (
         df.select(
             F.col(id_col),

@@ -958,6 +958,13 @@ def decode_gif(payload: bytes):
             n = 2 << (iflags & 0x07)
             ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
+        if ct is None:
+            # spec-legal: neither global nor local table — decoders supply a
+            # default palette; fail with a named error, not a NoneType index
+            raise ValueError(
+                "GIF has neither a global nor a local color table; "
+                "decode_gif does not synthesize a default palette"
+            )
         interlaced = bool(iflags & 0x40)
         min_code = payload[pos]
         pos += 1

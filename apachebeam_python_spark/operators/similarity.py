@@ -232,7 +232,9 @@ def binary_codes(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFram
     32× smaller than float32 vectors; a billion 64-dim codes is ~8 GB, so
     code tables broadcast where vector tables cannot. Each word is an
     MSB-first fold (acc·2 + bit) ≡ Σ bit_i·2^i — F.shiftleft does not
-    take a column shift amount."""
+    take a column shift amount. Tail positions past ``dim`` (when dim is
+    not a multiple of 32) pack as 0 bits: F.get is 0-based and returns
+    NULL out of bounds instead of raising under Spark 4's ANSI mode."""
     n_words = (dim + 31) // 32
     words = F.transform(
         F.sequence(F.lit(0), F.lit(n_words - 1)),
@@ -241,7 +243,7 @@ def binary_codes(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFram
             F.lit(0).cast("long"),
             lambda acc, i: acc * 2
             + F.when(
-                F.element_at(F.col(vec_col), w * 32 + i + 1) > 0,
+                F.get(F.col(vec_col), w * 32 + i) > 0,
                 F.lit(1).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         ),

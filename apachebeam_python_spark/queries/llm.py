@@ -2534,10 +2534,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_png_pipeline",
-    driver=False,  # §2.11 COMPRESSED-codec multimodal proof — pytest oracle
-    oracle="""
+#: closed-form pixel oracle for the synth_images → 8×8 thumbnail path —
+#: shared by every lossless-codec pipeline (PNG, GIF) so the formula can
+#: never drift between them; test_jpeg_pipeline_fidelity checks the lossy
+#: twin against the same math with a tolerance instead of a hash
+_THUMB8_ORACLE = """
 WITH dims AS (
   SELECT doc_id,
          8 + doc_id % 16 AS w,
@@ -2558,7 +2559,13 @@ SELECT doc_id,
        round(avg(g), 4)          AS mean_g,
        round(avg(b), 4)          AS mean_b
 FROM thumb GROUP BY doc_id, w, h
-""",
+"""
+
+
+@register(
+    "q_png_pipeline",
+    driver=False,  # §2.11 COMPRESSED-codec multimodal proof — pytest oracle
+    oracle=_THUMB8_ORACLE,
 )
 def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPRESSED-codec multimodal pipeline: an all-PNG corpus (stdlib
@@ -2644,28 +2651,7 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_gif_pipeline",
     driver=False,  # §2.11 LZW-codec multimodal proof — pytest oracle
-    oracle="""
-WITH dims AS (
-  SELECT doc_id,
-         8 + doc_id % 16 AS w,
-         8 + doc_id % 12 AS h
-  FROM documents
-),
-thumb AS (
-  SELECT doc_id, w, h,
-         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 0) % 256 AS r,
-         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 1) % 256 AS g,
-         (doc_id + ((yy * h) // 8) * w * 3 + ((xx * w) // 8) * 3 + 2) % 256 AS b
-  FROM dims, unnest(range(8)) ty(yy), unnest(range(8)) tx(xx)
-)
-SELECT doc_id,
-       CAST(w AS INTEGER)        AS width,
-       CAST(h AS INTEGER)        AS height,
-       round(avg(r), 4)          AS mean_r,
-       round(avg(g), 4)          AS mean_g,
-       round(avg(b), 4)          AS mean_b
-FROM thumb GROUP BY doc_id, w, h
-""",
+    oracle=_THUMB8_ORACLE,  # same lossless path ⇒ same closed-form pixel math
 )
 def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DICTIONARY-compression (LZW) multimodal pipeline: an all-GIF

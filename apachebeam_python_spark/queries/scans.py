@@ -371,9 +371,12 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     Avro byte round trip is lossless for long/string columns including
     per-source text minima. Production swaps in the spark-avro
     datasource with no query changes (documented in the module)."""
+    import shutil
+
     from ..sources.avro_lite import read_avro, write_avro
 
     out = os.path.join(_scratch_dir(), f"avro_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)  # uuid part names — clear or double-count
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )

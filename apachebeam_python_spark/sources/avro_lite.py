@@ -71,13 +71,20 @@ def _enc_long(n: int) -> bytes:
 def _dec_long(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     acc = 0
+    n = len(buf)
     while True:
+        # explicit bounds check: a corrupt stream must raise, not wrap into
+        # Python's negative indexing and spin the block loop forever
+        if pos < 0 or pos >= n:
+            raise ValueError("truncated or corrupt Avro varint")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:
+            raise ValueError("Avro varint exceeds 64 bits")
     return (acc >> 1) ^ -(acc & 1), pos  # un-zigzag
 
 
@@ -88,6 +95,8 @@ def _enc_str(s: str) -> bytes:
 
 def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
     n, pos = _dec_long(buf, pos)
+    if n < 0 or pos + n > len(buf):
+        raise ValueError("truncated or corrupt Avro string")
     return buf[pos : pos + n].decode("utf-8"), pos + n
 
 
@@ -138,20 +147,28 @@ def _encode_rows(pdf: pd.DataFrame, fields: list[tuple[str, str, bool]]) -> byte
     return bytes(buf)
 
 
-def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
-    """Parse one container file → (schema, rows)."""
-    assert data[:4] == _MAGIC, "not an Avro container file"
+def _decode_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse just the container header → (schema, codec, sync, pos-after-
+    header). O(header bytes) — never touches the data blocks, so schema
+    peeks stay cheap on multi-hundred-MB part-files."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not an Avro container file")
     pos = 4
     meta: dict[str, bytes] = {}
     while True:
         count, pos = _dec_long(data, pos)
         if count == 0:
             break
-        for _ in range(abs(count)):
-            if count < 0:  # negative count ⇒ byte size follows (spec)
-                _, pos = _dec_long(data, pos)
+        if count < 0:
+            # spec: negative block count ⇒ ONE byte-size long for the whole
+            # block precedes the abs(count) key/value items
+            count = -count
+            _, pos = _dec_long(data, pos)
+        for _ in range(count):
             k, pos = _dec_str(data, pos)
             n, pos = _dec_long(data, pos)
+            if n < 0 or pos + n > len(data):
+                raise ValueError("truncated or corrupt Avro metadata value")
             meta[k] = data[pos : pos + n]
             pos += n
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
@@ -162,11 +179,35 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
         )
     sync = data[pos : pos + 16]
     pos += 16
+    return schema, codec, sync, pos
+
+
+def _read_header(path: str) -> dict:
+    """Schema from a container file by reading a bounded prefix — grows the
+    read window only if the metadata map spills past it (never the rows)."""
+    size, window = os.path.getsize(path), 1 << 16
+    while True:
+        with open(path, "rb") as fh:
+            prefix = fh.read(min(window, size))
+        try:
+            schema, _, _, _ = _decode_header(prefix)
+            return schema
+        except (ValueError, IndexError, KeyError):
+            if window >= size:
+                raise
+            window *= 16
+
+
+def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse one container file → (schema, rows)."""
+    schema, codec, sync, pos = _decode_header(data)
     fields = _field_types(schema)
     rows: list[dict] = []
     while pos < len(data):
         n_obj, pos = _dec_long(data, pos)
         size, pos = _dec_long(data, pos)
+        if n_obj < 0 or size < 0 or pos + size > len(data):
+            raise ValueError("corrupt Avro data block header")
         if codec != "null":
             raw_block = data[pos : pos + size]
             block = (
@@ -194,7 +235,8 @@ def _decode_blocks(data: bytes) -> tuple[dict, list[dict]]:
             rows.append(row)
         if codec != "null":
             data, pos = _outer, sync_at  # restore the container stream
-        assert data[pos : pos + 16] == sync, "sync marker mismatch"
+        if data[pos : pos + 16] != sync:
+            raise ValueError("Avro sync marker mismatch (corrupt or truncated)")
         pos += 16
     return schema, rows
 
@@ -259,8 +301,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     first = next(
         os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".avro")
     )
-    with open(first, "rb") as fh:
-        schema, _ = _decode_blocks(fh.read())  # small header+data peek
+    schema = _read_header(first)  # header-only peek, O(KB) not O(file)
     fields = _field_types(schema)
     out_schema = ", ".join(f"{n} {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
 

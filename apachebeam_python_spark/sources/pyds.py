@@ -21,6 +21,7 @@ path streams rows per task; nothing gathers centrally.
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -43,6 +44,7 @@ from .avro_lite import (
     _SYNC,
     _decode_blocks,
     _enc_long,
+    _read_header,
     _encode_rows_py,
     _field_types,
     _header_for_spark_schema,
@@ -129,9 +131,7 @@ class AvroLiteDataSource(DataSource):
             for f in sorted(os.listdir(path))
             if f.endswith(".avro")
         )
-        with open(first, "rb") as fh:
-            avro_schema, _ = _decode_blocks(fh.read())
-        return _avro_to_struct(avro_schema)
+        return _avro_to_struct(_read_header(first))
 
     def reader(self, schema):
         return AvroLiteReader(self.options, schema)
@@ -246,11 +246,13 @@ from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
 class AvroLiteStreamWriter(DataSourceStreamWriter):
     """Per-micro-batch Avro sink with idempotent-commit bookkeeping: each
     task writes ``batch-<id>-<uuid>.avro.tmp``; the driver-side
-    ``commit(batchId)`` renames that batch's temp files into place and
-    records a ``_commit_<batchId>`` manifest (the rename-then-manifest
-    two-step every exactly-once file sink performs — a replayed batch
-    overwrites its manifest instead of double-appending); ``abort``
-    deletes the temp files."""
+    ``commit(batchId)`` first deletes any ``batch-<id>-*.avro`` files a
+    prior attempt of the SAME batch left behind, then renames this
+    attempt's temp files into place and records a ``_commit_<batchId>``
+    manifest — so a replayed batch (driver died between rename and
+    checkpoint) replaces its earlier output instead of double-appending,
+    which is the last-attempt-wins idempotence real file sinks implement;
+    ``abort`` deletes the temp files."""
 
     def __init__(self, options, schema):
         self.path = options.get("path")
@@ -274,6 +276,13 @@ class AvroLiteStreamWriter(DataSourceStreamWriter):
         return AvroLiteCommit(fname if rows else "", len(rows))
 
     def commit(self, messages, batchId) -> None:
+        # replay safety: drop any files an earlier attempt of this batch
+        # already renamed into place — without this, a failure between
+        # rename and checkpoint double-appends the whole batch on restart
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:06d}-*.avro")
+        ):
+            os.remove(stale)
         n = 0
         for m in messages:
             if m and m.file and os.path.exists(m.file):
