@@ -67,10 +67,15 @@ def decode_image(payload: bytes):
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp_lite import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "WebP/AVIF/... need codec libraries this environment lacks; "
-        "baseline JPEG (jpeg_lite), PNG (stdlib zlib), PPM (P6), 24-bpp "
-        "BMP, and RAWI decode natively"
+        "AVIF/HEIC/... (and lossy-VP8 WebP) need codec libraries this "
+        "environment lacks; baseline JPEG (jpeg_lite), PNG (stdlib zlib), "
+        "lossless WebP (webp_lite), GIF, PPM (P6), 24-bpp BMP, and RAWI "
+        "decode natively"
     )
 
 

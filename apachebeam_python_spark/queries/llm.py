@@ -2669,3 +2669,29 @@ def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     feats = image_features(synth_images(d, formats=(encode_gif,)))
     return feats.drop("byte_len")
+
+
+@register(
+    "q_webp_pipeline",
+    driver=False,  # §2.11 fourth codec family (VP8L) — pytest oracle
+    oracle=_THUMB8_ORACLE,  # lossless codec ⇒ same closed-form pixel math
+)
+def q_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebP-LOSSLESS (VP8L) multimodal pipeline: an all-WebP corpus
+    through decode→resize→featurize. VP8L is the fourth compression
+    family in the decode path — canonical-prefix-coded ARGB with LZ77
+    backrefs, color cache, and spatial transforms (operators/webp_lite,
+    pure Python from the public bitstream spec). Lossless, so the
+    closed-form pixel oracle checks the whole path hash-exact: RIFF
+    parse, prefix-code reconstruction (code-length code incl. repeat
+    runs), and literal decode recover every pixel bit-for-bit.
+
+    Scale: identical economics to the other image pipelines — payload
+    bytes stay in the row, decode is Arrow-batched mapInPandas, no
+    shuffle before the feature row."""
+    from ..operators.multimodal import image_features, synth_images
+    from ..operators.webp_lite import encode_webp
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(encode_webp,)))
+    return feats.drop("byte_len")

@@ -512,6 +512,283 @@ def test_binary_codes_dim_not_multiple_of_32(spark):
     assert rows[2] == [0, 0]
 
 
+def _webp_wrap(bw):
+    p = bw.tobytes()
+    v = b"VP8L" + len(p).to_bytes(4, "little") + p
+    if len(p) & 1:
+        v += b"\x00"
+    return b"RIFF" + (4 + len(v)).to_bytes(4, "little") + b"WEBP" + v
+
+
+def _webp_header(bw, w, h):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _webp_stream(W, bw, argbs):
+    """Flat-coded entropy image (cache bit + 5 prefix codes + literals)."""
+    bw.write(0, 1)
+    W._emit_flat_code(bw, 24)
+    W._emit_flat_code(bw, 0)
+    W._emit_flat_code(bw, 0)
+    W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 0)
+    for p in argbs:
+        bw.write_code((p >> 8) & 0xFF, 8)
+        bw.write_code((p >> 16) & 0xFF, 8)
+        bw.write_code(p & 0xFF, 8)
+        bw.write_code((p >> 24) & 0xFF, 8)
+
+
+def test_webp_codec_round_trip_and_distance_map():
+    """VP8L: encoder→decoder round trip (exercises normal prefix codes,
+    the code-length code, and a repeat-18 zero run), dispatch through
+    decode_image, and the spec's 2D distance-map ordering (first entries
+    pinned; the generation rule reproduces the spec table)."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators import webp_lite as W
+    from apachebeam_python_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (2, 3, 3), (16, 9, 3)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = W.encode_webp(a)
+        assert payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L"
+        assert np.array_equal(W.decode_webp(payload), a)
+        assert np.array_equal(decode_image(payload), a)  # sniffing dispatch
+
+    assert len(W._DIST_MAP) == 120
+    assert W._DIST_MAP[:12] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    ]
+    assert W._DIST_MAP[34:40] == [
+        (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    ]
+
+
+def test_webp_decoder_lz77_cache_and_simple_codes():
+    """Hand-built VP8L streams for the paths the minimal encoder never
+    emits: LZ77 with a plain distance (code>120, overlapping copy), LZ77
+    through the 2D proximity map (code 1 = pixel above), a color-cache
+    hit, and a two-symbol simple code."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators import webp_lite as W
+
+    # plain distance 1, length 3 (overlap): [lit g=5] + copy×3
+    bw = W._BitWriter()
+    _webp_header(bw, 4, 1)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(0, 1)  # green: normal code over {5, 258} (1 bit each)
+    bw.write(0, 4)  # clc covers order idx ≤ 3 → symbols {0, 1}
+    for i in range(4):
+        bw.write(1 if W._CLC_ORDER[i] in (0, 1) else 0, 3)
+    bw.write(0, 1)
+    for pos in range(280):
+        bw.write_code(1 if pos in (5, 258) else 0, 1)
+    for s in (7, 9, 255, 13):  # red/blue/alpha singles; dist prefix 13
+        W._emit_simple_single(bw, s)
+    bw.write_code(0, 1)  # literal
+    bw.write_code(1, 1)  # sym 258 → length prefix 2 → length 3
+    bw.write(24, 5)      # dist prefix 13: 96+24+1=121 → plain distance 1
+    img = W.decode_webp(_webp_wrap(bw))
+    assert np.array_equal(img, np.tile(np.array([7, 5, 9], np.uint8), (1, 4, 1)))
+
+    # 2D map: dist code 1 = (0,1) → distance == xsize (the row above)
+    bw = W._BitWriter()
+    _webp_header(bw, 3, 2)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(0, 1)  # green over {1,2,3,258}, 2 bits each
+    bw.write(1, 4)  # clc covers order idx ≤ 4 → {0, 2}
+    for i in range(5):
+        bw.write(1 if W._CLC_ORDER[i] in (0, 2) else 0, 3)
+    bw.write(0, 1)
+    for pos in range(280):
+        bw.write_code(1 if pos in (1, 2, 3, 258) else 0, 1)
+    for s in (7, 9, 255, 0):
+        W._emit_simple_single(bw, s)
+    for code in (0, 1, 2):  # literals g=1,2,3
+        bw.write_code(code, 2)
+    bw.write_code(3, 2)  # copy length 3, distance code 1
+    img = W.decode_webp(_webp_wrap(bw))
+    assert np.array_equal(
+        img, np.array([[[7, 1, 9], [7, 2, 9], [7, 3, 9]]] * 2, np.uint8)
+    )
+
+    # color cache: literal then cache hit at the spec hash index
+    pix = (255 << 24) | (7 << 16) | (5 << 8) | 9
+    idx = ((0x1E35A7BD * pix) & 0xFFFFFFFF) >> 28
+    bw = W._BitWriter()
+    _webp_header(bw, 2, 1)
+    bw.write(0, 1)
+    bw.write(1, 1); bw.write(4, 4)  # cache_bits=4
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 4)
+    for i in range(4):
+        bw.write(1 if W._CLC_ORDER[i] in (0, 1) else 0, 3)
+    bw.write(0, 1)
+    for pos in range(296):
+        bw.write_code(1 if pos in (5, 280 + idx) else 0, 1)
+    for s in (7, 9, 255, 0):
+        W._emit_simple_single(bw, s)
+    bw.write_code(0, 1)
+    bw.write_code(1, 1)
+    img = W.decode_webp(_webp_wrap(bw))
+    assert np.array_equal(img, np.array([[[7, 5, 9]] * 2], np.uint8))
+
+    # simple 2-symbol code, 1-bit first-symbol form
+    bw = W._BitWriter()
+    _webp_header(bw, 3, 1)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(1, 1); bw.write(0, 1); bw.write(1, 1)
+    bw.write(200, 8)  # symbols {1, 200}: canonical 1→0, 200→1
+    for s in (7, 9, 255, 0):
+        W._emit_simple_single(bw, s)
+    for c in (0, 1, 0):
+        bw.write_code(c, 1)
+    img = W.decode_webp(_webp_wrap(bw))
+    assert np.array_equal(
+        img, np.array([[[7, 1, 9], [7, 200, 9], [7, 1, 9]]], np.uint8)
+    )
+
+
+def test_webp_decoder_transforms_and_meta():
+    """Hand-built VP8L streams covering all four transforms (inverse
+    application, signed color deltas, palette delta-coding and sub-byte
+    bundling) and meta prefix-code group selection."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators import webp_lite as W
+
+    def argb(r, g, b, a=0xFF):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    def psub(p, q):
+        return (
+            ((((p >> 24) - (q >> 24)) & 0xFF) << 24)
+            | ((((p >> 16) - (q >> 16)) & 0xFF) << 16)
+            | ((((p >> 8) - (q >> 8)) & 0xFF) << 8)
+            | ((p - q) & 0xFF)
+        )
+
+    # subtract-green
+    bw = W._BitWriter()
+    _webp_header(bw, 2, 1)
+    bw.write(1, 1); bw.write(2, 2)
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 255); W._emit_simple_single(bw, 0)
+    for r, g, b in ((30, 20, 15), (250, 200, 100)):
+        bw.write_code(g, 8)
+        bw.write_code((r - g) & 0xFF, 8)
+        bw.write_code((b - g) & 0xFF, 8)
+    assert np.array_equal(
+        W.decode_webp(_webp_wrap(bw)),
+        np.array([[[30, 20, 15], [250, 200, 100]]], np.uint8),
+    )
+
+    # predictor (single 4×4 tile, mode 7 = avg2(L, T); edge rules L/T/black)
+    want = np.array(
+        [[[10, 20, 30], [13, 27, 39]], [[40, 50, 60], [22, 33, 44]]], np.uint8
+    )
+    sub = lambda a, b: tuple((int(x) - int(y)) & 0xFF for x, y in zip(a, b))  # noqa: E731
+    avg2 = lambda a, b: tuple((int(x) + int(y)) // 2 for x, y in zip(a, b))  # noqa: E731
+    p00, p01, p10, p11 = (tuple(want[y, x]) for y in (0, 1) for x in (0, 1))
+    res = [
+        (0,) + sub(p00, (0, 0, 0)),
+        (0,) + sub(p01, p00),
+        (0,) + sub(p10, p00),
+        (0,) + sub(p11, avg2(p10, p01)),
+    ]
+    bw = W._BitWriter()
+    _webp_header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)  # predictor, size_bits=2
+    _webp_stream(W, bw, [(0xFF << 24) | (7 << 8)])  # 1×1 tile: mode 7
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 0)
+    for a, r, g, b in res:
+        bw.write_code(g, 8); bw.write_code(r, 8); bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    assert np.array_equal(W.decode_webp(_webp_wrap(bw)), want)
+
+    # color transform: g2r=2 g2b=3 r2b=4, incl. a signed (int8) green
+    bw = W._BitWriter()
+    _webp_header(bw, 2, 1)
+    bw.write(1, 1); bw.write(1, 2); bw.write(0, 3)
+    _webp_stream(W, bw, [(0xFF << 24) | (4 << 16) | (3 << 8) | 2])
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 255); W._emit_simple_single(bw, 0)
+    for r, g, b in ((100, 64, 50), (10, 200, 7)):
+        bw.write_code(g, 8); bw.write_code(r, 8); bw.write_code(b, 8)
+    # hand-computed: (2·64)>>5=4, (3·64)>>5=6, (4·104)>>5=13;
+    # int8(200)=-56: (2·-56)>>5=-4, (3·-56)>>5=-6, (4·6)>>5=0
+    assert np.array_equal(
+        W.decode_webp(_webp_wrap(bw)),
+        np.array([[[104, 64, 69], [6, 200, 1]]], np.uint8),
+    )
+
+    # 20-color palette (no bundling) + 3-color palette (2-bit bundling)
+    pal = [argb(10 * i % 256, (3 + 7 * i) % 256, (90 + 13 * i) % 256) for i in range(20)]
+    deltas = [pal[0]] + [psub(pal[i], pal[i - 1]) for i in range(1, 20)]
+    bw = W._BitWriter()
+    _webp_header(bw, 4, 1)
+    bw.write(1, 1); bw.write(3, 2); bw.write(19, 8)
+    _webp_stream(W, bw, deltas)
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 255); W._emit_simple_single(bw, 0)
+    for idx in (0, 19, 7, 3):
+        bw.write_code(idx, 8); bw.write_code(0, 8); bw.write_code(0, 8)
+    exp = np.array(
+        [[[(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF] for p in
+          (pal[0], pal[19], pal[7], pal[3])]], np.uint8)
+    assert np.array_equal(W.decode_webp(_webp_wrap(bw)), exp)
+
+    pal3 = [argb(10, 20, 30), argb(200, 100, 50), argb(0, 0, 255)]
+    deltas = [pal3[0], psub(pal3[1], pal3[0]), psub(pal3[2], pal3[1])]
+    bw = W._BitWriter()
+    _webp_header(bw, 4, 1)
+    bw.write(1, 1); bw.write(3, 2); bw.write(2, 8)
+    _webp_stream(W, bw, deltas)
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 255); W._emit_simple_single(bw, 0)
+    packed = 0 | 2 << 2 | 1 << 4 | 0 << 6  # indices 0,2,1,0 low-bits-first
+    bw.write_code(packed, 8); bw.write_code(0, 8); bw.write_code(0, 8)
+    assert np.array_equal(
+        W.decode_webp(_webp_wrap(bw)),
+        np.array([[[10, 20, 30], [0, 0, 255], [200, 100, 50], [10, 20, 30]]], np.uint8),
+    )
+
+    # meta prefix codes: two groups selected by the entropy image
+    bw = W._BitWriter()
+    _webp_header(bw, 8, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    bw.write(1, 1); bw.write(0, 3)  # meta_bits=2 → 2×1 entropy image
+    _webp_stream(W, bw, [argb(0, 0, 0), argb(0, 1, 0)])
+    for r, g, b in ((7, 5, 9), (8, 6, 10)):
+        for s in (g, r, b, 255, 0):
+            W._emit_simple_single(bw, s)
+    assert np.array_equal(
+        W.decode_webp(_webp_wrap(bw)),
+        np.array([[[7, 5, 9]] * 4 + [[8, 6, 10]] * 4], np.uint8),
+    )
+
+
 def test_png_codec_all_filters_and_color_types():
     """The stdlib-zlib PNG codec: encode→decode round-trips grey/RGB/RGBA,
     and the decoder inverts ALL FIVE scanline filters on a hand-filtered
