@@ -487,11 +487,28 @@ def _alaw_compress(s: "np.ndarray") -> "np.ndarray":
     return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
 
 
-def synth_audio(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> DataFrame:
-    """Deterministic per-id mono WAV payloads: a sawtooth whose length,
+def decode_audio(payload: bytes):
+    """Format-sniffing audio decode: RIFF/WAVE (PCM + G.711) or FLAC →
+    (numpy (n, channels) int array, sample_rate). The audio twin of
+    decode_image's magic-byte dispatch."""
+    if payload[:4] == b"fLaC":
+        from .flac_lite import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
+def synth_audio(
+    df: DataFrame, id_col: str = "doc_id", out: str = "payload", encoder=None
+) -> DataFrame:
+    """Deterministic per-id mono audio payloads: a sawtooth whose length,
     rate, and amplitude are closed-form in the id — every downstream
-    feature is oracle-replayable, same design as synth_images."""
+    feature is oracle-replayable, same design as synth_images. ``encoder``
+    overrides the container writer (default PCM WAV; pass
+    ``flac_lite.encode_flac`` for an all-FLAC corpus)."""
     from ..session import fan_out
+
+    enc = encoder or encode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -505,7 +522,7 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> 
                 # sample(t) = ((i + t) mod 64) / 63 * amp - amp/2, exact int16
                 t = (int(i) + np.arange(n)) % 64
                 s = (t * amp // 63 - amp // 2).astype("<i2")
-                payloads.append(encode_wav(s, sample_rate=8_000))
+                payloads.append(enc(s, sample_rate=8_000))
             yield pd.DataFrame({id_col: ids, out: payloads})
 
     return fan_out(df.select(id_col)).mapInPandas(
@@ -516,10 +533,11 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id", out: str = "payload") -> 
 def audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Decode → featurize for audio: REAL RIFF parse, duration /
-    sample-count / peak / mean-abs per payload — one Arrow batch at a
-    time, the same partition-sizing rules as image_features. Sums are
-    exact int64 so every feature is oracle-checkable bit-for-bit."""
+    """Decode → featurize for audio: REAL format-sniffing parse (WAV,
+    G.711, FLAC), duration / sample-count / peak / mean-abs per payload —
+    one Arrow batch at a time, the same partition-sizing rules as
+    image_features. Sums are exact int64 so every feature is
+    oracle-checkable bit-for-bit."""
     from ..session import fan_out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -530,7 +548,7 @@ def audio_features(
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                samples, rate = decode_wav(payload)
+                samples, rate = decode_audio(payload)
                 mono = samples[:, 0].astype(np.int64)
                 # duration: one IEEE division — bit-exact cross-engine;
                 # mean_abs: explicit floor-rounding (x*1e6 stays exact int64

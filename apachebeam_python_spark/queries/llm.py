@@ -1627,10 +1627,10 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_audio_pipeline",
-    driver=False,  # extra §2.11 multimodal proof — pytest-only oracle
-    oracle="""
+#: closed-form feature oracle for the synth_audio sawtooth — shared by
+#: every lossless audio container (PCM WAV, FLAC) so the sample math can
+#: never drift between them
+_AUDIO_SAW_ORACLE = """
 WITH params AS (
   SELECT doc_id, 64 + doc_id % 129 AS n, 100 + doc_id % 900 AS amp
   FROM documents
@@ -1648,7 +1648,13 @@ SELECT doc_id,
        floor(CAST(sum(abs(s)) AS DOUBLE) * 1000000.0 / n + 0.5) / 1000000.0
                                                        AS mean_abs
 FROM samples GROUP BY doc_id, n, amp
-""",
+"""
+
+
+@register(
+    "q_audio_pipeline",
+    driver=False,  # extra §2.11 multimodal proof — pytest-only oracle
+    oracle=_AUDIO_SAW_ORACLE,
 )
 def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode→featurize, END TO END REAL (operators.multimodal):
@@ -1663,6 +1669,31 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_wav for a codec library (MP3/AAC) and the plan is unchanged."""
     d = table(spark, sf_dir, "documents").select("doc_id")
     return M.audio_features(M.synth_audio(d))
+
+
+@register(
+    "q_flac_pipeline",
+    driver=False,  # §2.11 COMPRESSED-audio proof — pytest oracle
+    oracle=_AUDIO_SAW_ORACLE,  # lossless codec ⇒ same closed-form samples
+)
+def q_flac_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-audio multimodal pipeline: an all-FLAC corpus
+    (operators/flac_lite — Rice-coded linear-prediction residuals, the
+    fifth compression family) through the same decode→featurize path as
+    q_audio_pipeline, dispatched by decode_audio's magic-byte sniff.
+    FLAC is lossless, so the closed-form sample oracle checks the whole
+    path hash-exact: STREAMINFO parse, frame sync + CRC-8/CRC-16,
+    subframe decode, and sample reconstruction recover every int16
+    bit-for-bit. MP3/AAC stay the codec-library swap-in point; FLAC
+    shows the compressed audio path is real.
+
+    Scale: identical economics to q_audio_pipeline — payload bytes stay
+    in the row, decode is Arrow-batched mapInPandas, no shuffle before
+    the feature row."""
+    from ..operators.flac_lite import encode_flac
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return M.audio_features(M.synth_audio(d, encoder=encode_flac))
 
 
 @register(

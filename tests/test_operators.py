@@ -512,6 +512,162 @@ def test_binary_codes_dim_not_multiple_of_32(spark):
     assert rows[2] == [0, 0]
 
 
+def _flac_streaminfo(FL, n, ch, rate=8000, bps=16):
+    si = FL._BitWriter()
+    si.write(16, 16); si.write(65535, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(ch - 1, 3); si.write(bps - 1, 5); si.write(n, 36)
+    b = si.tobytes() + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(b).to_bytes(3, "big") + b
+
+
+def _flac_frame_header(FL, bw, bs, ch_assign):
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4)   # explicit 16-bit block size
+    bw.write(0, 4)   # rate from STREAMINFO
+    bw.write(ch_assign, 4)
+    bw.write(4, 3); bw.write(0, 1)  # 16-bit samples
+    bw.write(0, 8)   # frame 0
+    bw.write(bs - 1, 16)
+    bw.write(FL._crc8(bw.tobytes()), 8)
+
+
+def _flac_finish(FL, bw):
+    bw.align()
+    f = bw.tobytes()
+    return f + FL._crc16(f).to_bytes(2, "big")
+
+
+def test_flac_codec_round_trip():
+    """FLAC: encoder→decoder round trip (verbatim subframes, fixed
+    blocking, multi-frame, mono + stereo, CRC-8/CRC-16 verified on every
+    frame) and dispatch through the audio sniffer."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators.flac_lite import decode_flac, encode_flac
+    from apachebeam_python_spark.operators.multimodal import decode_audio
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    back, rate = decode_flac(encode_flac(s, 8000, blocksize=128))
+    assert rate == 8000 and np.array_equal(back[:, 0], s)
+    back2, rate2 = decode_audio(encode_flac(s, 8000, blocksize=128))
+    assert rate2 == 8000 and np.array_equal(back2[:, 0], s)
+
+    s2 = rng.integers(-32768, 32768, size=(5000, 2), dtype=np.int16)
+    back, rate = decode_flac(encode_flac(s2, 44100))
+    assert rate == 44100 and np.array_equal(back, s2)
+
+    extremes = np.array([0, -1, 32767, -32768], dtype=np.int16)
+    back, _ = decode_flac(encode_flac(extremes))
+    assert np.array_equal(back[:, 0], extremes)
+
+
+def test_flac_decoder_prediction_and_stereo_modes():
+    """Hand-built FLAC frames for the paths the verbatim encoder never
+    emits: CONSTANT, FIXED order 2 with Rice residuals over 2 partitions,
+    LPC with an escape (raw-width) partition, wasted bits, and all three
+    stereo decorrelation modes (left/side, right/side, mid/side).
+    Residuals are computed FORWARD here (independent arithmetic), so a
+    reconstruction bug cannot self-confirm."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators import flac_lite as FL
+
+    def rice_write(bw, residuals, param, po=0, order=0):
+        bw.write(0, 2); bw.write(po, 4)
+        bs = len(residuals) + order
+        idx = 0
+        for p in range(1 << po):
+            n = (bs >> po) - (order if p == 0 else 0)
+            bw.write(param, 4)
+            for _ in range(n):
+                r = residuals[idx]; idx += 1
+                v = (-r * 2 - 1) if r < 0 else r * 2  # FLAC signed folding
+                for _ in range(v >> param):
+                    bw.bits.append(0)
+                bw.bits.append(1)
+                bw.write(v & ((1 << param) - 1), param)
+
+    def verb(bw, vals, bits):
+        bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)
+        for v in vals:
+            bw.write_signed(int(v), bits)
+
+    # CONSTANT
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 10, 0)
+    bw.write(0, 1); bw.write(0, 6); bw.write(0, 1)
+    bw.write_signed(-123, 16)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 10, 1) + _flac_finish(FL, bw))
+    assert np.array_equal(arr[:, 0], np.full(10, -123))
+
+    # FIXED order 2, Rice residuals, partition order 1
+    want = np.array([5, 9, 12, 14, 15, 15, 14, 12], dtype=np.int64)
+    res = [int(want[i] - (2 * want[i - 1] - want[i - 2])) for i in range(2, 8)]
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 8, 0)
+    bw.write(0, 1); bw.write(10, 6); bw.write(0, 1)  # fixed order 2
+    bw.write_signed(int(want[0]), 16); bw.write_signed(int(want[1]), 16)
+    rice_write(bw, res, param=2, po=1, order=2)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 8, 1) + _flac_finish(FL, bw))
+    assert np.array_equal(arr[:, 0], want)
+
+    # LPC order 2 (precision 12, shift 5), escape partition width 6
+    coeffs, shift = [40, -12], 5
+    sam = [100, 90]
+    res = [3, -2, 0, 7, -5, 1]
+    for r in res:
+        sam.append(r + ((coeffs[0] * sam[-1] + coeffs[1] * sam[-2]) >> shift))
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 8, 0)
+    bw.write(0, 1); bw.write(33, 6); bw.write(0, 1)  # LPC order 2
+    bw.write_signed(100, 16); bw.write_signed(90, 16)
+    bw.write(11, 4)           # precision 12
+    bw.write_signed(shift, 5)
+    bw.write_signed(coeffs[0], 12); bw.write_signed(coeffs[1], 12)
+    bw.write(0, 2); bw.write(0, 4)
+    bw.write(15, 4); bw.write(6, 5)  # escape, 6-bit raw
+    for r in res:
+        bw.write_signed(r, 6)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 8, 1) + _flac_finish(FL, bw))
+    assert np.array_equal(arr[:, 0], np.array(sam))
+
+    # wasted bits: samples ≪ 2, verbatim at bps-2
+    want = np.array([4, -8, 12, 0], dtype=np.int64)
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 4, 0)
+    bw.write(0, 1); bw.write(1, 6)
+    bw.write(1, 1)                       # wasted flag
+    bw.bits.append(0); bw.bits.append(1)  # unary 1 → wasted = 2
+    for v in want >> 2:
+        bw.write_signed(int(v), 14)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 4, 1) + _flac_finish(FL, bw))
+    assert np.array_equal(arr[:, 0], want)
+
+    # stereo decorrelation (side channel is bps+1 bits)
+    L = np.array([100, -50, 7, 3200], dtype=np.int64)
+    R = np.array([90, -60, -7, 3100], dtype=np.int64)
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 4, 8)  # left/side
+    verb(bw, L, 16); verb(bw, L - R, 17)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 4, 2) + _flac_finish(FL, bw))
+    assert np.array_equal(arr, np.stack([L, R], 1))
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 4, 9)  # right/side
+    verb(bw, L - R, 17); verb(bw, R, 16)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 4, 2) + _flac_finish(FL, bw))
+    assert np.array_equal(arr, np.stack([L, R], 1))
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 4, 10)  # mid/side
+    verb(bw, (L + R) >> 1, 16); verb(bw, L - R, 17)
+    arr, _ = FL.decode_flac(_flac_streaminfo(FL, 4, 2) + _flac_finish(FL, bw))
+    assert np.array_equal(arr, np.stack([L, R], 1))
+
+    # corrupted frame: flipped sample byte must fail the CRC-16
+    import pytest as _pytest
+
+    bw = FL._BitWriter(); _flac_frame_header(FL, bw, 4, 0)
+    verb(bw, L, 16)
+    good = _flac_streaminfo(FL, 4, 1) + _flac_finish(FL, bw)
+    bad = bytearray(good)
+    bad[-5] ^= 0x40
+    with _pytest.raises(ValueError):
+        FL.decode_flac(bytes(bad))
+
+
 def _webp_wrap(bw):
     p = bw.tobytes()
     v = b"VP8L" + len(p).to_bytes(4, "little") + p
