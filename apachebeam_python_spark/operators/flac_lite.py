@@ -315,7 +315,12 @@ def decode_flac(payload: bytes):
         if br.read(8) != _crc8(hdr):
             raise ValueError("FLAC: frame header CRC-8 mismatch")
 
-        bps = info["bps"] if size_code == 0 else _SAMPLE_SIZES[size_code]
+        if size_code == 0:
+            bps = info["bps"]
+        elif size_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[size_code]
+        else:
+            raise ValueError(f"FLAC: reserved sample-size code {size_code}")
         if chan_assign < 8:
             n_ch = chan_assign + 1
             subs = [_read_subframe(br, blocksize, bps) for _ in range(n_ch)]
@@ -386,12 +391,12 @@ def encode_flac(samples, sample_rate: int = 8_000, blocksize: int = 4096) -> byt
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
 
+    # n == 0: a frameless stream — FLAC cannot represent a 0-sample frame
+    # (the field stores blocksize-1); decode_flac returns a (0, ch) array
     frame_idx = 0
     off = 0
-    while off < n or (n == 0 and frame_idx == 0):
-        bs = min(blocksize, n - off) if n else 0
-        if bs == 0 and n:
-            break
+    while off < n:
+        bs = min(blocksize, n - off)
         bw = _BitWriter()
         bw.write(0x3FFE, 14)
         bw.write(0, 1)  # reserved
@@ -417,6 +422,4 @@ def encode_flac(samples, sample_rate: int = 8_000, blocksize: int = 4096) -> byt
         out += frame + _crc16(frame).to_bytes(2, "big")
         off += bs
         frame_idx += 1
-        if n == 0:
-            break
     return bytes(out)

@@ -409,7 +409,9 @@ def _inv_predictor(px: list[int], xs: int, ys: int, bits: int, tiles: list[int])
             mode = (tiles[(y >> bits) * tx + (x >> bits)] >> 8) & 0xFF
             L, T = px[i - 1], px[i - xs]
             TL = px[i - xs - 1]
-            TR = px[i - xs + 1] if x + 1 < xs else px[i - xs]  # edge: T
+            # rightmost column: i-xs+1 lands on the leftmost pixel of the
+            # SAME row (already decoded) — exactly the spec's TR rule there
+            TR = px[i - xs + 1]
             if mode == 0:
                 pred = 0xFF000000
             elif mode == 1:

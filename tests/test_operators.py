@@ -561,6 +561,11 @@ def test_flac_codec_round_trip():
     back, _ = decode_flac(encode_flac(extremes))
     assert np.array_equal(back[:, 0], extremes)
 
+    # zero samples: FLAC cannot express a 0-sample frame — the encoder
+    # must emit a frameless stream and the decoder a (0, ch) array
+    back, rate = decode_flac(encode_flac(np.zeros((0,), np.int16), 8000))
+    assert back.shape == (0, 1) and rate == 8000
+
 
 def test_flac_decoder_prediction_and_stereo_modes():
     """Hand-built FLAC frames for the paths the verbatim encoder never
@@ -666,6 +671,16 @@ def test_flac_decoder_prediction_and_stereo_modes():
     bad[-5] ^= 0x40
     with _pytest.raises(ValueError):
         FL.decode_flac(bytes(bad))
+
+    # reserved sample-size code 3 → named ValueError, not a KeyError
+    bw = FL._BitWriter()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4); bw.write(0, 4); bw.write(0, 4)
+    bw.write(3, 3); bw.write(0, 1)  # size code 3 = reserved
+    bw.write(0, 8); bw.write(3, 16)
+    bw.write(FL._crc8(bw.tobytes()), 8)
+    with _pytest.raises(ValueError, match="sample-size"):
+        FL.decode_flac(_flac_streaminfo(FL, 4, 1) + _flac_finish(FL, bw))
 
 
 def _webp_wrap(bw):
@@ -929,6 +944,33 @@ def test_webp_decoder_transforms_and_meta():
         W.decode_webp(_webp_wrap(bw)),
         np.array([[[10, 20, 30], [0, 0, 255], [200, 100, 50], [10, 20, 30]]], np.uint8),
     )
+
+    # predictor TR on the RIGHTMOST column: spec (RFC 9649) says the
+    # TR-pixel there is the leftmost pixel of the SAME row — a 2-wide
+    # image with mode 3 (TR) pins it (review r3 finding: T was used)
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [75, 85, 95]]], np.uint8
+    )
+    sub = lambda a, b: tuple((int(x) - int(y)) & 0xFF for x, y in zip(a, b))  # noqa: E731
+    res = [
+        (0,) + sub(want[0, 0], (0, 0, 0)),      # (0,0): black predictor
+        (0,) + sub(want[0, 1], want[0, 0]),     # top row: L
+        (0,) + sub(want[1, 0], want[0, 0]),     # left col: T
+        (0,) + sub(want[1, 1], want[1, 0]),     # mode 3: TR = row-1 leftmost
+    ]
+    bw = W._BitWriter()
+    _webp_header(bw, 2, 2)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)
+    _webp_stream(W, bw, [(0xFF << 24) | (3 << 8)])  # single tile, mode 3
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    W._emit_flat_code(bw, 24); W._emit_flat_code(bw, 0); W._emit_flat_code(bw, 0)
+    W._emit_flat_code(bw, 0)
+    W._emit_simple_single(bw, 0)
+    for a, r, g, b in res:
+        bw.write_code(g, 8); bw.write_code(r, 8); bw.write_code(b, 8)
+        bw.write_code(a, 8)
+    assert np.array_equal(W.decode_webp(_webp_wrap(bw)), want)
 
     # meta prefix codes: two groups selected by the entropy image
     bw = W._BitWriter()
