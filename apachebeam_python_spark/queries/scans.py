@@ -350,6 +350,67 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_snapshot",
+    driver=False,  # §4.2 snapshot/time-travel transaction layer — pytest oracle
+    oracle="""
+WITH v0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+     v1 AS (SELECT * FROM documents WHERE doc_id % 3 IN (0, 1)),
+     v2 AS (SELECT * FROM v1 WHERE NOT (n_chars % 7 = 0))
+SELECT * FROM (
+  SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM v0
+  UNION ALL
+  SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT) FROM v1
+  UNION ALL
+  SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT) FROM v2
+) t
+""",
+)
+def q_lake_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel over plain parquet
+    (sources/laketable.py — SURVEY §4.2 lake maintenance completed into a
+    Delta-shaped transaction layer): create a table from a third of
+    `documents`, APPEND another third, copy-on-write DELETE the rows
+    whose n_chars is divisible by 7, then read ALL THREE versions back
+    through their manifests and aggregate each. A green hash proves the
+    commit protocol preserves every snapshot exactly: the delete did not
+    disturb version 0/1 reads, and the manifest-listed file sets
+    reproduce each version's rows bit-for-bit.
+
+    Scale: manifests are one entry per FILE (~200k for 100 TB at 512 MB
+    — driver-trivial JSON); reads plan from the manifest without
+    directory listings; deletes rewrite only stats-hit files. Production
+    swaps in Delta/Iceberg with the same call shapes."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lake_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    LT.create_table(docs.filter(F.col("doc_id") % 3 == 0), out)
+    LT.append(docs.filter(F.col("doc_id") % 3 == 1), out)
+    LT.delete_where(spark, out, "n_chars % 7 = 0")
+    per_version = [
+        LT.read_table(spark, out, version=v)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_docs", "id_sum", "chars_sum")
+        for v in (0, 1, 2)
+    ]
+    u = per_version[0]
+    for d in per_version[1:]:
+        u = u.unionAll(d)
+    return u.select("version", "n_docs", "id_sum", "chars_sum")
+
+
+@register(
     "q_scan_avro",
     driver=False,  # §2.1 Avro container round trip (pure-Python codec)
     oracle="""

@@ -1,0 +1,128 @@
+"""Snapshot/time-travel lake table (sources/laketable.py): commit
+protocol, copy-on-write delete, manifest pruning, rollback, compaction,
+vacuum, and the optimistic-concurrency rebase."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from apachebeam_python_spark.sources import laketable as LT
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    # range partitioning gives files disjoint id spans, so predicates can
+    # miss files — what the copy-on-write test needs to observe carry-over
+    v = LT.create_table(df.repartitionByRange(4, "id"), path)
+    assert v == 0
+    return path
+
+
+def _ids(spark, path, version=None):
+    return sorted(
+        r.id for r in LT.read_table(spark, path, version=version).select("id").collect()
+    )
+
+
+def test_create_append_time_travel(spark, tbl):
+    assert _ids(spark, tbl) == list(range(100))
+    v = LT.append(spark.range(100, 120).selectExpr("id", "id * 2 AS v"), tbl)
+    assert v == 1
+    assert _ids(spark, tbl) == list(range(120))
+    # time travel: version 0 is untouched by the append
+    assert _ids(spark, tbl, version=0) == list(range(100))
+    assert [h["op"] for h in LT.history(tbl)] == ["create", "append"]
+    assert [h["n_rows"] for h in LT.history(tbl)] == [100, 120]
+    with pytest.raises(ValueError):
+        LT.create_table(spark.range(1).selectExpr("id", "id AS v"), tbl)
+
+
+def test_delete_where_is_copy_on_write(spark, tbl):
+    """Files whose rows don't match the predicate must carry over
+    UNCHANGED (same manifest paths); only hit files rewrite."""
+    before = {e["path"] for e in LT._read_manifest(tbl, 0)["files"]}
+    v = LT.delete_where(spark, tbl, "id < 10")
+    assert v == 1
+    after = {e["path"] for e in LT._read_manifest(tbl, 1)["files"]}
+    carried = before & after
+    assert carried, "untouched files should carry over by reference"
+    assert _ids(spark, tbl) == list(range(10, 100))
+    # old snapshot still intact (copy-on-write, not in-place)
+    assert _ids(spark, tbl, version=0) == list(range(100))
+    # deleting nothing is a no-op, not an empty commit
+    assert LT.delete_where(spark, tbl, "id > 1000000") == 1
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Range-partitioned files have disjoint id ranges, so a point-range
+    predicate must prune most files at the MANIFEST level (no footer
+    reads)."""
+    path = str(tmp_path / "pruned")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v").repartitionByRange(10, "id")
+    LT.create_table(df, path)
+    total = len(LT._read_manifest(path, 0)["files"])
+    hit = LT.files_matching(path, "id", 150, 160)
+    assert total == 10 and len(hit) <= 2
+    # the pruned subset still contains every matching row
+    got = sorted(
+        r.id
+        for r in spark.read.parquet(*[os.path.join(path, e["path"]) for e in hit])
+        .where("id BETWEEN 150 AND 160")
+        .collect()
+    )
+    assert got == list(range(150, 161))
+
+
+def test_rollback_and_compact(spark, tbl):
+    LT.append(spark.range(100, 200).selectExpr("id", "id * 2 AS v"), tbl)
+    LT.delete_where(spark, tbl, "id >= 50")
+    assert _ids(spark, tbl) == list(range(50))
+    v = LT.rollback(tbl, 1)  # restore the post-append state
+    assert v == 3 and _ids(spark, tbl) == list(range(200))
+    # history is append-only: the bad version 2 is still readable
+    assert _ids(spark, tbl, version=2) == list(range(50))
+    n_before = len(LT._read_manifest(tbl, 3)["files"])
+    LT.compact(spark, tbl, target_files=1)
+    assert len(LT._read_manifest(tbl, 4)["files"]) == 1 < n_before
+    assert _ids(spark, tbl) == list(range(200))  # logical no-op
+
+
+def test_vacuum_drops_dead_files_keeps_current(spark, tbl):
+    LT.delete_where(spark, tbl, "id < 50")
+    LT.compact(spark, tbl, target_files=1)
+    removed = LT.vacuum(tbl, keep_last=1)
+    assert removed > 0
+    assert _ids(spark, tbl) == list(range(50, 100))  # current still reads
+    with pytest.raises(FileNotFoundError):
+        LT.read_table(spark, tbl, version=0)  # history gone after vacuum
+
+
+def test_optimistic_commit_rebases_on_conflict(spark, tbl):
+    """Simulate a concurrent winner: pre-publish version 1 manually; a
+    subsequent append must rebase onto it and land at version 2 with the
+    winner's files included."""
+    winner_files = LT._read_manifest(tbl, 0)["files"][:1]  # pretend-overwrite
+    with open(LT._version_file(tbl, 1), "x") as fh:
+        json.dump({"version": 1, "op": "overwrite", "files": winner_files}, fh)
+    v = LT.append(spark.range(500, 510).selectExpr("id", "id * 2 AS v"), tbl)
+    assert v == 2
+    m = LT._read_manifest(tbl, 2)
+    paths = {e["path"] for e in m["files"]}
+    assert {e["path"] for e in winner_files} <= paths
+    # base is the winner's single file, not version 0's full set
+    assert len(m["files"]) == len(winner_files) + sum(
+        1 for e in m["files"] if e["path"] not in {w["path"] for w in winner_files}
+    )
+    got = sorted(r.id for r in LT.read_table(spark, tbl).select("id").collect())
+    winner_ids = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[os.path.join(tbl, e["path"]) for e in winner_files]
+        ).collect()
+    )
+    assert got == sorted(winner_ids + list(range(500, 510)))
