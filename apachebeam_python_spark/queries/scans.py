@@ -411,6 +411,66 @@ def q_lake_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_merge",
+    driver=False,  # §4.2 MERGE INTO on the snapshot layer — pytest oracle
+    oracle="""
+WITH v0 AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+v1 AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, n_chars + 1000 FROM documents WHERE doc_id % 5 = 0
+)
+SELECT * FROM (
+  SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM v0
+  UNION ALL
+  SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT) FROM v1
+) t
+""",
+)
+def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (latest-wins upsert) on the snapshot lake table
+    (sources/laketable.py): create from the even doc_ids, merge a batch
+    of every 5th document with n_chars+1000 — even multiples of 10 are
+    UPDATES (replace in place via copy-on-write), odd multiples of 5 are
+    INSERTS — then aggregate both snapshots. A green hash proves matched
+    rows were replaced not duplicated, unmatched rows survived the file
+    rewrites, inserts landed once, and version 0 still reads pre-merge.
+
+    Scale: the merge prunes carried files by manifest key-range stats —
+    a trickle of updates against a key-sorted 100 TB table rewrites only
+    the files whose ranges the batch intersects (scale note in the
+    module)."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lakemerge_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    LT.create_table(docs.filter(F.col("doc_id") % 2 == 0), out)
+    src = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    LT.merge(spark, out, src, key="doc_id")
+    per_version = [
+        LT.read_table(spark, out, version=v)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_docs", "id_sum", "chars_sum")
+        for v in (0, 1)
+    ]
+    return per_version[0].unionAll(per_version[1])
+
+
+@register(
     "q_scan_avro",
     driver=False,  # §2.1 Avro container round trip (pure-Python codec)
     oracle="""

@@ -231,6 +231,72 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     return _commit(path, lambda cur: keep + entries, "delete")
 
 
+def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
+    """MERGE (latest-wins upsert) — the Delta ``MERGE INTO`` shape on the
+    copy-on-write machinery: files whose key-range stats cannot contain a
+    source key carry over untouched; hit files rewrite with their matched
+    rows replaced by the source's; unmatched source rows append. One
+    commit, snapshot-isolated.
+
+    At 100 TB the stats prune is the whole game: a trickle of updates
+    against a key-sorted table touches only the files whose [min,max] key
+    ranges the batch intersects, not the table."""
+    v = current_version(path)
+    m = _read_manifest(path, v)
+    bounds = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return v  # empty source — no-op
+    candidates = [
+        e
+        for e in m["files"]
+        if e["stats"].get(key) is None
+        or e["stats"][key][0] is None
+        or not (e["stats"][key][1] < bounds["lo"] or e["stats"][key][0] > bounds["hi"])
+    ]
+    cand_paths = {e["path"] for e in candidates}
+    keep = [e for e in m["files"] if e["path"] not in cand_paths]
+    src = source.cache()
+    try:
+        if candidates:
+            cand_df = spark.read.parquet(
+                *[os.path.join(path, e["path"]) for e in candidates]
+            )
+            # survivors of the hit files (non-matched rows) + ALL source rows
+            merged = cand_df.join(
+                F.broadcast(src.select(F.col(key).alias("__k"))),
+                F.col(key) == F.col("__k"),
+                "left_anti",
+            ).unionByName(src)
+        else:
+            merged = src
+        entries = _stage_files(merged, path)[1]
+    finally:
+        src.unpersist()
+    return _commit(path, lambda cur: keep + entries, "merge")
+
+
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change feed: the rows ADDED between two snapshots = the data files
+    present in ``to_version``'s manifest but not in ``from_version``'s
+    (files are immutable, so file-set diff IS the row-level diff for
+    append/merge workloads). The incremental-consumption primitive — a
+    downstream job reads only the delta, never rescans the table."""
+    to_v = current_version(path) if to_version is None else to_version
+    old = {e["path"] for e in _read_manifest(path, from_version)["files"]}
+    new_files = [
+        os.path.join(path, e["path"])
+        for e in _read_manifest(path, to_v)["files"]
+        if e["path"] not in old
+    ]
+    if not new_files:
+        return read_table(spark, path, version=to_v).limit(0)
+    return spark.read.parquet(*new_files)
+
+
 def rollback(path: str, to_version: int) -> int:
     """Publish a NEW version whose file set is ``to_version``'s — history
     stays append-only, so the bad version remains auditable."""

@@ -102,6 +102,47 @@ def test_vacuum_drops_dead_files_keeps_current(spark, tbl):
         LT.read_table(spark, tbl, version=0)  # history gone after vacuum
 
 
+def test_merge_upsert_latest_wins_and_prunes(spark, tbl):
+    """MERGE: updates replace matched keys, inserts append, and files
+    whose key-range stats miss the source batch carry over untouched."""
+    before = {e["path"] for e in LT._read_manifest(tbl, 0)["files"]}
+    # update batch confined to the first file's key range: the other
+    # range-partitioned files' [min,max] stats miss it → carry over
+    src = spark.createDataFrame([(5, 999), (7, 777)], "id long, v long")
+    v = LT.merge(spark, tbl, src, key="id")
+    assert v == 1
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[5] == 999 and rows[7] == 777
+    assert rows[6] == 12 and len(rows) == 100  # neighbor untouched, no insert
+    after = {e["path"] for e in LT._read_manifest(tbl, 1)["files"]}
+    assert before & after, "stats-missed files should not rewrite"
+    # mixed update+insert batch: matched key replaced, new key appended
+    v = LT.merge(
+        spark,
+        tbl,
+        spark.createDataFrame([(99, -1), (150, 300)], "id long, v long"),
+        key="id",
+    )
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[99] == -1 and rows[150] == 300 and len(rows) == 101
+    # old snapshots unaffected (snapshot isolation)
+    assert len(LT.read_table(spark, tbl, version=0).collect()) == 100
+    # empty source is a no-op, not an empty commit
+    assert LT.merge(spark, tbl, src.limit(0), key="id") == v
+
+
+def test_change_feed_between_versions(spark, tbl):
+    LT.append(spark.range(100, 110).selectExpr("id", "id * 2 AS v"), tbl)
+    LT.append(spark.range(110, 115).selectExpr("id", "id * 2 AS v"), tbl)
+    delta = sorted(r.id for r in LT.read_changes(spark, tbl, 0).select("id").collect())
+    assert delta == list(range(100, 115))
+    delta01 = sorted(
+        r.id for r in LT.read_changes(spark, tbl, 0, 1).select("id").collect()
+    )
+    assert delta01 == list(range(100, 110))
+    assert LT.read_changes(spark, tbl, 2, 2).count() == 0
+
+
 def test_optimistic_commit_rebases_on_conflict(spark, tbl):
     """Simulate a concurrent winner: pre-publish version 1 manually; a
     subsequent append must rebase onto it and land at version 2 with the
