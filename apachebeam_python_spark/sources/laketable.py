@@ -19,10 +19,16 @@ concurrency): a writer stages its parquet under ``data/<uuid>/`` (names
 are fresh — staging can never clobber live data), computes the next
 version's manifest, and publishes it with ``open(..., "x")`` —
 O_CREAT|O_EXCL, atomic on POSIX. If two writers race to version N,
-exactly one ``open`` succeeds; the loser re-reads the log, rebases its
-manifest on the winner's snapshot, and retries at N+1 (optimistic
-concurrency, Delta-style). Data files are immutable once committed;
-every mutation is copy-on-write.
+exactly one ``open`` succeeds. The loser's fate depends on the op:
+append/overwrite compose against ANY snapshot, so they rebase on the
+winner's manifest and retry at N+1; snapshot-dependent ops (delete,
+merge, compact, rollback) raise ConcurrentWriteError instead — their
+file lists were computed against a snapshot that no longer exists, and
+silently publishing them would drop the winner's rows (Delta's conflict
+rules, same shape). Data files are immutable once committed; every
+mutation is copy-on-write, and ``vacuum`` honors a retention window so
+it can never delete files a concurrent writer has staged but not yet
+published.
 
 Operations: ``create_table`` / ``append`` / ``overwrite`` /
 ``delete_where`` (copy-on-write rewrite of ONLY the files whose stats
@@ -52,9 +58,18 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
-#: stats are kept for these leaf types only — nested/binary columns add
+#: stats are kept for JSON-native, order-preserving leaf types only —
+#: date/timestamp would stringify in the manifest and then compare
+#: incorrectly (or raise) against native bounds; nested/binary columns add
 #: manifest weight without prunable predicates
-_STATS_TYPES = ("bigint", "int", "double", "float", "string", "date", "timestamp")
+_STATS_TYPES = ("bigint", "int", "double", "float", "string")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot-dependent commit (delete/merge/compact/rollback) lost a
+    race: the table advanced past the version the operation was computed
+    against. Re-run the operation on the new snapshot — silently rebasing
+    would drop the winner's rows (lost update)."""
 
 
 def _log_dir(path: str) -> str:
@@ -86,18 +101,19 @@ def current_version(path: str) -> int:
     return vs[-1]
 
 
-def _stage_files(df: DataFrame, path: str) -> tuple[str, list[dict]]:
+def _stage_files(df: DataFrame, path: str) -> tuple[list[dict], str]:
     """Write df's rows as immutable parquet under data/<uuid>/ and return
-    (commit id, per-file entries with row counts + min/max stats). Stats
+    (per-file entries with row counts + min/max stats, schema JSON). Stats
     come from ONE grouped pass over the staged files (`_metadata` path),
     not a per-file loop."""
     commit = uuid.uuid4().hex
     stage = os.path.join(path, _DATA, commit)
     df.write.mode("errorifexists").parquet(stage)
     spark = df.sparkSession
-    staged = spark.read.parquet(stage)
+    if not any(f.endswith(".parquet") for f in os.listdir(stage)):
+        return [], df.schema.json()  # empty input — nothing staged
     stat_cols = [
-        f.name for f in staged.schema.fields if f.dataType.simpleString() in _STATS_TYPES
+        f.name for f in df.schema.fields if f.dataType.simpleString() in _STATS_TYPES
     ]
     aggs = [F.count("*").alias("__n")]
     for c in stat_cols:
@@ -118,60 +134,88 @@ def _stage_files(df: DataFrame, path: str) -> tuple[str, list[dict]]:
             for c in stat_cols
         }
         entries.append({"path": rel, "rows": r["__n"], "stats": stats})
-    return commit, sorted(entries, key=lambda e: e["path"])
+    return sorted(entries, key=lambda e: e["path"]), df.schema.json()
 
 
 def _json_safe(v):
     return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
 
 
-def _commit(path: str, build_manifest, op: str) -> int:
-    """Optimistic commit loop: build the manifest against the CURRENT
-    snapshot, try to publish as version+1 with O_EXCL; on a race, re-read
-    and rebase. ``build_manifest(current_files)`` returns the new file
-    list (entries)."""
+#: sentinel for _commit: the op composes against ANY current snapshot
+#: (append/overwrite), so losing a race rebases instead of failing
+_ANY_BASE = object()
+
+
+def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int:
+    """Optimistic commit loop: try to publish the next version with
+    O_EXCL. On a lost race, ops whose result is a pure function of the
+    new files (``base is _ANY_BASE``: append, overwrite, create-conflict
+    handled separately) rebase on the winner's snapshot and retry;
+    snapshot-DEPENDENT ops (delete/merge/compact/rollback, ``base`` =
+    the version they were computed against) raise ConcurrentWriteError —
+    silently rebasing those would drop the winner's commit (lost update).
+    ``schema`` persists in the manifest (carried from the current one
+    when this commit stages no files) so empty snapshots stay readable."""
     os.makedirs(_log_dir(path), exist_ok=True)
     while True:
         vs = _versions(path)
         cur = vs[-1] if vs else None
-        cur_files = _read_manifest(path, cur)["files"] if cur is not None else []
+        if base is not _ANY_BASE and cur != base:
+            raise ConcurrentWriteError(
+                f"{op} was computed against version {base} but the table "
+                f"is now at {cur} — re-run against the current snapshot"
+            )
+        cur_m = _read_manifest(path, cur) if cur is not None else None
         next_v = (cur + 1) if cur is not None else 0
         manifest = {
             "version": next_v,
             "op": op,
-            "files": build_manifest(cur_files),
+            "schema": schema or (cur_m or {}).get("schema"),
+            "files": build_manifest(cur_m["files"] if cur_m else []),
         }
         try:
             with open(_version_file(path, next_v), "x") as fh:
                 json.dump(manifest, fh)
             return next_v
         except FileExistsError:
-            continue  # lost the race — rebase on the winner's snapshot
+            continue  # lost the race — loop re-reads (and re-checks base)
 
 
 def create_table(df: DataFrame, path: str) -> int:
-    """Version 0: stage df's files and publish the first manifest."""
+    """Version 0: stage df's files and publish the first manifest. Losing
+    the version-0 race to another creator raises — it must not overwrite
+    the winner's table as a later version."""
     if _versions(path):
         raise ValueError(f"table already exists at {path}")
-    _, entries = _stage_files(df, path)
-    return _commit(path, lambda cur: entries, "create")
+    entries, schema = _stage_files(df, path)
+    os.makedirs(_log_dir(path), exist_ok=True)
+    try:
+        with open(_version_file(path, 0), "x") as fh:
+            json.dump(
+                {"version": 0, "op": "create", "schema": schema, "files": entries}, fh
+            )
+    except FileExistsError:
+        raise ValueError(f"table already exists at {path} (concurrent create)")
+    return 0
 
 
 def append(df: DataFrame, path: str) -> int:
     """New snapshot = current files + the staged files. Files stage
     BEFORE the commit loop, so a lost race re-publishes the same staged
-    files against the new base — no rewrite."""
+    files against the winner's snapshot — no rewrite, and append order
+    commutes so the rebase is always safe."""
     current_version(path)
-    _, entries = _stage_files(df, path)
-    return _commit(path, lambda cur: cur + entries, "append")
+    entries, schema = _stage_files(df, path)
+    return _commit(path, lambda cur: cur + entries, "append", _ANY_BASE, schema)
 
 
 def overwrite(df: DataFrame, path: str) -> int:
     """New snapshot = only the staged files; prior files stay on disk for
-    time travel until vacuumed."""
+    time travel until vacuumed. Overwrite replaces WHATEVER is current by
+    definition, so a lost race safely retries."""
     current_version(path)
-    _, entries = _stage_files(df, path)
-    return _commit(path, lambda cur: entries, "overwrite")
+    entries, schema = _stage_files(df, path)
+    return _commit(path, lambda cur: entries, "overwrite", _ANY_BASE, schema)
 
 
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -182,7 +226,11 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
     m = _read_manifest(path, v)
     files = [os.path.join(path, e["path"]) for e in m["files"]]
     if not files:
-        raise ValueError(f"version {v} of {path} has no files (empty snapshot)")
+        # empty snapshot (e.g. a delete matched every row): readable via
+        # the schema the manifest carries
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
     return spark.read.parquet(*files)
 
 
@@ -205,10 +253,14 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     """Copy-on-write delete: files whose stats CANNOT hold a matching row
     are carried over untouched; only genuinely affected files rewrite
     (their surviving rows re-stage as new files). At 100 TB this is the
-    difference between rewriting a partition and rewriting the table."""
+    difference between rewriting a partition and rewriting the table.
+    DELETE semantics: a row is removed iff the predicate is TRUE — NULL
+    evaluations survive, regardless of which file they sit in."""
     v = current_version(path)
     m = _read_manifest(path, v)
     all_files = [os.path.join(path, e["path"]) for e in m["files"]]
+    if not all_files:
+        return v
     # which files actually contain matching rows — one pruned scan
     hit = {
         os.path.basename(r["__fp"])
@@ -226,9 +278,14 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     ]
     if not touched:
         return v  # nothing to delete — no empty commit
-    survivors = spark.read.parquet(*touched).where(f"NOT ({predicate})")
-    entries = _stage_files(survivors, path)[1] if survivors.limit(1).count() else []
-    return _commit(path, lambda cur: keep + entries, "delete")
+    # IS NOT TRUE: NULL-predicate rows are NOT deletions and must survive
+    # the rewrite exactly as they survive in carried-over files
+    survivors = spark.read.parquet(*touched).where(f"({predicate}) IS NOT TRUE")
+    if survivors.limit(1).count():
+        entries, schema = _stage_files(survivors, path)
+    else:
+        entries, schema = [], None
+    return _commit(path, lambda cur: keep + entries, "delete", v, schema)
 
 
 def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
@@ -243,18 +300,19 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
     ranges the batch intersects, not the table."""
     v = current_version(path)
     m = _read_manifest(path, v)
-    bounds = source.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+    stats = source.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count("*").alias("n"),
+        F.countDistinct(key).alias("nd"),
     ).collect()[0]
-    if bounds["lo"] is None:
+    if stats["n"] == 0:
         return v  # empty source — no-op
-    candidates = [
-        e
-        for e in m["files"]
-        if e["stats"].get(key) is None
-        or e["stats"][key][0] is None
-        or not (e["stats"][key][1] < bounds["lo"] or e["stats"][key][0] > bounds["hi"])
-    ]
+    if stats["nd"] != stats["n"]:
+        # Delta MERGE errors on multiple source matches per key; silently
+        # unioning duplicates would break the upsert's key uniqueness
+        raise ValueError(f"merge source has duplicate {key!r} values")
+    candidates = files_matching(path, key, stats["lo"], stats["hi"], version=v)
     cand_paths = {e["path"] for e in candidates}
     keep = [e for e in m["files"] if e["path"] not in cand_paths]
     src = source.cache()
@@ -271,20 +329,22 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
             ).unionByName(src)
         else:
             merged = src
-        entries = _stage_files(merged, path)[1]
+        entries, schema = _stage_files(merged, path)
     finally:
         src.unpersist()
-    return _commit(path, lambda cur: keep + entries, "merge")
+    return _commit(path, lambda cur: keep + entries, "merge", v, schema)
 
 
 def read_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
-    """Change feed: the rows ADDED between two snapshots = the data files
-    present in ``to_version``'s manifest but not in ``from_version``'s
-    (files are immutable, so file-set diff IS the row-level diff for
-    append/merge workloads). The incremental-consumption primitive — a
-    downstream job reads only the delta, never rescans the table."""
+    """Change feed: the rows in data files present in ``to_version``'s
+    manifest but not in ``from_version``'s. Files are immutable, so for
+    APPEND-ONLY workloads the file-set diff is exactly the row-level
+    diff. For merge/delete windows the feed is AT-LEAST-ONCE: rewritten
+    files re-emit their carried survivor rows alongside the actual
+    changes (the standard CDF-without-row-tracking caveat — consumers
+    needing exactly-once dedup on a key downstream)."""
     to_v = current_version(path) if to_version is None else to_version
     old = {e["path"] for e in _read_manifest(path, from_version)["files"]}
     new_files = [
@@ -299,18 +359,23 @@ def read_changes(
 
 def rollback(path: str, to_version: int) -> int:
     """Publish a NEW version whose file set is ``to_version``'s — history
-    stays append-only, so the bad version remains auditable."""
-    target = _read_manifest(path, to_version)["files"]
-    return _commit(path, lambda cur: target, "rollback")
+    stays append-only, so the bad version remains auditable. Conflicts
+    with concurrent writers (the rollback decision was made against the
+    current head)."""
+    v = current_version(path)
+    tm = _read_manifest(path, to_version)
+    return _commit(path, lambda cur: tm["files"], "rollback", v, tm.get("schema"))
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Rewrite the current snapshot into ``target_files`` files — the
     logical table is unchanged (same rows, one new version); old files
-    stay for time travel until vacuum."""
-    df = read_table(spark, path).coalesce(target_files)
-    entries = _stage_files(df, path)[1]
-    return _commit(path, lambda cur: entries, "compact")
+    stay for time travel until vacuum. Conflicts with concurrent writers
+    (the rewrite captured a specific snapshot)."""
+    v = current_version(path)
+    df = read_table(spark, path, version=v).coalesce(target_files)
+    entries, schema = _stage_files(df, path)
+    return _commit(path, lambda cur: entries, "compact", v, schema)
 
 
 def history(path: str) -> list[dict]:
@@ -329,27 +394,50 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_last: int = 1) -> int:
+def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 600.0) -> int:
     """Delete data files unreachable from the last ``keep_last`` manifests
-    (and drop the older manifests). Returns the number of files removed.
-    The one DESTRUCTIVE operation — time travel shrinks to the kept tail."""
+    (and drop the older manifests). Returns the number of parquet files
+    removed. The one DESTRUCTIVE operation — time travel shrinks to the
+    kept tail.
+
+    ``retention_seconds`` is the standard vacuum safety window (Delta has
+    the same): files younger than it are NEVER removed even if no kept
+    manifest references them, because an in-flight writer may have staged
+    them ahead of a commit that hasn't published yet. Pass 0 only when no
+    writer can be concurrent (tests, single-process maintenance)."""
+    import time
+
     vs = _versions(path)
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the current version")
     kept, dropped = vs[-keep_last:], vs[:-keep_last]
-    live = {
-        e["path"] for v in kept for e in _read_manifest(path, v)["files"]
-    }
+    live = {e["path"] for v in kept for e in _read_manifest(path, v)["files"]}
+    now = time.time()
     removed = 0
     data_root = os.path.join(path, _DATA)
     for commit_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
-        for f in os.listdir(os.path.join(data_root, commit_dir)):
+        cdir = os.path.join(data_root, commit_dir)
+        names = os.listdir(cdir)
+        parquets = [f for f in names if f.endswith(".parquet")]
+        live_here = any(os.path.join(_DATA, commit_dir, f) in live for f in parquets)
+        young = any(
+            now - os.path.getmtime(os.path.join(cdir, f)) < retention_seconds
+            for f in names
+        )
+        if not live_here and not young:
+            # whole commit dir is dead (incl. _SUCCESS/.crc sidecars)
+            removed += len(parquets)
+            shutil.rmtree(cdir)
+            continue
+        for f in parquets:
             rel = os.path.join(_DATA, commit_dir, f)
-            if f.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(path, rel))
+            full = os.path.join(cdir, f)
+            if rel not in live and now - os.path.getmtime(full) >= retention_seconds:
+                os.remove(full)
                 removed += 1
-        if not os.listdir(os.path.join(data_root, commit_dir)):
-            shutil.rmtree(os.path.join(data_root, commit_dir))
+                crc = os.path.join(cdir, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
     for v in dropped:
         os.remove(_version_file(path, v))
     return removed

@@ -95,11 +95,73 @@ def test_rollback_and_compact(spark, tbl):
 def test_vacuum_drops_dead_files_keeps_current(spark, tbl):
     LT.delete_where(spark, tbl, "id < 50")
     LT.compact(spark, tbl, target_files=1)
-    removed = LT.vacuum(tbl, keep_last=1)
+    # retention window: young DATA files survive even when unreferenced
+    # (so an in-flight writer's staged files are safe); manifests beyond
+    # keep_last are dropped as requested
+    assert LT.vacuum(tbl, keep_last=1) == 0
+    removed = LT.vacuum(tbl, keep_last=1, retention_seconds=0)
     assert removed > 0
     assert _ids(spark, tbl) == list(range(50, 100))  # current still reads
     with pytest.raises(FileNotFoundError):
         LT.read_table(spark, tbl, version=0)  # history gone after vacuum
+    # dead commit dirs are fully gone, sidecars included
+    data_root = os.path.join(tbl, "data")
+    live_dirs = {
+        os.path.dirname(e["path"]).split(os.sep)[-1]
+        for e in LT._read_manifest(tbl, LT.current_version(tbl))["files"]
+    }
+    assert set(os.listdir(data_root)) == live_dirs
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """DELETE removes rows where the predicate is TRUE; NULL evaluations
+    must survive regardless of whether their file was rewritten."""
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, 14), (2, None), (3, 5)], "id long, n_chars long"
+    )
+    LT.create_table(df.coalesce(1), path)  # one file → it WILL rewrite
+    LT.delete_where(spark, path, "n_chars % 7 = 0")
+    rows = {r.id for r in LT.read_table(spark, path).collect()}
+    assert rows == {2, 3}  # the NULL row survived the rewrite
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    df = spark.range(10).selectExpr("id", "id AS v")
+    LT.create_table(df, path)
+    LT.delete_where(spark, path, "id >= 0")
+    out = LT.read_table(spark, path)
+    assert out.count() == 0 and [f.name for f in out.schema.fields] == ["id", "v"]
+    # and the table comes back to life on append
+    LT.append(spark.range(5).selectExpr("id", "id AS v"), path)
+    assert _ids(spark, path) == list(range(5))
+
+
+def test_snapshot_dependent_ops_conflict_instead_of_losing_updates(spark, tbl):
+    """delete/merge/compact computed against a stale snapshot must raise,
+    not silently drop a concurrent writer's commit."""
+    import json as _json
+
+    # concurrent winner publishes version 1 while our delete is in flight
+    def pre_publish():
+        m = LT._read_manifest(tbl, 0)
+        with open(LT._version_file(tbl, 1), "x") as fh:
+            _json.dump({**m, "version": 1, "op": "append"}, fh)
+
+    pre_publish()
+    with pytest.raises(LT.ConcurrentWriteError):
+        # computed against version 0 via monkey: simulate by calling the
+        # internal commit with a stale base
+        LT._commit(tbl, lambda cur: cur, "delete", 0, None)
+    # the real ops read the head themselves, so they succeed against v1
+    assert LT.delete_where(spark, tbl, "id < 10") == 2
+
+
+def test_merge_duplicate_source_keys_raises(spark, tbl):
+    src = spark.createDataFrame([(5, 1), (5, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        LT.merge(spark, tbl, src, key="id")
 
 
 def test_merge_upsert_latest_wins_and_prunes(spark, tbl):
