@@ -146,6 +146,32 @@ class Pipeline:
 
         write_parquet(self._df, path, mode, partition_by)
 
+    # -- snapshot lake table (sources/laketable.py) ----------------------
+    @classmethod
+    def read_lake(
+        cls, spark: SparkSession, path: str, version: int | None = None
+    ) -> "Pipeline":
+        """Time-travel read of a snapshot lake table."""
+        from .sources.laketable import read_table
+
+        return cls(read_table(spark, path, version=version))
+
+    def lake_create(self, path: str) -> int:
+        from .sources.laketable import create_table
+
+        return create_table(self._df, path)
+
+    def lake_append(self, path: str) -> int:
+        from .sources.laketable import append
+
+        return append(self._df, path)
+
+    def lake_merge(self, path: str, key: str) -> int:
+        """MERGE INTO (upsert) this pipeline's rows by ``key``."""
+        from .sources.laketable import merge
+
+        return merge(self._df.sparkSession, path, self._df, key)
+
 
 def _unwrap(x: "Pipeline | DataFrame") -> DataFrame:
     return x._df if isinstance(x, Pipeline) else x

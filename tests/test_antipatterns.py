@@ -20,6 +20,9 @@ ALLOWED_COLLECTS = {
     "operators/decomposition.py": 1,  # PCA moment partials (dim^2+dim+1 rows)
     "sources/avro_lite.py": 1,  # sink action: 1 row per write task (row counts)
     "sources/mlexport.py": 2,  # sink actions: 1 row per shard (tar / tfrecord)
+    # manifest metadata: per-file stats (1 row per staged FILE), delete's
+    # hit-file list (≤ files), merge's 1-row source bounds — all O(files)
+    "sources/laketable.py": 3,
 }
 
 

@@ -78,3 +78,20 @@ def test_corpus_operator_chain(spark, sf_dir):
 
     hits = docs.bm25(["hash", "join"], "text", "doc_id", k=5).to_df()
     assert hits.count() == 5
+
+
+def test_lake_facade_round_trip(spark, tmp_path):
+    """Lake-table methods on the facade: create → append → merge → read
+    with time travel, identical to calling sources/laketable directly."""
+    path = str(tmp_path / "lake")
+    base = Pipeline.of(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    assert base.lake_create(path) == 0
+    assert Pipeline.of(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+    ).lake_append(path) == 1
+    assert Pipeline.of(
+        spark.createDataFrame([(3, 999), (20, 1)], "id long, v long")
+    ).lake_merge(path, key="id") == 2
+    rows = {r.id: r.v for r in Pipeline.read_lake(spark, path).to_df().collect()}
+    assert rows[3] == 999 and rows[20] == 1 and len(rows) == 16
+    assert Pipeline.read_lake(spark, path, version=0).to_df().count() == 10
