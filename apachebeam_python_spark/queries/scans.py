@@ -471,6 +471,45 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_changes",
+    driver=False,  # §4.2 incremental change feed — pytest oracle
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT)    AS n_new,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id % 2 = 1
+GROUP BY source
+""",
+)
+def q_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (sources/laketable.read_changes): create
+    the table from even doc_ids, append the odds across TWO commits, then
+    consume the changes since version 0 — the manifest file-set diff must
+    yield exactly the appended rows (append-only windows are exact; the
+    at-least-once caveat for rewrite ops is documented in the module).
+    This is how a downstream job processes only the delta instead of
+    rescanning the table.
+
+    Scale: the diff is manifest arithmetic on the driver — O(files) set
+    membership — and the read opens only the added files."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lakechanges_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    LT.create_table(docs.filter(F.col("doc_id") % 2 == 0), out)
+    LT.append(docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)), out)
+    LT.append(docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 != 0)), out)
+    return (
+        LT.read_changes(spark, out, from_version=0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+@register(
     "q_scan_avro",
     driver=False,  # §2.1 Avro container round trip (pure-Python codec)
     oracle="""
