@@ -10,6 +10,8 @@ cluster like any narrow projection + one designed aggregation.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -323,3 +325,38 @@ def novelty_scores(
             "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy audit before releasing or training on user-derived data
+    (SURVEY §2.11 curation family): a table is k-ANONYMOUS on a set of
+    quasi-identifiers when every equivalence class (distinct QI
+    combination) contains ≥ k rows — smaller classes re-identify
+    individuals by linkage. With ``sensitive_col``, also reports each
+    class's distinct sensitive-value count (l-DIVERSITY: a class whose
+    sensitive values are all identical leaks the attribute even at k).
+
+    Returns one row per equivalence class below the bar (class_size < k,
+    or l_diversity = 1 when a sensitive column is given), with the QI
+    values, class_size, and l_diversity — the worklist for suppression /
+    generalization.
+
+    100 TB plan: one partial+final hash aggregation on the QI key — the
+    same shuffle economics as any groupBy; the report is bounded by the
+    number of VIOLATING classes, not table size. Skewed QI combos (huge
+    compliant classes) combine map-side and never dominate the shuffle.
+    """
+    aggs = [F.count("*").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("l_diversity"))
+    classes = df.groupBy(*quasi_identifiers).agg(*aggs)
+    cond = F.col("class_size") < k
+    if sensitive_col is not None:
+        cond = cond | (F.col("l_diversity") == 1)
+    return classes.filter(cond)

@@ -821,6 +821,40 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_k_anonymity",
+    driver=False,  # §2.11 privacy audit — pytest oracle
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT)                    AS class_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT)   AS l_diversity
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 8 OR count(DISTINCT c_acctbal) = 1
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit
+    (operators/curation.k_anonymity_report): equivalence classes over the
+    quasi-identifiers (nation, market segment) with fewer than k=8
+    members — linkage-re-identifiable — or whose sensitive attribute
+    (account balance) has a single distinct value (attribute disclosure
+    even at k). The pre-release gate before user-derived data enters a
+    training corpus; the violating classes are the suppression/
+    generalization worklist.
+
+    Scale: one partial+final hash agg on the QI key; output is bounded by
+    violating classes, not table size (scale note in the operator)."""
+    from ..operators.curation import k_anonymity_report
+
+    return k_anonymity_report(
+        table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=8,
+        sensitive_col="c_acctbal",
+    )
+
+
+@register(
     "q_pii_scrub",
     driver=False,  # extra beyond SURVEY §2 — pytest-only, oracle-checked
     oracle=r"""

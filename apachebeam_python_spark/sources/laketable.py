@@ -335,6 +335,46 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
     return _commit(path, lambda cur: keep + entries, "merge", v, schema)
 
 
+def append_stream_batch(df: DataFrame, path: str, batch_id: int) -> int:
+    """Exactly-once streaming append — the ``foreachBatch`` body for
+    writing a stream into a lake table::
+
+        stream.writeStream.foreachBatch(
+            lambda df, bid: LT.append_stream_batch(df, table_path, bid)
+        )
+
+    Idempotence: each commit records its ``batch_id`` in the manifest; a
+    replayed micro-batch (driver died between commit and checkpoint)
+    finds its id already present and SKIPS — the transactional half of
+    the checkpoint+idempotent-sink contract. Spark serializes foreachBatch
+    invocations within a query, so the check-then-commit pair does not
+    race with itself."""
+    for v in reversed(_versions(path)):
+        m = _read_manifest(path, v)
+        if m["op"] == "stream-append" and m.get("batch_id") == batch_id:
+            return v  # replayed batch — already committed
+    entries, schema = _stage_files(df, path)
+    os.makedirs(_log_dir(path), exist_ok=True)
+    while True:
+        vs = _versions(path)
+        cur = vs[-1] if vs else None
+        cur_m = _read_manifest(path, cur) if cur is not None else None
+        next_v = (cur + 1) if cur is not None else 0
+        manifest = {
+            "version": next_v,
+            "op": "stream-append",
+            "batch_id": batch_id,
+            "schema": schema or (cur_m or {}).get("schema"),
+            "files": (cur_m["files"] if cur_m else []) + entries,
+        }
+        try:
+            with open(_version_file(path, next_v), "x") as fh:
+                json.dump(manifest, fh)
+            return next_v
+        except FileExistsError:
+            continue
+
+
 def read_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
