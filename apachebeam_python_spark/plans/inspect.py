@@ -46,3 +46,26 @@ def read_schema(df: DataFrame) -> str:
     return "\n".join(
         line.strip() for line in formatted(df).splitlines() if "ReadSchema" in line
     )
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable sha256 of the executed plan (VERDICT r3 #5): expression ids,
+    plan ids, codegen stage ids, and filesystem locations are stripped so the
+    hash survives re-runs and host moves but flips on any real plan change —
+    bench JSON carries it per headline query so a timing delta can be
+    attributed to host noise (same fingerprint) vs a plan regression
+    (different fingerprint) without a manual diff."""
+    import hashlib
+    import re as _re
+
+    plan = executed_plan(df)
+    lines = []
+    for line in plan.splitlines():
+        if "Location" in line or "file:" in line or "URI" in line:
+            continue
+        line = _re.sub(r"#\d+[A-Za-z]*", "#", line)
+        line = _re.sub(r"plan_id=\d+", "plan_id=", line)
+        line = _re.sub(r"\[id=#\]", "", line)
+        line = _re.sub(r"\(\d+\)", "()", line)  # codegen stage ids
+        lines.append(line.rstrip())
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]

@@ -17,6 +17,13 @@ rewrites the tables into multi-file copies under a temp dir via
 ``sources.layout.rewrite_for_parallel_scan`` (the lake-maintenance story
 applied to the harness's own inputs) and times queries against those.
 ``SPARK_GRAFT_BENCH_COMPACT=0`` disables it to measure the raw layout.
+
+Comparability across rounds (round 4, VERDICT r3 #5): the JSON carries
+``plan_sha`` — a location-/exprId-stripped sha256 of each headline query's
+executed plan. Same fingerprint + different timing ⇒ host noise; different
+fingerprint ⇒ a real plan change. Round 3 spent an hour attributing
++25–49 % per-query deltas to a slower VM; the fingerprint makes that a
+field compare.
 """
 
 from __future__ import annotations
@@ -118,6 +125,20 @@ def main() -> None:
             shutil.rmtree(cleanup_dir, ignore_errors=True)
     best = {n: min(p[n] for p in passes) for n in HEADLINE}
 
+    # plan fingerprints (VERDICT r3 #5): computed against the ORIGINAL
+    # fixture dir (stable location-independent hash) so round-over-round
+    # bench JSONs are comparable — a timing delta with an unchanged
+    # fingerprint is host noise, with a changed one a plan regression.
+    from apachebeam_python_spark.plans.inspect import plan_fingerprint
+
+    plan_sha = {}
+    for name in HEADLINE:
+        try:
+            plan_sha[name] = plan_fingerprint(q.QUERIES[name](spark, sf_dir))
+        except Exception:  # streaming queries build/drain on the fly
+            plan_sha[name] = None
+    release_signature_caches()
+
     print(
         json.dumps(
             {
@@ -130,6 +151,7 @@ def main() -> None:
                 "queries_cold": passes[0],
                 "value_warm": round(sum(passes[-1].values()), 3),
                 "queries_warm": passes[-1],
+                "plan_sha": plan_sha,
             }
         )
     )
