@@ -480,3 +480,65 @@ def test_threshold_alert_state_carries_across_batches(spark):
         for r in spark.table(sink).collect()
     }
     assert got == {1: (1100.0, 3), 2: (1500.0, 1)}, got
+
+
+def test_late_data_census_exact_drop_counts(spark):
+    """VERDICT r3 #6: make the allowed-lateness divergence OBSERVABLE with
+    numbers. Spark's ``withWatermark`` is drop-only (Beam: allowed_lateness=0,
+    discarding, on-time pane only); Beam with allowed_lateness>0 would refire
+    a late pane instead. This test replays a scripted schedule with a known
+    number of behind-watermark rows and asserts the engine's own census —
+    ``numRowsDroppedByWatermark`` in the state-operator progress — equals
+    exactly the expected count, so the divergence is a measured quantity,
+    not prose. Metric semantics (measured here, worth pinning): the counter
+    runs INSIDE the stateful operator, after partial aggregation, so it
+    counts late (window, key) state rows, not raw input rows — our 4 late
+    input rows arrive as 3 late window-partials (0:00-window ×2 rows,
+    1:00-window, then 10:00-window in a later batch)."""
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"census_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    def at(h, m):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    _write(spark, src, [(1, at(10, 0), 1.0), (1, at(10, 30), 1.0)])
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    agg = ET.tumbling(
+        stream.withWatermark("ts", "5 minutes"), "ts", "1 hour", n=F.count("*")
+    )
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        q.processAllAvailable()  # watermark → 10:25
+        # 3 rows behind the 10:25 watermark, 2 on-time
+        _write(
+            spark,
+            src,
+            [
+                (1, at(0, 30), 99.0),
+                (1, at(0, 45), 99.0),
+                (1, at(1, 0), 99.0),
+                (1, at(10, 40), 1.0),
+                (1, at(12, 0), 1.0),
+            ],
+        )
+        q.processAllAvailable()  # watermark → 11:55
+        # 1 more late row (10:05 < 11:55) + 1 on-time row
+        _write(spark, src, [(1, at(10, 5), 99.0), (1, at(13, 0), 1.0)])
+        q.processAllAvailable()
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+
+    assert dropped == 3, (
+        f"expected exactly 3 behind-watermark window-partials dropped, got {dropped}"
+    )
+    rows = {(r.window_start, r.n) for r in spark.table(sink).collect()}
+    # the finalized 10:00 window holds ONLY the on-time rows — under Beam
+    # allowed_lateness ≥ 1:55 h the 10:05 row would have refired it with n=4
+    assert rows == {(at(10, 0), 3)}
