@@ -221,16 +221,25 @@ def overwrite(df: DataFrame, path: str) -> int:
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read: the manifest's explicit file list goes straight to
     the parquet reader — no directory listing, and time travel is just
-    an older manifest."""
+    an older manifest.
+
+    The read applies the MANIFEST's schema (round 4): after a
+    schema-evolving MERGE the snapshot mixes old-schema carried-over files
+    with new-schema rewrites, and the explicit schema makes the parquet
+    reader fill the missing columns with NULL — Delta's read path for
+    evolved tables, without rewriting history."""
+    from pyspark.sql.types import StructType
+
     v = current_version(path) if version is None else version
     m = _read_manifest(path, v)
     files = [os.path.join(path, e["path"]) for e in m["files"]]
+    schema = StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
     if not files:
         # empty snapshot (e.g. a delete matched every row): readable via
         # the schema the manifest carries
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.createDataFrame([], schema)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -297,7 +306,17 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
 
     At 100 TB the stats prune is the whole game: a trickle of updates
     against a key-sorted table touches only the files whose [min,max] key
-    ranges the batch intersects, not the table."""
+    ranges the batch intersects, not the table.
+
+    Schema evolution (round 4, Delta's ``mergeSchema`` on write): source
+    columns absent from the target are ADDED to the table schema (existing
+    rows read as NULL via the manifest-schema read — carried-over files
+    never rewrite); target columns absent from the source are inserted as
+    NULL for new rows and preserved verbatim for survivors. The evolved
+    schema is committed in the manifest, so readers of the new snapshot see
+    one consistent wide schema across old and new files."""
+    from pyspark.sql.types import StructType
+
     v = current_version(path)
     m = _read_manifest(path, v)
     stats = source.agg(
@@ -315,10 +334,28 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
     candidates = files_matching(path, key, stats["lo"], stats["hi"], version=v)
     cand_paths = {e["path"] for e in candidates}
     keep = [e for e in m["files"] if e["path"] not in cand_paths]
-    src = source.cache()
+    # evolved schema: target fields (authoritative types) + new source fields
+    tgt_schema = (
+        StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else source.schema
+    )
+    tgt_names = {f.name for f in tgt_schema.fields}
+    evolved = StructType(
+        list(tgt_schema.fields)
+        + [f for f in source.schema.fields if f.name not in tgt_names]
+    )
+    src_names = set(source.columns)
+    aligned_src = source.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in src_names else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in evolved.fields
+        ]
+    )
+    src = aligned_src.cache()
     try:
         if candidates:
-            cand_df = spark.read.parquet(
+            # evolved-schema read: hit files staged before the evolution
+            # surface the new columns as NULL without a history rewrite
+            cand_df = spark.read.schema(evolved).parquet(
                 *[os.path.join(path, e["path"]) for e in candidates]
             )
             # survivors of the hit files (non-matched rows) + ALL source rows
@@ -332,7 +369,7 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
         entries, schema = _stage_files(merged, path)
     finally:
         src.unpersist()
-    return _commit(path, lambda cur: keep + entries, "merge", v, schema)
+    return _commit(path, lambda cur: keep + entries, "merge", v, schema or evolved.json())
 
 
 def append_stream_batch(df: DataFrame, path: str, batch_id: int) -> int:
