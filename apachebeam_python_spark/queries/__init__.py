@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     scalar_fns,
     scans,
     setops,
+    stats_tests,
     streaming_q,
     tpch,
     udfs,

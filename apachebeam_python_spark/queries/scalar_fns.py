@@ -443,3 +443,55 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_string(xml, F.lit("/event/@type")).alias("xp_type"),
         F.xpath_long(xml, F.lit("/event/id")).alias("xp_id"),
     )
+
+
+@register(
+    "q_sql_udf",
+    driver=False,  # §2.10 SQL-language UDF surface (round 4) — pytest oracle
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS charge_sum,
+       round(min(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)), 4) AS charge_min
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag
+""",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (SURVEY §2.10 — Spark 4's
+    ``CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr``, the Beam-SQL
+    ``CREATE FUNCTION`` analogue): a ``charge(price, disc, tax)`` function
+    defined in SQL, then used inside an aggregation. The function body is
+    pure expression code, so Catalyst INLINES it — the plan is identical
+    to writing the expression by hand (no UDF call boundary, full codegen,
+    pushdown unaffected). The oracle states the inlined expression; the
+    per-row round(4) keeps the double product engine-stable before the
+    DECIMAL partial sum.
+
+    Scale: zero cost over the hand-written expression — the named
+    function is purely a reuse/veneer surface, which is exactly the
+    property worth proving here."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN round(price * (1 - disc) * (1 + tax), 4)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(round(sum(CAST(charge(l_extendedprice, l_discount, l_tax)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS charge_sum,
+               round(min(charge(l_extendedprice, l_discount, l_tax)), 4) AS charge_min
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag
+        """
+    )

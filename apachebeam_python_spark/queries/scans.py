@@ -676,3 +676,45 @@ def q_scan_avro_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.min("text").alias("first_text"),
     )
+
+
+@register(
+    "q_scan_orc",
+    driver=False,  # §2.1 columnar-format breadth (round 4) — pytest oracle
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT)       AS n_orders,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_sum
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read round trip (SURVEY §2.1): the second first-class
+    columnar format next to parquet, via Spark's built-in ORC datasource
+    (predicate pushdown and column pruning work the same). The oracle
+    aggregates the ORIGINAL parquet table, so a green hash proves the ORC
+    round trip is value-lossless for long/string/double columns.
+
+    Scale: format choice doesn't change the plan — the filter pushes into
+    the ORC scan exactly as it does for parquet; the write is one pass."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"orc_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_custkey").alias("cust_sum"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )

@@ -1,0 +1,353 @@
+"""Classical hypothesis tests as distributed queries (round 4).
+
+SURVEY §2.3 statistical extensions, same tier as q_ab_test/q_ols_trend:
+the inferential-statistics layer a training-data / experimentation
+pipeline runs at corpus scale — chi-square independence, Mann-Whitney U,
+two-sample Kolmogorov-Smirnov, and one-way ANOVA, each over the
+``events`` table and each DuckDB-oracle-backed.
+
+Engine-parity discipline (SURVEY §7.4.4 + auto-memory
+oracle-parity-gotchas): ``events.value`` is an exact 2-dp double, so every
+test works in integer CENTS (``CAST(round(value*100) AS BIGINT)``) —
+counts, rank sums, tie censuses, and sums of squares stay EXACT 64-bit
+integers in both engines; only the final statistic assembles those
+integers through one identical IEEE expression tree before a 6-dp round.
+No libm beyond sqrt (correctly rounded — safe).
+
+Scale: every test reduces to one groupBy over its grouping key plus a
+metadata-sized statistic assembly (k groups, k ≤ |event_type| = 5 here).
+The rank-based tests (Mann-Whitney, KS) need a global value order; at
+100 TB that is a range-partitioned sort (Spark's global Window without
+PARTITION BY collapses to one task — fine for the k-group statistic
+tables here, flagged per-query below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import table
+from ._registry import register
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence
+# --------------------------------------------------------------------------
+@register(
+    "q_chi_square",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS band,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT c.*,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(sum(o) OVER (PARTITION BY band) AS BIGINT)       AS c_tot,
+         CAST(sum(o) OVER () AS BIGINT)                        AS n
+  FROM cells c
+)
+SELECT max(n)                                   AS n,
+       CAST((count(*) / 2 - 1) * 1 AS BIGINT)   AS dof,
+       round(sum(
+         (n * o - r * c_tot) * CAST(n * o - r * c_tot AS DOUBLE)
+         / (CAST(n AS DOUBLE) * r * c_tot)
+       ), 6)                                    AS chi2,
+       round(sqrt(sum(
+         (n * o - r * c_tot) * CAST(n * o - r * c_tot AS DOUBLE)
+         / (CAST(n AS DOUBLE) * r * c_tot)
+       ) / max(n)), 6)                          AS cramers_v
+FROM tot
+""",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type × value band (hi/lo at
+    100). The per-cell contribution is rewritten as
+    (N·o − r·c)² / (N·r·c) so every operand is an exact 64-bit integer and
+    the double result is the same IEEE value in both engines; Cramér's V
+    normalizes by N·min(r−1,c−1) = N for the 2-band table.
+
+    Scale: one shuffle on (event_type, band); the contingency table is
+    k×2 rows of metadata — the window totals and the final sum run on
+    that, not on events."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        e.select(
+            "event_type",
+            F.when(F.col("value") >= 100, "hi").otherwise("lo").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = (
+        cells.withColumn("r", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c_tot", F.sum("o").over(Window.partitionBy("band")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c_tot")
+    contrib = dev * dev.cast("double") / (
+        F.col("n").cast("double") * F.col("r") * F.col("c_tot")
+    )
+    return tot.agg(
+        F.max("n").alias("n"),
+        ((F.count("*") / 2 - 1) * 1).cast("long").alias("dof"),
+        F.round(F.sum(contrib), 6).alias("chi2"),
+        F.round(F.sqrt(F.sum(contrib) / F.max("n")), 6).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test
+# --------------------------------------------------------------------------
+@register(
+    "q_mann_whitney",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS rmin,
+         CAST(count(*) OVER (PARTITION BY cents) AS BIGINT) AS t
+  FROM s
+), ties AS (
+  SELECT coalesce(CAST(sum(t * t * t - t) AS BIGINT), 0) AS tie_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY cents) u
+  WHERE t > 1
+), agg AS (
+  SELECT CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS n2,
+         sum(CASE WHEN grp = 'click' THEN rmin + (t - 1) / 2.0 END)     AS r1
+  FROM ranked
+)
+SELECT n1, n2, round(r1, 1) AS r1,
+       round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1,
+       round(
+         (r1 - n1 * (n1 + 1) / 2.0 - n1 * CAST(n2 AS DOUBLE) / 2.0)
+         / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                * ((n1 + n2 + 1)
+                   - CAST(tie_sum AS DOUBLE) / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+         6) AS z_stat
+FROM agg, ties
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U: click vs view event values. Average ranks for ties
+    come from min-rank + (tie_count−1)/2 — exact multiples of 0.5, so the
+    rank sum is exact in a double; the tie-corrected normal approximation
+    assembles integer (n1, n2, Σ(t³−t)) through one shared IEEE tree.
+
+    Scale: ranking is a global sort — here it runs as one window task
+    (two event types of the fixture ≈ 4k rows at sf0.01); at 100 TB
+    replace with a range-partitioned rank (sortWithinPartitions after
+    repartitionByRange + per-partition offset join, the standard
+    distributed ranking pattern)."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("cents"))
+    )
+    ranked = s.select(
+        "grp",
+        "cents",
+        F.rank().over(Window.orderBy("cents")).alias("rmin"),
+        F.count("*").over(Window.partitionBy("cents")).alias("t"),
+    )
+    ties = (
+        s.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(F.coalesce(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)).alias("tie_sum"))
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("grp") == "click", F.col("rmin") + (F.col("t") - 1) / 2.0)).alias("r1"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    n1d = F.col("n1")
+    n2d = F.col("n2")
+    u1 = F.col("r1") - n1d * (n1d + 1) / 2.0
+    z = (u1 - n1d * n2d.cast("double") / 2.0) / F.sqrt(
+        n1d * n2d.cast("double") / 12.0
+        * (
+            (n1d + n2d + 1)
+            - F.col("tie_sum").cast("double") / ((n1d + n2d) * (n1d + n2d - 1).cast("double"))
+        )
+    )
+    return j.select(
+        "n1",
+        "n2",
+        F.round("r1", 1).alias("r1"),
+        F.round(u1, 1).alias("u1"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov
+# --------------------------------------------------------------------------
+@register(
+    "q_ks_test",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), n AS (
+  SELECT CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS n2
+  FROM s
+), steps AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS b
+  FROM s GROUP BY cents
+), ecdf AS (
+  SELECT CAST(sum(a) OVER (ORDER BY cents) AS BIGINT) AS ca,
+         CAST(sum(b) OVER (ORDER BY cents) AS BIGINT) AS cb
+  FROM steps
+)
+SELECT n1, n2,
+       round(max(abs(ca * CAST(n2 AS BIGINT) - cb * CAST(n1 AS BIGINT)))
+             / (n1 * CAST(n2 AS DOUBLE)), 6) AS ks_d
+FROM ecdf, n
+GROUP BY n1, n2
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic D = max|F₁−F₂| for click vs view values.
+    The ECDF gap is computed as the INTEGER |ca·n2 − cb·n1| (cross-scaled
+    cumulative counts), so the max is found over exact integers and only
+    the final normalization divides — no float comparisons decide the
+    answer in either engine.
+
+    Scale: the distinct-value step table (≤ 100·max_value rows) is what
+    sorts, not the events; one groupBy shuffle + one ordered window over
+    the step table."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("cents"))
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    steps = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = steps.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    return (
+        ecdf.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(gap) / (F.col("n1") * F.col("n2").cast("double")), 6
+            ).alias("ks_d")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA
+# --------------------------------------------------------------------------
+@register(
+    "q_anova",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT)                                    AS n_g,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)     AS s_g,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT)   AS ss_g
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+), t AS (
+  -- exact-sum discipline: s_g²/n_g is split into integer quotient +
+  -- sub-unit remainder fraction so the cross-group sums are an exact
+  -- BIGINT plus a sum of k tiny doubles — order-independent in both
+  -- engines to ~1e-15, where a raw double sum of s_g²/n_g terms is
+  -- order-dependent at the rounding boundary
+  SELECT CAST(count(*) AS BIGINT)  AS k,
+         CAST(sum(n_g) AS BIGINT)  AS n,
+         CAST(sum(s_g) AS BIGINT)  AS s,
+         CAST(sum(ss_g) AS BIGINT) AS ss,
+         CAST(sum((s_g * s_g) // n_g) AS BIGINT)       AS q,
+         sum(((s_g * s_g) % n_g) / CAST(n_g AS DOUBLE)) AS fr
+  FROM g
+)
+SELECT k, n,
+       round(((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE))) / 10000.0, 4) AS ss_between,
+       round(((ss - q) - fr) / 10000.0, 4)                                                 AS ss_within,
+       round((((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE))) / (k - 1))
+             / (((ss - q) - fr) / CAST(n - k AS DOUBLE)), 6)                               AS f_stat,
+       round(((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE)))
+             / ((ss - (s * s) // n) - ((s * s) % n) / CAST(n AS DOUBLE)), 6)               AS eta_sq
+FROM t
+""",
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across the five event types: per-group
+    (n, Σx, Σx²) in exact integer cents, then SSB = Σ s_g²/n_g − S²/N and
+    SSW = ΣΣx² − Σ s_g²/n_g assembled identically in both engines; emits
+    F, effect size η², and the sums of squares back in value units.
+
+    Scale: the classic two-level reduction — one partial/final groupBy on
+    event_type, then a k-row statistic assembly; nothing after the first
+    shuffle is data-sized."""
+    c = _cents(F.col("value"))
+    g = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(c).alias("s_g"),
+            F.sum(c * c).alias("ss_g"),
+        )
+    )
+    sq = F.col("s_g") * F.col("s_g")
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        # exact-sum split: integer quotients sum in BIGINT, remainders are
+        # k sub-unit doubles — order-independent to ~1e-15 (oracle twin
+        # carries the identical split)
+        F.sum(F.expr("s_g * s_g div n_g")).alias("q"),
+        F.sum((sq % F.col("n_g")) / F.col("n_g").cast("double")).alias("fr"),
+    )
+    s2 = F.col("s") * F.col("s")
+    grand_q = F.expr("s * s div n")
+    grand_fr = (s2 % F.col("n")) / F.col("n").cast("double")
+    ssb = (F.col("q") - grand_q) + (F.col("fr") - grand_fr)
+    ssw = (F.col("ss") - F.col("q")) - F.col("fr")
+    sst = (F.col("ss") - grand_q) - grand_fr
+    return t.select(
+        "k",
+        "n",
+        F.round(ssb / 10000.0, 4).alias("ss_between"),
+        F.round(ssw / 10000.0, 4).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")).cast("double")), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
