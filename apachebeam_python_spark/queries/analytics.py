@@ -2448,3 +2448,149 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "common_neighbors",
         "ra_index_e9",
     )
+
+
+# --------------------------------------------------------------------------
+# Exact distinct-day bitmaps (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_activity_bitmap",
+    driver=False,  # §2.3 mergeable-exact-distinct extension (round 4) — pytest oracle
+    oracle="""
+WITH ub AS (
+  SELECT event_type, user_id,
+         bit_or(CAST(1 AS BIGINT) << CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)) AS bm
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-03-01'
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                 AS n_users,
+       CAST(sum(bit_count(bm)) AS BIGINT)       AS user_days,
+       CAST(max(bit_count(bm)) AS BIGINT)       AS max_days,
+       CAST(sum(CASE WHEN bit_count(bm) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS regulars,
+       CAST(bit_count(bit_or(bm)) AS BIGINT)    AS covered_days
+FROM ub
+GROUP BY event_type
+""",
+)
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user activity-day BITMAPS (SURVEY §2.3 extension): one
+    BIGINT per (event_type, user) with bit d set iff the user acted on day
+    d — the roaring-bitmap idea at its word-sized core. bit_or is the
+    MERGEABLE exact-distinct union (unlike HLL there is zero error), and
+    popcount answers distinct-days / regularity / coverage without ever
+    re-touching events. The fixture spans 30 days (bits 0..29); the
+    explicit date fence keeps the shift in range by construction.
+
+    Scale: one shuffle to (event_type, user) with bit_or partial
+    aggregation map-side; the second agg runs on one row per user. For
+    multi-year spans the bitmap becomes array<bigint> word-chunks (same
+    bit_or/bit_count algebra per chunk) — the standard segmented-bitmap
+    layout analytics stores use."""
+    e = table(spark, sf_dir, "events").filter(
+        F.to_date("ts").between("2024-01-01", "2024-03-01")
+    )
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("int")
+    ub = (
+        e.select("event_type", "user_id", day.alias("day"))
+        .groupBy("event_type", "user_id")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day)")).alias("bm"))
+    )
+    pc = F.bit_count("bm")
+    return ub.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(pc).cast("long").alias("user_days"),
+        F.max(pc).cast("long").alias("max_days"),
+        F.sum(F.when(pc >= 5, 1).otherwise(0)).alias("regulars"),
+        F.bit_count(F.bit_or("bm")).cast("long").alias("covered_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peel)
+# --------------------------------------------------------------------------
+@register(
+    "q_kcore",
+    driver=False,  # §2.11 graph family (round 4) — pytest oracle
+    oracle="""
+WITH e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), e AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), d1 AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u
+), s1 AS (SELECT u FROM d1 WHERE deg >= 3),
+d2 AS (
+  SELECT e.u, CAST(count(*) AS BIGINT) AS deg
+  FROM e
+  JOIN s1 a ON e.u = a.u
+  JOIN s1 b ON e.v = b.u
+  GROUP BY e.u
+), s2 AS (SELECT u FROM d2 WHERE deg >= 3),
+d3 AS (
+  SELECT e.u, CAST(count(*) AS BIGINT) AS deg
+  FROM e
+  JOIN s2 a ON e.u = a.u
+  JOIN s2 b ON e.v = b.u
+  GROUP BY e.u
+)
+SELECT u AS node, deg AS core_degree
+FROM d3 WHERE deg >= 3
+""",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier→customer nation graph by iterative peeling
+    (SURVEY §2.11 graph tier): drop nodes of degree < k, recompute degrees
+    on the induced subgraph, repeat. Three peel rounds are unrolled — the
+    fixture graph reaches its fixpoint in two (pinned in pytest by a
+    fourth-round no-op check), and the oracle unrolls the identical
+    rounds, so this is exact, not approximate.
+
+    Scale: each round is one degree groupBy + two semi-join filters
+    against the survivor set — the |nations|-sized node table is
+    broadcast; the edge list never rebuilds. For deep peel chains (k-core
+    on power-law webs) rounds grow O(diameter); the standard fix is the
+    same pointer-jumping trick as connected components, or switch to the
+    O(E) exact peel on a single machine once survivors fit."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    e = e0.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        e0.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).distinct()
+    k = 3
+    surv = None
+    deg = None
+    for _ in range(3):
+        cur = e
+        if surv is not None:
+            cur = (
+                e.join(F.broadcast(surv), e.u == surv.node, "left_semi")
+                .join(F.broadcast(surv.select(F.col("node").alias("vn"))),
+                      F.col("v") == F.col("vn"), "left_semi")
+            )
+        deg = cur.groupBy("u").agg(F.count("*").alias("deg"))
+        surv = deg.filter(F.col("deg") >= k).select(F.col("u").alias("node"))
+    return deg.filter(F.col("deg") >= k).select(
+        F.col("u").alias("node"), F.col("deg").alias("core_degree")
+    )

@@ -768,3 +768,74 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+@register(
+    "q_token_entropy",
+    driver=False,  # §2.11 text-analysis extension (round 4) — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, w
+), wn AS (
+  SELECT doc_id, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM cnt
+), per AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT)   AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+  FROM wn
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, entropy,
+       CASE WHEN n_distinct > 1
+            THEN round(entropy / round(ln(CAST(n_distinct AS DOUBLE)), 9), 6) END AS norm_entropy
+FROM per
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy H = −Σ p·ln p plus the
+    [0,1]-normalized H/ln(V) — the repetition/diversity quality signal
+    (low entropy = boilerplate or keyword stuffing; complements
+    q_repetition_filter's hard n-gram rules with a graded score).
+
+    Parity: p = c/n uses exact integer inputs so each term is the same
+    IEEE double in both engines; the per-doc sum is order-drift-bounded
+    and rounded at 6 dp (the q_unigram_lm_score discipline); ln(V) is
+    pre-rounded at 9 dp before the ratio so the normalized value can't
+    straddle a 6-dp boundary differently per engine.
+
+    Scale: one (doc, token) groupBy shuffle, then a doc-keyed aggregate —
+    the window total rides the same doc partitioning (no extra
+    exchange)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    n_tot = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / n_tot.cast("double")
+    per = (
+        cnt.select("doc_id", "c", (-p * F.log(p)).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(F.sum("term"), 6).alias("entropy"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(
+                F.col("entropy") / F.round(F.log(F.col("n_distinct").cast("double")), 9), 6
+            ),
+        ).alias("norm_entropy"),
+    )

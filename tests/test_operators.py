@@ -1277,3 +1277,47 @@ def test_mjpeg_video_frame_sampling(spark):
     for r in rows:
         ref = float(vid[r.frame_idx].reshape(-1, 3)[:, 0].mean())
         assert abs(r.mean_r - ref) <= 3.0, (r.frame_idx, r.mean_r, ref)
+
+
+def test_kcore_peel_reaches_fixpoint(spark, sf_dir):
+    """q_kcore unrolls three peel rounds; the result is the TRUE 3-core only
+    if peeling has converged — run one more round over the query's survivor
+    set and assert it is a no-op (every surviving node keeps degree ≥ 3 in
+    the induced subgraph)."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark import queries as q
+
+    core = q.QUERIES["q_kcore"](spark, sf_dir).cache()
+    try:
+        nodes = core.select("node")
+        from apachebeam_python_spark.session import register_views
+
+        register_views(spark, sf_dir)
+        e0 = spark.sql(
+            """
+            SELECT s_nationkey AS src, c_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2 HAVING count(*) >= 120
+            """
+        )
+        e = (
+            e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .distinct()
+        )
+        induced = e.join(nodes, e.u == nodes.node, "left_semi").join(
+            nodes.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"), "left_semi"
+        )
+        deg4 = induced.groupBy("u").agg(F.count("*").alias("deg"))
+        dropped = deg4.filter(F.col("deg") < 3).count()
+        n_core = core.count()
+        assert dropped == 0, f"peel not converged: {dropped} nodes below k in round 4"
+        assert n_core > 0, "empty 3-core — fixture graph changed, re-tune threshold"
+        assert deg4.count() == n_core
+    finally:
+        core.unpersist()
