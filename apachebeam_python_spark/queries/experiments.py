@@ -2157,3 +2157,68 @@ def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy-shaped noisy release (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_dp_counts",
+    driver=False,  # §2.11 privacy tier (round 4, next to q_k_anonymity/q_pii_scrub) — pytest oracle
+    oracle="""
+WITH clamped AS (
+  SELECT event_type,
+         CAST(round(least(greatest(value, 0.0), 200.0) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM clamped GROUP BY event_type
+), noise AS (
+  SELECT event_type, n, s,
+         CAST('0x' || substr(md5('cnt|' || event_type), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u1,
+         CAST('0x' || substr(md5('sum|' || event_type), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u2
+  FROM agg
+)
+SELECT event_type,
+       round(n + (-1.0) * sign(u1 - 0.5)
+                 * ln(greatest(1.0 - 2.0 * abs(u1 - 0.5), 1e-12)), 3) AS noisy_count,
+       round(s / 100.0
+             + (-200.0) * sign(u2 - 0.5)
+               * ln(greatest(1.0 - 2.0 * abs(u2 - 0.5), 1e-12)), 3)   AS noisy_sum,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM noise
+""",
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED release (§2.11 privacy tier, beside
+    q_k_anonymity and q_pii_scrub): the real DP pipeline mechanics —
+    per-row contribution CLAMPING to [0, 200] (bounds sensitivity), exact
+    aggregation, then Laplace noise calibrated to sensitivity/ε (1/ε for
+    counts, 200/ε for the clamped sum) via the inverse-CDF transform.
+    Noise here is derived from md5(key) so the release is REPLAYABLE and
+    oracle-checkable — a production release swaps in real entropy
+    (one-line change) and this query becomes its test harness, which is
+    exactly how DP libraries validate mechanisms.
+
+    Scale: clamp is fused into the scan; one partial/final groupBy; the
+    noise transform runs on k rows of metadata."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(200.0)) * 100).cast("long")
+    agg = e.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    u1 = _md5_int(F.concat(F.lit("cnt|"), F.col("event_type"))) / F.lit(1152921504606846976.0)
+    u2 = _md5_int(F.concat(F.lit("sum|"), F.col("event_type"))) / F.lit(1152921504606846976.0)
+    lap = lambda u, b: F.lit(-b) * F.signum(u - 0.5) * F.log(
+        F.greatest(1.0 - 2.0 * F.abs(u - 0.5), F.lit(1e-12))
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("n") + lap(u1, 1.0), 3).alias("noisy_count"),
+        F.round(F.col("s") / 100.0 + lap(u2, 200.0), 3).alias("noisy_sum"),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -660,3 +660,38 @@ def q_stream_avro_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
     )
+
+
+@register(
+    "q_stream_drop_duplicates",
+    driver=False,  # §2.9 built-in streaming dedup API (round 4) — pytest oracle
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_id % 3 = 0
+""",
+)
+def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the BUILT-IN streaming dedup next
+    to the hand-rolled stateful-DoFn version (q_stateful_dedup, SURVEY
+    §2.9): a duplicate-injected stream (events ∪ a re-delivered slice, the
+    at-least-once broker situation) deduplicates back to exactly the batch
+    row set. State for a key is droppable once the watermark passes its
+    event time + gap — bounded state, unlike plain dropDuplicates.
+
+    Scale: state is hash-partitioned on event_id across the statestore;
+    the watermark bound is what makes 100 TB/day ingest feasible (state
+    size ∝ traffic within the lateness window, not history)."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_dropdup", sf_dir)
+    base = jobs.events_stream(spark, sf_dir).filter(F.col("event_id") % 3 == 0)
+    dup = jobs.events_stream(spark, sf_dir).filter(
+        (F.col("event_id") % 3 == 0) & (F.col("event_id") % 5 == 0)
+    )
+    merged = base.union(dup).withWatermark("ts", "1 hour")
+    deduped = merged.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    jobs.run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name)
