@@ -4,7 +4,7 @@ extensions — the "SQL-engine completeness" tier beyond Beam's vocabulary)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
@@ -2593,4 +2593,107 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = deg.filter(F.col("deg") >= k).select(F.col("u").alias("node"))
     return deg.filter(F.col("deg") >= k).select(
         F.col("u").alias("node"), F.col("deg").alias("core_degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grid-bucketed spatial join (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_spatial_grid_join",
+    driver=False,  # §2.4 spatial-join family (round 4) — pytest oracle
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         (CAST('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 120.0 - 60.0 AS lat,
+         (CAST('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 340.0 - 170.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+), pois AS (
+  SELECT n_nationkey AS poi_id,
+         (CAST('0x' || substr(md5('plat|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 120.0 - 60.0 AS plat,
+         (CAST('0x' || substr(md5('plon|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 340.0 - 170.0 AS plon
+  FROM nation
+), pc AS (
+  SELECT p.*, dx.v + CAST(floor(plat / 5.0) AS BIGINT) AS cy,
+         dy.v + CAST(floor(plon / 5.0) AS BIGINT) AS cx
+  FROM pois p,
+       (VALUES (-1), (0), (1)) dx(v),
+       (VALUES (-1), (0), (1)) dy(v)
+), cand AS (
+  SELECT t.user_id, t.lat, t.lon, p.poi_id, p.plat, p.plon
+  FROM (SELECT user_id, lat, lon,
+               CAST(floor(lat / 5.0) AS BIGINT) AS cy,
+               CAST(floor(lon / 5.0) AS BIGINT) AS cx
+        FROM pts) t
+  JOIN pc p ON p.cy = t.cy AND p.cx = t.cx
+), scored AS (
+  SELECT user_id, poi_id,
+         (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) AS d2,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (lat - plat) * (lat - plat)
+                                     + (lon - plon) * (lon - plon), poi_id) AS rn
+  FROM cand
+  WHERE (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) <= 25.0
+)
+SELECT user_id, poi_id, round(sqrt(d2), 6) AS dist_deg
+FROM scored WHERE rn = 1
+""",
+)
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join (the distributed
+    spatial-join shape Sedona/BigQuery GIS use): points bucket into
+    5°×5° cells; each POI replicates into its 3×3 neighbor cells
+    (radius 5° ≤ cell size ⇒ lossless coverage); candidates join on the
+    cell key; exact distance refines; per-point nearest wins by
+    (distance, poi_id). Coordinates are md5-derived from stable ids so the
+    whole pipeline — including the geometry — is oracle-replayable.
+
+    Scale: the cell join is an equi-join (hash-partitionable, no
+    theta-join explosion); POI×9 replication is the broadcast side.
+    Cell size tunes the candidate fan-out exactly like LSH bucket width;
+    for true geodesics swap the refine expression for haversine — the
+    plan shape is unchanged."""
+    from .experiments import _md5_int
+
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    scale = F.lit(1152921504606846976.0)
+    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
+    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
+    pts = e.select(
+        "user_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).withColumn("cy", F.floor(F.col("lat") / 5.0)).withColumn(
+        "cx", F.floor(F.col("lon") / 5.0)
+    )
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("poi_id"))
+    plat = (_md5_int(F.concat(F.lit("plat|"), F.col("poi_id").cast("string"))) / scale) * 120.0 - 60.0
+    plon = (_md5_int(F.concat(F.lit("plon|"), F.col("poi_id").cast("string"))) / scale) * 340.0 - 170.0
+    pois = n.select("poi_id", plat.alias("plat"), plon.alias("plon"))
+    off = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(1).cast("long"))
+    pc = (
+        pois.select("poi_id", "plat", "plon", F.explode(off).alias("dy"))
+        .select("poi_id", "plat", "plon", "dy", F.explode(off).alias("dx"))
+        .select(
+            "poi_id",
+            "plat",
+            "plon",
+            (F.col("dy") + F.floor(F.col("plat") / 5.0)).alias("cy"),
+            (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
+        )
+    )
+    cand = pts.join(F.broadcast(pc), ["cy", "cx"])
+    d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
+        F.col("lon") - F.col("plon")
+    ) * (F.col("lon") - F.col("plon"))
+    w = Window.partitionBy("user_id").orderBy(d2, "poi_id")
+    return (
+        cand.filter(d2 <= 25.0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "poi_id", F.round(F.sqrt(d2), 6).alias("dist_deg"))
     )

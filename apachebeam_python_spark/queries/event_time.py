@@ -9,7 +9,7 @@ GREATER than gap — an exactly-gap event merges; session end = last_ts + gap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import event_time as ET
@@ -613,4 +613,95 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return d.select(
         "day", "net", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
+
+
+@register(
+    "q_stl_decompose",
+    driver=False,  # §2.5/§2.8 time-series extension (round 4) — pytest oracle
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), trended AS (
+  SELECT d, h, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+         CAST(count(*) OVER w AS BIGINT)   AS wcnt
+  FROM hourly
+  WINDOW w AS (ORDER BY d, h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), seas AS (
+  SELECT h,
+         CAST(sum(cents) AS BIGINT)  AS hsum,
+         CAST(count(*) AS BIGINT)    AS hcnt
+  FROM hourly GROUP BY h
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS gsum, CAST(count(*) AS BIGINT) AS gcnt
+  FROM hourly
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, t.h,
+       round(cents / 100.0, 2)                                    AS observed,
+       round(wsum / (CAST(wcnt AS DOUBLE) * 100.0), 4)            AS trend,
+       round(hsum / (CAST(hcnt AS DOUBLE) * 100.0)
+             - gsum / (CAST(gcnt AS DOUBLE) * 100.0), 4)          AS seasonal,
+       round(cents / 100.0
+             - wsum / (CAST(wcnt AS DOUBLE) * 100.0)
+             - (hsum / (CAST(hcnt AS DOUBLE) * 100.0)
+                - gsum / (CAST(gcnt AS DOUBLE) * 100.0)), 4)      AS residual
+FROM trended t
+JOIN seas s ON s.h = t.h
+CROSS JOIN tot
+""",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the hourly revenue series
+    (STL's pipeline shape with engine-stable estimators): trend = centered
+    25-hour moving average, seasonal = hour-of-day mean minus grand mean,
+    residual = observed − trend − seasonal. Every estimator is a ratio of
+    exact integer-cent sums, so the doubles agree bit-for-bit before
+    rounding — the LOESS of real STL is replaced by estimators an oracle
+    can replay exactly.
+
+    Scale: the hourly rollup is the only data-sized shuffle; the series
+    itself (≤ 24·days rows) is metadata — the window/seasonal/grand passes
+    run on it. Same two-level shape as q_rollup_cascade."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("int").alias("h"),
+            cents.alias("c"),
+        )
+        .groupBy("d", "h")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("d", "h").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "d",
+        "h",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wcnt"),
+    )
+    seas = hourly.groupBy("h").agg(
+        F.sum("cents").alias("hsum"), F.count("*").alias("hcnt")
+    )
+    tot = hourly.agg(F.sum("cents").alias("gsum"), F.count("*").alias("gcnt"))
+    trend = F.col("wsum") / (F.col("wcnt").cast("double") * 100.0)
+    seasonal = F.col("hsum") / (F.col("hcnt").cast("double") * 100.0) - F.col(
+        "gsum"
+    ) / (F.col("gcnt").cast("double") * 100.0)
+    return (
+        trended.join(F.broadcast(seas), "h")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "h",
+            F.round(F.col("cents") / 100.0, 2).alias("observed"),
+            F.round(trend, 4).alias("trend"),
+            F.round(seasonal, 4).alias("seasonal"),
+            F.round(F.col("cents") / 100.0 - trend - seasonal, 4).alias("residual"),
+        )
     )
