@@ -45,3 +45,7 @@ def test_corpus_diagnostics_example(spark, sf_dir):
 
 def test_experimentation_example(spark, sf_dir):
     _run("experimentation", sf_dir)
+
+
+def test_statistics_toolkit_example(spark, sf_dir):
+    _run("statistics_toolkit", sf_dir)
