@@ -314,13 +314,22 @@ def ngram_jaccard_candidates(
     is dominated by stop-word grams (VERDICT r3 #1)."""
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    # FP-safety (round-4 review finding #3): losslessness only breaks if a
+    # bound errs in the PRUNING direction. ceil(t·n) can round UP past the
+    # exact rational (ceil(0.07·100) → 8, true 7) shortening the prefix, and
+    # t·max can round up past least — both fixed by an ε ≫ double-ulp but ≪
+    # 1 count, which can only LENGTHEN the prefix / loosen the length gate
+    # (extra candidates are harmless; the exact verify discards them).
+    eps = 1e-9
     pref = (
         grams.join(dfreq, "gram")
         .join(counts, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
-            <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+            <= F.col("n_grams")
+            - F.ceil(F.lit(threshold) * F.col("n_grams") - eps)
+            + 1
         )
     )
     return (
@@ -333,7 +342,7 @@ def ngram_jaccard_candidates(
         # length filter (also lossless): jaccard ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
         .filter(
             F.least("pa", "pb").cast("double")
-            >= F.lit(threshold) * F.greatest("pa", "pb")
+            >= F.lit(threshold) * F.greatest("pa", "pb") - eps
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -353,10 +362,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *, shingle_n:
     verify sides. At 100 TB the checkpoint becomes a parquet write-through
     of the gram table; for approximate recall at even lower cost use
     minhash_lsh_pairs (same verify step)."""
+    # lazy checkpoint (round-4 review finding #7): still plans the explode
+    # subtree once for all consumers, but materializes on the query's FIRST
+    # ACTION instead of at build time — merely constructing the DataFrame
+    # (driver enumeration, plan inspection) stays free
     grams = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     cand = ngram_jaccard_candidates(grams, counts, threshold)
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")

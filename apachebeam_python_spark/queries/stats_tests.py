@@ -42,65 +42,90 @@ def _cents(col):
     "q_chi_square",
     driver=False,  # §2.3 statistical extension — pytest oracle
     oracle="""
-WITH cells AS (
+WITH g AS (
   SELECT event_type,
-         CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS band,
-         CAST(count(*) AS BIGINT) AS o
+         CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT)  AS lo
   FROM events WHERE value IS NOT NULL
-  GROUP BY 1, 2
-), tot AS (
-  SELECT c.*,
-         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
-         CAST(sum(o) OVER (PARTITION BY band) AS BIGINT)       AS c_tot,
-         CAST(sum(o) OVER () AS BIGINT)                        AS n
-  FROM cells c
-)
-SELECT max(n)                                   AS n,
-       CAST((count(*) / 2 - 1) * 1 AS BIGINT)   AS dof,
+  GROUP BY event_type
+), t AS (
+  SELECT CAST(sum(hi) AS BIGINT)      AS c_hi,
+         CAST(sum(lo) AS BIGINT)      AS c_lo,
+         CAST(sum(hi + lo) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT)     AS k
+  FROM g
+), cells AS (SELECT g.*, t.* FROM g, t)
+SELECT max(n) AS n,
+       CAST((max(k) - 1)
+            * ((CASE WHEN max(c_hi) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN max(c_lo) > 0 THEN 1 ELSE 0 END) - 1) AS BIGINT) AS dof,
        round(sum(
-         (n * o - r * c_tot) * CAST(n * o - r * c_tot AS DOUBLE)
-         / (CAST(n AS DOUBLE) * r * c_tot)
-       ), 6)                                    AS chi2,
-       round(sqrt(sum(
-         (n * o - r * c_tot) * CAST(n * o - r * c_tot AS DOUBLE)
-         / (CAST(n AS DOUBLE) * r * c_tot)
-       ) / max(n)), 6)                          AS cramers_v
-FROM tot
+         CASE WHEN c_hi > 0 THEN
+           (n * hi - (hi + lo) * c_hi) * CAST(n * hi - (hi + lo) * c_hi AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (hi + lo) * c_hi) ELSE 0.0 END
+         + CASE WHEN c_lo > 0 THEN
+           (n * lo - (hi + lo) * c_lo) * CAST(n * lo - (hi + lo) * c_lo AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (hi + lo) * c_lo) ELSE 0.0 END), 6) AS chi2,
+       CASE WHEN (max(k) - 1)
+                 * ((CASE WHEN max(c_hi) > 0 THEN 1 ELSE 0 END
+                     + CASE WHEN max(c_lo) > 0 THEN 1 ELSE 0 END) - 1) > 0 THEN
+         round(sqrt(sum(
+           CASE WHEN c_hi > 0 THEN
+             (n * hi - (hi + lo) * c_hi) * CAST(n * hi - (hi + lo) * c_hi AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (hi + lo) * c_hi) ELSE 0.0 END
+           + CASE WHEN c_lo > 0 THEN
+             (n * lo - (hi + lo) * c_lo) * CAST(n * lo - (hi + lo) * c_lo AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (hi + lo) * c_lo) ELSE 0.0 END) / max(n)), 6)
+       END AS cramers_v
+FROM cells
 """,
 )
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test: event_type × value band (hi/lo at
-    100). The per-cell contribution is rewritten as
-    (N·o − r·c)² / (N·r·c) so every operand is an exact 64-bit integer and
-    the double result is the same IEEE value in both engines; Cramér's V
-    normalizes by N·min(r−1,c−1) = N for the 2-band table.
+    100), computed over the COMPLETE k×2 grid — a type with an empty band
+    contributes its full expected count (o=0 cell), and dof is the
+    textbook (k−1)·(bands−1) from integer comparisons in both engines
+    (round-4 review findings #4/#5: the populated-cells-only version
+    understated χ² and its cells/2 dof truncated differently per engine —
+    DuckDB CAST rounds x.5, Spark cast truncates). The per-cell
+    contribution is (N·o − r·c)² / (N·r·c): every operand an exact 64-bit
+    integer, the double result the same IEEE value in both engines. An
+    all-one-band table yields dof 0 and a NULL Cramér's V under identical
+    guards.
 
-    Scale: one shuffle on (event_type, band); the contingency table is
-    k×2 rows of metadata — the window totals and the final sum run on
-    that, not on events."""
+    Scale: one shuffle on event_type (hi/lo are conditional partial aggs);
+    the grid and totals are k rows of metadata."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    cells = (
-        e.select(
-            "event_type",
-            F.when(F.col("value") >= 100, "hi").otherwise("lo").alias("band"),
-        )
-        .groupBy("event_type", "band")
-        .agg(F.count("*").alias("o"))
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("hi"),
+        F.sum(F.when(F.col("value") < 100, 1).otherwise(0)).alias("lo"),
     )
-    tot = (
-        cells.withColumn("r", F.sum("o").over(Window.partitionBy("event_type")))
-        .withColumn("c_tot", F.sum("o").over(Window.partitionBy("band")))
-        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    t = g.agg(
+        F.sum("hi").alias("c_hi"),
+        F.sum("lo").alias("c_lo"),
+        F.sum(F.col("hi") + F.col("lo")).alias("n"),
+        F.count("*").alias("k"),
     )
-    dev = F.col("n") * F.col("o") - F.col("r") * F.col("c_tot")
-    contrib = dev * dev.cast("double") / (
-        F.col("n").cast("double") * F.col("r") * F.col("c_tot")
-    )
-    return tot.agg(
+    cells = g.crossJoin(F.broadcast(t))
+
+    def contrib(o, c_tot):
+        r = F.col("hi") + F.col("lo")
+        dev = F.col("n") * o - r * c_tot
+        return F.when(
+            c_tot > 0,
+            dev * dev.cast("double") / (F.col("n").cast("double") * r * c_tot),
+        ).otherwise(F.lit(0.0))
+
+    total = F.sum(contrib(F.col("hi"), F.col("c_hi")) + contrib(F.col("lo"), F.col("c_lo")))
+    n_bands = F.when(F.max("c_hi") > 0, 1).otherwise(0) + F.when(
+        F.max("c_lo") > 0, 1
+    ).otherwise(0)
+    dof = ((F.max("k") - 1) * (n_bands - 1)).cast("long")
+    return cells.agg(
         F.max("n").alias("n"),
-        ((F.count("*") / 2 - 1) * 1).cast("long").alias("dof"),
-        F.round(F.sum(contrib), 6).alias("chi2"),
-        F.round(F.sqrt(F.sum(contrib) / F.max("n")), 6).alias("cramers_v"),
+        dof.alias("dof"),
+        F.round(total, 6).alias("chi2"),
+        F.when(dof > 0, F.round(F.sqrt(total / F.max("n")), 6)).alias("cramers_v"),
     )
 
 

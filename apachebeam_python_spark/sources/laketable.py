@@ -146,6 +146,30 @@ def _json_safe(v):
 _ANY_BASE = object()
 
 
+#: ops that ACCUMULATE into the current snapshot: their commit schema is the
+#: UNION of the current manifest schema and the incoming batch's schema, so
+#: a narrow-schema writer can never hide columns a schema-evolving merge
+#: added (round-4 review finding #2). overwrite/create REPLACE the table, so
+#: they replace the schema; compact/rollback carry their snapshot's schema.
+_SCHEMA_UNION_OPS = frozenset({"append", "merge", "delete", "stream-append"})
+
+
+def _union_schema(cur_json: str | None, new_json: str | None) -> str | None:
+    """Current-manifest fields (authoritative order/types) + any new fields
+    the incoming schema adds — the manifest-level half of schema evolution."""
+    if not cur_json:
+        return new_json
+    if not new_json or new_json == cur_json:
+        return cur_json
+    cur = json.loads(cur_json)
+    have = {f["name"] for f in cur["fields"]}
+    added = [f for f in json.loads(new_json)["fields"] if f["name"] not in have]
+    if not added:
+        return cur_json
+    cur["fields"] = cur["fields"] + added
+    return json.dumps(cur)
+
+
 def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int:
     """Optimistic commit loop: try to publish the next version with
     O_EXCL. On a lost race, ops whose result is a pure function of the
@@ -155,7 +179,9 @@ def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int
     the version they were computed against) raise ConcurrentWriteError —
     silently rebasing those would drop the winner's commit (lost update).
     ``schema`` persists in the manifest (carried from the current one
-    when this commit stages no files) so empty snapshots stay readable."""
+    when this commit stages no files; UNIONED with it for accumulating
+    ops, see ``_SCHEMA_UNION_OPS``) so empty snapshots stay readable and
+    evolved columns survive narrow-schema writers."""
     os.makedirs(_log_dir(path), exist_ok=True)
     while True:
         vs = _versions(path)
@@ -166,11 +192,16 @@ def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int
                 f"is now at {cur} — re-run against the current snapshot"
             )
         cur_m = _read_manifest(path, cur) if cur is not None else None
+        cur_schema = (cur_m or {}).get("schema")
+        if op in _SCHEMA_UNION_OPS:
+            next_schema = _union_schema(cur_schema, schema)
+        else:
+            next_schema = schema or cur_schema
         next_v = (cur + 1) if cur is not None else 0
         manifest = {
             "version": next_v,
             "op": op,
-            "schema": schema or (cur_m or {}).get("schema"),
+            "schema": next_schema,
             "files": build_manifest(cur_m["files"] if cur_m else []),
         }
         try:
@@ -265,15 +296,23 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     difference between rewriting a partition and rewriting the table.
     DELETE semantics: a row is removed iff the predicate is TRUE — NULL
     evaluations survive, regardless of which file they sit in."""
+    from pyspark.sql.types import StructType
+
     v = current_version(path)
     m = _read_manifest(path, v)
     all_files = [os.path.join(path, e["path"]) for e in m["files"]]
     if not all_files:
         return v
+    # reads apply the MANIFEST schema (round-4 review finding #1): after a
+    # schema-evolving merge the snapshot mixes old- and new-schema files,
+    # and an unschema'd read could adopt a narrow footer — dropping evolved
+    # columns from restaged survivors and from the published schema
+    schema = StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     # which files actually contain matching rows — one pruned scan
     hit = {
         os.path.basename(r["__fp"])
-        for r in spark.read.parquet(*all_files)
+        for r in reader.parquet(*all_files)
         .where(predicate)
         .select(F.col("_metadata.file_path").alias("__fp"))
         .distinct()
@@ -289,7 +328,7 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         return v  # nothing to delete — no empty commit
     # IS NOT TRUE: NULL-predicate rows are NOT deletions and must survive
     # the rewrite exactly as they survive in carried-over files
-    survivors = spark.read.parquet(*touched).where(f"({predicate}) IS NOT TRUE")
+    survivors = reader.parquet(*touched).where(f"({predicate}) IS NOT TRUE")
     if survivors.limit(1).count():
         entries, schema = _stage_files(survivors, path)
     else:
@@ -401,7 +440,9 @@ def append_stream_batch(df: DataFrame, path: str, batch_id: int) -> int:
             "version": next_v,
             "op": "stream-append",
             "batch_id": batch_id,
-            "schema": schema or (cur_m or {}).get("schema"),
+            # same union rule as _commit's accumulating ops: a narrow
+            # micro-batch must not hide evolved columns
+            "schema": _union_schema((cur_m or {}).get("schema"), schema),
             "files": (cur_m["files"] if cur_m else []) + entries,
         }
         try:
@@ -422,15 +463,24 @@ def read_changes(
     files re-emit their carried survivor rows alongside the actual
     changes (the standard CDF-without-row-tracking caveat — consumers
     needing exactly-once dedup on a key downstream)."""
+    from pyspark.sql.types import StructType
+
     to_v = current_version(path) if to_version is None else to_version
     old = {e["path"] for e in _read_manifest(path, from_version)["files"]}
+    to_m = _read_manifest(path, to_v)
     new_files = [
         os.path.join(path, e["path"])
-        for e in _read_manifest(path, to_v)["files"]
+        for e in to_m["files"]
         if e["path"] not in old
     ]
     if not new_files:
         return read_table(spark, path, version=to_v).limit(0)
+    # to_version's manifest schema, for the same mixed-schema reason as
+    # read_table/delete_where
+    if to_m.get("schema"):
+        return spark.read.schema(
+            StructType.fromJson(json.loads(to_m["schema"]))
+        ).parquet(*new_files)
     return spark.read.parquet(*new_files)
 
 

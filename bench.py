@@ -131,11 +131,18 @@ def main() -> None:
     # fingerprint is host noise, with a changed one a plan regression.
     from apachebeam_python_spark.plans.inspect import plan_fingerprint
 
+    # streaming slots are excluded (round-4 review finding #6): building one
+    # re-runs the whole stream drain and the resulting DataFrame is just the
+    # memory-sink LocalTableScan — real cost, meaningless fingerprint
+    STREAMING = {n for n in HEADLINE if n.startswith("q_stream")}
     plan_sha = {}
     for name in HEADLINE:
+        if name in STREAMING:
+            plan_sha[name] = None
+            continue
         try:
             plan_sha[name] = plan_fingerprint(q.QUERIES[name](spark, sf_dir))
-        except Exception:  # streaming queries build/drain on the fly
+        except Exception:
             plan_sha[name] = None
     release_signature_caches()
 

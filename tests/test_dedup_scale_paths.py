@@ -208,3 +208,30 @@ def test_ngram_jaccard_prefix_filter_lossless_and_pruned(spark, sf_dir):
         .count()
     )
     assert pruned < raw, f"prefix filter did not prune: {pruned} >= {raw}"
+
+
+def test_ngram_jaccard_prefix_lossless_at_fp_adversarial_threshold(spark):
+    """Round-4 review finding #3: ceil(0.07·100) floats to 8 (true 7),
+    which would shorten the prefix and prune a qualifying pair; the length
+    filter's 7 >= 0.07·100 comparison fails the same way. Build the exact
+    adversarial shape with unigram shingles — doc A's 7 tokens all inside
+    doc B's 100, J = 7/100 = threshold exactly, shared tokens made the
+    most FREQUENT via filler docs (so they sort to the very END of B's
+    rarity-ordered prefix and collide only at the last correct-length
+    position) — and assert the prefix filter still emits the pair the
+    naive join would."""
+    common = [f"w{i:02d}" for i in range(7)]
+    rare = [f"r{i:03d}" for i in range(93)]
+    rows = [(0, " ".join(common)), (1, " ".join(common + rare))]
+    rows += [(100 + i, " ".join(common)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_n=1, threshold=0.07
+        ).collect()
+    }
+    # pair (0, 1) qualifies at exactly J = 0.07 — the FP-rounded-up ceil
+    # (and the FP length filter) would have pruned it
+    assert (0, 1) in got, "prefix filter pruned a qualifying boundary pair"

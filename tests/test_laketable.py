@@ -327,3 +327,54 @@ def test_vacuum_concurrent_reader_safety(spark, tbl):
     with _pytest.raises(Exception):
         LT.read_table(spark, tbl, version=0).count()
     assert LT.read_table(spark, tbl).count() == 10
+
+
+def test_schema_evolution_survives_other_writers(spark, tbl):
+    """Round-4 review findings #1/#2: after a schema-evolving MERGE, (a) a
+    narrow-schema append must NOT narrow the manifest schema back — evolved
+    column values stay readable; (b) delete_where over the mixed-schema
+    snapshot must restage survivors WITH the evolved column (an unschema'd
+    read could adopt a narrow footer and silently drop the values); (c) the
+    change feed reads with the target manifest schema."""
+    src = spark.createDataFrame([(5, 999, "gold"), (20, 40, "bronze")],
+                                "id long, v long, tier string")
+    LT.merge(spark, tbl, src, key="id")
+
+    # (a) narrow append — schema stays wide, tier values intact
+    LT.append(spark.createDataFrame([(500, 1000)], "id long, v long"), tbl)
+    out = LT.read_table(spark, tbl)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "tier"]
+    rows = {r.id: r.tier for r in out.collect()}
+    assert rows[5] == "gold" and rows[500] is None
+
+    # (b) delete in the evolved file's key range forces a survivor rewrite:
+    # the restaged file must carry tier
+    LT.delete_where(spark, tbl, "id = 20")
+    out2 = LT.read_table(spark, tbl)
+    rows2 = {r.id: r.tier for r in out2.collect()}
+    assert 20 not in rows2 and rows2[5] == "gold"
+    assert [f.name for f in out2.schema.fields] == ["id", "v", "tier"]
+
+    # (c) change feed across the evolution carries the wide schema
+    feed = LT.read_changes(spark, tbl, from_version=0)
+    assert "tier" in feed.columns
+    assert {r.tier for r in feed.filter(feed.id == 5).collect()} == {"gold"}
+
+
+def test_stream_append_keeps_evolved_schema(spark, tmp_path):
+    """A narrow streaming micro-batch after evolution must not hide the
+    evolved column (same union rule as batch append)."""
+    path = str(tmp_path / "evostream")
+    LT.create_table(
+        spark.createDataFrame([(1, 10)], "id long, v long").coalesce(1), path
+    )
+    LT.merge(spark, path,
+             spark.createDataFrame([(2, 20, "x")], "id long, v long, tag string"),
+             key="id")
+    LT.append_stream_batch(
+        spark.createDataFrame([(3, 30)], "id long, v long").coalesce(1), path, batch_id=0
+    )
+    out = LT.read_table(spark, path)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows == {1: None, 2: "x", 3: None}

@@ -113,27 +113,33 @@ def test_chi_square_oracle_matches_reference(vals):
     by_type: dict[str, list[float]] = {}
     for t, v in vals:
         by_type.setdefault(t, []).append(v)
-    # need both bands overall for a 2-column table
-    flat = [v for vs in by_type.values() for v in vs]
-    if not (any(v >= 100 for v in flat) and any(v < 100 for v in flat)):
-        return
     frame = _events_frame(by_type)
     (n, dof, chi2, cv), = _run_oracle("q_chi_square", frame)
-    cells = Counter((t, "hi" if v >= 100 else "lo") for t, v in vals)
+    counted = Counter((t, "hi" if v >= 100 else "lo") for t, v in vals)
     rows = Counter()
     cols = Counter()
-    for (t, band), o in cells.items():
+    for (t, band), o in counted.items():
         rows[t] += o
         cols[band] += o
-    grand = sum(cells.values())
+    grand = sum(counted.values())
+    # full-grid reference (round-4 review finding #5): empty cells of a
+    # populated band contribute their expected count
+    bands = [b for b in ("hi", "lo") if cols[b] > 0]
     ref = sum(
-        (grand * o - rows[t] * cols[band]) ** 2 / (grand * rows[t] * cols[band])
-        for (t, band), o in cells.items()
+        (grand * counted.get((t, band), 0) - rows[t] * cols[band]) ** 2
+        / (grand * rows[t] * cols[band])
+        for t in rows
+        for band in bands
     )
+    ref_dof = (len(rows) - 1) * (len(bands) - 1)
     assert n == grand
+    assert dof == ref_dof
     assert chi2 == pytest.approx(ref, abs=1e-5)
     assert chi2 >= 0
-    assert cv == pytest.approx(math.sqrt(ref / grand), abs=1e-5)
+    if ref_dof > 0:
+        assert cv == pytest.approx(math.sqrt(ref / grand), abs=1e-5)
+    else:
+        assert cv is None
 
 
 @settings(max_examples=30, deadline=None)
