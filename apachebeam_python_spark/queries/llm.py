@@ -2764,3 +2764,21 @@ def q_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     feats = image_features(synth_images(d, formats=(encode_webp,)))
     return feats.drop("byte_len")
+
+
+@register("q_adpcm_pipeline", driver=False)  # rows-only: lossy-but-integer-exact codec; feature values pinned against a numpy replay in pytest (q_jpeg_pipeline precedent)
+def q_adpcm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sixth compression family in the multimodal tier: IMA ADPCM
+    telephony/dictation audio (WAV format 0x11 — adaptive delta coding,
+    4:1). Unlike the DCT codecs the lossy result is INTEGER-exact, so
+    tests pin the decoded features bit-for-bit against a numpy replay
+    rather than a PSNR band; no SQL oracle since DuckDB cannot run the
+    step-table recurrence (same class as q_jpeg_pipeline).
+
+    Scale: identical economics to q_audio_pipeline — payload bytes stay
+    in the row, decode is Arrow-batched mapInPandas, no shuffle before
+    the feature row."""
+    from ..operators.multimodal import encode_wav_adpcm
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return M.audio_features(M.synth_audio(d, encoder=encode_wav_adpcm))

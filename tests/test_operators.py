@@ -1321,3 +1321,79 @@ def test_kcore_peel_reaches_fixpoint(spark, sf_dir):
         assert deg4.count() == n_core
     finally:
         core.unpersist()
+
+
+def test_ima_adpcm_codec():
+    """IMA ADPCM (WAV format 0x11, round 4): integer-exact lossy codec —
+    decode(encode(x)) is bit-deterministic, multi-block state is carried
+    through block headers, the fact chunk truncates padding, and smooth
+    signals reconstruct within the codec's nominal quality band."""
+    import numpy as np
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    # multi-block (1200 samples > 2×505/block) determinism + length
+    sig = ((np.arange(1200) * 37) % 997 - 498).astype(np.int16)
+    wav = M.encode_wav_adpcm(sig, 8000)
+    dec, sr = M.decode_wav(wav)
+    dec = dec.reshape(-1)
+    assert sr == 8000 and len(dec) == len(sig)
+    dec2, _ = M.decode_audio(M.encode_wav_adpcm(sig, 8000))  # sniff dispatch
+    assert (dec2.reshape(-1) == dec).all()
+
+    # smooth tone: IMA ADPCM's nominal band is ~40+ dB SNR
+    t = np.arange(4000)
+    tone = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    d, _ = M.decode_wav(M.encode_wav_adpcm(tone, 8000))
+    err = d.reshape(-1).astype(np.int32) - tone.astype(np.int32)
+    snr = 10 * np.log10(
+        (tone.astype(float) ** 2).sum() / (err.astype(float) ** 2).sum()
+    )
+    assert snr > 40, f"SNR {snr:.1f} dB below the codec's nominal band"
+
+    # odd sample count: fact chunk must truncate the padded nibble
+    odd = tone[:505 + 3]
+    d3, _ = M.decode_wav(M.encode_wav_adpcm(odd, 8000))
+    assert len(d3.reshape(-1)) == len(odd)
+
+    # corrupt step index rejected
+    bad = bytearray(M.encode_wav_adpcm(tone[:100], 8000))
+    di = bad.index(b"data") + 8
+    bad[di + 2] = 120  # step index > 88
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="step index"):
+        M.decode_wav(bytes(bad))
+
+
+def test_adpcm_pipeline_matches_numpy_replay(spark, sf_dir):
+    """q_adpcm_pipeline's features must equal an independent numpy replay
+    of synth → encode → decode → featurize for every doc id — exact
+    equality, because IMA ADPCM is integer-deterministic."""
+    import math
+
+    import numpy as np
+
+    from apachebeam_python_spark import queries as q
+    from apachebeam_python_spark.operators import multimodal as M
+
+    got = {
+        r.doc_id: (r.n_samples, r.sample_rate, r.duration_s, r.peak, r.mean_abs)
+        for r in q.QUERIES["q_adpcm_pipeline"](spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    for i in list(got)[:40]:
+        n = 64 + int(i) % 129
+        amp = 100 + int(i) % 900
+        t = (int(i) + np.arange(n)) % 64
+        s = (t * amp // 63 - amp // 2).astype("<i2")
+        dec, rate = M.decode_wav(M.encode_wav_adpcm(s, 8_000))
+        mono = dec[:, 0].astype(np.int64)
+        exp = (
+            len(mono),
+            rate,
+            len(mono) / rate,
+            int(np.abs(mono).max()),
+            math.floor(float(np.abs(mono).sum()) * 1e6 / len(mono) + 0.5) / 1e6,
+        )
+        assert got[i] == exp, (i, got[i], exp)
