@@ -71,11 +71,13 @@ def decode_image(payload: bytes):
         from .webp_lite import decode_webp
 
         return decode_webp(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return decode_tiff(payload)
     raise NotImplementedError(
         "AVIF/HEIC/... (and lossy-VP8 WebP) need codec libraries this "
         "environment lacks; baseline JPEG (jpeg_lite), PNG (stdlib zlib), "
-        "lossless WebP (webp_lite), GIF, PPM (P6), 24-bpp BMP, and RAWI "
-        "decode natively"
+        "lossless WebP (webp_lite), GIF, TIFF (PackBits), PPM (P6), "
+        "24-bpp BMP, and RAWI decode natively"
     )
 
 
@@ -1216,3 +1218,174 @@ def _adpcm_decode(data: bytes, block_align: int, n_samples: int):
         if len(out) >= n_samples:
             break
     return np.asarray(out[:n_samples], dtype=np.int16)
+
+
+# -- TIFF (baseline 6.0, PackBits) — round 4 -------------------------------
+# The archival/scanning format: II/MM byte order, IFD tag walk, strip
+# assembly, Compression 1 (none) or 32773 (PackBits RLE). Lossless, so the
+# pipeline is oracle-exact end to end like PPM/BMP/PNG/GIF/WebP-lossless.
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append(257 - run & 0xFF)
+            out.append(row[i])
+            i = j + 1
+        else:
+            # literal run until next ≥2-byte repeat (max 128)
+            k = i
+            while (
+                k + 1 < n
+                and k - i < 127
+                and not (k + 2 < n and row[k + 1] == row[k + 2])
+            ):
+                k += 1
+            if k + 1 >= n:
+                k = min(n - 1, i + 127)
+            out.append(k - i & 0x7F)
+            out += row[i : k + 1]
+            i = k + 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        h = data[i]
+        i += 1
+        if h == 128:
+            continue
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        else:
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+    if len(out) != expect:
+        raise ValueError(f"PackBits strip decoded {len(out)} of {expect} bytes")
+    return bytes(out)
+
+
+def encode_tiff(arr) -> bytes:
+    """numpy (h, w, 3) uint8 → baseline little-endian TIFF 6.0 with
+    PackBits-compressed strips (one strip per image)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_tiff expects (h, w, 3) RGB")
+    h, w, _ = a.shape
+    strip = _packbits_encode(a.tobytes())
+    data_off = 8
+    ifd_off = data_off + len(strip) + (len(strip) & 1)
+    n_tags = 9
+    bps_off = ifd_off + 2 + n_tags * 12 + 4  # BitsPerSample value area
+
+    def tag(tid, ttype, count, value):
+        return (
+            tid.to_bytes(2, "little") + ttype.to_bytes(2, "little")
+            + count.to_bytes(4, "little") + value
+        )
+
+    def short_v(v):
+        return v.to_bytes(2, "little") + b"\x00\x00"
+
+    def long_v(v):
+        return v.to_bytes(4, "little")
+
+    ifd = (n_tags).to_bytes(2, "little")
+    ifd += tag(256, 3, 1, short_v(w))            # ImageWidth
+    ifd += tag(257, 3, 1, short_v(h))            # ImageLength
+    ifd += tag(258, 3, 3, long_v(bps_off))       # BitsPerSample → offset
+    ifd += tag(259, 3, 1, short_v(32773))        # Compression: PackBits
+    ifd += tag(262, 3, 1, short_v(2))            # Photometric: RGB
+    ifd += tag(273, 4, 1, long_v(data_off))      # StripOffsets
+    ifd += tag(277, 3, 1, short_v(3))            # SamplesPerPixel
+    ifd += tag(278, 3, 1, short_v(h))            # RowsPerStrip
+    ifd += tag(279, 4, 1, long_v(len(strip)))    # StripByteCounts
+    ifd += (0).to_bytes(4, "little")             # next IFD: none
+    ifd += (8).to_bytes(2, "little") * 3         # BitsPerSample values
+    pad = b"\x00" if len(strip) & 1 else b""
+    return (
+        b"II" + (42).to_bytes(2, "little") + ifd_off.to_bytes(4, "little")
+        + strip + pad + ifd
+    )
+
+
+def decode_tiff(payload: bytes):
+    """Baseline TIFF → (h, w, 3) uint8: II/MM byte order, first-IFD tag
+    walk, multi-strip assembly, Compression none/PackBits. Tiled, planar,
+    paletted, and LZW/DEFLATE TIFFs raise with a clear message."""
+    import numpy as np
+
+    if payload[:2] == b"II":
+        bo = "little"
+    elif payload[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(b):
+        return int.from_bytes(b, bo)
+
+    if u(payload[2:4]) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = u(payload[4:8])
+    n = u(payload[ifd : ifd + 2])
+    tags = {}
+    for i in range(n):
+        o = ifd + 2 + i * 12
+        tid, ttype, cnt = u(payload[o : o + 2]), u(payload[o + 2 : o + 4]), u(payload[o + 4 : o + 8])
+        raw = payload[o + 8 : o + 12]
+        size = {1: 1, 3: 2, 4: 4}.get(ttype)
+        if size is None:
+            continue
+        if size * cnt <= 4:
+            vals = [u(raw[k * size : (k + 1) * size]) for k in range(cnt)]
+        else:
+            off = u(raw)
+            vals = [
+                u(payload[off + k * size : off + (k + 1) * size]) for k in range(cnt)
+            ]
+        tags[tid] = vals
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    photometric = tags.get(262, [2])[0]
+    spp = tags.get(277, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if photometric != 2 or spp != 3 or planar != 1:
+        raise NotImplementedError(
+            f"decode_tiff handles chunky RGB (photometric={photometric}, "
+            f"spp={spp}, planar={planar})"
+        )
+    if any(b != 8 for b in tags.get(258, [8])):
+        raise NotImplementedError("decode_tiff handles 8 bits per sample")
+    rows_per_strip = tags.get(278, [h])[0]
+    offs, counts = tags[273], tags[279]
+    out = bytearray()
+    remaining = h
+    for so, sc in zip(offs, counts):
+        rows = min(rows_per_strip, remaining)
+        expect = rows * w * 3
+        chunk = payload[so : so + sc]
+        if comp == 1:
+            if len(chunk) < expect:
+                raise ValueError("TIFF strip truncated")
+            out += chunk[:expect]
+        elif comp == 32773:
+            out += _packbits_decode(chunk, expect)
+        else:
+            raise NotImplementedError(
+                f"decode_tiff handles Compression 1/32773 (got {comp})"
+            )
+        remaining -= rows
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)

@@ -2782,3 +2782,27 @@ def q_adpcm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return M.audio_features(M.synth_audio(d, encoder=encode_wav_adpcm))
+
+
+@register(
+    "q_tiff_pipeline",
+    driver=False,  # §2.11 archival-codec multimodal proof (round 4) — pytest oracle
+    oracle=_THUMB8_ORACLE,
+)
+def q_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARCHIVAL-codec multimodal pipeline: an all-TIFF corpus
+    (baseline TIFF 6.0 — II byte order, IFD tag walk, PackBits RLE
+    strips) through the same decode→resize→featurize path as
+    q_image_pipeline. TIFF is the scanning/archival interchange format a
+    document-heavy corpus actually contains; PackBits is lossless, so the
+    closed-form pixel oracle checks the strip assembly and RLE decode
+    bit-for-bit — the seventh compression family proven end to end.
+
+    Scale: same economics as q_image_pipeline — payload bytes stay in
+    the row, decode is Arrow-batched mapInPandas, no shuffle before the
+    per-doc feature row."""
+    from ..operators.multimodal import encode_tiff, image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(encode_tiff,)))
+    return feats.drop("byte_len")

