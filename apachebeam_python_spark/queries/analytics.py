@@ -2575,9 +2575,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2 HAVING count(*) >= 120
         """
     )
-    e = e0.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
-        e0.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-    ).distinct()
+    # one lazy checkpoint: every peel round reuses the edge list, and
+    # without it each round re-plans (and re-executes) the 4-table
+    # edge-build join — measured 84 exchanges vs 7 with the checkpoint
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     k = 3
     surv = None
     deg = None

@@ -433,3 +433,27 @@ def test_ngram_jaccard_driver_plan_prefix_filtered(spark, sf_dir):
     plan = P.executed_plan(df)
     assert "row_number" in plan, plan
     assert "least" in plan and "greatest" in plan, plan
+
+
+def test_r4_stats_and_spatial_plan_shapes(spark, sf_dir):
+    """Round-4 additions keep their designed shapes: the hypothesis tests
+    are one data-sized shuffle plus metadata assembly; the spatial join is
+    a broadcast equi-join (never a theta-join explosion on coordinates);
+    k-core's checkpointed edge list stops the per-round subtree re-plan;
+    the bitmap rollup is the two-level partial-agg shape."""
+    assert P.count_exchanges(q.QUERIES["q_anova"](spark, sf_dir)) <= 2
+    assert P.count_exchanges(q.QUERIES["q_token_entropy"](spark, sf_dir)) <= 2
+    assert P.count_exchanges(q.QUERIES["q_activity_bitmap"](spark, sf_dir)) <= 2
+    assert P.count_exchanges(q.QUERIES["q_dp_counts"](spark, sf_dir)) <= 1
+
+    spatial = q.QUERIES["q_spatial_grid_join"](spark, sf_dir)
+    plan = P.executed_plan(spatial)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert P.count_exchanges(spatial) <= 2
+
+    kcore = q.QUERIES["q_kcore"](spark, sf_dir)
+    assert P.count_exchanges(kcore) <= 10, (
+        "edge-list checkpoint lost: peel rounds are re-planning the "
+        "4-table edge build"
+    )
