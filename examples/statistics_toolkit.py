@@ -53,8 +53,8 @@ def main() -> None:
 
     print("DP-shaped noisy release (clamped, Laplace 1/eps)")
     QUERIES["q_dp_counts"](spark, sf_dir).orderBy("event_type").show()
-
-    spark.stop()
+    # no spark.stop(): examples run in-process inside the test suite against
+    # the shared session (tests/test_antipatterns.py pins this)
 
 
 if __name__ == "__main__":

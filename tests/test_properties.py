@@ -285,3 +285,38 @@ def test_fuzzy_pairs_match_python_levenshtein(spark, texts):
         if i < j and abs(len(a) - len(b)) <= 2 and lev(a, b) <= 2
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Lossless-codec fuzz (round 4): every lossless image codec must round-trip
+# random images bit-exact — dimensions hypothesis picks, including 1-pixel
+# edges and flat regions that stress RLE/LZ paths.
+# --------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+    flat=st.booleans(),
+)
+def test_lossless_image_codecs_round_trip(h, w, seed, flat):
+    import numpy as np
+
+    from apachebeam_python_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if flat:
+        a[: max(1, h // 2)] = a[0, 0]  # flat block exercises RLE/LZ runs
+    from apachebeam_python_spark.operators.webp_lite import encode_webp
+
+    for enc in (M.encode_ppm, M.encode_bmp, M.encode_png, M.encode_tiff, encode_webp):
+        back = M.decode_image(enc(a))
+        assert back.shape == a.shape, enc.__name__
+        assert (back == a).all(), enc.__name__
+
+    # GIF needs ≤256 distinct colors — exercise it with a small palette
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    g = pal[rng.integers(0, 8, (h, w))]
+    back = M.decode_image(M.encode_gif(g))
+    assert (back == g).all(), "gif"
