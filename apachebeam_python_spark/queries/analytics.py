@@ -2703,3 +2703,142 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "poi_id", F.round(F.sqrt(d2), 6).alias("dist_deg"))
     )
+
+
+@register(
+    "q_funnel_unordered",
+    driver=False,  # §2.11 funnel-family completion (round 4) — pytest oracle
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN CAST(epoch_us(ts) AS BIGINT) END)     AS v_us,
+         min(CASE WHEN event_type = 'click' THEN CAST(epoch_us(ts) AS BIGINT) END)    AS c_us,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(epoch_us(ts) AS BIGINT) END) AS p_us
+  FROM events GROUP BY user_id
+), spans AS (
+  SELECT user_id,
+         CASE WHEN v_us IS NOT NULL AND c_us IS NOT NULL AND p_us IS NOT NULL
+              THEN greatest(v_us, c_us, p_us) - least(v_us, c_us, p_us) END AS span_us
+  FROM firsts
+)
+SELECT CAST(count(*) AS BIGINT)                                   AS n_users,
+       CAST(count(span_us) AS BIGINT)                             AS n_all_three,
+       CAST(sum(CASE WHEN span_us <= 7 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_within_7d,
+       CAST(min(span_us) AS BIGINT)                               AS min_span_us,
+       CAST(max(span_us) AS BIGINT)                               AS max_span_us
+FROM spans
+""",
+)
+def q_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED funnel (set completion): users whose first view, first
+    click, and first purchase all exist, and how tightly they cluster —
+    completion within 7 days uses the span between the earliest and
+    latest of the three firsts, order-free. The complement to the
+    strictly-ordered q_funnel: engagement breadth rather than a
+    prescribed path. All arithmetic is exact integer µs.
+
+    Scale: one conditional-min groupBy on user_id (partial aggs
+    map-side), then a metadata-sized census — the cheapest funnel shape
+    there is."""
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, t_us))
+
+    firsts = e.groupBy("user_id").agg(
+        first_of("view").alias("v_us"),
+        first_of("click").alias("c_us"),
+        first_of("purchase").alias("p_us"),
+    )
+    span = F.when(
+        F.col("v_us").isNotNull()
+        & F.col("c_us").isNotNull()
+        & F.col("p_us").isNotNull(),
+        F.greatest("v_us", "c_us", "p_us") - F.least("v_us", "c_us", "p_us"),
+    )
+    spans = firsts.select("user_id", span.alias("span_us"))
+    return spans.agg(
+        F.count("*").alias("n_users"),
+        F.count("span_us").alias("n_all_three"),
+        F.sum(F.when(F.col("span_us") <= 7 * 86400000000, 1).otherwise(0)).alias(
+            "n_within_7d"
+        ),
+        F.min("span_us").alias("min_span_us"),
+        F.max("span_us").alias("max_span_us"),
+    )
+
+
+@register(
+    "q_attribution_decay",
+    driver=False,  # §2.11 attribution-family completion (round 4) — pytest oracle
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT c.conv_id, e.event_type AS channel,
+         CAST(power(2.0, -CAST((c.p_us - CAST(epoch_us(e.ts) AS BIGINT))
+                               // 86400000000 AS BIGINT)) AS DOUBLE) AS w
+  FROM conv c
+  JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type IN ('view', 'click')
+   AND CAST(epoch_us(e.ts) AS BIGINT) <= c.p_us
+   AND c.p_us - CAST(epoch_us(e.ts) AS BIGINT) <= 14 * 86400000000
+), norm AS (
+  SELECT conv_id, channel, w,
+         sum(w) OVER (PARTITION BY conv_id) AS tot
+  FROM touch
+)
+SELECT channel,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       round(sum(w / tot), 6)                  AS credit
+FROM norm
+GROUP BY channel
+""",
+)
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-DECAY multi-touch attribution (half-life 1 day), completing
+    the family next to last-touch (q_attribution) and Markov removal
+    effect (q_markov_attribution): each view/click in the 14 days before
+    a purchase earns weight 2^(−age_days), normalized per conversion.
+    The decay base is 2 and ages are exact integer days, so every weight
+    is an exact power of two — dyadic sums make the per-conversion
+    normalization engine-exact, with one 6-dp round on the final credit.
+
+    Scale: the touch join is user-keyed with a 14-day bound — at 100 TB
+    bucket both sides by (user, day-window) so candidates stay local
+    (same shape as the interval join); weights/normalization are window
+    work on the touch table."""
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        t_us.alias("p_us"),
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("channel"), t_us.alias("e_us")
+    )
+    joined = conv.join(
+        touches,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("e_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("e_us") <= 14 * 86400000000),
+    ).select(
+        "conv_id",
+        "channel",
+        # integer `div` (not double /) so the day floor is exact in both engines
+        F.pow(
+            F.lit(2.0), -F.expr("(p_us - e_us) div 86400000000").cast("double")
+        ).alias("w"),
+    )
+    from pyspark.sql import Window
+
+    norm = joined.withColumn("tot", F.sum("w").over(Window.partitionBy("conv_id")))
+    return norm.groupBy("channel").agg(
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.round(F.sum(F.col("w") / F.col("tot")), 6).alias("credit"),
+    )

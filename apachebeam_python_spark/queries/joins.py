@@ -346,3 +346,89 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "q_join_nearest",
+    driver=False,  # §2.4 temporal-join family completion (round 4) — pytest oracle
+    oracle="""
+WITH marked AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         last_value(CASE WHEN event_type = 'purchase'
+                         THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+         first_value(CASE WHEN event_type = 'purchase'
+                          THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+            WHEN fwd_us IS NULL THEN -(t_us - back_us)
+            WHEN back_us IS NULL THEN fwd_us - t_us
+            WHEN t_us - back_us <= fwd_us - t_us THEN -(t_us - back_us)
+            ELSE fwd_us - t_us END AS nearest_dt_us,
+       CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+            WHEN fwd_us IS NULL THEN 'back'
+            WHEN back_us IS NULL THEN 'fwd'
+            WHEN t_us - back_us <= fwd_us - t_us THEN 'back'
+            ELSE 'fwd' END AS direction
+FROM marked
+WHERE event_type = 'click'
+""",
+)
+def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join, completing the family next to the
+    backward as-of (q_join_asof) and the interval join: for every click,
+    the nearest purchase of that user by |Δt| in either direction (tie →
+    the earlier purchase, matching pandas ``merge_asof(direction=
+    'nearest')``). Two complementary ignore-NULLs window passes — latest
+    purchase ≤ t, earliest ≥ t — share ONE user-keyed sort, then an exact
+    integer-µs comparison picks the side; no range self-join, no fan-out.
+
+    Scale: identical economics to the as-of union trick — one shuffle on
+    user_id, linear in events; Δt stays exact BIGINT µs."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    p_us = F.when(F.col("event_type") == "purchase", t_us)
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        t_us.alias("t_us"),
+        F.last(p_us, ignorenulls=True).over(wb).alias("back_us"),
+        F.first(p_us, ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    back_dt = F.col("t_us") - F.col("back_us")
+    fwd_dt = F.col("fwd_us") - F.col("t_us")
+    nearest = (
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit(None))
+        .when(F.col("fwd_us").isNull(), -back_dt)
+        .when(F.col("back_us").isNull(), fwd_dt)
+        .when(back_dt <= fwd_dt, -back_dt)
+        .otherwise(fwd_dt)
+    )
+    direction = (
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit(None))
+        .when(F.col("fwd_us").isNull(), F.lit("back"))
+        .when(F.col("back_us").isNull(), F.lit("fwd"))
+        .when(back_dt <= fwd_dt, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    return marked.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_dt_us"),
+        direction.alias("direction"),
+    )

@@ -718,3 +718,51 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_sum"),
         )
     )
+
+
+@register(
+    "q_scan_hive_partitioned",
+    driver=False,  # §2.1 partition-discovery/pruning proof (round 4) — pytest oracle
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)  AS n,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS value_sum
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round trip (SURVEY §2.1): events
+    written as ``event_type=<v>/`` directories, re-read through partition
+    DISCOVERY, with an IN-filter that must prune to two of five
+    directories at PLAN time (PartitionFilters, asserted in
+    tests/test_plans.py — files of other partitions are never opened).
+    The partition column comes back from the directory name, not the
+    data, so the oracle over the original table proves the
+    value↔directory round trip too.
+
+    Scale: partition pruning is THE first-order cost lever on a
+    100 TB lake — this query is the proof the engine plans it, and
+    layout.partition_overwrite is the writer that maintains it."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"hivepart_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e.select("event_id", "user_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("user_id").alias("user_sum"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("value_sum"),
+        )
+    )

@@ -457,3 +457,13 @@ def test_r4_stats_and_spatial_plan_shapes(spark, sf_dir):
         "edge-list checkpoint lost: peel rounds are re-planning the "
         "4-table edge build"
     )
+
+
+def test_hive_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """q_scan_hive_partitioned's IN-filter must prune at PLAN time: the
+    formatted plan carries PartitionFilters with event_type, and the data
+    filter does NOT appear as a post-scan Filter over all partitions."""
+    df = q.QUERIES["q_scan_hive_partitioned"](spark, sf_dir)
+    fmt = P.formatted(df)
+    pf = [l for l in fmt.splitlines() if "PartitionFilters" in l]
+    assert pf and any("event_type" in l for l in pf), fmt
