@@ -1112,3 +1112,51 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matches_full_recompute"
         ),
     )
+
+
+@register(
+    "q_mode_per_key",
+    driver=False,  # §2.3 grouping extension — pytest oracle
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY l_returnflag ORDER BY cnt DESC, qty ASC) AS rk
+  FROM counts
+)
+SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+FROM ranked WHERE rk = 1
+""",
+)
+def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per key (most frequent l_quantity per returnflag,
+    smallest value on count ties) — Beam's ``Top.PerKey`` over per-element
+    counts, i.e. the two-stage mode idiom (SURVEY §2.3: Count.PerElement +
+    Top). Deterministic tie-break makes the result oracle-exact.
+
+    Scale: first groupBy shuffles on the COMPOSITE (key, value) — the
+    high-cardinality stage with full map-side partial aggregation — then
+    the per-key argmax windows over the collapsed (key, distinct-value)
+    table, orders of magnitude smaller. No all-values-per-key collection
+    anywhere, so a skewed key costs its distinct-value count, not its row
+    count."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    counts = (
+        li.select(
+            "l_returnflag", F.round("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_count"))
+    )

@@ -2842,3 +2842,84 @@ def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("conv_id").alias("n_conversions"),
         F.round(F.sum(F.col("w") / F.col("tot")), 6).alias("credit"),
     )
+
+
+@register(
+    "q_proration",
+    driver=False,  # §2.11 exact-money allocation — pytest oracle
+    oracle="""
+WITH base AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS w,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) // 10 AS rebate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sized AS (
+  SELECT *,
+         CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS tot_w
+  FROM base
+), shares AS (
+  SELECT *,
+         (rebate * w) // tot_w AS floor_c,
+         (rebate * w) % tot_w  AS rem
+  FROM sized
+), ranked AS (
+  SELECT *,
+         CAST(sum(floor_c) OVER (PARTITION BY l_orderkey) AS BIGINT) AS floor_sum,
+         CAST(row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber ASC) AS BIGINT) AS rk
+  FROM shares
+)
+SELECT l_orderkey, l_linenumber,
+       floor_c + CASE WHEN rk <= rebate - floor_sum THEN 1 ELSE 0 END AS alloc_cents
+FROM ranked
+""",
+)
+def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-exact pro-rata allocation by the largest-remainder method: a
+    10 % order-level rebate (floored to whole cents) is distributed across
+    the order's line items proportional to extended price, floor shares
+    first, then one extra cent to the largest remainders (line number as
+    the deterministic tie-break) so the allocations sum EXACTLY to the
+    rebate — the billing/revenue-recognition op every financial pipeline
+    needs, impossible with naive float splits (SURVEY §2.11 curation-tier
+    exactness; same integer discipline as q_anova).
+
+    Parity: every quantity is an exact BIGINT (cents, products ≤ ~5e13);
+    both engines floor-divide and rank remainders identically.
+
+    Scale: one fact-fact join on the order key (co-partitioned — at 100 TB
+    bucket both tables by orderkey and the join is shuffle-free), then two
+    windows over the SAME order-key partitioning — Spark reuses one
+    exchange for both; per-order groups are ≤ 7 rows, no skew."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10").alias("rebate"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    sized = base.withColumn("tot_w", F.sum("w").over(wp))
+    shares = sized.withColumns(
+        {
+            "floor_c": F.expr("(rebate * w) div tot_w"),
+            "rem": (F.col("rebate") * F.col("w")) % F.col("tot_w"),
+        }
+    )
+    ranked = shares.withColumns(
+        {
+            "floor_sum": F.sum("floor_c").over(wp),
+            "rk": F.row_number()
+            .over(wp.orderBy(F.desc("rem"), F.asc("l_linenumber")))
+            .cast("long"),
+        }
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_c")
+            + F.when(F.col("rk") <= F.col("rebate") - F.col("floor_sum"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )

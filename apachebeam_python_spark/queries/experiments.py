@@ -2222,3 +2222,76 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / 100.0 + lap(u2, 200.0), 3).alias("noisy_sum"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering keys — layout diagnostics as a query
+# --------------------------------------------------------------------------
+_Z_BITS = 10
+# closed form of layout.zorder_key's msb-first interleave for the oracle:
+# x-bit b lands at position 2b+1, y-bit b at 2b (disjoint ⇒ sum ≡ OR)
+_Z_SQL = " + ".join(
+    f"(((x >> {b}) & 1) * {1 << (2 * b + 1)}) + (((y >> {b}) & 1) * {1 << (2 * b)})"
+    for b in range(_Z_BITS)
+)
+
+
+@register(
+    "q_zorder_cluster",
+    driver=False,  # §2.11 lake-maintenance tier — pytest oracle
+    oracle=f"""
+WITH keyed AS (
+  SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+         CAST(l_suppkey % 1024 AS BIGINT) AS y
+  FROM lineitem
+), z AS (
+  SELECT ({_Z_SQL}) AS zkey FROM keyed
+), buckets AS (
+  SELECT zkey >> 10 AS zbucket,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(zkey) AS BIGINT) AS zmin,
+         CAST(max(zkey) AS BIGINT) AS zmax
+  FROM z GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, zbucket ASC) AS rk
+  FROM buckets
+)
+SELECT CAST(zbucket AS BIGINT) AS zbucket, cnt, zmin, zmax
+FROM ranked WHERE rk <= 20
+""",
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering-key census over (partkey, suppkey): the
+    top-20 densest Z-buckets with their key ranges — the diagnostic a lake
+    OPTIMIZE ZORDER pass runs to pick clustering dimensions and file
+    boundaries (SURVEY §2.11 lake maintenance; the write path itself is
+    ``sources.layout.write_zordered``, file-skip-verified in
+    tests/test_scale_patterns.py). Reuses ``layout.zorder_key`` — pure bit
+    arithmetic fused into codegen — and pins its msb-first interleave
+    against the oracle's closed-form Σ bit·2^pos twin, so the layout
+    helper itself is now oracle-checked.
+
+    Scale: bucketing collapses the fact table to ≤ 2^10 rows in one
+    partial/final shuffle; the top-k window runs on metadata. The same
+    key feeds repartitionByRange at 100 TB — no extra shuffle beyond the
+    write's own range partitioning."""
+    from ..sources.layout import zorder_key
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).cast("long").alias("x"),
+        (F.col("l_suppkey") % 1024).cast("long").alias("y"),
+    )
+    z = li.select(
+        zorder_key([F.col("x"), F.col("y")], bits=_Z_BITS).alias("zkey")
+    )
+    buckets = z.groupBy(F.shiftright(F.col("zkey"), 10).alias("zbucket")).agg(
+        F.count("*").alias("cnt"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+    )
+    ranked = buckets.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("zbucket")))
+    )
+    return ranked.filter(F.col("rk") <= 20).select(
+        F.col("zbucket").cast("long").alias("zbucket"), "cnt", "zmin", "zmax"
+    )

@@ -376,3 +376,362 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")).cast("double")), 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation (per group, exact integer moments)
+# --------------------------------------------------------------------------
+_HI = "decimal(38,0)"  # Spark twin of DuckDB HUGEINT: exact 128-bit-ish ints
+
+
+@register(
+    "q_correlation",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT)    AS x,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(x) AS BIGINT)     AS sx,
+         CAST(sum(y) AS BIGINT)     AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM s GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0 THEN
+         round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+       END AS pearson_r
+FROM g
+""",
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation between value (integer cents) and
+    hour-of-day — the feature-relationship scan a curation pipeline runs
+    before mixing signals (SURVEY §2.3 statistical extensions).
+
+    Parity discipline: the five moment sums (n, Σx, Σy, Σx², Σy², Σxy) are
+    exact BIGINTs from one groupBy; the assembled numerator/variances
+    n·Σxy − Σx·Σy would overflow 64 bits (n·Σx² ≈ 3.6e19 at sf0.01), so
+    both engines widen to exact 128-bit integers (Spark DECIMAL(38,0) ↔
+    DuckDB HUGEINT) and convert the identical integer to double only for
+    the final sqrt/divide — same IEEE value in both engines, then a 6-dp
+    round. Zero-variance groups yield NULL under identical guards.
+
+    Scale: one partial/final shuffle on event_type; the correlation
+    assembly is k rows of metadata. The moment-sum shape is the textbook
+    single-pass distributed corr at any scale."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        _cents(F.col("value")).alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    covn = hi(F.col("n")) * hi(F.col("sxy")) - hi(F.col("sx")) * hi(F.col("sy"))
+    varx = hi(F.col("n")) * hi(F.col("sxx")) - hi(F.col("sx")) * hi(F.col("sx"))
+    vary = hi(F.col("n")) * hi(F.col("syy")) - hi(F.col("sy")) * hi(F.col("sy"))
+    r = covn.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.when((varx > 0) & (vary > 0), F.round(r, 6)).alias("pearson_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, exact via doubled ranks)
+# --------------------------------------------------------------------------
+@register(
+    "q_spearman",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT)    AS xv,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS yv
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY xv)
+           + CAST(count(*) OVER (PARTITION BY event_type, xv) AS BIGINT) - 1 AS x,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY yv)
+           + CAST(count(*) OVER (PARTITION BY event_type, yv) AS BIGINT) - 1 AS y
+  FROM s
+), g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(x) AS BIGINT)     AS sx,
+         CAST(sum(y) AS BIGINT)     AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0 THEN
+         round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+       END AS spearman_rho
+FROM g
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman ρ per event type (value vs hour-of-day):
+    Pearson over average ranks, where each average rank (min-rank +
+    (ties−1)/2, a multiple of 0.5) is carried as the INTEGER doubled rank
+    2·rmin + t − 1 — so the whole computation stays in exact integers and
+    the shared 128-bit assembly of :func:`q_correlation` applies verbatim
+    (doubling both variables leaves ρ unchanged). SURVEY §2.3.
+
+    Scale: the per-group rank is a partitioned window (one shuffle on
+    event_type); at 100 TB the within-group order becomes a
+    range-partitioned rank like q_mann_whitney's note. Moment sums and the
+    k-row assembly are unchanged from the Pearson path."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        "event_type",
+        _cents(F.col("value")).alias("xv"),
+        F.hour("ts").cast("long").alias("yv"),
+    )
+
+    def dbl_rank(col):
+        return (
+            2 * F.rank().over(Window.partitionBy("event_type").orderBy(col))
+            + F.count("*").over(Window.partitionBy("event_type", col))
+            - 1
+        ).cast("long")
+
+    ranked = s.select(
+        "event_type",
+        dbl_rank("xv").alias("x"),
+        dbl_rank("yv").alias("y"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    covn = hi(F.col("n")) * hi(F.col("sxy")) - hi(F.col("sx")) * hi(F.col("sy"))
+    varx = hi(F.col("n")) * hi(F.col("sxx")) - hi(F.col("sx")) * hi(F.col("sx"))
+    vary = hi(F.col("n")) * hi(F.col("syy")) - hi(F.col("sy")) * hi(F.col("sy"))
+    rho = covn.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.when((varx > 0) & (vary > 0), F.round(rho, 6)).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between two daily series
+# --------------------------------------------------------------------------
+@register(
+    "q_cross_correlation",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(0, 8)),
+pairs AS (
+  SELECT l.lag, d1.x AS x, d2.y AS y
+  FROM daily d1 JOIN lags l ON true
+  JOIN daily d2 ON d2.d = d1.d + l.lag
+), g AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT)              AS n,
+         CAST(sum(x) AS BIGINT)                AS sx,
+         CAST(sum(y) AS BIGINT)                AS sy,
+         sum(CAST(x AS HUGEINT) * x)           AS sxx,
+         sum(CAST(y AS HUGEINT) * y)           AS syy,
+         sum(CAST(x AS HUGEINT) * y)           AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0 THEN
+         round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                  * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+       END AS xcorr_r
+FROM g
+""",
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of daily revenue (cents) against daily event count
+    at lags 0..7 — does today's spend predict activity k days out? The
+    lead/lag diagnostic behind forecasting-feature selection (SURVEY §2.3
+    statistical extensions; companion to q_acf's autocorrelation).
+
+    Parity: day index = exact epoch-day integer in both engines; daily
+    sums are BIGINT; second moments widen PER TERM to 128-bit (daily cents
+    squared brushes 2^63), then the q_correlation assembly runs per lag.
+
+    Scale: the daily rollup is the only data-sized shuffle; the series is
+    metadata (O(days)), so the 8-lag self-join is a broadcast over a
+    dimension-sized table — same shape at 100 TB."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(_cents(F.col("value"))).alias("x"),
+        F.count("*").alias("y"),
+    )
+    lagged = daily.select(
+        "d", "x", F.explode(F.array([F.lit(i) for i in range(8)])).alias("lag")
+    )
+    d2 = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = lagged.join(
+        F.broadcast(d2), F.col("d2") == F.col("d") + F.col("lag").cast("long")
+    ).select("lag", "x", F.col("y2").alias("y"))
+
+    def hi(c):
+        return c.cast(_HI)
+
+    g = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(hi(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(hi(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(hi(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    covn = hi(F.col("n")) * F.col("sxy") - hi(F.col("sx")) * hi(F.col("sy"))
+    varx = hi(F.col("n")) * F.col("sxx") - hi(F.col("sx")) * hi(F.col("sx"))
+    vary = hi(F.col("n")) * F.col("syy") - hi(F.col("sy")) * hi(F.col("sy"))
+    r = covn.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when((varx > 0) & (vary > 0), F.round(r, 6)).alias("xcorr_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Single changepoint by binary segmentation (exact argmax)
+# --------------------------------------------------------------------------
+@register(
+    "q_changepoint",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), pref AS (
+  SELECT d,
+         CAST(sum(v) OVER (ORDER BY d) AS BIGINT)       AS st,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS nt
+  FROM daily
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM daily
+), cand AS (
+  SELECT d, nt, st, n, s,
+         CAST((CAST(n AS HUGEINT) * st - CAST(nt AS HUGEINT) * s)
+              * (CAST(n AS HUGEINT) * st - CAST(nt AS HUGEINT) * s) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * nt * (n - nt)) AS ssb
+  FROM pref, tot WHERE nt < n
+), best AS (
+  SELECT *, row_number() OVER (ORDER BY ssb DESC, d) AS rk FROM cand
+)
+SELECT strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS split_day,
+       nt AS n_pre, n - nt AS n_post,
+       round(st / (100.0 * nt), 4) AS mean_pre,
+       round((s - st) / (100.0 * (n - nt)), 4) AS mean_post,
+       round(ssb / 10000.0, 4) AS ssb_value2
+FROM best WHERE rk = 1
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint in the daily-revenue series by binary
+    segmentation: the split t maximizing between-segment sum of squares
+    SSB(t) = (N·S_t − n_t·S)² / (N·n_t·(N−n_t)) — the first step of the
+    classic changepoint recursion (CUSUM's argmax cousin; SURVEY §2.3).
+
+    Parity: prefix sums and totals are exact integers; the SSB numerator
+    squares a ~2^47 integer so both engines widen to 128-bit before ONE
+    double conversion — the argmax then compares identical doubles, with
+    day as the deterministic tie-break. Means and SSB report in value
+    units (÷100 / ÷10⁴ of cents space).
+
+    Scale: one data-sized shuffle to the daily rollup; the candidate scan
+    is a window over the O(days) series — metadata at any corpus size."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("v"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.select(
+        "d",
+        F.sum("v").over(w).alias("st"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("nt"),
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    cand = pref.crossJoin(F.broadcast(tot)).filter(F.col("nt") < F.col("n"))
+
+    def hi(c):
+        return c.cast(_HI)
+
+    dev = hi(F.col("n")) * hi(F.col("st")) - hi(F.col("nt")) * hi(F.col("s"))
+    ssb = (dev * dev).cast("double") / (
+        F.col("n").cast("double") * F.col("nt") * (F.col("n") - F.col("nt"))
+    )
+    best = (
+        cand.withColumn("ssb", ssb)
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("ssb"), F.asc("d"))))
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("split_day"),
+        F.col("nt").alias("n_pre"),
+        (F.col("n") - F.col("nt")).alias("n_post"),
+        F.round(F.col("st") / (100.0 * F.col("nt")), 4).alias("mean_pre"),
+        F.round((F.col("s") - F.col("st")) / (100.0 * (F.col("n") - F.col("nt"))), 4).alias("mean_post"),
+        F.round(F.col("ssb") / 10000.0, 4).alias("ssb_value2"),
+    )

@@ -172,3 +172,158 @@ def test_anova_oracle_matches_reference(groups):
         assert f_stat == pytest.approx(ref_f, rel=1e-4, abs=1e-4)
     if ref_ssb + ref_ssw > 1e-9:
         assert eta == pytest.approx(ref_ssb / (ref_ssb + ref_ssw), abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# round-4 wave 3: correlation / spearman / changepoint / proration / z-order
+# --------------------------------------------------------------------------
+import numpy as np
+
+ts_values = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=13),       # day offset
+        st.integers(min_value=0, max_value=23),      # hour
+        st.integers(min_value=1, max_value=400),     # half-cents value
+    ),
+    min_size=6,
+    max_size=80,
+)
+
+
+def _ts_frame(rows_by_type: dict[str, list[tuple[int, int, int]]]) -> pd.DataFrame:
+    rows = [
+        {
+            "event_type": t,
+            "value": c / 2.0,
+            "ts": pd.Timestamp("2024-03-01") + pd.Timedelta(days=d, hours=h),
+            "event_id": i,
+            "user_id": i,
+        }
+        for i, (t, (d, h, c)) in enumerate(
+            (t, r) for t, rs in rows_by_type.items() for r in rs
+        )
+    ]
+    return pd.DataFrame(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ts_values)
+def test_correlation_oracle_matches_numpy(rows):
+    frame = _ts_frame({"click": rows})
+    (event_type, n, r), = _run_oracle("q_correlation", frame)
+    assert event_type == "click" and n == len(rows)
+    x = np.array([round((c / 2.0) * 100) for _, _, c in rows], dtype=float)
+    y = np.array([h for _, h, _ in rows], dtype=float)
+    if x.std() == 0 or y.std() == 0:
+        assert r is None
+    else:
+        ref = np.corrcoef(x, y)[0, 1]
+        assert r == pytest.approx(ref, abs=2e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ts_values)
+def test_spearman_oracle_matches_pandas_ranks(rows):
+    frame = _ts_frame({"view": rows})
+    (event_type, n, rho), = _run_oracle("q_spearman", frame)
+    assert event_type == "view" and n == len(rows)
+    x = pd.Series([round((c / 2.0) * 100) for _, _, c in rows]).rank(method="average")
+    y = pd.Series([h for _, h, _ in rows]).rank(method="average")
+    if x.std() == 0 or y.std() == 0:
+        assert rho is None
+    else:
+        ref = np.corrcoef(x, y)[0, 1]
+        assert rho == pytest.approx(ref, abs=2e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ts_values)
+def test_changepoint_oracle_matches_bruteforce(rows):
+    frame = _ts_frame({"purchase": rows})
+    daily: dict[int, int] = {}
+    for d, _h, c in rows:
+        daily[d] = daily.get(d, 0) + round((c / 2.0) * 100)
+    days = sorted(daily)
+    if len(days) < 2:
+        assert _run_oracle("q_changepoint", frame) == []
+        return
+    vals = [daily[d] for d in days]
+    n, s = len(vals), sum(vals)
+    best = None
+    st_sum = 0
+    for i, v in enumerate(vals[:-1], start=1):
+        st_sum += v
+        dev = n * st_sum - i * s
+        ssb = (dev * dev) / (n * i * (n - i))
+        if best is None or ssb > best[0] + 1e-9:
+            best = (ssb, days[i - 1], i, st_sum)
+    (split_day, n_pre, n_post, mean_pre, mean_post, ssb_value2), = _run_oracle(
+        "q_changepoint", frame
+    )
+    _ssb, bday, bi, bst = best
+    assert split_day == (pd.Timestamp("2024-03-01") + pd.Timedelta(days=bday)).strftime("%Y-%m-%d")
+    assert (n_pre, n_post) == (bi, n - bi)
+    assert mean_pre == pytest.approx(bst / (100.0 * bi), abs=1e-3)
+    assert mean_post == pytest.approx((s - bst) / (100.0 * (n - bi)), abs=1e-3)
+    assert ssb_value2 == pytest.approx(_ssb / 10000.0, abs=1e-3)
+
+
+line_weights = st.lists(
+    st.integers(min_value=1, max_value=900000),  # extendedprice cents
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(orders=st.lists(line_weights, min_size=1, max_size=6))
+def test_proration_sums_exactly_and_stays_proportional(orders):
+    li_rows, o_rows = [], []
+    for ok, weights in enumerate(orders, start=1):
+        total = sum(weights)
+        o_rows.append({"o_orderkey": ok, "o_totalprice": total / 100.0})
+        for ln, w in enumerate(weights, start=1):
+            li_rows.append(
+                {"l_orderkey": ok, "l_linenumber": ln, "l_extendedprice": w / 100.0}
+            )
+    con = duckdb.connect()
+    con.register("lineitem", pd.DataFrame(li_rows))
+    con.register("orders", pd.DataFrame(o_rows))
+    try:
+        out = con.execute(q.ORACLES["q_proration"]).fetchall()
+    finally:
+        con.close()
+    allocs: dict[int, dict[int, int]] = {}
+    for ok, ln, alloc in out:
+        allocs.setdefault(ok, {})[ln] = alloc
+    for ok, weights in enumerate(orders, start=1):
+        total_w = sum(weights)
+        rebate = round(total_w) // 10
+        got = allocs[ok]
+        # conservation: allocations sum EXACTLY to the rebate
+        assert sum(got.values()) == rebate
+        for ln, w in enumerate(weights, start=1):
+            exact = rebate * w / total_w
+            # largest-remainder: each share within 1 cent of exact pro-rata
+            assert abs(got[ln] - exact) < 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    x=st.integers(min_value=0, max_value=1023),
+    y=st.integers(min_value=0, max_value=1023),
+)
+def test_zorder_oracle_interleave_roundtrips(x, y):
+    # replay the oracle's closed-form Morton key and de-interleave it
+    from apachebeam_python_spark.queries.experiments import _Z_BITS, _Z_SQL
+
+    con = duckdb.connect()
+    try:
+        (z,) = con.execute(
+            f"SELECT ({_Z_SQL}) FROM (SELECT CAST({x} AS BIGINT) x, CAST({y} AS BIGINT) y)"
+        ).fetchone()
+    finally:
+        con.close()
+    rx = sum(((z >> (2 * b + 1)) & 1) << b for b in range(_Z_BITS))
+    ry = sum(((z >> (2 * b)) & 1) << b for b in range(_Z_BITS))
+    assert (rx, ry) == (x, y)
