@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     elementwise,
     event_time,
     experiments,
+    finance,
     flagship,
     joins,
     llm,

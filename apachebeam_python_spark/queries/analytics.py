@@ -2923,3 +2923,112 @@ def q_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("rebate") - F.col("floor_sum"), 1).otherwise(0)
         ).alias("alloc_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (exact integer power iteration)
+# --------------------------------------------------------------------------
+@register(
+    "q_hits",
+    driver=False,  # §2.9 iterative-algorithm extension — pytest oracle
+    oracle="""
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), a1 AS (
+  SELECT dst AS node, CAST(sum(w) AS BIGINT) AS a FROM edges GROUP BY dst
+), h1 AS (
+  SELECT src AS node, sum(CAST(e.w AS HUGEINT) * a1.a) AS h
+  FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY src
+), a2 AS (
+  SELECT dst AS node, sum(CAST(e.w AS HUGEINT) * h1.h) AS a
+  FROM edges e JOIN h1 ON h1.node = e.src GROUP BY dst
+), h2 AS (
+  SELECT src AS node, sum(CAST(e.w AS HUGEINT) * a2.a) AS h
+  FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY src
+), hm AS (SELECT max(h) AS m FROM h2), am AS (SELECT max(a) AS m FROM a2)
+SELECT n.n_name AS nation,
+       round(coalesce(CAST(h2.h AS DOUBLE), 0.0) / CAST(hm.m AS DOUBLE), 6) AS hub_score,
+       round(coalesce(CAST(a2.a AS DOUBLE), 0.0) / CAST(am.m AS DOUBLE), 6) AS auth_score
+FROM nation n
+LEFT JOIN h2 ON h2.node = n.n_nationkey
+LEFT JOIN a2 ON a2.node = n.n_nationkey
+CROSS JOIN hm CROSS JOIN am
+""",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation trade graph (supplier nation
+    → customer nation, weight = lineitem count): two full unnormalized
+    power-iteration rounds from h₀ = 1. Kleinberg's normalization is an
+    end-only rescale, so the iterations stay in EXACT integers — h₁/a₂/h₂
+    widen to 128-bit (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT; h₂ ≈ 3×10¹⁷ at
+    sf0.1) and only the final max-normalized scores convert to double
+    (correctly-rounded cast + divide — identical IEEE both engines).
+    SURVEY §2.9 bounded-iteration graph family next to q_pagerank.
+
+    Scale: the edge build is the star join (broadcast dims onto lineitem,
+    one groupBy); each HITS half-step is an edges⟕scores join + groupBy
+    over the |nations|²-bounded edge table — metadata-sized here; at web
+    scale edges bucket by the join side each hop exactly like the
+    q_pagerank note, and more rounds need per-round rescaling (documented
+    divergence from the exact-integer contract)."""
+    _HI = "decimal(38,0)"
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+    def hi(col):
+        return col.cast(_HI)
+
+    a1 = edges.groupBy(F.col("dst").alias("node")).agg(F.sum("w").alias("a"))
+    h1 = (
+        edges.join(F.broadcast(a1), F.col("node") == F.col("dst"))
+        .groupBy(F.col("src").alias("hnode"))
+        .agg(F.sum(hi(F.col("w")) * F.col("a")).alias("h"))
+    )
+    a2 = (
+        edges.join(F.broadcast(h1), F.col("hnode") == F.col("src"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(hi(F.col("w")) * F.col("h")).alias("a"))
+    )
+    h2 = (
+        edges.join(F.broadcast(a2), F.col("node") == F.col("dst"))
+        .groupBy(F.col("src").alias("hnode"))
+        .agg(F.sum(hi(F.col("w")) * F.col("a")).alias("h"))
+    )
+    hm = h2.agg(F.max("h").alias("hmax"))
+    am = a2.agg(F.max("a").alias("amax"))
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = (
+        n.join(F.broadcast(h2), F.col("hnode") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(a2), F.col("node") == F.col("n_nationkey"), "left")
+        .crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(am))
+    )
+    return out.select(
+        F.col("n_name").alias("nation"),
+        F.round(
+            F.coalesce(F.col("h").cast("double"), F.lit(0.0))
+            / F.col("hmax").cast("double"),
+            6,
+        ).alias("hub_score"),
+        F.round(
+            F.coalesce(F.col("a").cast("double"), F.lit(0.0))
+            / F.col("amax").cast("double"),
+            6,
+        ).alias("auth_score"),
+    )

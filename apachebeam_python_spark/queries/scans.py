@@ -766,3 +766,43 @@ def q_scan_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_sum"),
         )
     )
+
+
+@register(
+    "q_scan_binaryfile",
+    driver=False,  # §2.1 binary-corpus source — pytest oracle
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 100 = 0
+""",
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct ``binaryFile`` source round trip (SURVEY §2.1; the multimodal
+    ingest shape of §2.11): a doc subset is written one-file-per-row by the
+    executor-side binary sink (``sources.io.write_binary_files``), read back
+    as (path, length, content) rows, and checked byte-exact against the
+    original table — md5 of the UTF-8 payload and the on-disk byte length
+    both must survive the file system round trip.
+
+    Scale: listing is distributed and each task reads only its own files;
+    for billions of small payloads pack into WebDataset tars instead
+    (q_export_webdataset) — the per-file overhead, not the scan, is what
+    breaks first. The write is idempotent under retries (key-named files,
+    identical bytes)."""
+    out = os.path.join(_scratch_dir(), f"binf_{_sfkey(sf_dir)}")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", "text")
+    )
+    io.write_binary_files(docs, out, "doc_id", "text", ext="bin")
+    back = io.read_binary_files(spark, os.path.join(out, "*.bin"))
+    return back.select(
+        F.regexp_extract(F.col("path"), r"/(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

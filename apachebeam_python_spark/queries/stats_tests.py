@@ -648,6 +648,209 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Welch's two-sample t-test (unequal variances)
+# --------------------------------------------------------------------------
+@register(
+    "q_welch_ttest",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(c) AS BIGINT)     AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM s GROUP BY grp
+), w AS (
+  SELECT max(CASE WHEN grp = 'click' THEN n END)  AS n1,
+         max(CASE WHEN grp = 'click' THEN s END)  AS s1,
+         max(CASE WHEN grp = 'click' THEN ss END) AS ss1,
+         max(CASE WHEN grp = 'view' THEN n END)   AS n2,
+         max(CASE WHEN grp = 'view' THEN s END)   AS s2,
+         max(CASE WHEN grp = 'view' THEN ss END)  AS ss2
+  FROM g
+), v AS (
+  SELECT n1, n2, s1, s2,
+         CAST(CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS se1,
+         CAST(CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS se2
+  FROM w
+)
+SELECT n1, n2,
+       round(s1 / (100.0 * n1), 4) AS mean_click,
+       round(s2 / (100.0 * n2), 4) AS mean_view,
+       round((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+             / sqrt(se1 + se2), 6) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) AS dof_welch
+FROM v
+""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: click vs view event values. Per-group
+    moments (n, Σx, Σx²) are exact integer cents from one groupBy; the
+    variance numerator n·Σx² − (Σx)² widens to 128-bit (Spark DECIMAL(38,0)
+    ↔ DuckDB HUGEINT — it brushes 2⁶³ at sf0.1) before ONE double
+    conversion, then t and the Welch–Satterthwaite dof assemble through the
+    identical IEEE tree in both engines (sqrt is correctly rounded — safe).
+    SURVEY §2.3 statistical extensions, the two-sample companion to
+    q_anova's k-group F.
+
+    Scale: one partial/final shuffle on event_type; the two-row pivot and
+    statistic assembly are metadata."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "click", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "click", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "view", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "view", F.col("ss"))).alias("ss2"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    def se(n, s_, ss):
+        vnum = hi(F.col(n)) * hi(F.col(ss)) - hi(F.col(s_)) * hi(F.col(s_))
+        return vnum.cast("double") / (
+            F.col(n).cast("double") * (F.col(n) - 1)
+        ) / F.col(n)
+
+    v = w.select(
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        se("n1", "s1", "ss1").alias("se1"),
+        se("n2", "s2", "ss2").alias("se2"),
+    )
+    tnum = F.col("s1") / F.col("n1").cast("double") - F.col("s2") / F.col("n2").cast("double")
+    sesum = F.col("se1") + F.col("se2")
+    return v.select(
+        "n1",
+        "n2",
+        F.round(F.col("s1") / (100.0 * F.col("n1")), 4).alias("mean_click"),
+        F.round(F.col("s2") / (100.0 * F.col("n2")), 4).alias("mean_view"),
+        F.round(tnum / F.sqrt(sesum), 6).alias("t_stat"),
+        F.round(
+            sesum * sesum
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b over the daily (revenue, activity) series
+# --------------------------------------------------------------------------
+@register(
+    "q_kendall_tau",
+    driver=False,  # §2.3 statistical extension — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  -- coalesce: a 0/1-day series has NO pairs — sum over the empty join is
+  -- NULL in both engines; the census must read (0, 0), not (NULL, NULL)
+  SELECT coalesce(CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                         OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END) AS BIGINT), 0) AS c,
+         coalesce(CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                         OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END) AS BIGINT), 0) AS d,
+         coalesce(CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT), 0) AS tx,
+         coalesce(CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT), 0) AS ty
+  FROM daily a JOIN daily b ON b.d > a.d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1) / 2 AS n0
+  FROM daily
+)
+SELECT n_days, c AS concordant, d AS discordant,
+       round((c - d) / sqrt((n0 - tx) * CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
+FROM pairs, n
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue (exact cents) and daily event
+    count — the rank-concordance companion to q_spearman, robust to the
+    monotone-but-nonlinear relationships a forecasting pipeline screens
+    for (SURVEY §2.3 statistical extensions). Concordant/discordant/tie
+    censuses are exact integer pair counts; tau-b divides by one sqrt of an
+    exact integer product — identical IEEE in both engines.
+
+    Scale: the daily rollup is the only data-sized shuffle; the O(days²)
+    pair join runs over the metadata-sized series with the right side
+    broadcast — same shape at 100 TB (days grow linearly, not with rows).
+    For row-level tau at scale the O(n log n) merge-sort inversion count
+    replaces the pair join."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(_cents(F.col("value"))).alias("x"),
+        F.count("*").alias("y"),
+    )
+    b = daily.select(
+        F.col("d").alias("bd"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    conc = (F.col("bx") > F.col("x")) & (F.col("by") > F.col("y")) | (
+        F.col("bx") < F.col("x")
+    ) & (F.col("by") < F.col("y"))
+    disc = (F.col("bx") > F.col("x")) & (F.col("by") < F.col("y")) | (
+        F.col("bx") < F.col("x")
+    ) & (F.col("by") > F.col("y"))
+    # coalesce: a 0/1-day series has no pairs — sum over the empty join is
+    # NULL; the census must read (0, 0) in both engines (hypothesis-found)
+    pairs = daily.join(F.broadcast(b), F.col("bd") > F.col("d")).agg(
+        F.coalesce(F.sum(F.when(conc, 1).otherwise(0)), F.lit(0)).alias("c"),
+        F.coalesce(F.sum(F.when(disc, 1).otherwise(0)), F.lit(0)).alias("d"),
+        F.coalesce(
+            F.sum(F.when(F.col("bx") == F.col("x"), 1).otherwise(0)), F.lit(0)
+        ).alias("tx"),
+        F.coalesce(
+            F.sum(F.when(F.col("by") == F.col("y"), 1).otherwise(0)), F.lit(0)
+        ).alias("ty"),
+    )
+    n = daily.agg(
+        F.count("*").alias("n_days"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n0"),
+    )
+    j = pairs.crossJoin(F.broadcast(n))
+    return j.select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt((F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty")).cast("double")),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Single changepoint by binary segmentation (exact argmax)
 # --------------------------------------------------------------------------
 @register(

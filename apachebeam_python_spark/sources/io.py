@@ -96,3 +96,49 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_binary_files(
+    df: DataFrame, path: str, key_col: str, payload_col: str, ext: str = "bin"
+) -> None:
+    """One-file-per-row binary sink (``<key>.<ext>``) — the shape of an
+    image/audio corpus hand-off. Files are written EXECUTOR-side inside
+    ``mapInPandas`` (per-partition parallelism, no driver involvement); the
+    terminal collect is the sanctioned sink action and moves one count row
+    per task, never data (tests/test_antipatterns.py census).
+
+    Scale: at 100 TB the per-row fan-out is the point — each task writes
+    its partition's files against shared storage; key-unique names make the
+    write idempotent under task retries (last writer wins with identical
+    bytes)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+
+    def sink(batches):
+        for pdf in batches:
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = (
+                    payload
+                    if isinstance(payload, (bytes, bytearray))
+                    else str(payload).encode("utf-8")
+                )
+                with open(os.path.join(path, f"{int(key)}.{ext}"), "wb") as fh:
+                    fh.write(data)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    df.select(key_col, payload_col).mapInPandas(sink, schema="n long").agg(
+        F.sum("n")
+    ).collect()
+
+
+def read_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Spark's ``binaryFile`` source: one row per file with (path,
+    modificationTime, length, content) — the ingest half of every
+    multimodal pipeline here (WebDataset tars, Avro containers, codec
+    corpora all ride it). Listing is distributed; content is read by the
+    task that owns the file."""
+    return spark.read.format("binaryFile").load(glob_path)

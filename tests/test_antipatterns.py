@@ -19,6 +19,7 @@ ALLOWED_COLLECTS = {
     "operators/clustering.py": 4,  # seeds (k) + centroid sums (k*dim) + k-center seed (1) + per-round argmax (1)
     "operators/decomposition.py": 1,  # PCA moment partials (dim^2+dim+1 rows)
     "sources/avro_lite.py": 1,  # sink action: 1 row per write task (row counts)
+    "sources/io.py": 1,  # binary sink action: 1 count row per task
     "sources/mlexport.py": 2,  # sink actions: 1 row per shard (tar / tfrecord)
     # manifest metadata: per-file stats (1 row per staged FILE), delete's
     # hit-file list (≤ files), merge's 1-row source bounds — all O(files)

@@ -327,3 +327,68 @@ def test_zorder_oracle_interleave_roundtrips(x, y):
     rx = sum(((z >> (2 * b + 1)) & 1) << b for b in range(_Z_BITS))
     ry = sum(((z >> (2 * b)) & 1) << b for b in range(_Z_BITS))
     assert (rx, ry) == (x, y)
+
+
+# --------------------------------------------------------------------------
+# round-4 wave 5: Welch t-test / Kendall tau-b
+# --------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(a=values, b=values)
+def test_welch_oracle_matches_reference(a, b):
+    frame = _events_frame({"click": a, "view": b})
+    (n1, n2, m1, m2, t, dof), = _run_oracle("q_welch_ttest", frame)
+    assert (n1, n2) == (len(a), len(b))
+    assert m1 == pytest.approx(sum(a) / len(a), abs=1e-3)
+    assert m2 == pytest.approx(sum(b) / len(b), abs=1e-3)
+    ca = [round(v * 100) for v in a]
+    cb = [round(v * 100) for v in b]
+
+    def _se(c):
+        n = len(c)
+        mean = sum(c) / n
+        var = sum((x - mean) ** 2 for x in c) / (n - 1)
+        return var / n
+
+    se1, se2 = _se(ca), _se(cb)
+    if se1 + se2 <= 0:
+        # degenerate: both groups constant — both engines yield NULL
+        assert t is None and dof is None
+        return
+    ref_t = (sum(ca) / len(ca) - sum(cb) / len(cb)) / math.sqrt(se1 + se2)
+    ref_dof = (se1 + se2) ** 2 / (
+        se1**2 / (len(ca) - 1) + se2**2 / (len(cb) - 1)
+    )
+    assert t == pytest.approx(ref_t, rel=1e-4, abs=1e-5)
+    assert dof == pytest.approx(ref_dof, rel=1e-4, abs=1e-3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rows=ts_values)
+def test_kendall_oracle_matches_bruteforce(rows):
+    frame = _ts_frame({"signup": rows})
+    (n_days, conc, disc, tau), = _run_oracle("q_kendall_tau", frame)
+    daily: dict[int, list[int]] = {}
+    for d, _h, c in rows:
+        daily.setdefault(d, []).append(round((c / 2.0) * 100))
+    series = [(sum(v), len(v)) for _d, v in sorted(daily.items())]
+    assert n_days == len(series)
+    C = D = tx = ty = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            dx = series[j][0] - series[i][0]
+            dy = series[j][1] - series[i][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    assert (conc, disc) == (C, D)
+    n0 = len(series) * (len(series) - 1) // 2
+    denom = (n0 - tx) * (n0 - ty)
+    if denom <= 0:
+        assert tau is None
+    else:
+        assert tau == pytest.approx((C - D) / math.sqrt(denom), abs=1e-6)
