@@ -2480,8 +2480,11 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d — the roaring-bitmap idea at its word-sized core. bit_or is the
     MERGEABLE exact-distinct union (unlike HLL there is zero error), and
     popcount answers distinct-days / regularity / coverage without ever
-    re-touching events. The fixture spans 30 days (bits 0..29); the
-    explicit date fence keeps the shift in range by construction.
+    re-touching events. The fixture spans 30 days (bits 0..29), but the
+    date fence 2024-01-01..2024-03-01 admits day indexes up to 60 — still
+    inside a signed BIGINT's 63-bit ceiling, which is the real invariant:
+    any fence widening must keep datediff(end, start) <= 62, else the shift
+    silently overflows bit 63 in both engines.
 
     Scale: one shuffle to (event_type, user) with bit_or partial
     aggregation map-side; the second agg runs on one row per user. For

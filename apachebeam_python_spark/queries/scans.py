@@ -791,12 +791,15 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_export_webdataset) — the per-file overhead, not the scan, is what
     breaks first. The write is idempotent under retries (key-named files,
     identical bytes)."""
+    import shutil
+
     out = os.path.join(_scratch_dir(), f"binf_{_sfkey(sf_dir)}")
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 100 == 0)
         .select("doc_id", "text")
     )
+    shutil.rmtree(out, ignore_errors=True)  # stale <id>.bin files would be globbed back in
     io.write_binary_files(docs, out, "doc_id", "text", ext="bin")
     back = io.read_binary_files(spark, os.path.join(out, "*.bin"))
     return back.select(

@@ -311,23 +311,29 @@ WITH g AS (
   -- sub-unit remainder fraction so the cross-group sums are an exact
   -- BIGINT plus a sum of k tiny doubles — order-independent in both
   -- engines to ~1e-15, where a raw double sum of s_g²/n_g terms is
-  -- order-dependent at the rounding boundary
+  -- order-dependent at the rounding boundary. Squares are widened to
+  -- HUGEINT (Spark twin: DECIMAL(38,0)) before squaring: s² is already
+  -- ~2.2e18 at sf0.01, within 4x of the int64 limit
   SELECT CAST(count(*) AS BIGINT)  AS k,
          CAST(sum(n_g) AS BIGINT)  AS n,
          CAST(sum(s_g) AS BIGINT)  AS s,
          CAST(sum(ss_g) AS BIGINT) AS ss,
-         CAST(sum((s_g * s_g) // n_g) AS BIGINT)       AS q,
-         sum(((s_g * s_g) % n_g) / CAST(n_g AS DOUBLE)) AS fr
+         CAST(sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS BIGINT)       AS q,
+         sum(CAST((CAST(s_g AS HUGEINT) * s_g) % n_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS fr
   FROM g
+), gr AS (
+  SELECT k, n, s, ss, q, fr,
+         CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT)                  AS gq,
+         CAST((CAST(s AS HUGEINT) * s) % n AS DOUBLE) / CAST(n AS DOUBLE) AS gfr
+  FROM t
 )
 SELECT k, n,
-       round(((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE))) / 10000.0, 4) AS ss_between,
-       round(((ss - q) - fr) / 10000.0, 4)                                                 AS ss_within,
-       round((((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE))) / (k - 1))
-             / (((ss - q) - fr) / CAST(n - k AS DOUBLE)), 6)                               AS f_stat,
-       round(((q - (s * s) // n) + (fr - ((s * s) % n) / CAST(n AS DOUBLE)))
-             / ((ss - (s * s) // n) - ((s * s) % n) / CAST(n AS DOUBLE)), 6)               AS eta_sq
-FROM t
+       round(((q - gq) + (fr - gfr)) / 10000.0, 4)                        AS ss_between,
+       round(((ss - q) - fr) / 10000.0, 4)                                AS ss_within,
+       round((((q - gq) + (fr - gfr)) / (k - 1))
+             / (((ss - q) - fr) / CAST(n - k AS DOUBLE)), 6)              AS f_stat,
+       round(((q - gq) + (fr - gfr)) / ((ss - gq) - gfr), 6)              AS eta_sq
+FROM gr
 """,
 )
 def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +356,10 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(c * c).alias("ss_g"),
         )
     )
-    sq = F.col("s_g") * F.col("s_g")
+    # squares widen to DECIMAL(38,0) (DuckDB twin: HUGEINT) before the
+    # quotient/remainder split — s² is ~2.2e18 at sf0.01, so a raw BIGINT
+    # square overflows from sf0.04 on; the per-group s_g² follows suit for
+    # the same reason one scale decade later
     t = g.agg(
         F.count("*").alias("k"),
         F.sum("n_g").alias("n"),
@@ -359,12 +368,20 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact-sum split: integer quotients sum in BIGINT, remainders are
         # k sub-unit doubles — order-independent to ~1e-15 (oracle twin
         # carries the identical split)
-        F.sum(F.expr("s_g * s_g div n_g")).alias("q"),
-        F.sum((sq % F.col("n_g")) / F.col("n_g").cast("double")).alias("fr"),
+        F.sum(
+            F.expr("(cast(s_g as decimal(19,0)) * cast(s_g as decimal(19,0))) div n_g")
+        ).alias("q"),
+        F.sum(
+            F.expr(
+                "cast((cast(s_g as decimal(19,0)) * cast(s_g as decimal(19,0))) % n_g as double)"
+            )
+            / F.col("n_g").cast("double")
+        ).alias("fr"),
     )
-    s2 = F.col("s") * F.col("s")
-    grand_q = F.expr("s * s div n")
-    grand_fr = (s2 % F.col("n")) / F.col("n").cast("double")
+    grand_q = F.expr("(cast(s as decimal(19,0)) * cast(s as decimal(19,0))) div n")
+    grand_fr = F.expr(
+        "cast((cast(s as decimal(19,0)) * cast(s as decimal(19,0))) % n as double)"
+    ) / F.col("n").cast("double")
     ssb = (F.col("q") - grand_q) + (F.col("fr") - grand_fr)
     ssw = (F.col("ss") - F.col("q")) - F.col("fr")
     sst = (F.col("ss") - grand_q) - grand_fr
