@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vectors as V
-from ..session import fan_out
+from ..session import checkpoint, fan_out
 
 #: persisted signature tables awaiting release — see
 #: :func:`release_signature_caches` (VERDICT r2 #7: no cache entry should
@@ -358,18 +358,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *, shingle_n:
     tests/test_dedup_scale_paths.py).
 
     Scale: three gram-/doc-keyed shuffles; the gram explode is built once
-    (localCheckpoint) and shared by df table, sizes, prefix join, and both
-    verify sides. At 100 TB the checkpoint becomes a parquet write-through
-    of the gram table; for approximate recall at even lower cost use
-    minhash_lsh_pairs (same verify step)."""
+    (session.checkpoint) and shared by df table, sizes, prefix join, and
+    both verify sides. At 100 TB SPARK_GRAFT_DURABLE_CHECKPOINT turns the
+    same cut into a parquet write-through of the gram table; for approximate
+    recall at even lower cost use minhash_lsh_pairs (same verify step)."""
     # lazy checkpoint (round-4 review finding #7): still plans the explode
     # subtree once for all consumers, but materializes on the query's FIRST
     # ACTION instead of at build time — merely constructing the DataFrame
     # (driver enumeration, plan inspection) stays free
-    grams = fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
-    ).localCheckpoint(eager=False)
+    grams = checkpoint(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
+        ),
+        eager=False,
+    )
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     cand = ngram_jaccard_candidates(grams, counts, threshold)
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
@@ -551,11 +554,10 @@ def connected_components(
     propagation fixpoint is already the component min (the jump is then the
     identity — the convergence test is unchanged).
     """
-    edges = (
+    edges = checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(max_iter):
@@ -565,27 +567,26 @@ def connected_components(
             .groupBy(F.col("u").alias("n_u"))
             .agg(F.min("v_label").alias("n_label"))
         )
-        updated = (
+        updated = checkpoint(
             labels.join(neighbor_min, labels.u == F.col("n_u"), "left")
             .select(
                 labels.u.alias("u"),
                 F.least(F.col("label"), F.coalesce("n_label", "label")).alias("new_label"),
                 F.col("label"),
             )
-        ).localCheckpoint()
+        )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
         if pointer_jump:
             l2 = labels.select(F.col("u").alias("j_u"), F.col("label").alias("j_label"))
-            labels = (
+            labels = checkpoint(
                 labels.join(l2, labels.label == F.col("j_u"), "left")
                 .select(
                     "u",
                     F.least(F.col("label"), F.coalesce("j_label", "label")).alias("label"),
                 )
-                .localCheckpoint()
             )
     else:
         # falling through with changed != 0 would silently return WRONG

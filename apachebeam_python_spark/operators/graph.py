@@ -4,9 +4,10 @@ batch iterative-algorithm family, next to ``dedup.connected_components``).
 PageRank here is the weighted, damped power iteration in its distributed
 shape: the edge table stays partitioned (by ``src`` — bucket it at scale so
 every iteration's join is exchange-free), the rank vector is a DataFrame
-joined against it each round, and ``localCheckpoint`` truncates lineage so
+joined against it each round, and ``session.checkpoint`` truncates lineage so
 round N never replays rounds 1..N-1 (same discipline as
-``connected_components``). On the fixture graph the rank vector is tiny and
+``connected_components``; localCheckpoint locally, durable parquet
+write-through under ``SPARK_GRAFT_DURABLE_CHECKPOINT``). On the fixture graph the rank vector is tiny and
 broadcast; at web scale (rank vector ≫ broadcast threshold) drop the
 ``broadcast`` hints and co-bucket ranks with edges on the node key — the
 loop structure is unchanged.
@@ -16,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..session import checkpoint
 
 
 def pagerank(
@@ -45,16 +48,14 @@ def pagerank(
     rebuild against the node list. ``iterations`` is fixed rather than
     convergence-tested so the oracle can unroll the same count.
     """
-    en = (
+    en = checkpoint(
         edges.withColumn(
             "p", F.col(weight) / F.sum(weight).over(Window.partitionBy(src))
-        )
-        .select(src, dst, "p")
-        .localCheckpoint()
+        ).select(src, dst, "p")
     )
-    srcs = en.select(src).distinct().localCheckpoint()
+    srcs = checkpoint(en.select(src).distinct())
     nn = nodes.agg(F.count("*").alias("n"))
-    base = nodes.select(node).crossJoin(F.broadcast(nn)).localCheckpoint()
+    base = checkpoint(nodes.select(node).crossJoin(F.broadcast(nn)))
     teleport = F.lit(1.0) - F.lit(damping)
     ranks = base.select(node, (F.lit(1.0) / F.col("n")).alias("r"))
     for _ in range(iterations):
@@ -66,7 +67,7 @@ def pagerank(
         dang = ranks.join(
             srcs, ranks[node] == srcs[src], "left_anti"
         ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        ranks = (
+        ranks = checkpoint(
             base.join(F.broadcast(contrib), F.col(node) == F.col(dst), "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -81,6 +82,5 @@ def pagerank(
                     round_dp,
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
     return ranks

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
-from ..session import table
+from ..session import checkpoint, table
 from ._registry import register
 
 
@@ -888,7 +888,7 @@ def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _EDGE_MIN_COPURCHASE)
         .select("u", "v")
-        .localCheckpoint()
+        .transform(checkpoint)
     )
 
 
@@ -1071,7 +1071,7 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize the tiny per-term table once: the totals branch would
         # otherwise replay the full scan + term shuffle a second time
-        .localCheckpoint()
+        .transform(checkpoint)
     )
     tot = per.agg(
         F.sum("n_recent").alias("t_recent"),
@@ -1635,7 +1635,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     norm = spark.sql(
         _MARKOV_HEAD.format(M="") + "\nSELECT scenario, src, dst, p FROM norm"
-    ).localCheckpoint()
+    ).transform(checkpoint)
     states = (
         norm.select(F.col("src").alias("st"))
         .union(norm.select(F.col("dst").alias("st")))
@@ -1646,7 +1646,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scenario",
         "st",
         F.when(F.col("st") == "CONV", 1.0).otherwise(0.0).alias("p"),
-    ).localCheckpoint()
+    ).transform(checkpoint)
     for _ in range(_MARKOV_ROUNDS):
         nxt = (
             norm.alias("n")
@@ -1671,7 +1671,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     12,
                 ).alias("p"),
             )
-            .localCheckpoint()
+            .transform(checkpoint)
         )
     chans = norm.filter(F.col("scenario") != "base").select(
         F.col("scenario").alias("ch")
@@ -1887,7 +1887,7 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _brand_edges(spark, sf_dir)
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).transform(checkpoint)
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1907,7 +1907,7 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(wl))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
+            .transform(checkpoint)
         )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members"),
@@ -2421,7 +2421,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
         .select("u", "v")
-        .localCheckpoint()
+        .transform(checkpoint)
     )
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -2585,7 +2585,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint, eager=False)
     )
     k = 3
     surv = None

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..session import table
+from ..session import checkpoint, table
 from ._registry import register
 
 
@@ -665,7 +665,7 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         F.concat(
             F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
         ).alias("seq"),
-    ).localCheckpoint()
+    ).transform(checkpoint)
     merges = []
     for step in range(1, 6):
         syms = F.split(F.trim(F.col("seq")), " ")
@@ -683,7 +683,7 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
             .agg(F.sum("freq").alias("c"))
         )
-        best = pc.orderBy(F.desc("c"), "l", "r").limit(1).localCheckpoint()
+        best = pc.orderBy(F.desc("c"), "l", "r").limit(1).transform(checkpoint)
         merges.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -703,7 +703,7 @@ def _bpe_learn_merges(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
                 )
             )
             .select("freq", F.replace(F.col("seq"), pat, rep).alias("seq"))
-            .localCheckpoint()
+            .transform(checkpoint)
         )
     return merges
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..session import table
+from ..session import checkpoint, table
 from ._registry import register
 
 #: 60-bit portable hash: Spark side. DuckDB twin: CAST('0x'||substr(md5(x),o,15) AS BIGINT)
@@ -889,7 +889,7 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut (localCheckpoint, the operators/graph.py discipline;
     # measured: without it the star-join build replans 6× and ReuseExchange
     # does NOT collapse the copies across the broadcast frontiers)
-    e = e.localCheckpoint(eager=True)
+    e = checkpoint(e, eager=True)
     l1 = e.filter(F.col("src") == 0).select(F.col("dst").alias("node")).distinct()
     l2 = (
         e.join(F.broadcast(l1), e.src == l1.node)
@@ -1396,17 +1396,18 @@ SETSIM_T = 0.5
 
 def _setsim_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot (doc_id, gram) trigram table for the set-similarity family,
-    localCheckpointed so its explode+scan subtree is planned ONCE and shared
-    by every consumer (df table, sizes, both prefix-join sides, both verify
-    sides) — the same shared-subtree discipline as q_bfs_reachability:
-    ReuseExchange does not collapse repeated explode subtrees across joins.
-    At 100 TB the checkpoint becomes a parquet write-through of the gram
-    table (a few× the text column), amortized across the join stages."""
+    checkpointed (session.checkpoint) so its explode+scan subtree is planned
+    ONCE and shared by every consumer (df table, sizes, both prefix-join
+    sides, both verify sides) — the same shared-subtree discipline as
+    q_bfs_reachability: ReuseExchange does not collapse repeated explode
+    subtrees across joins. At 100 TB set SPARK_GRAFT_DURABLE_CHECKPOINT and
+    the same call becomes a parquet write-through of the gram table (a few×
+    the text column), amortized across the join stages."""
     d = table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("gram")
     )
-    return grams.localCheckpoint(eager=True)
+    return checkpoint(grams, eager=True)
 
 
 def setsim_candidates(

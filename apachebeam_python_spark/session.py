@@ -124,6 +124,54 @@ def convert_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_CKPT_SEQ = 0
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """THE lineage cut for iterative algorithms (connected components, BPE,
+    PageRank/k-core/LPA/BFS round tables, shared PPJoin subtrees) — every
+    iterative operator routes through here instead of calling
+    ``localCheckpoint`` directly (pinned by tests/test_antipatterns.py).
+
+    Two strategies, selected at call time by ``SPARK_GRAFT_DURABLE_CHECKPOINT``:
+
+    - unset (local default): ``df.localCheckpoint(eager)`` — materializes
+      into executor block storage. Fast and right-sized for local runs, but
+      NOT fault-tolerant: blocks die with their executor, so one lost node
+      in round 40 of a BPE train replays nothing — it kills the job.
+    - set (``1``/``true`` → repo scratch, or an explicit directory path):
+      parquet WRITE-THROUGH — the round table is written to the durable
+      store and read back with its original schema. Any executor (or even
+      driver-restart-with-resume) can replan from the last completed round.
+      This is the 100 TB strategy prescribed in plans/scale_notes.md; on a
+      cluster, point the env var at an object-store path (HDFS/S3A). Writes
+      are eager by nature, so ``eager=False`` (a plan-sharing hint, not a
+      semantic) degrades to eager materialization here.
+
+    Durable round directories are retained, not auto-deleted: returned
+    DataFrames read from them LAZILY, so deleting round N-1 while a consumer
+    still references it would break the read. Production jobs reclaim them
+    by job-scoped prefix + TTL, exactly like shuffle-spill retention.
+    """
+    mode = os.environ.get("SPARK_GRAFT_DURABLE_CHECKPOINT", "")
+    if not mode:
+        return df.localCheckpoint(eager=eager)
+    global _CKPT_SEQ
+    _CKPT_SEQ += 1
+    root = (
+        mode
+        if mode.lower() not in ("1", "true", "yes")
+        else f"/root/repo/.tmp/durable_ckpt_{os.getpid()}"
+    )
+    path = os.path.join(root, f"round_{_CKPT_SEQ:06d}")
+    df.write.mode("overwrite").parquet(path)
+    # read back with the WRITER'S schema: an empty round table writes zero
+    # part files, and schema inference over _SUCCESS alone would fail.
+    # Names/types round-trip exactly; nullability relaxes to True (file
+    # scans never trust writer non-nullness) — invisible to value hashing
+    return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Redistribute a small-file input across all cores before CPU-heavy
     narrow work (Beam ``Reshuffle`` before an expensive ParDo).
