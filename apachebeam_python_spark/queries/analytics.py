@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
-from ..session import checkpoint, table
+from ..session import broadcast_if_small, checkpoint, table
 from ._registry import register
 
 
@@ -2695,7 +2695,10 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
         )
     )
-    cand = pts.join(F.broadcast(pc), ["cy", "cx"])
+    # size-GATED broadcast (VERDICT r4 #3): POIs×9 is nation-sized here, but
+    # a real POI corpus (millions) hinted unconditionally would OOM the
+    # driver — above the gate the cell-key equi-join falls back to AQE
+    cand = pts.join(broadcast_if_small(pc), ["cy", "cx"])
     d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
         F.col("lon") - F.col("plon")
     ) * (F.col("lon") - F.col("plon"))
@@ -3034,4 +3037,212 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("amax").cast("double"),
             6,
         ).alias("auth_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spatial wave 2 (round 5, VERDICT r4 #6): haversine refine + point-in-polygon
+# --------------------------------------------------------------------------
+_HAV_SQL_PTS = """
+WITH pts AS (
+  SELECT user_id,
+         (CAST('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 120.0 - 60.0 AS lat,
+         (CAST('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 340.0 - 170.0 AS lon
+  FROM (SELECT DISTINCT user_id FROM events)
+), pois AS (
+  SELECT n_nationkey AS poi_id,
+         (CAST('0x' || substr(md5('plat|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 120.0 - 60.0 AS plat,
+         (CAST('0x' || substr(md5('plon|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
+            / 1152921504606846976.0) * 340.0 - 170.0 AS plon
+  FROM nation
+)
+"""
+
+
+@register(
+    "q_spatial_haversine",
+    driver=False,  # §2.4 spatial family wave 2 (round 5) — pytest oracle
+    oracle=_HAV_SQL_PTS
+    + """
+, scored AS (
+  SELECT user_id, poi_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin(radians(plat - lat) / 2.0) * sin(radians(plat - lat) / 2.0)
+             + cos(radians(lat)) * cos(radians(plat))
+               * sin(radians(plon - lon) / 2.0) * sin(radians(plon - lon) / 2.0)
+         )) AS d_km
+  FROM pts, pois
+), nearest AS (
+  SELECT user_id, poi_id, d_km,
+         row_number() OVER (PARTITION BY user_id ORDER BY d_km, poi_id) AS rn
+  FROM scored WHERE d_km <= 250.0
+)
+SELECT user_id, poi_id, round(d_km, 6) AS dist_km
+FROM nearest WHERE rn = 1
+""",
+)
+def q_spatial_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) nearest-POI join within 250 km (SURVEY §2.4
+    spatial family, wave 2): the same grid-bucketed candidate machinery as
+    q_spatial_grid_join — 5° cells, POIs replicated into their 3×3 neighbor
+    cells — but the refine step is the real geodesic, not squared degrees.
+    The ORACLE is the brute-force cross join, so the parity check also
+    PROVES the grid gating lossless at this radius: 250 km spans ≤ 2.26° of
+    latitude and ≤ 4.82° of longitude anywhere in the fixture's |lat| ≤ 60
+    band (Δlon = 250 / (111.32·cos 62°)), both under the 5° cell size.
+
+    Parity discipline: identical md5-derived coordinates, identical
+    radians/sin/cos/asin double expression in both engines (1-ulp libm
+    drift is ~1e-14 km — invisible at the 6-dp round and measure-zero
+    against the 250 km fence).
+
+    Scale: equi-join on cell keys, POI×9 through the size-gated broadcast;
+    at a planetary POI corpus shrink the cell to match the radius — the
+    candidate fan-out tunes like LSH bucket width."""
+    from .experiments import _md5_int
+
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    scale = F.lit(1152921504606846976.0)
+    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
+    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
+    pts = (
+        e.select("user_id", lat.alias("lat"), lon.alias("lon"))
+        .withColumn("cy", F.floor(F.col("lat") / 5.0))
+        .withColumn("cx", F.floor(F.col("lon") / 5.0))
+    )
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("poi_id"))
+    plat = (_md5_int(F.concat(F.lit("plat|"), F.col("poi_id").cast("string"))) / scale) * 120.0 - 60.0
+    plon = (_md5_int(F.concat(F.lit("plon|"), F.col("poi_id").cast("string"))) / scale) * 340.0 - 170.0
+    pois = n.select("poi_id", plat.alias("plat"), plon.alias("plon"))
+    off = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(1).cast("long"))
+    pc = (
+        pois.select("poi_id", "plat", "plon", F.explode(off).alias("dy"))
+        .select("poi_id", "plat", "plon", "dy", F.explode(off).alias("dx"))
+        .select(
+            "poi_id",
+            "plat",
+            "plon",
+            (F.col("dy") + F.floor(F.col("plat") / 5.0)).alias("cy"),
+            (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
+        )
+    )
+    cand = pts.join(broadcast_if_small(pc), ["cy", "cx"])
+    dphi2 = F.radians(F.col("plat") - F.col("lat")) / 2.0
+    dlmb2 = F.radians(F.col("plon") - F.col("lon")) / 2.0
+    d_km = (
+        F.lit(2.0)
+        * F.lit(6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.sin(dphi2) * F.sin(dphi2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("plat"))
+                * F.sin(dlmb2)
+                * F.sin(dlmb2)
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("d_km"), "poi_id")
+    return (
+        cand.withColumn("d_km", d_km)
+        .filter(F.col("d_km") <= 250.0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "poi_id", F.round("d_km", 6).alias("dist_km"))
+    )
+
+
+#: literal polygon rings (poly_id, [(x=lon, y=lat) vertices, unclosed]) —
+#: one convex quad, one convex-ish pentagon, one CONCAVE pentagon (the case
+#: a bbox test alone gets wrong). Shared verbatim by both engines.
+_POLYGONS = [
+    (1, [(-10.3, -35.2), (12.7, -40.1), (25.4, -12.8), (3.9, 4.6), (-18.2, -9.4)]),
+    (2, [(30.5, 10.2), (60.8, 14.9), (58.3, 44.7), (27.1, 38.6)]),
+    (3, [(-120.0, 20.0), (-80.5, 22.5), (-82.0, 55.0), (-100.0, 35.5), (-118.0, 52.0)]),
+]
+
+
+def _poly_edges_rows() -> list[tuple[int, float, float, float, float]]:
+    rows = []
+    for pid, ring in _POLYGONS:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+_POLY_EDGES_VALUES = ", ".join(
+    f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for pid, x1, y1, x2, y2 in _poly_edges_rows()
+)
+
+
+@register(
+    "q_point_in_polygon",
+    driver=False,  # §2.4 spatial family wave 2 (round 5) — pytest oracle
+    oracle=_HAV_SQL_PTS
+    + f"""
+, edges(poly_id, x1, y1, x2, y2) AS (
+  SELECT * FROM (VALUES {_POLY_EDGES_VALUES}) v
+), crossings AS (
+  SELECT p.user_id, e.poly_id,
+         sum(CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                  THEN 1 ELSE 0 END) AS k
+  FROM pts p, edges e
+  GROUP BY 1, 2
+)
+SELECT poly_id,
+       CAST(count(*) FILTER (WHERE k % 2 = 1) AS BIGINT) AS n_inside,
+       CAST(coalesce(sum(user_id) FILTER (WHERE k % 2 = 1), 0) AS BIGINT) AS id_checksum
+FROM crossings
+GROUP BY poly_id
+""",
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment census by ray casting (SURVEY §2.4
+    spatial family, wave 2): each user point shoots a +x ray; an edge is
+    crossed iff it straddles the point's latitude and the intersection lies
+    right of the point; odd crossings = inside. Pure codegen arithmetic —
+    no GIS library — over a broadcast literal edge table, with a CONCAVE
+    polygon included precisely because bbox tests misclassify it. Identical
+    edge literals and the identical straddle/intersection expression run in
+    both engines (1-ulp division drift is measure-zero against md5-derived
+    coordinates).
+
+    Scale: points never shuffle for containment — the edge table (bounded:
+    polygons are curated geometry, not data) broadcasts, the parity count
+    is a per-point narrow aggregate, and the final census is one k-row
+    groupBy. For polygon CORPORA (millions of parcels) bucket both sides by
+    the 5° grid cell first — the same candidate machinery as the joins
+    above; the per-candidate test is unchanged."""
+    rows = _poly_edges_rows()
+    edges = spark.createDataFrame(
+        rows, "poly_id long, x1 double, y1 double, x2 double, y2 double"
+    ).coalesce(1)
+    from .experiments import _md5_int
+
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    scale = F.lit(1152921504606846976.0)
+    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
+    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
+    pts = e.select("user_id", lat.alias("lat"), lon.alias("lon"))
+    straddle = (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
+    xint = (F.col("x2") - F.col("x1")) * (F.col("lat") - F.col("y1")) / (
+        F.col("y2") - F.col("y1")
+    ) + F.col("x1")
+    crossed = F.when(straddle & (F.col("lon") < xint), 1).otherwise(0)
+    parity = (
+        pts.crossJoin(broadcast_if_small(edges))
+        .groupBy("user_id", "poly_id")
+        .agg(F.sum(crossed).alias("k"))
+    )
+    inside = F.col("k") % 2 == 1
+    return parity.groupBy("poly_id").agg(
+        F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_inside"),
+        F.coalesce(F.sum(F.when(inside, F.col("user_id"))), F.lit(0))
+        .cast("long")
+        .alias("id_checksum"),
     )

@@ -172,6 +172,28 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
+def broadcast_if_small(df: DataFrame, limit_rows: int = 1_000_000) -> DataFrame:
+    """Size-GATED broadcast hint (VERDICT r4 #3): ``F.broadcast`` when the
+    side is provably small, plain DataFrame (AQE decides) otherwise.
+
+    An unconditional ``F.broadcast`` on a table that merely *starts* small
+    (POI lists, vocabularies, per-key dictionaries) is the classic 100 TB
+    OOM: the hint overrides ``spark.sql.autoBroadcastJoinThreshold`` AND
+    AQE's runtime size check, so driver memory is the first thing to die
+    when the "dimension" grows. The probe here is a bounded action —
+    ``limit(n+1).count()`` stops scanning at n+1 rows — so the gate costs
+    O(limit) work, not a full materialization. Above the gate the join
+    falls back to whatever AQE picks at runtime (still a broadcast if the
+    RUNTIME size fits the threshold, else shuffle hash / sort-merge).
+
+    Unconditional ``F.broadcast`` remains correct for structurally bounded
+    sides (nation/region, 1-row scalars, k-row centroid tables) — the
+    census in tests/test_antipatterns.py pins every such site per file.
+    """
+    n = df.limit(limit_rows + 1).count()
+    return F.broadcast(df) if n <= limit_rows else df
+
+
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Redistribute a small-file input across all cores before CPU-heavy
     narrow work (Beam ``Reshuffle`` before an expensive ParDo).

@@ -91,6 +91,24 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str, *, watermark: str =
     return spark.table(sink_name)
 
 
+def tumbling_counts_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH twin of :func:`tumbling_counts_stream`'s aggregation
+    subtree — same tumbling window + keys + aggregates over the same events
+    table, minus the sink/drain machinery. Used ONLY for plan fingerprinting
+    (bench.py ``plan_sha``): fingerprinting the streamed result would hash a
+    memory-sink LocalTableScan (meaningless), while this twin hashes the agg
+    plan that actually does the stream's work — a regression there (lost
+    partial agg, changed shuffle) is exactly what the tripwire must catch."""
+    from ..session import table
+
+    e = table(spark, sf_dir, "events")
+    return ET.tumbling(
+        e, "ts", "1 hour", keys=["event_type"],
+        n=F.count("*"),
+        sum_value=F.round(F.sum("value"), 2),
+    )
+
+
 def run_foreach_batch(result: DataFrame, batch_fn, *, checkpoint: str | None = None, output_mode: str = "append") -> None:
     """The universal production sink (Beam's custom-sink DoFn analogue):
     ``foreachBatch`` hands each micro-batch to arbitrary batch-DataFrame code

@@ -23,7 +23,16 @@ Comparability across rounds (round 4, VERDICT r3 #5): the JSON carries
 executed plan. Same fingerprint + different timing ⇒ host noise; different
 fingerprint ⇒ a real plan change. Round 3 spent an hour attributing
 +25–49 % per-query deltas to a slower VM; the fingerprint makes that a
-field compare.
+field compare. Streaming headlines fingerprint their batch twin (round 5,
+VERDICT r4 #5) — the drained sink's own plan is a meaningless
+LocalTableScan.
+
+Scaling evidence (round 5, VERDICT r4 #7): the JSON carries ``scaling`` —
+the headline set re-timed at sf0.01 with per-query scaling exponents and a
+``superlinear`` flag list (the signature of an all-pairs plan that
+correctness tests can't see). ``SPARK_GRAFT_BENCH_SF1=1`` adds a ~10×
+key-shifted replica point; ``SPARK_GRAFT_BENCH_SCALING=0`` skips the
+section.
 """
 
 from __future__ import annotations
@@ -101,9 +110,9 @@ def main() -> None:
 
     from apachebeam_python_spark.operators.dedup import release_signature_caches
 
-    def run(name: str) -> float:
+    def run(name: str, in_dir: str = None) -> float:
         start = time.monotonic()
-        materialize(q.QUERIES[name](spark, bench_dir))
+        materialize(q.QUERIES[name](spark, in_dir or bench_dir))
         elapsed = round(time.monotonic() - start, 3)
         # deterministic cache lifecycle (VERDICT r2 #7): signature tables
         # must not accumulate across queries/passes
@@ -116,14 +125,85 @@ def main() -> None:
     # wall-clock, the standard convention for damping transient host noise
     # (this box shows random multi-second steal-time stalls that can hit
     # ANY single pass; two passes were not enough to dodge them reliably).
+    scaling = None
     try:
         passes = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+        best = {n: min(p[n] for p in passes) for n in HEADLINE}
+
+        # scaling curve (VERDICT r4 #7): re-time the headline set at a lower
+        # sf (same parallel-scan layout) and report the per-query scaling
+        # exponent alpha = ln(t_hi/t_lo)/ln(sf_hi/sf_lo) from the two LARGEST
+        # measured points. alpha ≈ 1 = linear (what a scan/shuffle plan
+        # should be), alpha > SUPERLINEAR_AT with non-trivial runtime is
+        # flagged — the signature of an all-pairs or fan-out plan that
+        # correctness tests can't see. SPARK_GRAFT_BENCH_SF1=1 adds a ~10×
+        # key-shifted replica (sources.layout.replicate_scaled) as a third
+        # point so the exponent comes from 0.1→~1 instead of 0.01→0.1.
+        if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0" and isinstance(sf, float):
+            import math
+            import shutil
+            import tempfile
+
+            from apachebeam_python_spark.sources.layout import replicate_scaled
+
+            SUPERLINEAR_AT = 1.15
+            NOISE_FLOOR_SEC = 0.05  # exponents from sub-50ms points are timer noise
+            lo_sf = 0.01
+            lo_src = os.environ.get(
+                "SPARK_GRAFT_BENCH_SCALE_LO", "/root/testdata/sf0.01"
+            )
+            points: list[tuple[float, str, str | None]] = []  # (sf, dir, cleanup)
+            lo_dir = tempfile.mkdtemp(prefix="spark_graft_scale_lo_")
+            rewrite_for_parallel_scan(spark, lo_src, lo_dir, TABLES)
+            points.append((lo_sf, lo_dir, lo_dir))
+            points.append((sf, bench_dir, None))
+            if os.environ.get("SPARK_GRAFT_BENCH_SF1", "0") == "1":
+                hi_dir = tempfile.mkdtemp(prefix="spark_graft_scale_hi_")
+                replicate_scaled(spark, bench_dir, hi_dir, copies=10)
+                points.append((sf * 10, hi_dir, hi_dir))
+            try:
+                times: dict[float, dict[str, float]] = {}
+                for p_sf, p_dir, _ in points:
+                    if p_dir == bench_dir:
+                        times[p_sf] = best  # already measured, best-of-three
+                        continue
+                    two = [
+                        {n: run(n, p_dir) for n in HEADLINE} for _ in range(2)
+                    ]
+                    times[p_sf] = {n: min(t[n] for t in two) for n in HEADLINE}
+                sfs = sorted(times)
+                hi, lo = sfs[-1], sfs[-2]
+                ratio = math.log(hi / lo)
+                per_q = {}
+                superlinear = []
+                for n in HEADLINE:
+                    t_lo, t_hi = times[lo][n], times[hi][n]
+                    alpha = (
+                        round(math.log(t_hi / t_lo) / ratio, 3)
+                        if min(t_lo, t_hi) >= NOISE_FLOOR_SEC
+                        else None
+                    )
+                    per_q[n] = {
+                        **{str(s): times[s][n] for s in sfs},
+                        "exponent": alpha,
+                    }
+                    if alpha is not None and alpha > SUPERLINEAR_AT and t_hi > 0.3:
+                        superlinear.append(n)
+                scaling = {
+                    "sfs": sfs,
+                    "exponent_between": [lo, hi],
+                    "queries": per_q,
+                    "superlinear": superlinear,
+                }
+            finally:
+                for _, _, cl in points:
+                    if cl is not None:
+                        shutil.rmtree(cl, ignore_errors=True)
     finally:
         if cleanup_dir is not None:
             import shutil
 
             shutil.rmtree(cleanup_dir, ignore_errors=True)
-    best = {n: min(p[n] for p in passes) for n in HEADLINE}
 
     # plan fingerprints (VERDICT r3 #5): computed against the ORIGINAL
     # fixture dir (stable location-independent hash) so round-over-round
@@ -131,17 +211,19 @@ def main() -> None:
     # fingerprint is host noise, with a changed one a plan regression.
     from apachebeam_python_spark.plans.inspect import plan_fingerprint
 
-    # streaming slots are excluded (round-4 review finding #6): building one
-    # re-runs the whole stream drain and the resulting DataFrame is just the
-    # memory-sink LocalTableScan — real cost, meaningless fingerprint
-    STREAMING = {n for n in HEADLINE if n.startswith("q_stream")}
+    # streaming slots fingerprint their BATCH TWIN (VERDICT r4 #5): building
+    # the streamed DataFrame re-runs the whole drain and yields a memory-sink
+    # LocalTableScan (real cost, meaningless sha), so the tripwire hashes the
+    # same agg subtree expressed as a batch plan instead — the part whose
+    # regression (lost partial agg, changed shuffle) would actually matter.
+    from apachebeam_python_spark.streaming.jobs import tumbling_counts_batch_twin
+
+    BATCH_TWINS = {"q_stream_tumbling": tumbling_counts_batch_twin}
     plan_sha = {}
     for name in HEADLINE:
-        if name in STREAMING:
-            plan_sha[name] = None
-            continue
+        fn = BATCH_TWINS.get(name, q.QUERIES.get(name))
         try:
-            plan_sha[name] = plan_fingerprint(q.QUERIES[name](spark, sf_dir))
+            plan_sha[name] = plan_fingerprint(fn(spark, sf_dir))
         except Exception:
             plan_sha[name] = None
     release_signature_caches()
@@ -159,6 +241,7 @@ def main() -> None:
                 "value_warm": round(sum(passes[-1].values()), 3),
                 "queries_warm": passes[-1],
                 "plan_sha": plan_sha,
+                "scaling": scaling,
             }
         )
     )

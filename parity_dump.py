@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Full-registry correctness artifact (VERDICT r4 #2).
+
+The driver only ever exercises the frozen 50-entry window; the remaining
+oracle-backed registry queries are proven inside a long pytest sweep the
+judge must re-execute. This runner emits one machine-checkable JSON —
+``CORRECTNESS_LOCAL_r{N}.json`` — in the driver's own per-query shape
+(rows_match / schema_match / hash_match / row counts / err) for EVERY
+registered query, using the driver-faithful canon from tests/parity.py.
+
+Usage::
+
+    python parity_dump.py [--round N] [--sf DIR] [--out FILE]
+
+Defaults: sf0.01 (the driver's check scale), round inferred as "local",
+out = CORRECTNESS_LOCAL_r{N}.json (or CORRECTNESS_LOCAL.json without
+--round). Rows-only queries (no DuckDB oracle by nature — approx / seeded
+/ engine-hash results) are recorded with ``"oracle": false`` and a
+canon-executes check, matching the driver's weaker rows-only signal.
+
+Exit code is nonzero if any oracle-backed query fails, so CI can gate on it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+from apachebeam_python_spark import queries as q  # noqa: E402
+from apachebeam_python_spark.session import TABLES, get_spark  # noqa: E402
+from tests.parity import (  # noqa: E402
+    assert_driver_canon,
+    driver_canon,
+    duck_rows,
+    spark_rows,
+)
+
+
+def run(sf_dir: str, out: str) -> int:
+    spark = get_spark("parity-dump")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    failed = 0
+    for name in sorted(q.QUERIES):
+        has_oracle = name in q.ORACLES
+        entry: dict = {
+            "oracle": has_oracle,
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            df = q.QUERIES[name](spark, sf_dir).persist()
+            try:
+                if has_oracle:
+                    s_cols, s_rows = spark_rows(df)
+                    d_cols, d_rows = duck_rows(con, q.ORACLES[name])
+                    entry["spark_rows"] = sum(s_rows.values())
+                    entry["oracle_rows"] = sum(d_rows.values())
+                    entry["rows_match"] = (
+                        entry["spark_rows"] == entry["oracle_rows"]
+                    )
+                    entry["schema_match"] = s_cols == d_cols
+                    try:
+                        assert_driver_canon(df, con, q.ORACLES[name], name=name)
+                        entry["hash_match"] = s_rows == d_rows
+                    except AssertionError as exc:
+                        entry["hash_match"] = False
+                        entry["err"] = str(exc)[:500]
+                else:
+                    # rows-only: the driver still canonicalizes — canon must
+                    # not crash (raw array columns etc.)
+                    rows = driver_canon(df.toPandas())
+                    entry["spark_rows"] = len(rows)
+                    entry["rows_match"] = True
+            finally:
+                df.unpersist()
+        except Exception as exc:  # noqa: BLE001 — artifact records the error
+            entry["err"] = "".join(
+                traceback.format_exception_only(type(exc), exc)
+            ).strip()[:500]
+        bad = entry["err"] is not None or (
+            has_oracle
+            and not (
+                entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+            )
+        )
+        if bad:
+            failed += 1
+            print(f"FAIL {name}: {entry['err']}", file=sys.stderr)
+        results[name] = entry
+    summary = {
+        "total": len(results),
+        "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
+        "failed": failed,
+        "sf_dir": sf_dir,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    with open(out, "w") as f:
+        json.dump({"summary": summary, "queries": results}, f, indent=2)
+        f.write("\n")
+    print(json.dumps(summary))
+    return 1 if failed else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or (
+        f"CORRECTNESS_LOCAL_r{args.round}.json"
+        if args.round is not None
+        else "CORRECTNESS_LOCAL.json"
+    )
+    return run(args.sf, out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

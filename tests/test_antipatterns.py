@@ -57,6 +57,73 @@ def test_collects_are_exactly_the_documented_bounded_ones():
         )
 
 
+#: file → number of sanctioned UNCONDITIONAL `F.broadcast(` hints, each class
+#: structurally bounded (VERDICT r4 #3). The hint overrides AQE's runtime
+#: size check, so every site must broadcast something that CANNOT grow with
+#: the fact tables: geography-bounded dims (nation/region), 1-row scalar
+#: aggregates (thresholds, totals, grand stats), k-row model tables
+#: (centroids, BPE merge rows, quantile cuts), or metadata-sized lookup
+#: tables (calendars, state machines, per-type offsets). A growable side
+#: must use session.broadcast_if_small (row-gated, AQE fallback) instead —
+#: q_spatial_grid_join's POI×9 side is the reference conversion. Adding a
+#: new F.broadcast to a file fails this census until the count is bumped
+#: WITH a boundedness justification here.
+ALLOWED_BROADCASTS = {
+    # TPC-H: nation/region/supplier/part dims + 1-row scalar subqueries
+    "queries/tpch.py": 34,
+    # dims, 1-row grand totals, k-row channel/scenario/state tables
+    "queries/analytics.py": 33,
+    # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars
+    "queries/experiments.py": 17,
+    # broadcast query sets (bounded by contract), df/idf vocab caps,
+    # 1-row thresholds, k-row centroid tables
+    "queries/llm.py": 14,
+    # vocab/merge tables (Heaps-law small), 1-row totals, df caps
+    "queries/corpus_lm.py": 14,
+    # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
+    "queries/aggregations.py": 11,
+    # 1-row moment/statistic assemblies (k groups at most)
+    "queries/stats_tests.py": 7,
+    # query-set broadcasts (bounded by contract) + 1-row norms
+    "operators/similarity.py": 5,
+    # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket
+    # past broadcast size at web scale — the loop structure is unchanged)
+    "operators/graph.py": 4,
+    # calendar spine (days) + 1-row bounds
+    "queries/event_time.py": 2,
+    # idf table capped by vocab prune + 1-row corpus stats
+    "operators/retrieval.py": 2,
+    # O(files) manifest metadata join
+    "sources/laketable.py": 1,
+    # 1-row side-input scalar (Beam AsSingleton shape)
+    "queries/udfs.py": 1,
+    # static enrichment dim (Beam side-input shape)
+    "queries/streaming_q.py": 1,
+    # nation dim lookup (the side-input join itself)
+    "queries/joins.py": 1,
+    # skew-salting replicates the SMALL side by the salt factor
+    "operators/skew.py": 1,
+    # as-of join's quantized probe calendar
+    "operators/joins.py": 1,
+    # gram/bloom decontamination sets (size-capped upstream)
+    "operators/curation.py": 1,
+    # broadcast_if_small itself — the gate that makes it conditional
+    "session.py": 1,
+}
+
+
+def test_broadcasts_are_exactly_the_documented_bounded_ones():
+    for rel, src in _sources():
+        n = src.count("F.broadcast(")
+        allowed = ALLOWED_BROADCASTS.get(rel, 0)
+        assert n == allowed, (
+            f"{rel}: {n} F.broadcast sites, {allowed} sanctioned — a new "
+            "unconditional broadcast hint needs a boundedness justification "
+            "in ALLOWED_BROADCASTS, or session.broadcast_if_small if the "
+            "side can grow"
+        )
+
+
 def test_no_rdd_usage_outside_partition_metadata():
     # RDD API = escape hatch we deliberately never use (SURVEY §1.2);
     # getNumPartitions metadata peeks would be the only acceptable form

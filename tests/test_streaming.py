@@ -542,3 +542,48 @@ def test_late_data_census_exact_drop_counts(spark):
     # the finalized 10:00 window holds ONLY the on-time rows — under Beam
     # allowed_lateness ≥ 1:55 h the 10:05 row would have refired it with n=4
     assert rows == {(at(10, 0), 3)}
+
+
+def test_processing_time_timer_flushes_idle_keys(spark):
+    """Processing-time @on_timer (Beam TimeDomain.REAL_TIME): a key idle for
+    longer than the timeout is flushed by a later micro-batch's timer sweep
+    — no watermark involved. Rows-only by nature (the flush boundary is wall
+    clock), so the assertion is the flush set, not a value hash.
+
+    Harness note: processAllAvailable() is UNUSABLE here — once any
+    processing-time timeout is armed, shouldRunAnotherBatch keeps scheduling
+    micro-batches (each new batch timestamp may fire a timer), so the query
+    never quiesces. The test polls the sink with a deadline instead; those
+    continuous empty batches are exactly what fires the timer."""
+    import datetime as dt
+    import time
+    import uuid
+
+    from apachebeam_python_spark.streaming.timers import idle_key_flush_stream
+
+    src = f"{SCRATCH}/{uuid.uuid4().hex}"
+    sink = f"ptimer_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    _write(spark, src, [(1, base, 1.0), (1, base, 1.0), (1, base, 1.0)])
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = idle_key_flush_stream(stream, idle_ms=1000)
+    q = out.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        deadline = time.time() + 90
+        rows = set()
+        while time.time() < deadline:
+            rows = {(r.user_id, r.n_events) for r in spark.table(sink).collect()}
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+
+    # user 1 flushed exactly once with its full count after going idle
+    assert rows == {(1, 3)}
