@@ -34,9 +34,13 @@ Operations: ``create_table`` / ``append`` / ``overwrite`` /
 ``delete_where`` (copy-on-write rewrite of ONLY the files whose stats
 admit matching rows) / ``read_table(version=)`` time travel /
 ``history`` / ``rollback`` (a NEW commit that restores an old file set —
-history is never rewritten) / ``compact`` (small-file rewrite, logically
-a no-op) / ``vacuum`` (drop data files unreachable from the kept tail of
-the log).
+history is never rewritten) / ``restore`` (the same, either direction:
+roll back OR roll forward past an adjudicated incident) /
+``shallow_clone`` (zero-copy branch: a new table whose v0 references the
+source snapshot's files) / ``compact`` (small-file rewrite, logically
+a no-op) / ``compact_manifests`` (squash old manifests into a checkpoint
+summary once commit count grows — audit history survives, file lists go)
+/ ``vacuum`` (drop data files unreachable from the kept tail of the log).
 
 At 100 TB: manifests hold one row per FILE (a 100 TB table at 512 MB
 files is ~200k entries — a driver-trivial JSON); min/max stats give
@@ -90,8 +94,32 @@ def _versions(path: str) -> list[int]:
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_version_file(path, version)) as fh:
-        return json.load(fh)
+    try:
+        with open(_version_file(path, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        ck = _read_checkpoint(path)
+        if ck and any(h["version"] == version for h in ck["history"]):
+            live = _versions(path)
+            raise ValueError(
+                f"version {version} was compacted away by compact_manifests; "
+                f"earliest time-travelable version is {live[0] if live else None} "
+                "(its summary remains in history())"
+            )
+        raise
+
+
+def _checkpoint_file(path: str) -> str:
+    # underscore prefix keeps it invisible to _versions' \d{8}.json filter
+    return os.path.join(_log_dir(path), "_checkpoint.json")
+
+
+def _read_checkpoint(path: str) -> dict | None:
+    try:
+        with open(_checkpoint_file(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
 
 
 def current_version(path: str) -> int:
@@ -494,6 +522,104 @@ def rollback(path: str, to_version: int) -> int:
     return _commit(path, lambda cur: tm["files"], "rollback", v, tm.get("schema"))
 
 
+def restore(path: str, to_version: int) -> int:
+    """Snapshot restore in EITHER direction (lake wave 3): publish a NEW
+    commit whose file set is ``to_version``'s — rollBACK to an older
+    snapshot or roll FORWARD to a newer one (e.g. back past a bad backfill,
+    then forward again once it's adjudicated fine). History is append-only
+    either way: every restored-over version stays readable, so the audit
+    trail is never rewritten — the property that distinguishes this from an
+    in-place reset. Conflicts with concurrent writers exactly like any
+    snapshot-dependent op."""
+    v = current_version(path)
+    tm = _read_manifest(path, to_version)
+    return _commit(path, lambda cur: tm["files"], "restore", v, tm.get("schema"))
+
+
+def shallow_clone(
+    spark: SparkSession, path: str, dst: str, version: int | None = None
+) -> int:
+    """Zero-copy BRANCH of a snapshot (lake wave 3; Delta SHALLOW CLONE /
+    Iceberg branch shape): ``dst`` becomes a new table whose version-0
+    manifest references the SOURCE's data files by absolute path — no data
+    moves. Writes to the branch stage under the branch's own ``data/`` and
+    never touch the source; writes to the source never appear in the
+    branch. The experimentation workflow this enables at 100 TB: branch the
+    corpus, run a risky dedup/requality pass on the branch, diff, then
+    either promote (overwrite source from branch) or delete the branch dir.
+
+    Caveat (same as Delta's): the source's ``vacuum`` does not know about
+    branch references — vacuuming the source can delete files a branch
+    still lists. Keep branches short-lived or vacuum with a retention
+    window longer than branch lifetime."""
+    v = current_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    abs_entries = [
+        {**e, "path": os.path.join(os.path.abspath(path), e["path"])}
+        for e in m["files"]
+    ]
+    if _versions(dst):
+        raise ValueError(f"clone target already exists: {dst}")
+    os.makedirs(_log_dir(dst), exist_ok=True)
+    try:
+        with open(_version_file(dst, 0), "x") as fh:
+            json.dump(
+                {
+                    "version": 0,
+                    "op": "clone",
+                    "schema": m.get("schema"),
+                    "files": abs_entries,
+                    "clone_of": {"path": os.path.abspath(path), "version": v},
+                },
+                fh,
+            )
+    except FileExistsError:
+        raise ValueError(f"clone target already exists: {dst} (concurrent create)")
+    return 0
+
+
+def compact_manifests(path: str, keep_last: int = 10) -> int:
+    """Log maintenance once commit count grows (lake wave 3): squash
+    manifests older than the last ``keep_last`` into one checkpoint summary
+    file and delete their JSONs. Every manifest here is already a FULL
+    snapshot (reads never replay the log), so what grows with commit count
+    is the _log/ listing itself — a 50k-commit table lists 50k files before
+    every version lookup. After compaction: time travel reaches the kept
+    tail; ``history()`` still reports every squashed version from the
+    checkpoint's summaries (op / file count / row count — the audit trail
+    survives, only the full file lists go); reading a squashed version
+    raises a clear error naming the earliest travelable one. Returns the
+    number of manifests squashed.
+
+    Unlike ``vacuum`` this touches NO data files — pair it with vacuum,
+    which already drops old manifests as a side effect of shrinking data."""
+    vs = _versions(path)
+    if keep_last < 1:
+        raise ValueError("must keep at least the current version")
+    dropped = vs[:-keep_last]
+    if not dropped:
+        return 0
+    prior = _read_checkpoint(path)
+    history_rows = list(prior["history"]) if prior else []
+    for v in dropped:
+        m = _read_manifest(path, v)
+        history_rows.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(e["rows"] for e in m["files"]),
+            }
+        )
+    tmp = _checkpoint_file(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"upto": dropped[-1], "history": history_rows}, fh)
+    os.replace(tmp, _checkpoint_file(path))  # atomic publish, then prune
+    for v in dropped:
+        os.remove(_version_file(path, v))
+    return len(dropped)
+
+
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Rewrite the current snapshot into ``target_files`` files — the
     logical table is unchanged (same rows, one new version); old files
@@ -506,8 +632,11 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
 
 
 def history(path: str) -> list[dict]:
-    """Version → op / file count / row count, oldest first."""
-    out = []
+    """Version → op / file count / row count, oldest first — including
+    versions squashed by ``compact_manifests`` (their summaries persist in
+    the checkpoint; only their full file lists are gone)."""
+    ck = _read_checkpoint(path)
+    out = list(ck["history"]) if ck else []
     for v in _versions(path):
         m = _read_manifest(path, v)
         out.append(

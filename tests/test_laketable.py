@@ -378,3 +378,89 @@ def test_stream_append_keeps_evolved_schema(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["id", "v", "tag"]
     rows = {r.id: r.tag for r in out.collect()}
     assert rows == {1: None, 2: "x", 3: None}
+
+
+# --------------------------------------------------------------------------
+# Lake wave 3 (round 5, VERDICT r4 #9): restore both directions, branching,
+# manifest compaction
+# --------------------------------------------------------------------------
+def test_restore_rolls_back_and_forward_append_only(spark, tbl):
+    """restore() is direction-agnostic and append-only: back past a bad
+    commit, then FORWARD again once it's adjudicated fine — every
+    restored-over version stays readable (audit history never rewritten)."""
+    LT.append(spark.range(100, 120).selectExpr("id", "id * 2 AS v"), tbl)  # v1
+    LT.append(spark.range(120, 130).selectExpr("id", "id * 2 AS v"), tbl)  # v2
+    v3 = LT.restore(tbl, 0)  # roll back past both appends
+    assert v3 == 3
+    assert _ids(spark, tbl) == list(range(100))
+    v4 = LT.restore(tbl, 2)  # roll FORWARD: v2 was fine after all
+    assert v4 == 4
+    assert _ids(spark, tbl) == list(range(130))
+    # audit trail intact: every version still readable, ops recorded
+    assert _ids(spark, tbl, version=1) == list(range(120))
+    assert _ids(spark, tbl, version=3) == list(range(100))
+    assert [h["op"] for h in LT.history(tbl)] == [
+        "create", "append", "append", "restore", "restore",
+    ]
+
+
+def test_shallow_clone_branches_without_copying(spark, tbl):
+    """A clone reads the source snapshot without data movement; divergent
+    writes on each side never leak into the other."""
+    import glob
+
+    br = tbl + "_branch"
+    assert LT.shallow_clone(spark, tbl, br) == 0
+    assert _ids(spark, br) == list(range(100))
+    # zero-copy: the branch's data/ dir holds nothing yet
+    assert glob.glob(os.path.join(br, "data", "*", "*.parquet")) == []
+    # diverge: branch gets a risky append, source gets its own
+    LT.append(spark.range(500, 510).selectExpr("id", "id * 2 AS v"), br)
+    LT.append(spark.range(200, 203).selectExpr("id", "id * 2 AS v"), tbl)
+    assert _ids(spark, br) == list(range(100)) + list(range(500, 510))
+    assert _ids(spark, tbl) == list(range(100)) + list(range(200, 203))
+    # branch writes staged under the BRANCH root only
+    assert glob.glob(os.path.join(br, "data", "*", "*.parquet")) != []
+    # cloning over an existing table refuses
+    with pytest.raises(ValueError, match="already exists"):
+        LT.shallow_clone(spark, tbl, br)
+
+
+def test_shallow_clone_of_old_version_is_a_branch_point(spark, tbl):
+    LT.append(spark.range(100, 120).selectExpr("id", "id * 2 AS v"), tbl)  # v1
+    br = tbl + "_b0"
+    LT.shallow_clone(spark, tbl, br, version=0)
+    assert _ids(spark, br) == list(range(100))
+
+
+def test_compact_manifests_squashes_log_keeps_audit(spark, tbl):
+    """After compaction: old manifest files are gone, current reads and NEW
+    commits still work, history() reports every squashed version from the
+    checkpoint, and time-traveling to a squashed version raises a clear
+    error naming the earliest travelable one."""
+    for i in range(1, 8):  # v1..v7
+        LT.append(
+            spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"), tbl
+        )
+    assert LT.compact_manifests(tbl, keep_last=3) == 5  # v0..v4 squashed
+    # squashed manifests are really gone from the log dir
+    live = sorted(
+        f for f in os.listdir(os.path.join(tbl, "_log")) if f.endswith(".json")
+    )
+    assert live == ["00000005.json", "00000006.json", "00000007.json", "_checkpoint.json"]
+    # current snapshot unaffected
+    assert len(_ids(spark, tbl)) == 107
+    # audit survives: all 8 versions in history, oldest first
+    hs = LT.history(tbl)
+    assert [h["version"] for h in hs] == list(range(8))
+    assert hs[0]["op"] == "create" and hs[0]["n_rows"] == 100
+    # squashed time travel raises the informative error
+    with pytest.raises(ValueError, match="compacted away.*earliest.*5"):
+        LT.read_table(spark, tbl, version=2)
+    # the log keeps working: new commits number past the checkpoint,
+    # and a SECOND compaction merges summaries instead of losing them
+    v8 = LT.append(spark.range(300, 301).selectExpr("id", "id * 2 AS v"), tbl)
+    assert v8 == 8
+    assert LT.compact_manifests(tbl, keep_last=2) == 2  # v5, v6
+    assert [h["version"] for h in LT.history(tbl)] == list(range(9))
+    assert LT.compact_manifests(tbl, keep_last=10) == 0  # nothing to squash
