@@ -3246,3 +3246,116 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("id_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Closeness + harmonic centrality by multi-source BFS (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_closeness_centrality",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH RECURSIVE e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), e AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), walk AS (
+  -- UNION (distinct) recursion bounds the state to DISTINCT (src,node,d)
+  -- tuples — O(n² · diameter), not the walk explosion UNION ALL would be
+  SELECT u AS src, v AS node, 1 AS d FROM e
+  UNION
+  SELECT w.src, e.v, w.d + 1
+  FROM walk w JOIN e ON e.u = w.node
+  WHERE w.d < 9 AND e.v <> w.src
+), sp AS (
+  SELECT src, node, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2
+)
+SELECT src AS node,
+       CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(sum(d) AS BIGINT)   AS sum_d,
+       round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness,
+       round(CAST(sum(2520 // d) AS DOUBLE) / 2520.0, 6) AS harmonic
+FROM sp
+GROUP BY src
+""",
+)
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness and harmonic centrality of the supplier→customer nation
+    graph by MULTI-SOURCE BFS (SURVEY §2.11 graph tier, beside
+    q_pagerank/q_kcore): every node is a BFS source at once — the frontier
+    is (src, node) pairs, each round joins the frontier to the edge list,
+    anti-joins the visited set, and checkpoints (session.checkpoint, the
+    shared iterative discipline). Exact, not approximate: the oracle
+    replays the same layered expansion as a distinct-recursion CTE.
+
+    Parity discipline: harmonic centrality Σ 1/d is an ORDER-DEPENDENT
+    double sum engine-to-engine, so it is computed as the exact integer
+    census Σ (2520 div d) / 2520 — 2520 = lcm(1..10) makes every term exact
+    for the diameters this graph can reach (and integer div truncates
+    identically in both engines beyond it).
+
+    Scale: state is O(n²) pairs for an n-node graph — right for
+    entity-graph centralities (nations, brands, data centers). For
+    million-node graphs exact all-pairs closeness is off the table ANYWHERE;
+    the standard move is landmark sampling (BFS from k random sources,
+    same loop with a sampled source set) — the frontier machinery is
+    unchanged."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .transform(checkpoint, eager=False)
+    )
+    frontier = e.select(F.col("u").alias("src"), F.col("v").alias("node")).withColumn(
+        "d", F.lit(1).cast("long")
+    )
+    visited = frontier
+    for _ in range(8):  # diameter cap 9 (d starts at 1), matches the oracle
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .filter(F.col("v") != F.col("src"))
+            .select("src", F.col("v").alias("node"), (F.col("d") + 1).alias("d"))
+            .distinct()
+            .join(
+                visited.select(
+                    F.col("src").alias("vs"), F.col("node").alias("vn")
+                ),
+                (F.col("src") == F.col("vs")) & (F.col("node") == F.col("vn")),
+                "left_anti",
+            )
+        )
+        nxt = checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    return visited.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("n_reach"),
+        F.sum("d").alias("sum_d"),
+        F.round(F.count("*").cast("double") / F.sum("d"), 6).alias("closeness"),
+        F.round(
+            F.sum(F.expr("2520 div d")).cast("double") / 2520.0, 6
+        ).alias("harmonic"),
+    )

@@ -2296,3 +2296,144 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= 20).select(
         F.col("zbucket").cast("long").alias("zbucket"), "cnt", "zmin", "zmax"
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (round 5)
+# --------------------------------------------------------------------------
+# α=1/4, β=1/4, γ=1/2 — EXACT binary fractions, so with identical operand
+# order both engines produce bit-identical doubles with no intermediate
+# rounding (the q_forecast_holt discipline, extended to a 7-slot season
+# state carried as named fields — engine-portable where list-index lambdas
+# are not)
+_HW_SEASON = 7
+
+
+def _hw_case(prefix: str, t_expr: str) -> str:
+    whens = " ".join(f"WHEN {i} THEN {prefix}s{i}" for i in range(_HW_SEASON))
+    return f"CASE {t_expr} % 7 {whens} END"
+
+
+def _hw_step(prefix: str, y: str) -> tuple[str, str, str, str]:
+    """(snap, lnew, bnew, snew) formula strings over accumulator fields
+    ``{prefix}l/b/s0..s6/t`` and the observation ``y`` — textually identical
+    math in both engines."""
+    snap = _hw_case(prefix, f"{prefix}t")
+    lnew = f"(0.25 * ({y} - {snap}) + 0.75 * ({prefix}l + {prefix}b))"
+    bnew = f"(0.25 * ({lnew} - {prefix}l) + 0.75 * {prefix}b)"
+    snew = f"(0.5 * ({y} - {lnew}) + 0.5 * {snap})"
+    return snap, lnew, bnew, snew
+
+
+def _hw_oracle() -> str:
+    snap, lnew, bnew, snew = _hw_step("state.", "(CAST(o.c AS DOUBLE) / 100.0)")
+    init_s = ",\n         ".join(
+        f"CAST((SELECT c FROM o WHERE rn = {i + 1}) AS DOUBLE) / 100.0 - "
+        f"CAST((SELECT sum(c) FROM o WHERE rn BETWEEN 1 AND 7) AS DOUBLE) / 700.0 AS s{i}"
+        for i in range(_HW_SEASON)
+    )
+    step_s = ",\n         ".join(
+        f"CASE WHEN state.t % 7 = {i} THEN {snew} ELSE state.s{i} END AS s{i}"
+        for i in range(_HW_SEASON)
+    )
+    fcast = _hw_case("f.", "((SELECT max(rn) FROM o) - 1 + h.h)")
+    return f"""
+WITH RECURSIVE days AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), o AS (
+  SELECT d, c, row_number() OVER (ORDER BY d) AS rn FROM days
+), state AS (
+  SELECT 7 AS t,
+         CAST((SELECT sum(c) FROM o WHERE rn BETWEEN 1 AND 7) AS DOUBLE) / 700.0 AS l,
+         CAST((SELECT sum(c) FROM o WHERE rn BETWEEN 8 AND 14)
+              - (SELECT sum(c) FROM o WHERE rn BETWEEN 1 AND 7) AS DOUBLE) / 4900.0 AS b,
+         {init_s}
+  UNION ALL
+  SELECT state.t + 1,
+         {lnew} AS l,
+         {bnew} AS b,
+         {step_s}
+  FROM state JOIN o ON o.rn = state.t + 1
+), f AS (
+  SELECT * FROM state WHERE t = (SELECT max(rn) FROM o)
+)
+SELECT CAST(h.h AS BIGINT) AS h,
+       round(f.l + h.h * f.b + {fcast}, 4) AS forecast
+FROM f, (SELECT unnest(generate_series(1, 7)) AS h) h
+"""
+
+
+@register(
+    "q_holt_winters",
+    driver=False,  # §2.5 forecasting extension (round 5) — pytest oracle
+    oracle=_hw_oracle(),
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend + 7-slot
+    weekly season) over the daily spend series, emitting the next week's
+    forecasts — the seasonal completion of q_forecast_holt (SURVEY §2.5
+    forecasting family). The whole recurrence runs as ONE codegen
+    ``aggregate`` fold over the ordered day array: the accumulator is a
+    named struct (l, b, s0..s6, t) and every coefficient is an exact binary
+    fraction (α=1/4, β=1/4, γ=1/2), so the fold is bit-identical to the
+    oracle's recursive CTE with zero intermediate rounding. Season state is
+    carried as NAMED FIELDS rather than a list — index-lambda semantics
+    differ across engines (0- vs 1-based), named fields cannot.
+
+    Initialization is the textbook one: level = week-1 mean, trend =
+    (week-2 mean − week-1 mean)/7, season_i = y_i − level, all from exact
+    integer cents sums.
+
+    Scale: the series is metadata-sized (one row per day) after one
+    partial/final shuffle; per-key seasonal smoothing at scale moves the
+    same fold into applyInPandas per key (the q_forecast_holt shape) — the
+    math, and the oracle, are unchanged."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    one = daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").alias(
+            "arr"
+        )
+    )
+    snap, lnew, bnew, snew = _hw_step("acc.", "(CAST(x AS DOUBLE) / 100.0)")
+    init_s = ", ".join(
+        f"'s{i}', CAST(element_at(arr, {i + 1}) AS DOUBLE) / 100.0 - "
+        "CAST(aggregate(slice(arr, 1, 7), 0L, (a, v) -> a + v) AS DOUBLE) / 700.0"
+        for i in range(_HW_SEASON)
+    )
+    step_s = ", ".join(
+        f"'s{i}', IF(acc.t % 7 = {i}, {snew}, acc.s{i})" for i in range(_HW_SEASON)
+    )
+    fold = f"""
+aggregate(
+  slice(arr, 8, size(arr) - 7),
+  named_struct(
+    'l', CAST(aggregate(slice(arr, 1, 7), 0L, (a, v) -> a + v) AS DOUBLE) / 700.0,
+    'b', CAST(aggregate(slice(arr, 8, 7), 0L, (a, v) -> a + v)
+              - aggregate(slice(arr, 1, 7), 0L, (a, v) -> a + v) AS DOUBLE) / 4900.0,
+    {init_s},
+    't', 7
+  ),
+  (acc, x) -> named_struct(
+    'l', {lnew},
+    'b', {bnew},
+    {step_s},
+    't', acc.t + 1
+  )
+)"""
+    st = one.select(
+        F.expr(fold).alias("f"), F.expr("size(arr)").alias("dd")
+    )
+    fcast = _hw_case("f.", "(dd - 1 + h)")
+    return st.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h0"), "f", "dd"
+    ).select(
+        F.col("h0").cast("long").alias("h"),
+        F.round(F.expr(f"f.l + h0 * f.b + {fcast}"), 4).alias("forecast"),
+    )

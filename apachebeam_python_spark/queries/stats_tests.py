@@ -955,3 +955,331 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("s") - F.col("st")) / (100.0 * (F.col("n") - F.col("nt"))), 4).alias("mean_post"),
         F.round(F.col("ssb") / 10000.0, 4).alias("ssb_value2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's d / Hedges' g (round 5 — pooled-SD effect size)
+# --------------------------------------------------------------------------
+@register(
+    "q_cohens_d",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+), g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(c) AS BIGINT)     AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM s GROUP BY grp
+), w AS (
+  SELECT max(CASE WHEN grp = 'click' THEN n END)  AS n1,
+         max(CASE WHEN grp = 'click' THEN s END)  AS s1,
+         max(CASE WHEN grp = 'click' THEN ss END) AS ss1,
+         max(CASE WHEN grp = 'purchase' THEN n END)  AS n2,
+         max(CASE WHEN grp = 'purchase' THEN s END)  AS s2,
+         max(CASE WHEN grp = 'purchase' THEN ss END) AS ss2
+  FROM g
+), v AS (
+  SELECT n1, n2, s1, s2,
+         CAST(CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS var1,
+         CAST(CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+           / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS var2
+  FROM w
+), d AS (
+  SELECT n1, n2,
+         s1 / CAST(n1 AS DOUBLE) AS m1,
+         s2 / CAST(n2 AS DOUBLE) AS m2,
+         sqrt(((n1 - 1) * var1 + (n2 - 1) * var2) / CAST(n1 + n2 - 2 AS DOUBLE)) AS sp
+  FROM v
+)
+SELECT n1, n2,
+       round(m1 / 100.0, 4) AS mean_click,
+       round(m2 / 100.0, 4) AS mean_purchase,
+       round((m1 - m2) / sp, 6) AS cohens_d,
+       round(((m1 - m2) / sp) * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+FROM d
+""",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size between click and
+    purchase values (SURVEY §2.3 statistical extensions) — the pooled-SD
+    companion to q_welch_ttest's unequal-variance t: significance says a
+    difference exists; d says whether anyone should care. Per-group moments
+    are exact integer cents, the variance numerators widen to 128-bit
+    (DECIMAL(38,0) ↔ HUGEINT) before ONE double conversion, and the pooled
+    SD + small-sample J correction assemble through the identical IEEE tree
+    in both engines.
+
+    Scale: one partial/final shuffle on event_type; the two-row pivot and
+    assembly are metadata."""
+    hi = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+        )
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "click", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "click", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("ss"))).alias("ss2"),
+    )
+    var1 = (hi(F.col("n1")) * F.col("ss1") - hi(F.col("s1")) * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1").cast("double") * (F.col("n1") - 1))
+    var2 = (hi(F.col("n2")) * F.col("ss2") - hi(F.col("s2")) * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2").cast("double") * (F.col("n2") - 1))
+    m1 = F.col("s1") / F.col("n1").cast("double")
+    m2 = F.col("s2") / F.col("n2").cast("double")
+    sp = F.sqrt(
+        ((F.col("n1") - 1) * var1 + (F.col("n2") - 1) * var2)
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    d = (m1 - m2) / sp
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")) - 9.0)
+    return w.select(
+        "n1",
+        "n2",
+        F.round(m1 / 100.0, 4).alias("mean_click"),
+        F.round(m2 / 100.0, 4).alias("mean_purchase"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown–Forsythe (median-based Levene) variance-homogeneity test (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_levene",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+  FROM s
+), med AS (
+  -- LOWER median by rank: position (n+1)//2 — identical integer pick in
+  -- both engines, no interpolation (interpolated medians of even counts
+  -- would reintroduce engine-specific x.5 handling)
+  SELECT grp, c AS m FROM r WHERE rn = (n_g + 1) // 2
+), z AS (
+  SELECT s.grp, abs(s.c - med.m) AS z
+  FROM s JOIN med ON s.grp = med.grp
+), g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(z) AS BIGINT)   AS s_g,
+         CAST(sum(z * z) AS BIGINT) AS ss_g
+  FROM z GROUP BY grp
+), t AS (
+  SELECT CAST(count(*) AS BIGINT)  AS k,
+         CAST(sum(n_g) AS BIGINT)  AS n,
+         CAST(sum(s_g) AS BIGINT)  AS s,
+         CAST(sum(ss_g) AS BIGINT) AS ss,
+         CAST(sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS BIGINT) AS q,
+         sum(CAST((CAST(s_g AS HUGEINT) * s_g) % n_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS fr
+  FROM g
+), gr AS (
+  SELECT k, n, q, fr, ss,
+         CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT) AS gq,
+         CAST((CAST(s AS HUGEINT) * s) % n AS DOUBLE) / CAST(n AS DOUBLE) AS gfr
+  FROM t
+)
+SELECT k, n,
+       round((((q - gq) + (fr - gfr)) / (k - 1))
+             / (((ss - q) - fr) / CAST(n - k AS DOUBLE)), 6) AS bf_stat
+FROM gr
+""",
+)
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (the median-based Levene): are the five event
+    types' value VARIANCES equal — the assumption q_anova's F quietly makes
+    (SURVEY §2.3 statistical extensions). Per-group LOWER medians are picked
+    by integer rank position ((n+1) div 2 — no interpolation, so no
+    engine-specific x.5 handling), absolute deviations |c − med| stay exact
+    integer cents, and the one-way F on those deviations reuses q_anova's
+    exact quotient/remainder machinery with 128-bit-widened squares.
+
+    Scale: the median needs one per-group sort (a rank window over the
+    grouped data — the same shuffle ANOVA pays anyway); everything after is
+    the k-row statistic assembly. At extreme group sizes swap the rank
+    median for a fixed-point quantile sketch and keep the F assembly."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    wr = Window.partitionBy("grp").orderBy("c")
+    r = s.select(
+        "grp",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n_g"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n_g + 1) div 2")).select(
+        "grp", F.col("c").alias("m")
+    )
+    z = s.join(med, "grp").select("grp", F.abs(F.col("c") - F.col("m")).alias("z"))
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(
+            F.expr("(cast(s_g as decimal(19,0)) * cast(s_g as decimal(19,0))) div n_g")
+        ).alias("q"),
+        F.sum(
+            F.expr(
+                "cast((cast(s_g as decimal(19,0)) * cast(s_g as decimal(19,0))) % n_g as double)"
+            )
+            / F.col("n_g").cast("double")
+        ).alias("fr"),
+    )
+    gq = F.expr("(cast(s as decimal(19,0)) * cast(s as decimal(19,0))) div n")
+    gfr = F.expr(
+        "cast((cast(s as decimal(19,0)) * cast(s as decimal(19,0))) % n as double)"
+    ) / F.col("n").cast("double")
+    ssb = (F.col("q") - gq) + (F.col("fr") - gfr)
+    ssw = (F.col("ss") - F.col("q")) - F.col("fr")
+    return t.select(
+        "k",
+        "n",
+        F.round(
+            (ssb / (F.col("k") - 1))
+            / (ssw / (F.col("n") - F.col("k")).cast("double")),
+            6,
+        ).alias("bf_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired halves per user, round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_wilcoxon_signed_rank",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH halves AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS c2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), pairs AS (
+  SELECT user_id, c2 - c1 AS d, abs(c2 - c1) AS ad
+  FROM halves
+  WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c2 - c1 <> 0
+), ranked AS (
+  -- average rank in HALF-units: 2·avg_rank = 2·min_rank + (tie_count−1),
+  -- an exact BIGINT — no fractional ranks ever materialize
+  SELECT d,
+         2 * rank() OVER (ORDER BY ad) + CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS r2,
+         CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) AS t
+  FROM pairs
+), ties AS (
+  SELECT coalesce(CAST(sum(t * t * t - t) AS BIGINT), 0) AS tie_sum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM pairs GROUP BY ad) u
+  WHERE t > 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS wp2,
+         CAST(sum(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS wm2
+  FROM ranked
+)
+SELECT n, wp2 AS w_plus_x2, wm2 AS w_minus_x2,
+       round(((wp2 - n * (n + 1) / 2.0) / 2.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie_sum / 48.0), 6) AS z_stat
+FROM agg, ties
+""",
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of paired per-user spend: each user's
+    first-half-of-January total (cents) vs second-half — did the
+    distribution SHIFT, without assuming normality (the paired companion to
+    q_mann_whitney's independent-samples U; SURVEY §2.3 statistical
+    extensions). Zero differences drop (textbook), tie groups take average
+    ranks carried as exact 2× integers (2·min_rank + t − 1), and the
+    tie-corrected normal approximation assembles integer (n, W⁺×2, Σ(t³−t))
+    through one shared IEEE tree, 6-dp rounded.
+
+    Scale: one shuffle to user_id for the paired census; the rank window
+    runs over one row per PAIRED USER (metadata-sized next to events, the
+    Kendall/Theil-Sen discipline) — at web-scale user counts swap in a
+    range-partitioned sort, the statistic assembly is unchanged."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = _cents(F.col("value"))
+    halves = e.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < "2024-01-16", c)).alias("c1"),
+        F.sum(F.when(F.to_date("ts") >= "2024-01-16", c)).alias("c2"),
+    )
+    pairs = (
+        halves.filter(
+            F.col("c1").isNotNull()
+            & F.col("c2").isNotNull()
+            & (F.col("c2") != F.col("c1"))
+        )
+        .select(
+            (F.col("c2") - F.col("c1")).alias("d"),
+            F.abs(F.col("c2") - F.col("c1")).alias("ad"),
+        )
+    )
+    ranked = pairs.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count("*").over(Window.partitionBy("ad"))
+            - 1
+        ).alias("r2"),
+    )
+    ties = (
+        pairs.groupBy("ad")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+            ).alias("tie_sum")
+        )
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0)).alias("wp2"),
+        F.sum(F.when(F.col("d") < 0, F.col("r2")).otherwise(0)).alias("wm2"),
+    )
+    out = agg.crossJoin(F.broadcast(ties))
+    nn = F.col("n")
+    z = ((F.col("wp2") - nn * (nn + 1) / 2.0) / 2.0) / F.sqrt(
+        nn * (nn + 1) * (2 * nn + 1) / 24.0 - F.col("tie_sum") / 48.0
+    )
+    return out.select(
+        "n",
+        F.col("wp2").alias("w_plus_x2"),
+        F.col("wm2").alias("w_minus_x2"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -83,7 +83,7 @@ ALLOWED_BROADCASTS = {
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most)
-    "queries/stats_tests.py": 7,
+    "queries/stats_tests.py": 8,
     # query-set broadcasts (bounded by contract) + 1-row norms
     "operators/similarity.py": 5,
     # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket

@@ -392,3 +392,137 @@ def test_kendall_oracle_matches_bruteforce(rows):
         assert tau is None
     else:
         assert tau == pytest.approx((C - D) / math.sqrt(denom), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: Cohen's d, Brown–Forsythe, Wilcoxon, Holt-Winters
+# --------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(a=values, b=values)
+def test_cohens_d_oracle_matches_reference(a, b):
+    frame = _events_frame({"click": a, "purchase": b})
+    (n1, n2, m1, m2, d, g), = _run_oracle("q_cohens_d", frame)
+    assert (n1, n2) == (len(a), len(b))
+    ref_m1, ref_m2 = sum(a) / len(a), sum(b) / len(b)
+    v1 = sum((x - ref_m1) ** 2 for x in a) / (len(a) - 1)
+    v2 = sum((x - ref_m2) ** 2 for x in b) / (len(b) - 1)
+    sp = math.sqrt(((len(a) - 1) * v1 + (len(b) - 1) * v2) / (len(a) + len(b) - 2))
+    if sp > 0:
+        ref_d = (ref_m1 - ref_m2) / sp
+        assert d == pytest.approx(ref_d, abs=1e-5)
+        j = 1.0 - 3.0 / (4.0 * (len(a) + len(b)) - 9.0)
+        assert g == pytest.approx(ref_d * j, abs=1e-5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    groups=st.lists(values, min_size=2, max_size=4).filter(
+        lambda gs: all(len(g) >= 5 for g in gs)
+    )
+)
+def test_levene_oracle_matches_reference(groups):
+    frame = _events_frame({TYPES[i]: g for i, g in enumerate(groups)})
+    (k, n, bf), = _run_oracle("q_levene", frame)
+    assert (k, n) == (len(groups), sum(len(g) for g in groups))
+    # reference Brown–Forsythe with the SAME lower-median convention
+    zs = []
+    for g in groups:
+        med = sorted(g)[(len(g) + 1) // 2 - 1]
+        zs.append([abs(x - med) for x in g])
+    grand = sum(sum(z) for z in zs) / sum(len(z) for z in zs)
+    ssb = sum(len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs)
+    ssw = sum(sum((x - sum(z) / len(z)) ** 2 for x in z) for z in zs)
+    if ssw > 0 and bf is not None:
+        ref = (ssb / (len(groups) - 1)) / (
+            ssw / (sum(len(z) for z in zs) - len(groups))
+        )
+        assert bf == pytest.approx(ref, abs=1e-4)
+
+
+pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=200),
+        st.integers(min_value=1, max_value=200),
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(ps=pairs)
+def test_wilcoxon_oracle_matches_reference(ps):
+    import datetime as dt
+
+    rows = []
+    for u, (c1, c2) in enumerate(ps):
+        rows.append(
+            {"user_id": u, "ts": dt.datetime(2024, 1, 5), "value": c1 / 2.0}
+        )
+        rows.append(
+            {"user_id": u, "ts": dt.datetime(2024, 1, 20), "value": c2 / 2.0}
+        )
+    frame = pd.DataFrame(rows)
+    res = _run_oracle("q_wilcoxon_signed_rank", frame)
+    ds = [round(c2 * 50) - round(c1 * 50) for c1, c2 in ps if c1 != c2]
+    if not ds:
+        assert res == [] or res[0][0] == 0
+        return
+    (n, wp2, wm2, z), = res
+    assert n == len(ds)
+    # reference: average ranks of |d| with ties
+    ads = sorted(abs(d) for d in ds)
+    rank_of = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j < len(ads) and ads[j] == ads[i]:
+            j += 1
+        for v in range(i, j):
+            rank_of[ads[i]] = (i + 1 + j) / 2.0
+        i = j
+    ref_wp = sum(rank_of[abs(d)] for d in ds if d > 0)
+    ref_wm = sum(rank_of[abs(d)] for d in ds if d < 0)
+    assert wp2 == pytest.approx(2 * ref_wp)
+    assert wm2 == pytest.approx(2 * ref_wm)
+    tie_sum = sum(
+        t**3 - t for t in Counter(abs(d) for d in ds).values() if t > 1
+    )
+    var = len(ds) * (len(ds) + 1) * (2 * len(ds) + 1) / 24.0 - tie_sum / 48.0
+    if var > 0:
+        ref_z = (ref_wp - len(ds) * (len(ds) + 1) / 4.0) / math.sqrt(var)
+        assert z == pytest.approx(ref_z, abs=1e-5)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    cs=st.lists(
+        st.integers(min_value=100, max_value=100_000), min_size=15, max_size=45
+    )
+)
+def test_holt_winters_oracle_matches_reference(cs):
+    import datetime as dt
+
+    frame = pd.DataFrame(
+        [
+            {"ts": dt.datetime(2024, 1, 1) + dt.timedelta(days=i), "value": c / 100.0}
+            for i, c in enumerate(cs)
+        ]
+    )
+    rows = _run_oracle("q_holt_winters", frame)
+    assert [h for h, _ in sorted(rows)] == [1, 2, 3, 4, 5, 6, 7]
+    # pure-python reference fold, identical init/coefficients
+    y = [c / 100.0 for c in cs]
+    l = sum(cs[0:7]) / 700.0
+    b = (sum(cs[7:14]) - sum(cs[0:7])) / 4900.0
+    s = [cs[i] / 100.0 - l for i in range(7)]
+    for t in range(7, len(y)):
+        idx = t % 7
+        snap = s[idx]
+        lnew = 0.25 * (y[t] - snap) + 0.75 * (l + b)
+        bnew = 0.25 * (lnew - l) + 0.75 * b
+        s[idx] = 0.5 * (y[t] - lnew) + 0.5 * snap
+        l, b = lnew, bnew
+    for h, f in sorted(rows):
+        ref = l + h * b + s[(len(y) - 1 + h) % 7]
+        assert f == pytest.approx(ref, abs=1e-3)
