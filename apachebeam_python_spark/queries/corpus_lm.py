@@ -839,3 +839,146 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("norm_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM with stupid backoff — held-out scoring (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_bigram_lm_score",
+    driver=False,  # §2.11 curation/LM family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), train AS (
+  SELECT * FROM d WHERE doc_id % 2 = 0
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS w FROM train) GROUP BY w
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM c1
+), bgt AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM train WHERE len(ws) >= 2
+), c2 AS (
+  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bgt GROUP BY 1, 2
+), s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS b
+  FROM d WHERE len(ws) >= 2
+), j AS (
+  SELECT s.doc_id,
+         CASE WHEN c2.c IS NOT NULL
+              THEN CAST(c2.c AS DOUBLE) / CAST(cw.c AS DOUBLE)
+              ELSE 0.4 * (coalesce(cu.c, 0) + 1) / CAST(nt.n + nt.v AS DOUBLE)
+         END AS p
+  FROM s
+  LEFT JOIN c2 ON split_part(s.b, ' ', 1) = c2.w1 AND split_part(s.b, ' ', 2) = c2.w2
+  LEFT JOIN c1 cw ON split_part(s.b, ' ', 1) = cw.w
+  LEFT JOIN c1 cu ON split_part(s.b, ' ', 2) = cu.w
+  CROSS JOIN nt
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln(p)), 6) AS nll
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, nll,
+       CAST(doc_id % 2 AS BIGINT) = 1 AS is_heldout,
+       ntile(4) OVER (ORDER BY nll, doc_id) AS ppl_band
+FROM per
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with STUPID BACKOFF, trained on the even-doc_id half of
+    the corpus and scored on ALL documents — the held-out-perplexity shape
+    a data-quality pipeline actually runs (train the cheap LM on trusted
+    data, score candidates; KenLM's role in CCNet, one order up from
+    q_unigram_lm_score). Seen bigrams score c(w1,w2)/c(w1); unseen ones
+    back off to 0.4 × add-one unigram — held-out docs genuinely exercise
+    the backoff path, which a self-trained model never would.
+
+    Scale: bigram counts are one pair-keyed shuffle built from the same
+    in-row adjacent-pair transform as PMI (zero shuffle to construct);
+    scoring joins are size-GATED broadcasts (vocab/bigram tables are
+    Heaps-law small here, plain equi-joins above the gate). The quartile
+    band is the q_unigram_lm_score global-ntile with the same cutpoint
+    swap at scale."""
+    from ..session import broadcast_if_small
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("ws")
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    c1 = (
+        train.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nt = c1.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    c2 = (
+        train.filter(F.size("ws") >= 2)
+        .select(F.explode(bg).alias("b"))
+        .select(
+            F.expr("split_part(b, ' ', 1)").alias("w1"),
+            F.expr("split_part(b, ' ', 2)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    s = (
+        d.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bg).alias("b"))
+        .select(
+            "doc_id",
+            F.expr("split_part(b, ' ', 1)").alias("sw1"),
+            F.expr("split_part(b, ' ', 2)").alias("sw2"),
+        )
+    )
+    j = (
+        s.join(
+            broadcast_if_small(c2.withColumnRenamed("c", "bc")),
+            (F.col("sw1") == F.col("w1")) & (F.col("sw2") == F.col("w2")),
+            "left",
+        )
+        .join(
+            broadcast_if_small(
+                c1.select(F.col("w").alias("cw_w"), F.col("c").alias("cw_c"))
+            ),
+            F.col("sw1") == F.col("cw_w"),
+            "left",
+        )
+        .join(
+            broadcast_if_small(
+                c1.select(F.col("w").alias("cu_w"), F.col("c").alias("cu_c"))
+            ),
+            F.col("sw2") == F.col("cu_w"),
+            "left",
+        )
+        .crossJoin(F.broadcast(nt))
+    )
+    p = F.when(
+        F.col("bc").isNotNull(),
+        F.col("bc").cast("double") / F.col("cw_c").cast("double"),
+    ).otherwise(
+        0.4
+        * (F.coalesce(F.col("cu_c"), F.lit(0)) + 1)
+        / (F.col("n") + F.col("v")).cast("double")
+    )
+    per = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log(p)), 6).alias("nll"),
+    )
+    band = F.ntile(4).over(Window.orderBy("nll", "doc_id"))
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        (F.col("doc_id") % 2 == 1).alias("is_heldout"),
+        band.alias("ppl_band"),
+    )

@@ -2806,3 +2806,100 @@ def q_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id")
     feats = image_features(synth_images(d, formats=(encode_tiff,)))
     return feats.drop("byte_len")
+
+
+# --------------------------------------------------------------------------
+# Probabilistic record linkage — Fellegi-Sunter (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_record_linkage",
+    driver=False,  # §2.11 dedup/linkage family (round 5) — pytest oracle
+    oracle="""
+WITH a AS (
+  SELECT c_custkey AS key, c_name AS name, c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+), b AS (
+  -- the "dirty" re-registration: one character deleted at an md5-derived
+  -- position — a deterministic, replayable data-entry error
+  SELECT key, nk, seg, bal,
+         substr(name, 1, pos - 1) || substr(name, pos + 1) AS name
+  FROM (
+    SELECT *, CAST(1 + (CAST('0x' || substr(md5('del|' || CAST(key AS VARCHAR)), 1, 15) AS BIGINT) % 18) AS INTEGER) AS pos
+    FROM a
+  )
+), cand AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         levenshtein(a.name, b.name) AS lev,
+         CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS bal_eq
+  FROM a JOIN b ON a.nk = b.nk AND a.seg = b.seg
+), scored AS (
+  SELECT key_a, key_b, lev,
+         (CASE WHEN lev <= 1 THEN 2400 ELSE -900 END
+          + CASE WHEN bal_eq = 1 THEN 3200 ELSE -600 END) AS score_mb
+  FROM cand
+)
+SELECT key_a, key_b, CAST(lev AS BIGINT) AS lev, CAST(score_mb AS BIGINT) AS score_mb
+FROM scored WHERE score_mb >= 3000
+""",
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (SURVEY §2.11 dedup
+    family — the ENTITY-level sibling of document dedup): a deterministic
+    "dirty" re-registration of every customer (one character deleted at an
+    md5-derived position) is linked back against the clean file. Candidate
+    pairs come from BLOCKING on (nationkey, mktsegment) — never all-pairs —
+    then each pair scores a log-likelihood sum of field-agreement weights
+    (integer MILLI-BITS, ln(m/u) pre-quantized as literals, so the score is
+    an exact integer in both engines): name agreement is edit-distance ≤ 1
+    (``levenshtein`` is a built-in with identical integer semantics in
+    Spark and DuckDB), balance agreement is exact cents. Pairs above the
+    match threshold emit with their evidence.
+
+    Scale: blocking bounds fan-out to Σ_blocks |A_b|·|B_b| — the linkage
+    analogue of LSH banding; at 100 TB you tighten blocks (add name prefix
+    / phonetic keys) exactly like narrowing an LSH bucket, and the scoring
+    join is unchanged. The weight table in production is learned by EM —
+    the literals here are its frozen output, which is what makes the query
+    oracle-replayable."""
+    a = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    pos = (
+        1
+        + F.conv(
+            F.substring(F.md5(F.concat(F.lit("del|"), F.col("key").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 18
+    ).cast("int")
+    b = a.withColumn("pos", pos).select(
+        F.col("key").alias("key_b"),
+        F.col("nk").alias("nk_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("bal").alias("bal_b"),
+        F.expr(
+            "concat(substring(name, 1, pos - 1), substring(name, pos + 1)) AS name_b"
+        ),
+    )
+    cand = a.join(
+        b, (F.col("nk") == F.col("nk_b")) & (F.col("seg") == F.col("seg_b"))
+    )
+    lev = F.levenshtein(F.col("name"), F.col("name_b"))
+    score = F.when(lev <= 1, 2400).otherwise(-900) + F.when(
+        F.col("bal") == F.col("bal_b"), 3200
+    ).otherwise(-600)
+    return (
+        cand.select(
+            F.col("key").alias("key_a"),
+            F.col("key_b"),
+            lev.cast("long").alias("lev"),
+            score.cast("long").alias("score_mb"),
+        )
+        .filter(F.col("score_mb") >= 3000)
+    )

@@ -809,3 +809,52 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "q_export_arrow_ipc",
+    driver=False,  # §2.1/§2.11 Arrow IPC round trip (round 5) — pytest oracle
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)     AS id_sum,
+       CAST(sum(n_chars) AS BIGINT)    AS chars_sum,
+       md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
+FROM documents
+""",
+)
+def q_export_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather V2) export → re-ingest round trip (SURVEY §2.1
+    sinks; the §2.11 training-data tail): docs shard by doc_id/64 into
+    ``<shard>.arrow`` IPC FILE containers — the format pandas / polars /
+    DuckDB / Ray Data memory-map without any decode, i.e. the zero-copy
+    sibling of q_export_webdataset/q_export_tfrecord. The oracle aggregates
+    the original table; the ordered md5 pins byte-exact text recovery
+    through the IPC encode/decode.
+
+    Scale: per-shard applyInPandas writer (no driver gather), binaryFile +
+    mapInPandas reader — one task per shard both ways."""
+    import shutil
+
+    from ..sources.mlexport import read_arrow_ipc, write_arrow_ipc
+
+    out = os.path.join(_scratch_dir(), f"aipc_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)  # stale shards would be globbed back in
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") / 64).cast("long")
+    )
+    write_arrow_ipc(docs, out, "doc_id", "text", "shard")
+    back = read_arrow_ipc(spark, out)
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("id").alias("id_sum"),
+        F.sum(F.length("text")).alias("chars_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "text"))),
+                    lambda x: x.text,
+                ),
+                "|",
+            )
+        ).alias("text_md5"),
+    )

@@ -20,7 +20,7 @@ ALLOWED_COLLECTS = {
     "operators/decomposition.py": 1,  # PCA moment partials (dim^2+dim+1 rows)
     "sources/avro_lite.py": 1,  # sink action: 1 row per write task (row counts)
     "sources/io.py": 1,  # binary sink action: 1 count row per task
-    "sources/mlexport.py": 2,  # sink actions: 1 row per shard (tar / tfrecord)
+    "sources/mlexport.py": 3,  # sink actions: 1 row per shard (tar / tfrecord / arrow)
     # manifest metadata: per-file stats (1 row per staged FILE), delete's
     # hit-file list (≤ files), merge's 1-row source bounds — all O(files)
     "sources/laketable.py": 3,
@@ -79,7 +79,7 @@ ALLOWED_BROADCASTS = {
     # 1-row thresholds, k-row centroid tables
     "queries/llm.py": 14,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps
-    "queries/corpus_lm.py": 14,
+    "queries/corpus_lm.py": 15,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most)
