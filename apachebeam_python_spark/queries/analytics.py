@@ -3359,3 +3359,109 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("2520 div d")).cast("double") / 2520.0, 6
         ).alias("harmonic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Strongly connected components (directed trade graph, round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_scc",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 150
+), reach AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+), nodes AS (
+  SELECT src AS v FROM e UNION SELECT dst FROM e
+), mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+), lab AS (
+  SELECT n.v, CAST(least(n.v, coalesce(min(m.u), n.v)) AS BIGINT) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+  GROUP BY n.v
+)
+SELECT scc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(v) AS BIGINT)   AS min_member,
+       CAST(max(v) AS BIGINT)   AS max_member
+FROM lab GROUP BY scc_id
+""",
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED supplier→customer
+    nation trade graph (SURVEY §2.11 graph tier): transitive closure by
+    semi-naive iteration (frontier ⋈ edges, anti-join known pairs,
+    checkpoint per round — the session.checkpoint discipline), then
+    SCC(v) = min over nodes mutually reachable with v. Directedness is the
+    point: A exporting to B does not mean B exports to A, and an SCC is a
+    trade bloc where value can CYCLE — the difference between this and
+    q_dedup_clusters' undirected components. The oracle replays the same
+    closure as a distinct-recursion CTE.
+
+    Scale: closure state is O(reachable pairs) — right for entity graphs
+    (nations, brands, currencies, org charts). Web-scale SCC uses
+    forward-backward label propagation instead; the round structure (join,
+    anti-join, checkpoint) is exactly what this query exercises."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 150
+        """
+    ).transform(checkpoint, eager=False)
+    reach = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    frontier = reach
+    for _ in range(8):
+        nxt = (
+            frontier.join(e, frontier.b == e.src)
+            .select("a", F.col("dst").alias("b"))
+            .distinct()
+            .join(
+                reach.select(F.col("a").alias("ra"), F.col("b").alias("rb")),
+                (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")),
+                "left_anti",
+            )
+        )
+        nxt = checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        reach = checkpoint(reach.unionByName(nxt))
+        frontier = nxt
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    mutual = reach.alias("r1").join(
+        reach.alias("r2"),
+        (F.col("r1.a") == F.col("r2.b")) & (F.col("r1.b") == F.col("r2.a")),
+    ).select(F.col("r1.a").alias("mv"), F.col("r1.b").alias("mu"))
+    lab = (
+        nodes.join(mutual, nodes.v == F.col("mv"), "left")
+        .groupBy("v")
+        .agg(
+            F.least(F.col("v"), F.coalesce(F.min("mu"), F.col("v"))).alias("scc_id")
+        )
+    )
+    return lab.groupBy("scc_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("v").alias("min_member"),
+        F.max("v").alias("max_member"),
+    )

@@ -982,3 +982,61 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 1).alias("is_heldout"),
         band.alias("ppl_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# FORCAST readability grade (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_readability",
+    driver=False,  # §2.11 text-quality family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_filter(ws,
+              w -> len(regexp_extract_all(w, '[aeiou]+')) = 1)) AS BIGINT) AS n_mono
+  FROM d WHERE len(ws) > 0
+)
+SELECT doc_id, n_words, n_mono,
+       round(20.0 - 15.0 * (CAST(n_mono AS DOUBLE) / n_words), 3) AS forcast_grade
+FROM m
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability grade per document (SURVEY §2.11 text-quality
+    tier, beside q_quality_score/q_token_entropy): grade = 20 − 15·(share
+    of monosyllabic words), the one classic readability formula that needs
+    NO sentence boundaries — which is exactly what whitespace-tokenized
+    training corpora lack. Syllables are vowel-group counts (the standard
+    heuristic), monosyllable = exactly one [aeiou]+ run; both engines run
+    the identical regex from the Java/RE2-agreed subset inside a
+    higher-order list filter, so the census is exact integers and the
+    grade one shared double expression.
+
+    Scale: zero shuffles — the whole census is per-row lambda arithmetic
+    fused into the scan; at 100 TB this is a free column on any pass over
+    the corpus (quality gates consume it exactly like length/stopword
+    ratios)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("ws")
+    )
+    m = d.filter(F.size("ws") > 0).select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr(
+            "size(filter(ws, w -> size(regexp_extract_all(w, '[aeiou]+', 0)) = 1))"
+        )
+        .cast("long")
+        .alias("n_mono"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_mono",
+        F.round(
+            20.0 - 15.0 * (F.col("n_mono").cast("double") / F.col("n_words")), 3
+        ).alias("forcast_grade"),
+    )
