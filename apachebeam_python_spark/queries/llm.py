@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -2902,4 +2902,147 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.cast("long").alias("score_mb"),
         )
         .filter(F.col("score_mb") >= 3000)
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN classification by exact cosine vote (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_knn_classifier",
+    driver=False,  # §2.11 embedding/eval family (round 5) — pytest oracle
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+c AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS n_label,
+         list_cosine_similarity(q.v, c.v) AS sim, c.vec_id AS nid
+  FROM q JOIN c ON true
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, nid) AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT query_id, true_label, n_label,
+         CAST(count(*) AS BIGINT) AS c
+  FROM top GROUP BY 1, 2, 3
+), pick AS (
+  SELECT query_id, true_label, n_label AS predicted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, n_label) AS pr
+  FROM votes
+)
+SELECT query_id AS vec_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(predicted AS BIGINT)  AS predicted,
+       true_label = predicted     AS is_correct
+FROM pick WHERE pr = 1
+""",
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding table (SURVEY §2.11
+    embedding/eval tier): every vec_id%10==7 vector is held out and
+    classified by MAJORITY VOTE of its 5 exact-cosine nearest neighbors
+    from the remaining corpus (ties break to the smaller label — a total
+    order, so predictions are deterministic). The evaluation shape every
+    embedding pipeline runs to sanity-check that its vectors carry label
+    signal before anything expensive trains on them; reuses the exact
+    cosine machinery that q_cosine_topk oracle-anchors.
+
+    Scale: queries broadcast, corpus never shuffles (the cosine_topk
+    plan); the vote is a (query × ≤k)-sized groupBy. At 100 TB swap the
+    exact pass for the IVF/LSH candidates (q_ann_lsh) and keep the vote —
+    accuracy then degrades with measured recall, which is the right
+    trade to surface."""
+    e = table(spark, sf_dir, "embeddings")
+    q_set = e.filter(F.col("vec_id") % 10 == 7)
+    corpus = e.filter(F.col("vec_id") % 10 != 7)
+    top = SIM.cosine_topk(corpus, q_set, "embedding", "vec_id", k=5)
+    labels = e.select(F.col("vec_id").alias("nid"), F.col("label").alias("n_label"))
+    true_l = e.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+    )
+    votes = (
+        top.join(labels, top.neighbor_id == F.col("nid"))
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("n_label"))
+    pick = votes.withColumn("pr", F.row_number().over(w)).filter(F.col("pr") == 1)
+    return (
+        pick.join(true_l, pick.query_id == F.col("qid"))
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("n_label").cast("long").alias("predicted"),
+            (F.col("true_label") == F.col("n_label")).alias("is_correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Temporal split leakage census (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_split_leakage",
+    driver=False,  # §2.11 eval-hygiene family (round 5) — pytest oracle
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_type,
+         CAST(ts AS DATE) < DATE '2024-01-16' AS is_train
+  FROM events
+), per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)     AS n_train,
+         CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM tagged GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n_train) AS BIGINT) AS train_rows,
+       CAST(sum(n_test) AS BIGINT)  AS test_rows,
+       CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                    AS leaking_users,
+       CAST(count(*) AS BIGINT)     AS n_users,
+       round(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS leak_rate
+FROM per_user
+GROUP BY event_type
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split leakage census (SURVEY §2.11 evaluation
+    hygiene, beside q_split_assign/q_decontaminate): split events at
+    2024-01-16 and count, per event type, the users who appear on BOTH
+    sides — every such user leaks entity-level signal from test into train
+    (the classic cause of inflated offline metrics). The leak_rate is the
+    fraction a group-aware split (q_split_assign's hash-by-user) would
+    reduce to zero; running both censuses is how a pipeline chooses
+    between temporal and grouped splitting.
+
+    Scale: one shuffle to (event_type, user) with conditional partial
+    aggs, then a per-type census on one row per user — the q_anova
+    two-level reduction shape."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "event_type",
+        (F.to_date("ts") < F.lit("2024-01-16").cast("date")).alias("is_train"),
+    )
+    per_user = tagged.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).alias("n_test"),
+    )
+    leak = F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0)
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_train").alias("train_rows"),
+        F.sum("n_test").alias("test_rows"),
+        F.sum(leak).alias("leaking_users"),
+        F.count("*").alias("n_users"),
+        F.round(F.sum(leak) / F.count("*").cast("double"), 6).alias("leak_rate"),
     )

@@ -49,3 +49,7 @@ def test_experimentation_example(spark, sf_dir):
 
 def test_statistics_toolkit_example(spark, sf_dir):
     _run("statistics_toolkit", sf_dir)
+
+
+def test_governed_lake_example(spark, sf_dir):
+    _run("governed_lake", sf_dir)
