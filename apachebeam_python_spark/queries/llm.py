@@ -3046,3 +3046,248 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.round(F.sum(leak) / F.count("*").cast("double"), 6).alias("leak_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_target_encoding",
+    driver=False,  # §2.11 feature-engineering family (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, user_id % 7 AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, bucket,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(y) AS BIGINT)   AS s_g
+  FROM s GROUP BY 1, 2
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM s
+)
+SELECT s.event_id,
+       CASE WHEN g.n_g > 1
+            THEN round((g.s_g - s.y) / (100.0 * (g.n_g - 1)), 6)
+       END AS loo_enc,
+       round((g.s_g + 20.0 * (t.s / CAST(t.n AS DOUBLE)))
+             / (100.0 * (g.n_g + 20.0)), 6) AS smoothed_enc
+FROM s JOIN g ON s.event_type = g.event_type AND s.bucket = g.bucket
+CROSS JOIN t
+""",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target (mean) encoding of the (event_type, user-bucket) categorical
+    with the two leak-proofings every feature pipeline needs (SURVEY §2.11
+    feature-engineering tier, beside q_split_leakage): LEAVE-ONE-OUT —
+    each row's own target is subtracted from its group mean, so the
+    feature never encodes the row it describes — and m-estimate SMOOTHING
+    toward the global mean (m=20), which tames rare categories. Group sums
+    stay exact integer cents; the encodings divide once in an identical
+    IEEE tree. Singleton groups yield NULL LOO under identical guards.
+
+    Scale: one groupBy on the category key + a broadcast-sized (1-row)
+    global mean; the encode join is category-keyed — the same shuffle the
+    downstream trainer's shuffle would pay anyway. At 100 TB the group
+    table is vocabulary-sized: broadcast it and the encode is map-side."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("user_id") % 7).alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    g = s.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_g"), F.sum("y").alias("s_g")
+    )
+    t = s.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    from ..session import broadcast_if_small
+
+    j = s.join(broadcast_if_small(g), ["event_type", "bucket"]).crossJoin(
+        F.broadcast(t)
+    )
+    loo = F.when(
+        F.col("n_g") > 1,
+        F.round((F.col("s_g") - F.col("y")) / (100.0 * (F.col("n_g") - 1)), 6),
+    )
+    smoothed = F.round(
+        (F.col("s_g") + 20.0 * (F.col("s") / F.col("n").cast("double")))
+        / (100.0 * (F.col("n_g") + 20.0)),
+        6,
+    )
+    return j.select("event_id", loo.alias("loo_enc"), smoothed.alias("smoothed_enc"))
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick) with collision census (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_feature_hashing",
+    driver=False,  # §2.11 feature-engineering family (round 5) — pytest oracle
+    oracle="""
+WITH f AS (
+  SELECT DISTINCT 'type=' || event_type AS feat FROM events
+  UNION
+  SELECT DISTINCT 'k_band=' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS VARCHAR)
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+  UNION
+  SELECT DISTINCT 'src=' || source FROM documents
+), h AS (
+  SELECT feat,
+         CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 64 AS slot
+  FROM f
+)
+SELECT slot,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(count(*) - 1 AS BIGINT) AS n_collisions,
+       min(feat) AS example_feat
+FROM h GROUP BY slot
+""",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick, audited (SURVEY §2.11 feature-engineering tier):
+    a heterogeneous feature vocabulary (event types, banded JSON props,
+    document sources) hashes into 64 slots via the portable md5-slice
+    hash, and the census reports per-slot load and collisions — the
+    dimensionality-vs-collision trade a hashed feature space makes is only
+    safe when it is MEASURED. Deterministic in both engines (same md5,
+    same modulus), unlike library murmur hashes that differ per engine.
+
+    Scale: the vocabulary is distinct-key-sized, the census one small
+    groupBy; the hash itself applies to the full event stream at zero
+    shuffle when used as a feature (scan-fused md5, the q_split_assign
+    discipline)."""
+    e = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+    k = F.get_json_object("props", "$.k").cast("long")
+    feats = (
+        e.select(F.concat(F.lit("type="), F.col("event_type")).alias("feat"))
+        .distinct()
+        .union(
+            e.filter(k.isNotNull())
+            .select(
+                F.concat(
+                    F.lit("k_band="), F.expr("cast(cast(get_json_object(props, '$.k') as bigint) div 10 as string)")
+                ).alias("feat")
+            )
+            .distinct()
+        )
+        .union(
+            d.select(F.concat(F.lit("src="), F.col("source")).alias("feat")).distinct()
+        )
+        .distinct()
+    )
+    slot = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 15), 16, 10).cast("long") % 64
+    )
+    return (
+        feats.select("feat", slot.alias("slot"))
+        .groupBy("slot")
+        .agg(
+            F.count("*").alias("n_features"),
+            (F.count("*") - 1).alias("n_collisions"),
+            F.min("feat").alias("example_feat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup spans (Lee et al. shape, round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_substring_dedup_spans",
+    driver=False,  # §2.11 dedup family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws FROM d WHERE len(ws) >= 8
+), pos AS (
+  SELECT doc_id, u.i AS i, md5(u.g) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 6),
+               i -> struct_pack(i := i, g := array_to_string(ws[i:i+7], ' ')))) AS u
+    FROM s
+  )
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+), hits AS (
+  SELECT pos.doc_id, pos.i FROM pos JOIN dup USING (h)
+), isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev_i IS NULL OR i - prev_i > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM hits)
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT)        AS span_start,
+       CAST(max(i) + 7 AS BIGINT)    AS span_end,
+       CAST(count(*) AS BIGINT)      AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup at SPAN granularity — the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better") shape,
+    where the unit of removal is the duplicated PASSAGE, not the document
+    (SURVEY §2.11 dedup tier, the third granularity next to doc-level
+    q_dedup_exact and pair-level q_dedup_ngram_jaccard): every positional
+    8-token window is fingerprinted (md5 — portable, and the dup-join
+    shuffles 32-char keys instead of full n-gram text); windows whose
+    fingerprint occurs ≥2 times anywhere in the corpus are duplication
+    hits; per doc, overlapping/adjacent hit windows merge into maximal
+    spans (gaps-and-islands: new island when the gap exceeds the window
+    width) reported as [span_start, span_end] token ranges — exactly the
+    cut-list a passage-level deduper feeds back into the corpus.
+
+    Scale: one fingerprint-keyed shuffle for the duplicate census + one
+    per-doc window for the island merge (doc-keyed, already co-partitioned
+    with the hits). The Lee et al. suffix-array construction finds
+    VARIABLE-length duplicates; the fixed-window + merge form is the
+    distributed equivalent the big corpora actually run (windows union to
+    cover any duplicate ≥ W tokens, spans reconstruct the extent)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("ws")
+    )
+    s = d.filter(F.size("ws") >= 8)
+    pos = s.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 7),"
+                " i -> md5(concat_ws(' ', slice(ws, i, 8))))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "h")
+    dup = pos.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    hits = pos.join(dup.select("h"), "h").select("doc_id", "i")
+    wlag = Window.partitionBy("doc_id").orderBy("i")
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = (
+        hits.withColumn("prev_i", F.lag("i").over(wlag))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_i").isNull() | (F.col("i") - F.col("prev_i") > 8), 1
+                ).otherwise(0)
+            ).over(wrun),
+        )
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + 7).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

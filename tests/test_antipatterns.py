@@ -76,8 +76,8 @@ ALLOWED_BROADCASTS = {
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars
     "queries/experiments.py": 17,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
-    # 1-row thresholds, k-row centroid tables
-    "queries/llm.py": 14,
+    # 1-row thresholds/global means, k-row centroid tables
+    "queries/llm.py": 15,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps
     "queries/corpus_lm.py": 15,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
