@@ -2437,3 +2437,191 @@ aggregate(
         F.col("h0").cast("long").alias("h"),
         F.round(F.expr(f"f.l + h0 * f.b + {fcast}"), 4).alias("forecast"),
     )
+
+
+# --------------------------------------------------------------------------
+# DP median via the exponential mechanism (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_dp_median",
+    driver=False,  # §2.11 privacy tier (round 5, beside q_dp_counts) — pytest oracle
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(least(greatest(value, 0.0), 200.0) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), hist AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+), cand AS (
+  SELECT CAST(500 * g.x AS BIGINT) AS cd
+  FROM (SELECT unnest(generate_series(0, 40)) AS x) g
+), ranked AS (
+  SELECT t.event_type, t.n, cand.cd,
+         coalesce(CAST(sum(CASE WHEN h.cents < cand.cd THEN h.cnt END) AS BIGINT), 0) AS below
+  FROM tot t CROSS JOIN cand
+  LEFT JOIN hist h ON h.event_type = t.event_type
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT event_type, n, cd,
+         -abs(2 * below - n) AS u2,
+         CAST('0x' || substr(md5('dpm|' || event_type || '|' || CAST(cd AS VARCHAR)), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM ranked
+), g AS (
+  SELECT event_type, n, cd,
+         1.0 * u2 / 2.0 / 2.0 - ln(-ln(greatest(u, 1e-18))) AS gumbel_score
+  FROM scored
+), pick AS (
+  SELECT event_type, n, cd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gumbel_score DESC, cd) AS rn
+  FROM g
+)
+SELECT event_type, n, round(cd / 100.0, 2) AS dp_median, CAST(1.0 AS DOUBLE) AS epsilon
+FROM pick WHERE rn = 1
+""",
+)
+def q_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN per event type via the EXPONENTIAL
+    MECHANISM (SURVEY §2.11 privacy tier — the selection-query companion
+    to q_dp_counts' Laplace releases): candidates are a fixed $5 grid over
+    the clamped value range; each candidate's utility is −|2·rank(c) − n|
+    (distance from the median in rank space, sensitivity 2 under
+    add/remove); selection uses the Gumbel-max trick — argmax of
+    ε·u/(2Δu) + Gumbel(md5-seed) IS an exponential-mechanism draw — so
+    the release is md5-replayable exactly like q_dp_counts (production
+    swaps real entropy; this query becomes its test harness).
+
+    Scale: the rank census is a value-HISTOGRAM join (candidates ×
+    distinct clamped cents, both bounded by the grid/clamp — never row
+    count); one shuffle on event_type builds the histogram, everything
+    after is metadata."""
+    c = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(200.0)) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    hist = c.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cand = spark.range(0, 41).select((F.col("id") * 500).alias("cd"))
+    ranked = (
+        tot.crossJoin(F.broadcast(cand))
+        .join(hist, "event_type", "left")
+        .groupBy("event_type", "n", "cd")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cents") < F.col("cd"), F.col("cnt"))), F.lit(0)
+            ).alias("below")
+        )
+    )
+    u2 = -F.abs(2 * F.col("below") - F.col("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dpm|"),
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("cd").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    score = (
+        F.lit(1.0) * u2 / 2.0 / 2.0
+        - F.log(-F.log(F.greatest(u, F.lit(1e-18))))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("gumbel_score"), "cd")
+    return (
+        ranked.withColumn("gumbel_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("cd") / 100.0, 2).alias("dp_median"),
+            F.lit(1.0).alias("epsilon"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tamper-evident hash-chain ledger (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_hash_chain_ledger",
+    driver=False,  # §2.11 audit/provenance tier (round 5) — pytest oracle
+    oracle="""
+WITH it AS (
+  SELECT user_id, event_id,
+         CAST(event_id AS VARCHAR) || ':' ||
+           CAST(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS VARCHAR) AS item
+  FROM events
+), ordered AS (
+  SELECT user_id, list_transform(
+           list_sort(list(struct_pack(e := event_id, s := item))),
+           x -> x.s) AS items
+  FROM it GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(items) AS BIGINT) AS n_events,
+       list_reduce(list_prepend('GENESIS', items),
+                   (a, b) -> md5(a || '|' || b)) AS chain_head
+FROM ordered
+""",
+)
+def q_hash_chain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident per-user hash chain over the event log (SURVEY §2.11
+    audit/provenance tier, beside `_metadata` provenance): each user's
+    events fold in event-id order through h ← md5(h ∥ '|' ∥ event), seeded
+    from a GENESIS block — the blockchain-ledger construction that makes
+    any retroactive edit, insert, or reorder change the chain head. Both
+    engines run the identical fold (Spark codegen ``aggregate``, DuckDB
+    ``list_reduce`` over the GENESIS-prepended list), so the heads are
+    byte-equal — which is itself the point: chain heads are portable
+    audit commitments, comparable across engines and over time.
+
+    Scale: one shuffle to user_id; the fold is per-user work proportional
+    to that user's history (the applyInPandas escape hatch takes over for
+    million-event entities). Verification at 100 TB is embarrassingly
+    parallel: re-fold each user independently, compare heads."""
+    it = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .cast("string"),
+        ).alias("item"),
+    )
+    ordered = it.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id AS e, item AS s))), x -> x.s)"
+        ).alias("items")
+    )
+    return ordered.select(
+        "user_id",
+        F.size("items").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(items, 'GENESIS', (a, b) -> md5(concat(a, '|', b)))"
+        ).alias("chain_head"),
+    )

@@ -73,8 +73,9 @@ ALLOWED_BROADCASTS = {
     "queries/tpch.py": 34,
     # dims, 1-row grand totals, k-row channel/scenario/state tables
     "queries/analytics.py": 33,
-    # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars
-    "queries/experiments.py": 17,
+    # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
+    # the 41-row DP candidate grid
+    "queries/experiments.py": 18,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     "queries/llm.py": 15,
