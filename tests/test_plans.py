@@ -491,3 +491,19 @@ def test_spatial_grid_join_broadcast_is_gated(spark, sf_dir):
     which this pin asserts — the gate must not cost the good local plan."""
     df = q.QUERIES["q_spatial_grid_join"](spark, sf_dir)
     assert P.has(df, "BroadcastHashJoin")
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Round-5 additions must keep their scale-safe shapes: blocking /
+    grid / fingerprint joins are equi-joins (never a cartesian), and the
+    haversine grid join stays broadcast at fixture scale."""
+    linkage = q.QUERIES["q_record_linkage"](spark, sf_dir)
+    assert not P.has(linkage, "CartesianProduct"), "linkage must block, not all-pairs"
+    spans = q.QUERIES["q_substring_dedup_spans"](spark, sf_dir)
+    assert not P.has(spans, "CartesianProduct")
+    assert P.executed_plan(spans).count("HashAggregate") >= 2
+    hav = q.QUERIES["q_spatial_haversine"](spark, sf_dir)
+    assert P.has(hav, "BroadcastHashJoin")
+    assert not P.has(hav, "CartesianProduct")
+    enc = q.QUERIES["q_target_encoding"](spark, sf_dir)
+    assert not P.has(enc, "CartesianProduct")  # 1-row global mean is BNLJ-broadcast, not cartesian
