@@ -3291,3 +3291,120 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("i") + 7).alias("span_end"),
         F.count("*").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS, round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_winnowing_fingerprints",
+    driver=False,  # §2.11 dedup/fingerprint family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws FROM d WHERE len(ws) >= 4
+), pos AS (
+  SELECT doc_id, u.i AS i,
+         CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 2),
+               i -> struct_pack(i := i, g := array_to_string(ws[i:i+3], ' ')))) AS u
+    FROM s
+  )
+), win AS (
+  SELECT doc_id, i,
+         min(struct_pack(h := h, i := i))
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mw,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS frame_n,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM pos
+), fp AS (
+  SELECT DISTINCT doc_id, n_grams, mw.i AS fp_pos, mw.h AS fp_h
+  FROM win WHERE frame_n = 5
+), shared AS (
+  SELECT fp_h FROM fp GROUP BY fp_h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT fp.doc_id,
+       CAST(max(fp.n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT)        AS n_fingerprints,
+       CAST(sum(CASE WHEN shared.fp_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS n_shared
+FROM fp LEFT JOIN shared ON fp.fp_h = shared.fp_h
+GROUP BY fp.doc_id
+""",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints — the MOSS algorithm (Schleimer,
+    Wilkerson & Aiken), SURVEY §2.11 dedup/fingerprint tier: every 4-token
+    gram hashes to a 64-bit integer; each window of 5 consecutive gram
+    hashes selects its minimum (argmin by (hash, position) — a total
+    order); the DISTINCT selected (position, hash) pairs are the doc's
+    fingerprints. The guarantee that makes winnowing the plagiarism-
+    detection standard: any shared run of ≥ w+k−1 tokens shares at least
+    one fingerprint, while fingerprint density stays ~2/(w+1) — position-
+    robust dedup at a fraction of all-grams cost. Per-doc census reports
+    fingerprint count and how many are SHARED with other docs (the
+    match-candidate signal).
+
+    Scale: the window min is per-doc narrow work after one doc-keyed
+    shuffle; the shared census shuffles only FINGERPRINTS (~2/(w+1) of
+    grams — the whole point). Both engines evaluate the identical
+    min-of-(hash,pos)-struct frames."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("ws")
+    )
+    s = d.filter(F.size("ws") >= 4)
+    pos = s.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 3),"
+                " i -> conv(substring(md5(concat_ws(' ', slice(ws, i, 4))), 1, 15), 16, 10))"
+            )
+        ).alias("p0", "hs"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("i"), F.col("hs").cast("long").alias("h")
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, 4)
+    )
+    wd = Window.partitionBy("doc_id")
+    win = pos.select(
+        "doc_id",
+        "i",
+        F.min(F.struct(F.col("h"), F.col("i"))).over(wf).alias("mw"),
+        F.count("*").over(wf).alias("frame_n"),
+        F.count("*").over(wd).alias("n_grams"),
+    )
+    fp = (
+        win.filter(F.col("frame_n") == 5)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("mw.i").alias("fp_pos"),
+            F.col("mw.h").alias("fp_h"),
+        )
+        .distinct()
+    )
+    shared = (
+        fp.groupBy("fp_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp_h")
+        .withColumn("is_shared", F.lit(1))
+    )
+    return (
+        fp.join(shared, "fp_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+        )
+    )

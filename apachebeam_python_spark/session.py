@@ -172,7 +172,9 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.sparkSession.read.schema(df.schema).parquet(path)
 
 
-def broadcast_if_small(df: DataFrame, limit_rows: int = 1_000_000) -> DataFrame:
+def broadcast_if_small(
+    df: DataFrame, limit_rows: int = 1_000_000, known_rows: int | None = None
+) -> DataFrame:
     """Size-GATED broadcast hint (VERDICT r4 #3): ``F.broadcast`` when the
     side is provably small, plain DataFrame (AQE decides) otherwise.
 
@@ -189,8 +191,17 @@ def broadcast_if_small(df: DataFrame, limit_rows: int = 1_000_000) -> DataFrame:
     Unconditional ``F.broadcast`` remains correct for structurally bounded
     sides (nation/region, 1-row scalars, k-row centroid tables) — the
     census in tests/test_antipatterns.py pins every such site per file.
+
+    Probe-cost honesty: ``limit`` pushes down, but a side whose plan ENDS
+    in an aggregation still pays its full shuffle map stage before the
+    first row exists, and the join then computes the side AGAIN — i.e. the
+    gate costs up to one extra evaluation of the small side. That is the
+    deliberate trade (a bounded 2× on the SMALL side vs an unbounded OOM
+    on the driver); when the caller already knows the side's cardinality
+    (vocabulary tables, config-bounded grids), pass ``known_rows`` and the
+    probe is skipped entirely.
     """
-    n = df.limit(limit_rows + 1).count()
+    n = known_rows if known_rows is not None else df.limit(limit_rows + 1).count()
     return F.broadcast(df) if n <= limit_rows else df
 
 
