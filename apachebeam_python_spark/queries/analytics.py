@@ -2605,13 +2605,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Grid-bucketed spatial join (round 4)
-# --------------------------------------------------------------------------
-@register(
-    "q_spatial_grid_join",
-    driver=False,  # §2.4 spatial-join family (round 4) — pytest oracle
-    oracle="""
+_SPATIAL_SQL_PTS = """
 WITH pts AS (
   SELECT user_id,
          (CAST('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -2626,7 +2620,71 @@ WITH pts AS (
          (CAST('0x' || substr(md5('plon|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
             / 1152921504606846976.0) * 340.0 - 170.0 AS plon
   FROM nation
-), pc AS (
+)
+"""
+
+
+def _spatial_scale():
+    return F.lit(1152921504606846976.0)
+
+
+def _spatial_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, lat, lon) — md5-derived point set shared by the whole
+    spatial family; the ONE Spark twin of _SPATIAL_SQL_PTS's pts CTE
+    (round-5 review #7: cell size / scale / band edits happen here and in
+    the constant, nowhere else)."""
+    from .experiments import _md5_int
+
+    e = table(spark, sf_dir, "events").select("user_id").distinct()
+    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / _spatial_scale()) * 120.0 - 60.0
+    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / _spatial_scale()) * 340.0 - 170.0
+    return e.select("user_id", lat.alias("lat"), lon.alias("lon"))
+
+
+def _spatial_pts_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _spatial_pts(spark, sf_dir)
+        .withColumn("cy", F.floor(F.col("lat") / 5.0))
+        .withColumn("cx", F.floor(F.col("lon") / 5.0))
+    )
+
+
+def _spatial_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(poi_id, plat, plon) — the Spark twin of _SPATIAL_SQL_PTS's pois CTE."""
+    from .experiments import _md5_int
+
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("poi_id"))
+    plat = (_md5_int(F.concat(F.lit("plat|"), F.col("poi_id").cast("string"))) / _spatial_scale()) * 120.0 - 60.0
+    plon = (_md5_int(F.concat(F.lit("plon|"), F.col("poi_id").cast("string"))) / _spatial_scale()) * 340.0 - 170.0
+    return n.select("poi_id", plat.alias("plat"), plon.alias("plon"))
+
+
+def _poi_cells(pois: DataFrame) -> DataFrame:
+    """POIs replicated into their 3×3 neighbor 5° cells — the grid
+    candidate side both spatial joins share."""
+    off = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(1).cast("long"))
+    return (
+        pois.select("poi_id", "plat", "plon", F.explode(off).alias("dy"))
+        .select("poi_id", "plat", "plon", "dy", F.explode(off).alias("dx"))
+        .select(
+            "poi_id",
+            "plat",
+            "plon",
+            (F.col("dy") + F.floor(F.col("plat") / 5.0)).alias("cy"),
+            (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grid-bucketed spatial join (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_spatial_grid_join",
+    driver=False,  # §2.4 spatial-join family (round 4) — pytest oracle
+    oracle=_SPATIAL_SQL_PTS
+    + """
+, pc AS (
   SELECT p.*, dx.v + CAST(floor(plat / 5.0) AS BIGINT) AS cy,
          dy.v + CAST(floor(plon / 5.0) AS BIGINT) AS cx
   FROM pois p,
@@ -2666,35 +2724,8 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cell size tunes the candidate fan-out exactly like LSH bucket width;
     for true geodesics swap the refine expression for haversine — the
     plan shape is unchanged."""
-    from .experiments import _md5_int
-
-    e = table(spark, sf_dir, "events").select("user_id").distinct()
-    scale = F.lit(1152921504606846976.0)
-    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
-    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
-    pts = e.select(
-        "user_id",
-        lat.alias("lat"),
-        lon.alias("lon"),
-    ).withColumn("cy", F.floor(F.col("lat") / 5.0)).withColumn(
-        "cx", F.floor(F.col("lon") / 5.0)
-    )
-    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("poi_id"))
-    plat = (_md5_int(F.concat(F.lit("plat|"), F.col("poi_id").cast("string"))) / scale) * 120.0 - 60.0
-    plon = (_md5_int(F.concat(F.lit("plon|"), F.col("poi_id").cast("string"))) / scale) * 340.0 - 170.0
-    pois = n.select("poi_id", plat.alias("plat"), plon.alias("plon"))
-    off = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(1).cast("long"))
-    pc = (
-        pois.select("poi_id", "plat", "plon", F.explode(off).alias("dy"))
-        .select("poi_id", "plat", "plon", "dy", F.explode(off).alias("dx"))
-        .select(
-            "poi_id",
-            "plat",
-            "plon",
-            (F.col("dy") + F.floor(F.col("plat") / 5.0)).alias("cy"),
-            (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
-        )
-    )
+    pts = _spatial_pts_cells(spark, sf_dir)
+    pc = _poi_cells(_spatial_pois(spark, sf_dir))
     # size-GATED broadcast (VERDICT r4 #3): POIs×9 is nation-sized here, but
     # a real POI corpus (millions) hinted unconditionally would OOM the
     # driver — above the gate the cell-key equi-join falls back to AQE
@@ -3043,29 +3074,10 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Spatial wave 2 (round 5, VERDICT r4 #6): haversine refine + point-in-polygon
 # --------------------------------------------------------------------------
-_HAV_SQL_PTS = """
-WITH pts AS (
-  SELECT user_id,
-         (CAST('0x' || substr(md5('lat|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
-            / 1152921504606846976.0) * 120.0 - 60.0 AS lat,
-         (CAST('0x' || substr(md5('lon|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
-            / 1152921504606846976.0) * 340.0 - 170.0 AS lon
-  FROM (SELECT DISTINCT user_id FROM events)
-), pois AS (
-  SELECT n_nationkey AS poi_id,
-         (CAST('0x' || substr(md5('plat|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
-            / 1152921504606846976.0) * 120.0 - 60.0 AS plat,
-         (CAST('0x' || substr(md5('plon|' || CAST(n_nationkey AS VARCHAR)), 1, 15) AS BIGINT)
-            / 1152921504606846976.0) * 340.0 - 170.0 AS plon
-  FROM nation
-)
-"""
-
-
 @register(
     "q_spatial_haversine",
     driver=False,  # §2.4 spatial family wave 2 (round 5) — pytest oracle
-    oracle=_HAV_SQL_PTS
+    oracle=_SPATIAL_SQL_PTS
     + """
 , scored AS (
   SELECT user_id, poi_id,
@@ -3102,33 +3114,8 @@ def q_spatial_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: equi-join on cell keys, POI×9 through the size-gated broadcast;
     at a planetary POI corpus shrink the cell to match the radius — the
     candidate fan-out tunes like LSH bucket width."""
-    from .experiments import _md5_int
-
-    e = table(spark, sf_dir, "events").select("user_id").distinct()
-    scale = F.lit(1152921504606846976.0)
-    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
-    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
-    pts = (
-        e.select("user_id", lat.alias("lat"), lon.alias("lon"))
-        .withColumn("cy", F.floor(F.col("lat") / 5.0))
-        .withColumn("cx", F.floor(F.col("lon") / 5.0))
-    )
-    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("poi_id"))
-    plat = (_md5_int(F.concat(F.lit("plat|"), F.col("poi_id").cast("string"))) / scale) * 120.0 - 60.0
-    plon = (_md5_int(F.concat(F.lit("plon|"), F.col("poi_id").cast("string"))) / scale) * 340.0 - 170.0
-    pois = n.select("poi_id", plat.alias("plat"), plon.alias("plon"))
-    off = F.array(F.lit(-1).cast("long"), F.lit(0).cast("long"), F.lit(1).cast("long"))
-    pc = (
-        pois.select("poi_id", "plat", "plon", F.explode(off).alias("dy"))
-        .select("poi_id", "plat", "plon", "dy", F.explode(off).alias("dx"))
-        .select(
-            "poi_id",
-            "plat",
-            "plon",
-            (F.col("dy") + F.floor(F.col("plat") / 5.0)).alias("cy"),
-            (F.col("dx") + F.floor(F.col("plon") / 5.0)).alias("cx"),
-        )
-    )
+    pts = _spatial_pts_cells(spark, sf_dir)
+    pc = _poi_cells(_spatial_pois(spark, sf_dir))
     cand = pts.join(broadcast_if_small(pc), ["cy", "cx"])
     dphi2 = F.radians(F.col("plat") - F.col("lat")) / 2.0
     dlmb2 = F.radians(F.col("plon") - F.col("lon")) / 2.0
@@ -3182,7 +3169,7 @@ _POLY_EDGES_VALUES = ", ".join(
 @register(
     "q_point_in_polygon",
     driver=False,  # §2.4 spatial family wave 2 (round 5) — pytest oracle
-    oracle=_HAV_SQL_PTS
+    oracle=_SPATIAL_SQL_PTS
     + f"""
 , edges(poly_id, x1, y1, x2, y2) AS (
   SELECT * FROM (VALUES {_POLY_EDGES_VALUES}) v
@@ -3222,13 +3209,7 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.createDataFrame(
         rows, "poly_id long, x1 double, y1 double, x2 double, y2 double"
     ).coalesce(1)
-    from .experiments import _md5_int
-
-    e = table(spark, sf_dir, "events").select("user_id").distinct()
-    scale = F.lit(1152921504606846976.0)
-    lat = (_md5_int(F.concat(F.lit("lat|"), F.col("user_id").cast("string"))) / scale) * 120.0 - 60.0
-    lon = (_md5_int(F.concat(F.lit("lon|"), F.col("user_id").cast("string"))) / scale) * 340.0 - 170.0
-    pts = e.select("user_id", lat.alias("lat"), lon.alias("lon"))
+    pts = _spatial_pts(spark, sf_dir)
     straddle = (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
     xint = (F.col("x2") - F.col("x1")) * (F.col("lat") - F.col("y1")) / (
         F.col("y2") - F.col("y1")
@@ -3444,6 +3425,26 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         reach = checkpoint(reach.unionByName(nxt))
         frontier = nxt
+    else:
+        # cap reached with a live frontier: returning an INCOMPLETE closure
+        # would mean wrong scc_ids and silent divergence from the oracle's
+        # unbounded recursion (the connected_components discipline) — raise
+        # unless one more expansion proves the closure in fact just finished
+        more = (
+            frontier.join(e, frontier.b == e.src)
+            .select("a", F.col("dst").alias("b"))
+            .distinct()
+            .join(
+                reach.select(F.col("a").alias("ra"), F.col("b").alias("rb")),
+                (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")),
+                "left_anti",
+            )
+        )
+        if more.limit(1).count() > 0:
+            raise RuntimeError(
+                "q_scc transitive closure did not converge in 8 rounds — "
+                "raise the round cap (closure depth grew past 9 edges)"
+            )
     nodes = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))

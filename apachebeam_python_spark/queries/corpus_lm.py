@@ -901,10 +901,12 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bigram counts are one pair-keyed shuffle built from the same
     in-row adjacent-pair transform as PMI (zero shuffle to construct);
-    scoring joins are size-GATED broadcasts (vocab/bigram tables are
-    Heaps-law small here, plain equi-joins above the gate). The quartile
-    band is the q_unigram_lm_score global-ntile with the same cutpoint
-    swap at scale."""
+    the unigram table broadcasts unconditionally (Heaps-law small — the
+    q_unigram_lm_score precedent), while the BIGRAM table goes through the
+    size gate (it grows faster than the vocab; plain equi-join above the
+    gate, and the one probe is the gate's documented bounded cost). The
+    quartile band is the q_unigram_lm_score global-ntile with the same
+    cutpoint swap at scale."""
     from ..session import broadcast_if_small
 
     d = table(spark, sf_dir, "documents").select(
@@ -947,16 +949,12 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(
-            broadcast_if_small(
-                c1.select(F.col("w").alias("cw_w"), F.col("c").alias("cw_c"))
-            ),
+            F.broadcast(c1.select(F.col("w").alias("cw_w"), F.col("c").alias("cw_c"))),
             F.col("sw1") == F.col("cw_w"),
             "left",
         )
         .join(
-            broadcast_if_small(
-                c1.select(F.col("w").alias("cu_w"), F.col("c").alias("cu_c"))
-            ),
+            F.broadcast(c1.select(F.col("w").alias("cu_w"), F.col("c").alias("cu_c"))),
             F.col("sw2") == F.col("cu_w"),
             "left",
         )

@@ -154,7 +154,10 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     by job-scoped prefix + TTL, exactly like shuffle-spill retention.
     """
     mode = os.environ.get("SPARK_GRAFT_DURABLE_CHECKPOINT", "")
-    if not mode:
+    # falsy spellings DISABLE durable mode (round-5 review #2): every other
+    # repo flag uses =0 to turn off, so '0' must not be read as a relative
+    # checkpoint DIRECTORY named "0"
+    if not mode or mode.lower() in ("0", "false", "no", "off"):
         return df.localCheckpoint(eager=eager)
     global _CKPT_SEQ
     _CKPT_SEQ += 1

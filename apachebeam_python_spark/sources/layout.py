@@ -155,13 +155,18 @@ def rewrite_for_parallel_scan(
 #: per-table join/identity keys that must be SHIFTED per replica so the
 #: scaled copy preserves join fan-out and dup structure (a naive row copy
 #: makes orders⋈lineitem fan out ×copies² and turns every document into an
-#: exact-dup cluster — superlinear ARTIFACTS, not real scaling)
+#: exact-dup cluster — superlinear ARTIFACTS, not real scaling). The second
+#: element names the key's SHARED STRIDE GROUP: columns in one group (the
+#: two sides of a join) must shift by the SAME stride or replica r's
+#: lineitem rows stop matching replica r's orders (round-5 review #4) —
+#: strides therefore come from the max key across the whole group, read
+#: from the source dir regardless of which table subset is replicated.
 _REPLICA_SHIFT_KEYS = {
-    "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey",),
-    "events": ("event_id",),
-    "documents": ("doc_id",),
-    "embeddings": ("vec_id",),
+    "orders": (("o_orderkey", "orderkey"),),
+    "lineitem": (("l_orderkey", "orderkey"),),
+    "events": (("event_id", "eventid"),),
+    "documents": (("doc_id", "docid"),),
+    "embeddings": (("vec_id", "vecid"),),
 }
 
 
@@ -193,6 +198,16 @@ def replicate_scaled(
     from ..session import TABLES, table
 
     names = tuple(tables) if tables is not None else TABLES
+    # group strides FIRST, over every table that shares the group — so a
+    # subset replication (tables=['lineitem']) still shifts by the stride
+    # the whole join family agrees on
+    group_strides: dict[str, int] = {}
+    for t_name, keys in _REPLICA_SHIFT_KEYS.items():
+        for col, group in keys:
+            mx = int(
+                table(spark, src_dir, t_name).agg(F.max(col)).first()[0] or 0
+            )
+            group_strides[group] = max(group_strides.get(group, 0), mx + 1)
     for name in names:
         df = table(spark, src_dir, name)
         dst = os.path.join(dst_dir, f"{name}.parquet")
@@ -200,14 +215,13 @@ def replicate_scaled(
         if not shift_keys:
             df.write.mode("overwrite").parquet(dst)
             continue
-        strides = {
-            k: int(df.agg(F.max(k)).first()[0] or 0) + 1 for k in shift_keys
-        }
         rep = df.withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
         )
-        for k, stride in strides.items():
-            rep = rep.withColumn(k, F.col(k) + F.col("_rep") * F.lit(stride))
+        for col, group in shift_keys:
+            rep = rep.withColumn(
+                col, F.col(col) + F.col("_rep") * F.lit(group_strides[group])
+            )
         if name == "documents":
             rep = rep.withColumn(
                 "text",

@@ -316,10 +316,16 @@ def write_arrow_ipc(
     def sink(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf[shard_col].iloc[0])
         p = pdf.sort_values(key_col)
+        # nulls must survive the round trip (round-5 review #5): pandas
+        # astype(str) would render None as the literal string 'None' — a
+        # silent corruption in a sink that promises byte-exact recovery
         t = pa.Table.from_arrays(
             [
                 pa.array(p[key_col].astype("int64"), type=pa.int64()),
-                pa.array(p[text_col].astype(str), type=pa.string()),
+                pa.array(
+                    [None if pd.isna(x) else str(x) for x in p[text_col]],
+                    type=pa.string(),
+                ),
             ],
             names=["id", "text"],
         )

@@ -80,7 +80,7 @@ ALLOWED_BROADCASTS = {
     # 1-row thresholds/global means, k-row centroid tables
     "queries/llm.py": 15,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps
-    "queries/corpus_lm.py": 15,
+    "queries/corpus_lm.py": 17,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most)

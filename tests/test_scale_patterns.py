@@ -409,3 +409,46 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         .count()
     )
     assert joined.count() == expected
+
+
+def test_replicate_scaled_subset_keeps_join_strides_aligned(spark, sf_dir, tmp_path):
+    """replicate_scaled's key strides come from the whole JOIN GROUP, not
+    the replicated subset (round-5 review #4): replicating only lineitem
+    must shift l_orderkey by the stride orders would use, so replica r of
+    lineitem still joins replica r of an independently replicated orders."""
+    from apachebeam_python_spark.sources.layout import replicate_scaled
+    from apachebeam_python_spark.session import table as _t
+
+    out_l = str(tmp_path / "only_lineitem")
+    out_o = str(tmp_path / "only_orders")
+    replicate_scaled(spark, sf_dir, out_l, copies=2, tables=["lineitem"])
+    replicate_scaled(spark, sf_dir, out_o, copies=2, tables=["orders"])
+    li = spark.read.parquet(f"{out_l}/lineitem.parquet")
+    od = spark.read.parquet(f"{out_o}/orders.parquet")
+    base_li = _t(spark, sf_dir, "lineitem").count()
+    # every replicated lineitem row finds its order: inner join count is
+    # exactly copies x base (stride mismatch would drop replica 1 entirely)
+    joined = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert li.count() == 2 * base_li
+    assert joined == 2 * base_li
+
+
+def test_arrow_ipc_round_trip_preserves_nulls(spark, tmp_path):
+    """NULL text must come back as NULL, not the string 'None' (round-5
+    review #5)."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.sources.mlexport import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    df = spark.range(4).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("t"), F.col("id"))).alias("text"),
+        F.lit(0).alias("shard"),
+    )
+    out = str(tmp_path / "aipc")
+    write_arrow_ipc(df, out, "id", "text", "shard")
+    back = {r.id: r.text for r in read_arrow_ipc(spark, out).collect()}
+    assert back == {0: "t0", 1: None, 2: "t2", 3: None}
