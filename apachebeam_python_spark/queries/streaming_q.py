@@ -695,3 +695,63 @@ def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(deduped, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "q_stream_funnel",
+    driver=False,  # §2.9 stateful streaming family (round 5) — pytest oracle
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 'view'     AS step, CAST(1 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 'click'    AS step, CAST(2 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s2
+UNION ALL
+SELECT 'purchase' AS step, CAST(3 AS INTEGER) AS step_no, CAST(count(*) AS BIGINT) AS n_users FROM s3
+""",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel computed ONLINE by the streaming engine
+    (streaming/stateful.funnel_stream): per-user milestone rows emitted as
+    each stage is first reached, drained and rolled up into the same
+    step-count table as the batch q_funnel — stream ≡ batch against the
+    identical chained-min oracle. The state is three timestamps per user
+    and each milestone emits exactly once, so the funnel dashboard this
+    feeds updates incrementally instead of rescanning events (the entire
+    point of the streaming form at 100 TB: per-batch work is proportional
+    to NEW events, the emitted milestone stream is one row per user per
+    stage, ever)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming import stateful
+
+    name = _sink("stream_funnel", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    jobs.run_to_memory(stateful.funnel_stream(s), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("step_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.when(F.col("step_no") == 1, "view")
+            .when(F.col("step_no") == 2, "click")
+            .otherwise("purchase")
+            .alias("step"),
+            F.col("step_no").cast("int").alias("step_no"),
+            "n_users",
+        )
+    )

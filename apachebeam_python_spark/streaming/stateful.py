@@ -116,3 +116,55 @@ def threshold_alert_stream(events: DataFrame, threshold: float = 1000.0) -> Data
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Stateful ONLINE funnel (Beam multi-ValueState DoFn; round 5): per
+    user, track the first 'view', the first 'click' strictly after it, and
+    the first 'purchase' strictly after that — emitting one
+    (user_id, step_no, step_ts) row at the moment each stage is first
+    reached. The fourth member of the stateful family: emit-first (dedup),
+    emit-on-transition (threshold), emit-on-timeout (sessions), and now
+    emit-per-milestone.
+
+    State is three timestamps per key — O(1). Determinism contract: rows
+    sort by (ts, event_id) within each micro-batch, and stage predicates
+    use strict event-time comparisons, so the milestones equal the batch
+    funnel's chained min-aggregates whenever batches arrive in event-time
+    order (the fixture replay's property; out-of-order production streams
+    want the tws event-time-timer reorder, same as threshold alerts)."""
+
+    def steps(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        v_ms, c_ms, p_ms = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(rows) and not p_ms:
+            rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                ms = int(ts.timestamp() * 1_000_000)
+                if not v_ms and et == "view":
+                    v_ms = ms
+                    out.append((key[0], 1, ts))
+                elif v_ms and not c_ms and et == "click" and ms > v_ms:
+                    c_ms = ms
+                    out.append((key[0], 2, ts))
+                elif c_ms and not p_ms and et == "purchase" and ms > c_ms:
+                    p_ms = ms
+                    out.append((key[0], 3, ts))
+                    break  # funnel complete — state is terminal
+        state.update((int(v_ms), int(c_ms), int(p_ms)))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "step_no", "step_ts"])
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            steps,
+            outputStructType="user_id long, step_no int, step_ts timestamp",
+            stateStructType="v_ms long, c_ms long, p_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
