@@ -39,6 +39,8 @@ ITERATIVE = [
     "q_markov_attribution",
     "q_bfs_reachability",
     "q_setsim_join",
+    "q_scc",
+    "q_closeness_centrality",
 ]
 
 
