@@ -1283,3 +1283,190 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wm2").alias("w_minus_x2"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test with Wilson intervals (round 5)
+# --------------------------------------------------------------------------
+_PROP_2X2 = """
+WITH per_user AS (
+  -- every fixture user both clicks and purchases eventually, so the 2x2
+  -- needs a REAL hypothesis: week-1 high-value click exposure vs week-2+
+  -- high-value purchase outcome (all four cells populated at every sf)
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' AND value >= 100
+                   AND CAST(ts AS DATE) < DATE '2024-01-08' THEN 1 ELSE 0 END) AS exposed,
+         max(CASE WHEN event_type = 'purchase' AND value >= 150
+                   AND CAST(ts AS DATE) >= DATE '2024-01-08' THEN 1 ELSE 0 END) AS outcome
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM per_user
+)
+"""
+
+
+@register(
+    "q_two_proportion",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle=_PROP_2X2
+    + """
+SELECT a + b AS n_exposed, c + d AS n_unexposed,
+       round(a / CAST(a + b AS DOUBLE), 6) AS p_exposed,
+       round(c / CAST(c + d AS DOUBLE), 6) AS p_unexposed,
+       round((a / CAST(a + b AS DOUBLE) - c / CAST(c + d AS DOUBLE))
+             / sqrt((a + c) / CAST(a + b + c + d AS DOUBLE)
+                    * (1.0 - (a + c) / CAST(a + b + c + d AS DOUBLE))
+                    * (1.0 / (a + b) + 1.0 / (c + d))), 6) AS z_stat,
+       round((a / CAST(a + b AS DOUBLE) + 1.9599639845400545 * 1.9599639845400545 / (2.0 * (a + b))
+              - 1.9599639845400545 * sqrt(a / CAST(a + b AS DOUBLE) * (1.0 - a / CAST(a + b AS DOUBLE)) / (a + b)
+                           + 1.9599639845400545 * 1.9599639845400545 / (4.0 * (a + b) * CAST(a + b AS DOUBLE))))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / (a + b)), 6) AS wilson_lo_exposed,
+       round((a / CAST(a + b AS DOUBLE) + 1.9599639845400545 * 1.9599639845400545 / (2.0 * (a + b))
+              + 1.9599639845400545 * sqrt(a / CAST(a + b AS DOUBLE) * (1.0 - a / CAST(a + b AS DOUBLE)) / (a + b)
+                           + 1.9599639845400545 * 1.9599639845400545 / (4.0 * (a + b) * CAST(a + b AS DOUBLE))))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / (a + b)), 6) AS wilson_hi_exposed
+FROM cells
+""",
+)
+def q_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of later high-value purchase conversion,
+    week-1 high-value clickers vs everyone else (all four 2×2 cells are
+    populated at every fixture sf — the trivial any-click/any-purchase
+    split is degenerate here), with the WILSON score interval for the
+    exposed rate
+    (SURVEY §2.3 statistical extensions — the proportion counterpart to
+    q_welch_ttest): the 2×2 census is exact per-user integers from one
+    groupBy; the pooled-SE z and the Wilson bounds (the interval that
+    stays inside [0,1] and behaves at small n, unlike Wald) assemble
+    through one shared IEEE tree with the z=1.96 critical value spelled to
+    full double precision in both engines.
+
+    Scale: one shuffle to user_id for the exposure/outcome census, then a
+    1-row statistic assembly."""
+    z = 1.9599639845400545
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("value") >= 100)
+                    & (F.to_date("ts") < F.lit("2024-01-08").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150)
+                    & (F.to_date("ts") >= F.lit("2024-01-08").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("outcome"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n1 = (a + b).cast("double")
+    n2 = (c + d).cast("double")
+    p1 = a / n1
+    p2 = c / n2
+    pp = (a + c) / (a + b + c + d).cast("double")
+    zstat = (p1 - p2) / F.sqrt(pp * (1.0 - pp) * (1.0 / (a + b) + 1.0 / (c + d)))
+    center = p1 + z * z / (2.0 * (a + b))
+    half = z * F.sqrt(p1 * (1.0 - p1) / (a + b) + z * z / (4.0 * (a + b) * n1))
+    denom = 1.0 + z * z / (a + b)
+    return cells.select(
+        (a + b).alias("n_exposed"),
+        (c + d).alias("n_unexposed"),
+        F.round(p1, 6).alias("p_exposed"),
+        F.round(p2, 6).alias("p_unexposed"),
+        F.round(zstat, 6).alias("z_stat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo_exposed"),
+        F.round((center + half) / denom, 6).alias("wilson_hi_exposed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Odds ratio / relative risk with log-scale CIs (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_odds_ratio",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle=_PROP_2X2
+    + """
+SELECT a, b, c, d,
+       round((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)), 6) AS odds_ratio,
+       round((a / CAST(a + b AS DOUBLE)) / (c / CAST(c + d AS DOUBLE)), 6) AS relative_risk,
+       round(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                 - 1.9599639845400545 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS or_ci_lo,
+       round(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                 + 1.9599639845400545 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS or_ci_hi
+FROM cells
+""",
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio and relative risk of later high-value purchase given a
+    week-1 high-value click, with the standard log-scale (Woolf)
+    confidence interval (SURVEY §2.3
+    statistical extensions — the effect-measure companion to
+    q_two_proportion's significance z): the 2×2 cells are exact per-user
+    integers, OR = ad/bc and RR assemble in one shared double tree, and
+    the CI exponentiates ln(OR) ± 1.96·√(Σ 1/cell) — ln/exp at the very
+    end only, 6-dp rounded (the q_token_entropy libm discipline).
+
+    Scale: identical to q_two_proportion — one user-keyed census shuffle,
+    1-row assembly."""
+    z = 1.9599639845400545
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("value") >= 100)
+                    & (F.to_date("ts") < F.lit("2024-01-08").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150)
+                    & (F.to_date("ts") >= F.lit("2024-01-08").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("outcome"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orr = (a * d.cast("double")) / (b * c.cast("double"))
+    rr = (a / (a + b).cast("double")) / (c / (c + d).cast("double"))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(rr, 6).alias("relative_risk"),
+        F.round(F.exp(F.log(orr) - z * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(orr) + z * se), 6).alias("or_ci_hi"),
+    )
