@@ -290,3 +290,191 @@ def binary_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (round 5)
+# --------------------------------------------------------------------------
+def pq_codebooks(
+    corpus: DataFrame, vec_col: str, id_col: str, *, m: int = 8, dim: int = 64,
+    k: int = 16,
+) -> DataFrame:
+    """Deterministic PQ codebooks: the vector splits into ``m`` subvectors
+    of ``dim/m``; each SUBSPACE gets ``k`` centroids seeded from the corpus
+    subvectors of smallest xxhash64(id) (per-subspace WindowGroupLimit —
+    the ivf_centroids seeding discipline) and refined by ONE distributed
+    Lloyd step under L2. Returns (sub_id, code_id, centroid array<double>)
+    — m·k rows of metadata, broadcastable at any corpus size.
+
+    Scale: the whole training pass is two shuffles over (corpus × m)
+    subvector rows; real PQ trainers run a few more Lloyd steps of the
+    same shape."""
+    sub = dim // m
+    subs = corpus.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sv"),
+    )
+    wseed = Window.partitionBy("sub_id").orderBy(F.xxhash64("_pid"), "_pid")
+    seeds = (
+        subs.withColumn("_srk", F.row_number().over(wseed))
+        .filter(F.col("_srk") <= k)
+        .select("sub_id", F.col("_srk").alias("code_id"), F.col("sv").alias("centroid"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wassign = Window.partitionBy("_pid", "sub_id").orderBy("_d2", "code_id")
+    assigned = (
+        subs.join(F.broadcast(seeds), "sub_id")
+        .withColumn("_d2", d2)
+        .withColumn("_ark", F.row_number().over(wassign))
+        .filter(F.col("_ark") == 1)
+    )
+    return (
+        assigned.select("sub_id", "code_id", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("sub_id", "code_id", "pos")
+        .agg(F.avg("val").alias("mv"))
+        .groupBy("sub_id", "code_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("centroid")
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebooks: DataFrame, vec_col: str, id_col: str, *, m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors to (id, sub_id, code_id): each subvector keeps only
+    its nearest codebook entry — ``m`` small ints per vector, a 32×
+    compression at (dim=64, m=8, k=16) that lets a billion-vector index
+    live where the float vectors cannot."""
+    sub = dim // m
+    subs = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_pid", "sub_id").orderBy("_d2", "code_id")
+    return (
+        subs.join(F.broadcast(codebooks), "sub_id")
+        .withColumn("_d2", d2)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("_pid").alias(id_col), "sub_id", "code_id")
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int,
+    *, m: int = 8, dim: int = 64, n_codes: int = 16, n_candidates: int = 32,
+) -> DataFrame:
+    """Approximate top-k via PQ + asymmetric distance computation (ADC) +
+    exact re-rank — the THIRD classic ANN scale path beside hyperplane LSH
+    and IVF (SURVEY §2.11), and the one that attacks MEMORY rather than
+    candidate count:
+
+    1. train codebooks (m subspaces × n_codes centroids, metadata-sized);
+    2. encode the corpus to m-byte codes (the only corpus-sized artifact —
+       32× smaller than the vectors);
+    3. ADC: each query computes its distance to every codebook entry
+       (n_q·m·n_codes rows, broadcastable), and a doc's approximate
+       distance is the SUM of table lookups over its m codes — an
+       equi-join on (sub_id, code_id) + one groupBy, never touching the
+       float vectors;
+    4. the ``n_candidates`` best docs per query re-rank by EXACT cosine
+       (the binary-Hamming two-tier discipline).
+
+    Recall tunes with n_candidates (and n_codes); tests pin it against the
+    brute-force oracle. At 100 TB the codes table is what the cluster
+    holds hot; vectors page in only for the final re-rank."""
+    # lazy lineage cut: the codebook subtree is planned once and shared by
+    # the encode pass and the ADC tables (the session.checkpoint discipline)
+    from ..session import checkpoint
+
+    cb = checkpoint(
+        pq_codebooks(corpus, vec_col, id_col, m=m, dim=dim, k=n_codes), eager=False
+    )
+    codes = pq_encode(corpus, cb, vec_col, id_col, m=m, dim=dim)
+    sub = dim // m
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.transform(
+                    F.slice(F.col(vec_col), j * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = qsubs.join(F.broadcast(cb), "sub_id").select(
+        "query_id", "sub_id", "code_id", d2.alias("dd")
+    )
+    approx = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(adc), ["sub_id", "code_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dd").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = (
+        approx.withColumn("_ck", F.row_number().over(wc))
+        .filter(F.col("_ck") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("cn"),
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cos_sim",
+            V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

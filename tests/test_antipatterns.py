@@ -85,8 +85,10 @@ ALLOWED_BROADCASTS = {
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most)
     "queries/stats_tests.py": 8,
-    # query-set broadcasts (bounded by contract) + 1-row norms
-    "operators/similarity.py": 5,
+    # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
+    # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
+    # tables (n_q·m·k rows) — all independent of corpus size
+    "operators/similarity.py": 10,
     # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket
     # past broadcast size at web scale — the loop structure is unchanged)
     "operators/graph.py": 4,

@@ -1450,3 +1450,20 @@ def test_tiff_codec_round_trip_and_variants():
         M.decode_tiff(b"XX\x00\x00")
     with _pytest.raises(ValueError, match="encode_tiff expects"):
         M.encode_tiff(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_pq_ann_recall_vs_brute_force(spark, sf_dir):
+    """PQ+ADC+re-rank must recover enough of the true top-5 (round 5): at
+    (8 subspaces x 16 codes, 64 candidates) measured recall@5 is ~0.75 at
+    sf0.01; the pin is 0.6 to absorb fixture regeneration."""
+    from apachebeam_python_spark import queries as q
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in q.QUERIES["q_cosine_topk"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in q.QUERIES["q_ann_pq"](spark, sf_dir).collect()
+    }
+    assert len(bf & pq) / len(bf) >= 0.6, f"pq recall {len(bf & pq) / len(bf):.3f}"
