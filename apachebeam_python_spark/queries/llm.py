@@ -3430,3 +3430,134 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_ann_topk(
         e, queries, "embedding", "vec_id", k=5, n_candidates=64
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum staging (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_curriculum_stages",
+    driver=False,  # §2.11 training-tail family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         round(20.0 - 15.0 * (CAST(len(list_filter(ws,
+              w -> len(regexp_extract_all(w, '[aeiou]+')) = 1)) AS DOUBLE)
+              / len(ws)), 3) AS grade
+  FROM d WHERE len(ws) > 0
+), staged AS (
+  SELECT *, ntile(4) OVER (ORDER BY grade, doc_id) AS stage FROM m
+)
+SELECT stage,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+       min(grade)                    AS grade_lo,
+       max(grade)                    AS grade_hi
+FROM staged GROUP BY stage
+""",
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (SURVEY §2.11 training-tail, beside shard
+    packing and mixture resampling): documents order by the FORCAST
+    readability grade (easy → hard) and split into four curriculum stages;
+    the manifest per stage is exactly what a curriculum-learning trainer
+    consumes — stage sizes, token budgets, and the grade band each stage
+    spans. Composes q_readability's zero-shuffle grade with one global
+    ntile (the q_unigram_lm_score band discipline — cutpoints broadcast
+    from approx quantiles at 100 TB, same swap).
+
+    Scale: grade is scan-fused; the stage assignment is the only ordered
+    step and the census is 4 rows."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", T.tokens(F.col("text")).alias("ws")
+    )
+    m = d.filter(F.size("ws") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.round(
+            20.0
+            - 15.0
+            * (
+                F.expr(
+                    "size(filter(ws, w -> size(regexp_extract_all(w, '[aeiou]+', 0)) = 1))"
+                ).cast("double")
+                / F.size("ws")
+            ),
+            3,
+        ).alias("grade"),
+    )
+    from pyspark.sql import Window as W
+
+    staged = m.withColumn("stage", F.ntile(4).over(W.orderBy("grade", "doc_id")))
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("grade").alias("grade_lo"),
+        F.max("grade").alias("grade_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset card (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_dataset_card",
+    driver=False,  # §2.11 governance/reporting family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         sha256(text) AS h
+  FROM documents
+), dup AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY h
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT)                   AS n_docs,
+       CAST(count(DISTINCT d.lang) AS BIGINT)     AS n_langs,
+       CAST(sum(d.n_tokens) AS BIGINT)            AS total_tokens,
+       CAST(sum(d.n_chars) AS BIGINT)             AS total_chars,
+       round(avg(CAST(d.n_tokens AS DOUBLE)), 4)  AS mean_tokens,
+       CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
+       round(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6)       AS dup_rate
+FROM d JOIN dup ON d.h = dup.h
+GROUP BY d.source
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card per source (SURVEY §2.11 governance tier, beside the
+    quality/PII/k-anonymity gates): the one-table summary a datasheet /
+    model card cites — doc and token volumes, language spread, and the
+    exact-duplicate exposure (share of docs whose sha256 appears more than
+    once corpus-wide). Composes the exact-dedup census with per-source
+    rollups; every number is an exact integer or a ratio of exact integers.
+
+    Scale: one sha-keyed shuffle for the dup census (the q_dedup_exact
+    plan), one source-keyed rollup; the card is |sources| rows."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    dup = d.groupBy("h").agg(F.count("*").alias("c"))
+    j = d.join(dup, "h")
+    in_dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("mean_tokens"),
+        F.sum(in_dup).alias("docs_in_dup_groups"),
+        F.round(F.sum(in_dup) / F.count("*").cast("double"), 6).alias("dup_rate"),
+    )
