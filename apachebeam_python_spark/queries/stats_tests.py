@@ -1470,3 +1470,323 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(orr) - z * se), 6).alias("or_ci_lo"),
         F.round(F.exp(F.log(orr) + z * se), 6).alias("or_ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_kruskal_wallis",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT grp,
+         rank() OVER (ORDER BY cents) + (count(*) OVER (PARTITION BY cents) - 1) / 2.0
+           AS avg_rank
+  FROM s
+), pergrp AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS ni, sum(avg_rank) AS ri
+  FROM ranked GROUP BY grp
+), ties AS (
+  SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY cents) u
+  WHERE t > 1
+), agg AS (
+  SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(ri * ri / ni) AS rsq
+  FROM pergrp
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN CAST(tie3 AS HUGEINT) < CAST(n AS HUGEINT) * n * n - n THEN
+         round(
+           (12.0 * rsq / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+           / (1.0 - CAST(tie3 AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)),
+           6)
+       END AS h_stat
+FROM agg, ties
+""",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types — the k-sample extension of
+    q_mann_whitney (SURVEY §2.3 statistical extensions). Average ranks are
+    min-rank + (ties−1)/2 (exact 0.5 multiples), per-group rank sums stay
+    exact in doubles, and the tie-corrected H assembles integer
+    (n, k, Σ(t³−t)) through one shared IEEE tree. The cubes N³ and t³
+    widen to DECIMAL/HUGEINT before multiplying (the q_anova overflow
+    lesson, ADVICE r4): 64-bit squares of large totals are the class of
+    bug that passes at sf0.01 and throws at sf0.04.
+
+    Scale: like q_mann_whitney, ranking is a global sort (one window task
+    here); at 100 TB swap in range-partitioned ranking. Everything after
+    is a k-row metadata assembly."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("cents"))
+    )
+    ranked = s.select(
+        "grp",
+        (
+            F.rank().over(Window.orderBy("cents"))
+            + (F.count("*").over(Window.partitionBy("cents")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    pergrp = ranked.groupBy("grp").agg(
+        F.count("*").alias("ni"), F.sum("avg_rank").alias("ri")
+    )
+    td = F.col("t").cast("decimal(12,0)")
+    ties = (
+        s.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(F.coalesce(F.sum(td * td * td - td), F.lit(0).cast("decimal(38,0)")).alias("tie3"))
+    )
+    agg = pergrp.agg(
+        F.sum("ni").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.col("ri") * F.col("ri") / F.col("ni")).alias("rsq"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    n, k = F.col("n"), F.col("k")
+    nd = n.cast("decimal(12,0)")
+    n3 = (nd * nd * nd - nd).cast("double")
+    h = (12.0 * F.col("rsq") / (n.cast("double") * (n + 1)) - 3.0 * (n + 1)) / (
+        1.0 - F.col("tie3").cast("double") / n3
+    )
+    # all-values-identical degenerate case: tie3 == N³−N ⇒ denominator 0
+    h = F.when(F.col("tie3").cast("decimal(38,0)") < (nd * nd * nd - nd), F.round(h, 6))
+    return j.select("n", "k", (k - 1).cast("long").alias("dof"), h.alias("h_stat"))
+
+
+# --------------------------------------------------------------------------
+# McNemar paired-proportions test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_mcnemar",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' AND value >= 120 THEN 1 ELSE 0 END)    AS x,
+         max(CASE WHEN event_type = 'purchase' AND value >= 120 THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM u
+)
+SELECT n11, n10, n01, n00,
+       CASE WHEN n10 + n01 > 0 THEN
+         round((abs(n10 - n01) - 1) * CAST(abs(n10 - n01) - 1 AS DOUBLE)
+               / (n10 + n01), 6)
+       END AS mcnemar_chi2
+FROM cells
+""",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED per-user binaries: "ever a high-value
+    click" vs "ever a high-value purchase" (≥ $120) — the
+    marginal-homogeneity companion to q_two_proportion, which compares
+    INDEPENDENT groups (SURVEY §2.3 statistical extensions). Only the
+    discordant cells n10/n01 carry signal; the continuity-corrected
+    statistic (|n10−n01|−1)²/(n10+n01) assembles exact integers in one
+    shared double tree, NULL when no discordant pairs exist.
+
+    Scale: one conditional-max groupBy on user_id (map-side partials),
+    then a 1-row census — the cheapest paired-design shape."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "click") & (F.col("value") >= 120), 1).otherwise(0)
+            ).alias("x"),
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") >= 120), 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("x") == 1) & (F.col("y") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("x") == 0) & (F.col("y") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    dev = F.abs(F.col("n10") - F.col("n01")) - 1
+    stat = F.when(disc > 0, F.round(dev * dev.cast("double") / disc, 6))
+    return cells.select("n11", "n10", "n01", "n00", stat.alias("mcnemar_chi2"))
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cohen_kappa",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH cells AS (
+  SELECT CAST(sum(CASE WHEN value >= 100 AND event_type IN ('purchase', 'click')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN value >= 100 AND event_type NOT IN ('purchase', 'click')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN value < 100 AND event_type IN ('purchase', 'click')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN value < 100 AND event_type NOT IN ('purchase', 'click')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events WHERE value IS NOT NULL
+)
+SELECT a + b + c + d AS n,
+       round((a + d) / CAST(a + b + c + d AS DOUBLE), 6) AS po,
+       round(((a + b) * CAST(a + c AS DOUBLE) + (c + d) * CAST(b + d AS DOUBLE))
+             / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)), 6) AS pe,
+       CASE WHEN ((a + b) * CAST(a + c AS DOUBLE) + (c + d) * CAST(b + d AS DOUBLE))
+                 / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)) < 1.0 THEN
+         round(((a + d) / CAST(a + b + c + d AS DOUBLE)
+                - ((a + b) * CAST(a + c AS DOUBLE) + (c + d) * CAST(b + d AS DOUBLE))
+                  / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)))
+               / (1.0 - ((a + b) * CAST(a + c AS DOUBLE) + (c + d) * CAST(b + d AS DOUBLE))
+                        / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d))), 6)
+       END AS kappa
+FROM cells
+""",
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic "raters" over every event:
+    rater A labels by value band (≥ $100), rater B by intent class
+    (purchase/click vs rest) — chance-corrected agreement, the
+    label-quality metric an annotation pipeline reports per batch
+    (SURVEY §2.3 statistical extensions / §2.11 quality family). The 2×2
+    census is exact integers; po, pe, and κ = (po−pe)/(1−pe) assemble in
+    one shared IEEE tree; marginal products go through DOUBLE before
+    multiplying so the pe numerator cannot overflow 64-bit at corpus
+    scale (the q_anova lesson, ADVICE r4).
+
+    Scale: a single conditional-sum pass over events — no shuffle beyond
+    the final 1-row agg."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hi = F.col("value") >= 100
+    intent = F.col("event_type").isin("purchase", "click")
+    cells = e.agg(
+        F.sum(F.when(hi & intent, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(hi & ~intent, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~hi & intent, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~hi & ~intent, 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    po = (a + d) / n.cast("double")
+    pe = ((a + b) * (a + c).cast("double") + (c + d) * (b + d).cast("double")) / (
+        n.cast("double") * n
+    )
+    # single-category degenerate case: pe == 1 ⇒ κ undefined
+    return cells.select(
+        n.alias("n"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_jarque_bera",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND value >= 0
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS sc, CAST(count(*) AS BIGINT) AS n FROM s
+), cent AS (
+  SELECT n, sc - n * (sc // n) AS r,
+         sum(CAST((c - sc // n) * (c - sc // n) AS HUGEINT))                       AS sy2,
+         sum(CAST((c - sc // n) * (c - sc // n) AS HUGEINT) * (c - sc // n))       AS sy3,
+         sum(CAST((c - sc // n) * (c - sc // n) AS HUGEINT)
+             * CAST((c - sc // n) * (c - sc // n) AS HUGEINT))                     AS sy4
+  FROM s, tot GROUP BY n, sc
+), m AS (
+  SELECT n,
+         (CAST(sy2 AS DOUBLE) / n - (r / CAST(n AS DOUBLE)) * (r / CAST(n AS DOUBLE))) AS m2,
+         ((CAST(sy3 AS DOUBLE) - 3.0 * (r / CAST(n AS DOUBLE)) * CAST(sy2 AS DOUBLE)
+           + 2.0 * CAST(n AS DOUBLE) * (r / CAST(n AS DOUBLE)) * (r / CAST(n AS DOUBLE))
+             * (r / CAST(n AS DOUBLE))) / n) AS m3,
+         ((CAST(sy4 AS DOUBLE) - 4.0 * (r / CAST(n AS DOUBLE)) * CAST(sy3 AS DOUBLE)
+           + 6.0 * (r / CAST(n AS DOUBLE)) * (r / CAST(n AS DOUBLE)) * CAST(sy2 AS DOUBLE)
+           - 3.0 * CAST(n AS DOUBLE) * (r / CAST(n AS DOUBLE)) * (r / CAST(n AS DOUBLE))
+             * (r / CAST(n AS DOUBLE)) * (r / CAST(n AS DOUBLE))) / n) AS m4
+  FROM cent
+)
+SELECT n,
+       CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+       CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END AS ex_kurtosis,
+       CASE WHEN m2 > 0 THEN
+         round(CAST(n AS DOUBLE) / 6.0
+               * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                  + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+       END AS jb_stat
+FROM m
+""",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on event values via INTEGER-PIVOT central
+    moments (SURVEY §2.3 statistical extensions): pass 1 takes the exact
+    cents total; every row then centers on the integer pivot μ0 = Σc div n,
+    so the power sums Σy², Σy³, Σy⁴ are EXACT integers (widened to
+    DECIMAL/HUGEINT — per-row y⁴ fits 64-bit but the sums do not, the
+    q_anova overflow class). The fractional mean remainder δ = (Σc mod n)/n
+    corrects the moments in one shared IEEE tree — no catastrophic
+    cancellation, because |y| is spread-sized, not total-sized. skew
+    g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2²−3, JB = n/6·(g1²+g2²/4);
+    sqrt only (correctly rounded — safe), no libm.
+
+    Scale: two passes over events (total, then centered powers — the
+    classic numerically-stable distributed-moments shape); the pivot
+    broadcast is one row. Both passes are map-side partial aggs."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(_cents(F.col("value")).alias("c"))
+    )
+    tot = s.agg(F.sum("c").alias("sc"), F.count("*").alias("n"))
+    j = s.crossJoin(F.broadcast(tot))
+    y = F.col("c") - F.expr("sc div n")
+    y2 = (y * y).cast("decimal(12,0)")
+    cent = j.groupBy("n", "sc").agg(
+        F.sum(y2).alias("sy2"),
+        F.sum(y2 * y.cast("decimal(12,0)")).alias("sy3"),
+        F.sum(y2 * y2).alias("sy4"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    r = (F.col("sc") - n * F.expr("sc div n")).cast("double")
+    delta = r / nd
+    sy2d = F.col("sy2").cast("double")
+    sy3d = F.col("sy3").cast("double")
+    sy4d = F.col("sy4").cast("double")
+    m2 = sy2d / n - delta * delta
+    m3 = (sy3d - 3.0 * delta * sy2d + 2.0 * nd * delta * delta * delta) / n
+    m4 = (
+        sy4d
+        - 4.0 * delta * sy3d
+        + 6.0 * delta * delta * sy2d
+        - 3.0 * nd * delta * delta * delta * delta
+    ) / n
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    # constant-series degenerate case: m2 == 0 ⇒ moments undefined
+    ok = m2 > 0
+    return cent.select(
+        "n",
+        F.when(ok, F.round(g1, 6)).alias("skewness"),
+        F.when(ok, F.round(g2, 6)).alias("ex_kurtosis"),
+        F.when(ok, F.round(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)).alias("jb_stat"),
+    )

@@ -83,8 +83,9 @@ ALLOWED_BROADCASTS = {
     "queries/corpus_lm.py": 17,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
-    # 1-row moment/statistic assemblies (k groups at most)
-    "queries/stats_tests.py": 8,
+    # 1-row moment/statistic assemblies (k groups at most; incl. the
+    # Kruskal-Wallis tie census and the Jarque-Bera integer pivot, both 1-row)
+    "queries/stats_tests.py": 10,
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size

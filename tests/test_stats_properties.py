@@ -526,3 +526,113 @@ def test_holt_winters_oracle_matches_reference(cs):
     for h, f in sorted(rows):
         ref = l + h * b + s[(len(y) - 1 + h) % 7]
         assert f == pytest.approx(ref, abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation: Kruskal-Wallis, McNemar, Cohen's kappa, Jarque-Bera
+# --------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    groups=st.lists(values, min_size=2, max_size=5).filter(
+        lambda gs: all(len(g) >= 5 for g in gs)
+    )
+)
+def test_kruskal_wallis_oracle_matches_reference(groups):
+    frame = _events_frame({TYPES[i]: g for i, g in enumerate(groups)})
+    (n, k, dof, h), = _run_oracle("q_kruskal_wallis", frame)
+    assert (n, k, dof) == (sum(len(g) for g in groups), len(groups), len(groups) - 1)
+    pooled = sorted(
+        (v, i) for i, g in enumerate(groups) for v in g
+    )
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for m in range(i, j):
+            ranks[m] = avg
+        i = j
+    rsums = Counter()
+    for m, (_, gi) in enumerate(pooled):
+        rsums[gi] += ranks[m]
+    tie_sum = sum(t**3 - t for t in Counter(v for v, _ in pooled).values() if t > 1)
+    denom = 1.0 - tie_sum / (n**3 - n)
+    if denom > 0:
+        ref = (
+            12.0 / (n * (n + 1)) * sum(rsums[gi] ** 2 / len(g) for gi, g in enumerate(groups))
+            - 3.0 * (n + 1)
+        ) / denom
+        assert h == pytest.approx(ref, abs=1e-4)
+    else:
+        assert h is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    xy=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=4, max_size=80
+    )
+)
+def test_mcnemar_oracle_matches_reference(xy):
+    rows = []
+    for u, (x, y) in enumerate(xy):
+        rows.append({"user_id": u, "event_type": "click", "value": 130.0 if x else 50.0})
+        rows.append({"user_id": u, "event_type": "purchase", "value": 130.0 if y else 50.0})
+    frame = pd.DataFrame(rows)
+    (n11, n10, n01, n00, chi2), = _run_oracle("q_mcnemar", frame)
+    ref = Counter(xy)
+    assert (n11, n10, n01, n00) == (
+        ref[(True, True)], ref[(True, False)], ref[(False, True)], ref[(False, False)]
+    )
+    disc = n10 + n01
+    if disc > 0:
+        assert chi2 == pytest.approx((abs(n10 - n01) - 1) ** 2 / disc, abs=1e-6)
+    else:
+        assert chi2 is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(st.tuples(st.sampled_from(TYPES), values.map(lambda v: v[0])), min_size=5, max_size=80))
+def test_cohen_kappa_oracle_matches_reference(vals):
+    frame = pd.DataFrame(
+        [{"event_type": t, "value": v, "user_id": i} for i, (t, v) in enumerate(vals)]
+    )
+    (n, po, pe, kappa), = _run_oracle("q_cohen_kappa", frame)
+    assert n == len(vals)
+    a = sum(1 for t, v in vals if v >= 100 and t in ("purchase", "click"))
+    b = sum(1 for t, v in vals if v >= 100 and t not in ("purchase", "click"))
+    c = sum(1 for t, v in vals if v < 100 and t in ("purchase", "click"))
+    d = n - a - b - c
+    ref_po = (a + d) / n
+    ref_pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    assert po == pytest.approx(ref_po, abs=1e-6)
+    assert pe == pytest.approx(ref_pe, abs=1e-6)
+    if ref_pe < 1.0:
+        assert kappa == pytest.approx((ref_po - ref_pe) / (1.0 - ref_pe), abs=1e-5)
+    else:
+        assert kappa is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=values)
+def test_jarque_bera_oracle_matches_reference(a):
+    frame = pd.DataFrame(
+        [{"event_type": "click", "value": v, "user_id": i} for i, v in enumerate(a)]
+    )
+    (n, skew, exk, jb), = _run_oracle("q_jarque_bera", frame)
+    assert n == len(a)
+    cents = [round(v * 100) for v in a]
+    mu = sum(cents) / n
+    m2 = sum((c - mu) ** 2 for c in cents) / n
+    if m2 > 0:
+        m3 = sum((c - mu) ** 3 for c in cents) / n
+        m4 = sum((c - mu) ** 4 for c in cents) / n
+        ref_skew = m3 / m2**1.5
+        ref_exk = m4 / m2**2 - 3.0
+        assert skew == pytest.approx(ref_skew, abs=1e-5)
+        assert exk == pytest.approx(ref_exk, abs=1e-5)
+        assert jb == pytest.approx(n / 6.0 * (ref_skew**2 + ref_exk**2 / 4.0), abs=1e-3)
+    else:
+        assert skew is None and exk is None and jb is None
