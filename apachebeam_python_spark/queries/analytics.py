@@ -3466,3 +3466,100 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_member"),
         F.max("v").alias("max_member"),
     )
+
+
+# --------------------------------------------------------------------------
+# Geohash encode + prefix rollup (round 5 continuation, spatial wave 3)
+# --------------------------------------------------------------------------
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# precision-5 geohash = 25 bits: lon 13 (even offsets from MSB), lat 12 (odd)
+_GH_LON_BITS = [(i, 1 << (2 * i)) for i in range(13)]          # x bit i → z bit 2i
+_GH_LAT_BITS = [(j, 1 << (2 * j + 1)) for j in range(12)]      # y bit j → z bit 2j+1
+
+_GH_SQL_Z = " + ".join(
+    [f"((x // {1 << i}) % 2) * {w}" for i, w in _GH_LON_BITS]
+    + [f"((y // {1 << j}) % 2) * {w}" for j, w in _GH_LAT_BITS]
+)
+_GH_SQL_CHARS = " || ".join(
+    f"substr('{_GH_B32}', CAST((z // {1 << (20 - 5 * j)}) % 32 AS INTEGER) + 1, 1)"
+    for j in range(5)
+)
+
+
+@register(
+    "q_geohash_rollup",
+    driver=False,  # §2.4 spatial family wave 3 (round 5) — pytest oracle
+    oracle=_SPATIAL_SQL_PTS
+    + f"""
+, xy AS (
+  SELECT user_id, lat, lon,
+         CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT) AS x,
+         CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT)  AS y
+  FROM pts
+), zz AS (
+  SELECT user_id, lat, lon, {_GH_SQL_Z} AS z FROM xy
+), gh AS (
+  SELECT user_id, lat, lon, {_GH_SQL_CHARS} AS geohash5 FROM zz
+)
+SELECT substr(geohash5, 1, 2) AS gh2,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT geohash5) AS BIGINT) AS n_cells5,
+       round(min(lat), 6) AS min_lat,
+       round(max(lat), 6) AS max_lat,
+       round(min(lon), 6) AS min_lon,
+       round(max(lon), 6) AS max_lon
+FROM gh
+GROUP BY 1
+""",
+)
+def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (precision 5) + prefix-2 density rollup over the
+    shared md5-derived point set — spatial wave 3 next to the grid join
+    and haversine refine (SURVEY §2.4 spatial family): the
+    variable-resolution spatial KEY the grid join's fixed 5° cells can't
+    give you (prefix truncation = coarser cell, the S2/H3 idea in its
+    portable base-32 form). The bit interleave is UNROLLED integer
+    arithmetic — x = floor((lon+180)/360·2¹³), y likewise 12-bit, then 25
+    alternating (x div 2^i) % 2 terms — so both engines compute identical
+    BIGINTs end-to-end; the only FP ops are the two quantizations, written
+    as the same IEEE tree. Base-32 chars come from substr over the
+    standard alphabet; rollup emits per-prefix user counts, distinct
+    full-resolution cells, and the bounding box.
+
+    Scale: encode is row-local codegen (zero shuffle, zero UDF); the
+    rollup is one groupBy on a low-cardinality prefix. At 100 TB the same
+    column is the repartition/Z-order key that co-locates spatially-near
+    rows — the lakehouse layout trick q_zorder_census measures."""
+    pts = _spatial_pts(spark, sf_dir)
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * 8192.0)
+    y = F.floor((F.col("lat") + 90.0) / 180.0 * 4096.0)
+    xy = pts.select("user_id", "lat", "lon", x.alias("x"), y.alias("y"))
+    z = None
+    for i, w in _GH_LON_BITS:
+        term = F.expr(f"(x div {1 << i}) % 2") * w
+        z = term if z is None else z + term
+    for j, w in _GH_LAT_BITS:
+        z = z + F.expr(f"(y div {1 << j}) % 2") * w
+    zz = xy.select("user_id", "lat", "lon", z.alias("z"))
+    gh = zz.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.concat(
+            *[
+                F.expr(
+                    f"substr('{_GH_B32}', cast((z div {1 << (20 - 5 * j)}) % 32 as int) + 1, 1)"
+                )
+                for j in range(5)
+            ]
+        ).alias("geohash5"),
+    )
+    return gh.groupBy(F.substring("geohash5", 1, 2).alias("gh2")).agg(
+        F.count("*").alias("n_users"),
+        F.count_distinct("geohash5").alias("n_cells5"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+    )

@@ -1038,3 +1038,82 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             20.0 - 15.0 * (F.col("n_mono").cast("double") / F.col("n_words")), 3
         ).alias("forcast_grade"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_js_divergence",
+    driver=False,  # §2.11 mixture-diagnostics extension (round 5) — pytest oracle
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), sc AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source
+), ct AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cc) AS BIGINT) AS t FROM ct
+), terms AS (
+  SELECT sc.source, st.n,
+         sc.c / CAST(st.n AS DOUBLE)                    AS p,
+         (ct.cc - sc.c) / CAST(tot.t - st.n AS DOUBLE)  AS q
+  FROM sc JOIN st USING (source) JOIN ct USING (term) CROSS JOIN tot
+  WHERE tot.t > st.n
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(0.5 * (sum(p * log2(2.0 * p / (p + q))
+                        + CASE WHEN q > 0
+                               THEN q * log2(2.0 * q / (p + q)) ELSE 0.0 END)
+                    + (1.0 - sum(q))), 6) AS jsd_bits
+FROM terms
+GROUP BY source, n
+""",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between each source's token
+    distribution P and the REST of the corpus Q — the symmetric, bounded
+    [0,1] companion to q_mixture_diagnostics' KL(source‖corpus): the
+    mixture-rebalance trigger that doesn't blow up on source-exclusive
+    vocabulary (SURVEY §2.11 mixture family). The vocabulary fan-out trick
+    keeps the plan corpus-vocab-sized: terms ABSENT from the source
+    contribute exactly q·log2(2) = q bits, so their total folds to
+    (1 − Σ_{t∈source} q) and only (source, term) rows that EXIST are ever
+    joined — no sources × vocab cross product. p and q derive from exact
+    integer counts; log2 terms are the same IEEE doubles in both engines;
+    the per-source sum rounds at 6 dp (the q_mixture_diagnostics
+    discipline). Sources covering the whole corpus (t = n) are excluded
+    (Q undefined).
+
+    Scale: one explode → (source, term) groupBy, broadcast-joined
+    marginals (Heaps-law small), per-source metadata agg."""
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    sc = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    tot = ct.agg(F.sum("cc").alias("t"))
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("t") > F.col("n"))
+        .select(
+            "source",
+            "n",
+            (F.col("c") / F.col("n").cast("double")).alias("p"),
+            ((F.col("cc") - F.col("c")) / (F.col("t") - F.col("n")).cast("double")).alias("q"),
+        )
+    )
+    p, qq = F.col("p"), F.col("q")
+    in_vocab = p * F.log2(2.0 * p / (p + qq)) + F.when(
+        qq > 0, qq * F.log2(2.0 * qq / (p + qq))
+    ).otherwise(0.0)
+    return terms.groupBy("source", "n").agg(
+        F.round(0.5 * (F.sum(in_vocab) + (1.0 - F.sum(qq))), 6).alias("jsd_bits")
+    ).select("source", F.col("n").cast("long").alias("n_tokens"), "jsd_bits")

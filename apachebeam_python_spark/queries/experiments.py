@@ -2625,3 +2625,184 @@ def q_hash_chain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(items, 'GENESIS', (a, b) -> md5(concat(a, '|', b)))"
         ).alias("chain_head"),
     )
+
+
+# --------------------------------------------------------------------------
+# Confusion matrix / threshold-classifier evaluation (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_confusion_matrix",
+    driver=False,  # §2.11 classifier-eval extension (round 5) — pytest oracle
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS click_c,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pur_c
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(sum(CASE WHEN click_c >= 65000 AND pur_c >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN click_c >= 65000 AND pur_c < 60000 THEN 1 ELSE 0 END) AS BIGINT)  AS fp,
+         CAST(sum(CASE WHEN click_c < 65000 AND pur_c >= 60000 THEN 1 ELSE 0 END) AS BIGINT)  AS fn,
+         CAST(sum(CASE WHEN click_c < 65000 AND pur_c < 60000 THEN 1 ELSE 0 END) AS BIGINT)   AS tn
+  FROM pu
+)
+SELECT tp, fp, fn, tn,
+       round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+       CASE WHEN tp + fp > 0 THEN round(tp / CAST(tp + fp AS DOUBLE), 6) END AS precision_,
+       CASE WHEN tp + fn > 0 THEN round(tp / CAST(tp + fn AS DOUBLE), 6) END AS recall_,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1,
+       CASE WHEN (tp + fp) * CAST(tp + fn AS DOUBLE) * (tn + fp) * (tn + fn) > 0 THEN
+         round((tp * CAST(tn AS DOUBLE) - fp * CAST(fn AS DOUBLE))
+               / sqrt((tp + fp) * CAST(tp + fn AS DOUBLE) * (tn + fp) * (tn + fn)), 6)
+       END AS mcc
+FROM cells
+""",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy/precision/recall/F1/MCC for a threshold
+    classifier: "total click spend ≥ $650 predicts a ≥ $600 purchaser" —
+    the per-candidate-threshold evaluation a quality-classifier sweep
+    runs next to q_auc_brier's threshold-free ranking metrics
+    (SURVEY §2.11 classifier-eval family). The 2×2 census is exact
+    integers from per-user cent totals; every rate guards its zero
+    denominator with NULL; MCC routes all four marginal products through
+    DOUBLE before multiplying (counts² overflows 64-bit at corpus scale —
+    the q_anova lesson).
+
+    Scale: one user_id groupBy with map-side partials, then a 1-row
+    census. The threshold sweep variant is this same plan with a
+    posexplode'd literal threshold array — still one pass."""
+    pu = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.round(F.col("value") * 100).cast("long")).otherwise(0)
+            ).alias("click_c"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.round(F.col("value") * 100).cast("long")).otherwise(0)
+            ).alias("pur_c"),
+        )
+    )
+    pred = F.col("click_c") >= 65000
+    actual = F.col("pur_c") >= 60000
+    cells = pu.agg(
+        F.sum(F.when(pred & actual, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & ~actual, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & actual, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & ~actual, 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    denom_mcc = (tp + fp) * (tp + fn).cast("double") * (tn + fp) * (tn + fn)
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.round((tp + tn) / (tp + fp + fn + tn).cast("double"), 6).alias("accuracy"),
+        F.when(tp + fp > 0, F.round(tp / (tp + fp).cast("double"), 6)).alias("precision_"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn).cast("double"), 6)).alias("recall_"),
+        F.when(
+            2 * tp + fp + fn > 0, F.round(2.0 * tp / (2 * tp + fp + fn).cast("double"), 6)
+        ).alias("f1"),
+        F.when(
+            denom_mcc > 0,
+            F.round((tp * tn.cast("double") - fp * fn.cast("double")) / F.sqrt(denom_mcc), 6),
+        ).alias("mcc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift chart (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_gain_lift",
+    driver=False,  # §2.11 classifier-eval extension (round 5) — pytest oracle
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS score,
+         max(CASE WHEN event_type = 'purchase' AND round(value * 100) >= 15000
+                  THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY user_id
+), dec AS (
+  SELECT score, pos, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM pu
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(pos) AS BIGINT) AS positives
+  FROM dec GROUP BY decile
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS n, CAST(sum(positives) AS BIGINT) AS p
+  FROM per
+)
+SELECT decile, n_users, positives,
+       CASE WHEN p > 0 THEN
+         round(sum(positives) OVER (ORDER BY decile) / CAST(p AS DOUBLE), 6)
+       END AS cum_gain,
+       CASE WHEN p > 0 THEN
+         round((sum(positives) OVER (ORDER BY decile) / CAST(p AS DOUBLE))
+               / (sum(n_users) OVER (ORDER BY decile) / CAST(n AS DOUBLE)), 6)
+       END AS lift
+FROM per CROSS JOIN tot
+ORDER BY decile
+""",
+)
+def q_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile: rank users by total click
+    spend, label = "made a ≥ $150 purchase", report what share of all
+    positives the top-k deciles capture and the lift over random targeting
+    (SURVEY §2.11 classifier-eval family — the campaign-targeting readout
+    next to q_calibration's reliability deciles). ntile runs over the
+    engine-stable (score DESC, user_id) total order; per-decile censuses
+    are exact integers; cumulative gain/lift divide once at the end, NULL
+    when the fixture has no positives.
+
+    Scale: the per-user agg shuffles once; ntile's global window is a
+    single task over USERS (not events) — at 100 TB swap in the
+    pre-aggregated decile boundaries from approx quantiles, same output
+    contract. ntile's int (Spark) vs bigint (DuckDB) is canon-equal —
+    do not cast (oracle-parity-gotchas)."""
+    pu = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.round(F.col("value") * 100).cast("long")).otherwise(0)
+            ).alias("score"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.round(F.col("value") * 100) >= 15000),
+                    1,
+                ).otherwise(0)
+            ).alias("pos"),
+        )
+    )
+    dec = pu.select(
+        "score",
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("user_id"))).alias("decile"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("pos").alias("positives")
+    )
+    tot = per.agg(F.sum("n_users").alias("n"), F.sum("positives").alias("p"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    j = per.crossJoin(F.broadcast(tot))
+    cum_pos = F.sum("positives").over(w)
+    cum_n = F.sum("n_users").over(w)
+    has_pos = F.col("p") > 0
+    return j.select(
+        "decile",
+        "n_users",
+        "positives",
+        F.when(has_pos, F.round(cum_pos / F.col("p").cast("double"), 6)).alias("cum_gain"),
+        F.when(
+            has_pos,
+            F.round(
+                (cum_pos / F.col("p").cast("double")) / (cum_n / F.col("n").cast("double")), 6
+            ),
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -1790,3 +1790,164 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(g2, 6)).alias("ex_kurtosis"),
         F.when(ok, F.round(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)).alias("jb_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information / normalized MI (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_mutual_information",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS x,
+         least(CAST(round(value * 100) AS BIGINT) // 5000, 3) AS y
+  FROM events WHERE value IS NOT NULL
+), joint AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM s GROUP BY x, y
+), mx AS (
+  SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x
+), my AS (
+  SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y
+), tot AS (
+  SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint
+), mi AS (
+  SELECT round(sum((nxy / CAST(n AS DOUBLE))
+                   * ln(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE)))), 6)
+           AS mi_nats
+  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+), hx AS (
+  SELECT round(-sum((nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x
+  FROM mx CROSS JOIN tot
+), hy AS (
+  SELECT round(-sum((ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y
+  FROM my CROSS JOIN tot
+)
+SELECT n, mi_nats, h_x, h_y
+FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event type and value band plus the
+    marginal entropies — the feature-relevance score a feature-selection
+    pass computes per (feature, label) pair (SURVEY §2.3 statistical
+    extensions; chi-square's information-theoretic sibling). The joint
+    census (nxy, nx, ny, n) is exact integers; bands come from integer
+    cents ``div 5000`` so no float boundary exists; each ln term is the
+    same IEEE double in both engines and the ~k·b-cell sum rounds at 6 dp
+    (the q_mixture_diagnostics discipline).
+
+    Scale: one groupBy over (type, band) — k·b cells of metadata; the
+    marginal joins are broadcast-sized. At 100 TB this is a single
+    map-side partial agg per feature."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            F.least(F.expr("cast(round(value * 100) as long) div 5000"), F.lit(3)).alias("y"),
+        )
+    )
+    joint = s.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    nd = F.col("n").cast("double")
+    mi_term = (F.col("nxy") / nd) * F.log(
+        F.col("nxy") * nd / (F.col("nx") * F.col("ny").cast("double"))
+    )
+    mi = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(mi_term), 6).alias("mi_nats"))
+    )
+    px = F.col("nx") / nd
+    py = F.col("ny") / nd
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(px * F.log(px)), 6).alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(py * F.log(py)), 6).alias("h_y")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select("n", "mi_nats", "h_x", "h_y")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa multi-rater agreement (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_fleiss_kappa",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH r AS (
+  SELECT (CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+         + (CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END)
+         + (CASE WHEN value >= 80 THEN 1 ELSE 0 END) AS n_hi
+  FROM events WHERE value IS NOT NULL
+), census AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(n_hi) AS BIGINT) AS s_hi,
+         CAST(sum(n_hi * n_hi + (3 - n_hi) * (3 - n_hi)) AS BIGINT) AS s_sq
+  FROM r
+)
+SELECT n_items,
+       round((s_sq - 3.0 * n_items) / (6.0 * n_items), 6) AS p_bar,
+       round((s_hi / (3.0 * n_items)) * (s_hi / (3.0 * n_items))
+             + (1.0 - s_hi / (3.0 * n_items)) * (1.0 - s_hi / (3.0 * n_items)), 6)
+         AS p_e,
+       CASE WHEN (s_hi / (3.0 * n_items)) * (s_hi / (3.0 * n_items))
+                 + (1.0 - s_hi / (3.0 * n_items)) * (1.0 - s_hi / (3.0 * n_items))
+                 < 1.0 THEN
+         round(((s_sq - 3.0 * n_items) / (6.0 * n_items)
+                - ((s_hi / (3.0 * n_items)) * (s_hi / (3.0 * n_items))
+                   + (1.0 - s_hi / (3.0 * n_items)) * (1.0 - s_hi / (3.0 * n_items))))
+               / (1.0 - ((s_hi / (3.0 * n_items)) * (s_hi / (3.0 * n_items))
+                         + (1.0 - s_hi / (3.0 * n_items))
+                           * (1.0 - s_hi / (3.0 * n_items)))), 6)
+       END AS fleiss_kappa
+FROM census
+""",
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over THREE deterministic labeling functions per event
+    (value ≥ $100, intent event type, value ≥ $80) — the weak-supervision
+    agreement readout: m=3 raters, 2 categories, every item rated by all
+    raters (SURVEY §2.3 statistical extensions; the multi-rater
+    generalization of q_cohen_kappa). Per-item agreement
+    P_i = (Σ_j n_ij² − m)/(m(m−1)) needs only the exact integer census
+    (N, Σn_hi, Σ(n_hi²+n_lo²)); P̄, P_e = Σ p_j², and
+    κ = (P̄−P_e)/(1−P_e) assemble in one shared IEEE tree, NULL when all
+    ratings land in one category (P_e = 1).
+
+    Scale: the ratings are row-local expressions — a single map-side
+    census with no shuffle beyond the 1-row agg, at any corpus size."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n_hi = (
+        F.when(F.col("value") >= 100, 1).otherwise(0)
+        + F.when(F.col("event_type").isin("purchase", "click"), 1).otherwise(0)
+        + F.when(F.col("value") >= 80, 1).otherwise(0)
+    )
+    census = e.select(n_hi.alias("n_hi")).agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_hi").alias("s_hi"),
+        F.sum(
+            F.col("n_hi") * F.col("n_hi")
+            + (3 - F.col("n_hi")) * (3 - F.col("n_hi"))
+        ).alias("s_sq"),
+    )
+    n = F.col("n_items")
+    p_hi = F.col("s_hi") / (3.0 * n)
+    p_bar = (F.col("s_sq") - 3.0 * n) / (6.0 * n)
+    p_e = p_hi * p_hi + (1.0 - p_hi) * (1.0 - p_hi)
+    return census.select(
+        "n_items",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.when(p_e < 1.0, F.round((p_bar - p_e) / (1.0 - p_e), 6)).alias("fleiss_kappa"),
+    )

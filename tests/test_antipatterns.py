@@ -75,17 +75,19 @@ ALLOWED_BROADCASTS = {
     "queries/analytics.py": 33,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid
-    "queries/experiments.py": 18,
+    "queries/experiments.py": 19,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     "queries/llm.py": 15,
-    # vocab/merge tables (Heaps-law small), 1-row totals, df caps
-    "queries/corpus_lm.py": 17,
+    # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
+    # JS-divergence marginals (per-source and per-term corpus counts)
+    "queries/corpus_lm.py": 20,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most; incl. the
-    # Kruskal-Wallis tie census and the Jarque-Bera integer pivot, both 1-row)
-    "queries/stats_tests.py": 10,
+    # Kruskal-Wallis tie census, the Jarque-Bera integer pivot, and the
+    # mutual-information marginal/entropy tables — all 1-row or k-row)
+    "queries/stats_tests.py": 18,
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size

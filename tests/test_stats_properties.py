@@ -636,3 +636,259 @@ def test_jarque_bera_oracle_matches_reference(a):
         assert jb == pytest.approx(n / 6.0 * (ref_skew**2 + ref_exk**2 / 4.0), abs=1e-3)
     else:
         assert skew is None and exk is None and jb is None
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation wave 2: MI, Fleiss, confusion matrix, gain/lift,
+# JS divergence, geohash
+# --------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(st.tuples(st.sampled_from(TYPES), values.map(lambda v: v[0])), min_size=5, max_size=120))
+def test_mutual_information_oracle_matches_reference(vals):
+    frame = pd.DataFrame(
+        [{"event_type": t, "value": v, "user_id": i} for i, (t, v) in enumerate(vals)]
+    )
+    (n, mi, hx, hy), = _run_oracle("q_mutual_information", frame)
+    assert n == len(vals)
+    pairs = [(t, min(round(v * 100) // 5000, 3)) for t, v in vals]
+    nxy = Counter(pairs)
+    nx = Counter(t for t, _ in pairs)
+    ny = Counter(b for _, b in pairs)
+    ref_mi = sum(
+        (c / n) * math.log(c * n / (nx[x] * ny[y])) for (x, y), c in nxy.items()
+    )
+    ref_hx = -sum((c / n) * math.log(c / n) for c in nx.values())
+    ref_hy = -sum((c / n) * math.log(c / n) for c in ny.values())
+    assert mi == pytest.approx(ref_mi, abs=1e-5)
+    assert hx == pytest.approx(ref_hx, abs=1e-5)
+    assert hy == pytest.approx(ref_hy, abs=1e-5)
+    # information inequalities the census must respect
+    assert mi >= -1e-6 and mi <= min(hx, hy) + 1e-6
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(st.tuples(st.sampled_from(TYPES), values.map(lambda v: v[0])), min_size=3, max_size=100))
+def test_fleiss_kappa_oracle_matches_reference(vals):
+    frame = pd.DataFrame(
+        [{"event_type": t, "value": v, "user_id": i} for i, (t, v) in enumerate(vals)]
+    )
+    (n_items, p_bar, p_e, kappa), = _run_oracle("q_fleiss_kappa", frame)
+    assert n_items == len(vals)
+    n_his = [
+        (1 if v >= 100 else 0) + (1 if t in ("purchase", "click") else 0) + (1 if v >= 80 else 0)
+        for t, v in vals
+    ]
+    m, n = 3, len(vals)
+    ref_pbar = sum(h * h + (m - h) * (m - h) - m for h in n_his) / (n * m * (m - 1))
+    p_hi = sum(n_his) / (n * m)
+    ref_pe = p_hi**2 + (1 - p_hi) ** 2
+    assert p_bar == pytest.approx(ref_pbar, abs=1e-6)
+    assert p_e == pytest.approx(ref_pe, abs=1e-6)
+    if ref_pe < 1.0:
+        assert kappa == pytest.approx((ref_pbar - ref_pe) / (1 - ref_pe), abs=1e-5)
+    else:
+        assert kappa is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    users=st.lists(
+        st.tuples(st.integers(0, 200000), st.integers(0, 200000)),  # (click_c, pur_c)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_confusion_matrix_oracle_matches_reference(users):
+    rows = []
+    for u, (cc, pc) in enumerate(users):
+        rows.append({"user_id": u, "event_type": "click", "value": cc / 100.0})
+        rows.append({"user_id": u, "event_type": "purchase", "value": pc / 100.0})
+    frame = pd.DataFrame(rows)
+    (tp, fp, fn, tn, acc, prec, rec, f1, mcc), = _run_oracle("q_confusion_matrix", frame)
+    ref = Counter((cc >= 65000, pc >= 60000) for cc, pc in users)
+    assert (tp, fp, fn, tn) == (
+        ref[(True, True)], ref[(True, False)], ref[(False, True)], ref[(False, False)]
+    )
+    n = len(users)
+    assert acc == pytest.approx((tp + tn) / n, abs=1e-6)
+    assert (prec is None) == (tp + fp == 0)
+    assert (rec is None) == (tp + fn == 0)
+    if tp + fp:
+        assert prec == pytest.approx(tp / (tp + fp), abs=1e-6)
+    if tp + fn:
+        assert rec == pytest.approx(tp / (tp + fn), abs=1e-6)
+    if 2 * tp + fp + fn:
+        assert f1 == pytest.approx(2 * tp / (2 * tp + fp + fn), abs=1e-6)
+    d = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if d:
+        assert mcc == pytest.approx((tp * tn - fp * fn) / math.sqrt(d), abs=1e-5)
+    else:
+        assert mcc is None
+
+
+def _ntile(n_rows: int, n_tiles: int, idx: int) -> int:
+    """SQL ntile: first (n_rows % n_tiles) tiles get one extra row."""
+    base, extra = divmod(n_rows, n_tiles)
+    cut = (base + 1) * extra
+    if idx < cut:
+        return idx // (base + 1) + 1
+    return extra + (idx - cut) // base + 1 if base else n_tiles
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    users=st.lists(
+        st.tuples(st.integers(0, 99999), st.booleans()),  # (click score cents, positive)
+        min_size=10,
+        max_size=80,
+    )
+)
+def test_gain_lift_oracle_matches_reference(users):
+    rows = []
+    for u, (cc, pos) in enumerate(users):
+        rows.append({"user_id": u, "event_type": "click", "value": cc / 100.0})
+        rows.append(
+            {"user_id": u, "event_type": "purchase", "value": 200.0 if pos else 10.0}
+        )
+    frame = pd.DataFrame(rows)
+    out = _run_oracle("q_gain_lift", frame)
+    order = sorted(range(len(users)), key=lambda u: (-users[u][0], u))
+    n = len(users)
+    total_pos = sum(1 for _, p in users if p)
+    per = Counter()
+    per_n = Counter()
+    for idx, u in enumerate(order):
+        d = _ntile(n, 10, idx)
+        per_n[d] += 1
+        per[d] += 1 if users[u][1] else 0
+    cum_p = cum_n = 0
+    ref = {}
+    for d in sorted(per_n):
+        cum_p += per[d]
+        cum_n += per_n[d]
+        ref[d] = (
+            per_n[d],
+            per[d],
+            cum_p / total_pos if total_pos else None,
+            (cum_p / total_pos) / (cum_n / n) if total_pos else None,
+        )
+    assert len(out) == len(ref)
+    for decile, n_users, positives, cum_gain, lift in out:
+        rn, rp, rg, rl = ref[decile]
+        assert (n_users, positives) == (rn, rp)
+        if rg is None:
+            assert cum_gain is None and lift is None
+        else:
+            assert cum_gain == pytest.approx(rg, abs=1e-6)
+            assert lift == pytest.approx(rl, abs=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books", "code"]),
+            st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda ds: len({s for s, _ in ds}) >= 2)
+)
+def test_js_divergence_oracle_matches_reference(docs):
+    frame = pd.DataFrame(
+        [
+            {"doc_id": i, "source": s, "text": " ".join(toks)}
+            for i, (s, toks) in enumerate(docs)
+        ]
+    )
+    con = duckdb.connect()
+    con.register("documents", frame)
+    try:
+        out = con.execute(q.ORACLES["q_js_divergence"]).fetchall()
+    finally:
+        con.close()
+    per_src = {}
+    for s, toks in docs:
+        per_src.setdefault(s, Counter()).update(toks)
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    t = sum(corpus.values())
+    for source, n_tokens, jsd in out:
+        pc = per_src[source]
+        ns = sum(pc.values())
+        assert n_tokens == ns
+        rest = {w: corpus[w] - pc.get(w, 0) for w in corpus}
+        nr = t - ns
+        assert nr > 0  # oracle excludes whole-corpus sources
+        ref = 0.0
+        for w in corpus:
+            p = pc.get(w, 0) / ns
+            qv = rest[w] / nr
+            m = (p + qv) / 2
+            if p:
+                ref += 0.5 * p * math.log2(p / m)
+            if qv:
+                ref += 0.5 * qv * math.log2(qv / m)
+        assert jsd == pytest.approx(ref, abs=1e-5)
+        assert -1e-6 <= jsd <= 1 + 1e-6
+
+
+def _geohash_bisect(lat: float, lon: float, precision: int = 5) -> str:
+    """Canonical bisection geohash (textbook algorithm, independent of the
+    query's unrolled integer-interleave formula)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, ch, out, even = 0, 0, [], True
+    while len(out) < precision:
+        if even:
+            mid = (lon_rng[0] + lon_rng[1]) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_rng[0] = mid
+            else:
+                ch *= 2
+                lon_rng[1] = mid
+        else:
+            mid = (lat_rng[0] + lat_rng[1]) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_rng[0] = mid
+            else:
+                ch *= 2
+                lat_rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(b32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    # 2-dp grid: distance from k/100 to any 2^-12-cell boundary is ≥ ~1e-5
+    # when nonzero, far above the ~1e-13 rounding of (lon+180.0) — the
+    # multiply-quantize and interval-bisection forms provably agree there.
+    # (Raw floats CAN straddle: lon = -1e-308 rounds to cell 4096 in the
+    # multiply form but bisects west — a genuine boundary ULP, not a bug.)
+    lat=st.integers(min_value=-8999, max_value=8999).map(lambda k: k / 100.0),
+    lon=st.integers(min_value=-17999, max_value=17999).map(lambda k: k / 100.0),
+)
+def test_geohash_formula_matches_canonical_bisection(lat, lon):
+    from apachebeam_python_spark.queries.analytics import (
+        _GH_B32, _GH_LAT_BITS, _GH_LON_BITS,
+    )
+
+    x = math.floor((lon + 180.0) / 360.0 * 8192.0)
+    y = math.floor((lat + 90.0) / 180.0 * 4096.0)
+    z = sum(((x >> i) & 1) * w for i, w in _GH_LON_BITS) + sum(
+        ((y >> j) & 1) * w for j, w in _GH_LAT_BITS
+    )
+    mine = "".join(_GH_B32[(z >> (20 - 5 * j)) & 31] for j in range(5))
+    assert mine == _geohash_bisect(lat, lon, 5)
+
+
+def test_geohash_known_answer():
+    # the classic 57.64911,10.40744 → u4pruydqqvj example, precision 5
+    assert _geohash_bisect(57.64911, 10.40744, 5) == "u4pru"
