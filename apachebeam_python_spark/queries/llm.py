@@ -3561,3 +3561,113 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_dup).alias("docs_in_dup_groups"),
         F.round(F.sum(in_dup) / F.count("*").cast("double"), 6).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness privacy audit (round 5 continuation — privacy wave 2)
+# --------------------------------------------------------------------------
+@register(
+    "q_t_closeness",
+    driver=False,  # §2.11 privacy audit (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS band
+  FROM customer
+), bands AS (
+  SELECT DISTINCT band FROM s
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_n
+  FROM s GROUP BY 1, 2
+), cb AS (
+  SELECT c_nationkey, c_mktsegment, band,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM s GROUP BY 1, 2, 3
+), grid AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.class_n, b.band,
+         coalesce(cb.cnt, 0) AS cnt
+  FROM classes c CROSS JOIN bands b
+  LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+              AND cb.c_mktsegment = c.c_mktsegment AND cb.band = b.band
+), g AS (
+  SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cb GROUP BY band
+), tot AS (
+  SELECT CAST(sum(gcnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bands FROM g
+), cums AS (
+  SELECT grid.c_nationkey, grid.c_mktsegment, grid.class_n, tot.n_bands,
+         sum(grid.cnt / CAST(grid.class_n AS DOUBLE))
+           OVER (PARTITION BY grid.c_nationkey, grid.c_mktsegment
+                 ORDER BY grid.band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         sum(g.gcnt / CAST(tot.n AS DOUBLE))
+           OVER (PARTITION BY grid.c_nationkey, grid.c_mktsegment
+                 ORDER BY grid.band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+  FROM grid JOIN g USING (band) CROSS JOIN tot
+)
+SELECT c_nationkey, c_mktsegment, max(class_n) AS class_size,
+       round(sum(abs(cp - cq)) / (max(n_bands) - 1), 6) AS t_closeness
+FROM cums
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.) for the (nation, segment) equivalence
+    classes over the banded account-balance sensitive attribute — the
+    distributional strengthening of q_k_anonymity's k/l report: a class
+    passes only if its sensitive-value distribution stays within t of the
+    GLOBAL distribution, measured by Earth Mover's Distance. For an ordered
+    attribute with unit spacing, EMD is exactly Σ|cumP−cumQ|/(B−1), so the
+    whole audit is integer censuses + two cumulative windows — no solver.
+    Absent bands matter (a class missing a band IS distributional skew), so
+    classes cross-join the band spine (B rows, broadcast) before the
+    cumulative sums; both engines add the same doubles in the same band
+    order, then round at 6 dp.
+
+    Scale: one groupBy over (class, band) metadata; the per-class windows
+    partition by class (parallel); the band spine and global distribution
+    broadcast. At 100 TB the audit cost is the single customer scan."""
+    s = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("(cast(round(c_acctbal * 100) as long) + 100000) div 200000").alias("band"),
+    )
+    cb = s.groupBy("c_nationkey", "c_mktsegment", "band").agg(F.count("*").alias("cnt"))
+    classes = s.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("class_n"))
+    bands = cb.select("band").distinct()
+    g = cb.groupBy("band").agg(F.sum("cnt").alias("gcnt"))
+    tot = g.agg(F.sum("gcnt").alias("n"), F.count("*").alias("n_bands"))
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cb, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_n",
+            "band",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = (
+        grid.join(F.broadcast(g), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_n",
+            "n_bands",
+            F.sum(F.col("cnt") / F.col("class_n").cast("double")).over(w).alias("cp"),
+            F.sum(F.col("gcnt") / F.col("n").cast("double")).over(w).alias("cq"),
+        )
+    )
+    return cums.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("class_n").alias("class_size"),
+        F.round(
+            F.sum(F.abs(F.col("cp") - F.col("cq"))) / (F.max("n_bands") - 1), 6
+        ).alias("t_closeness"),
+    )

@@ -858,3 +858,94 @@ def q_export_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compressed text scan (round 5 continuation — §2.1 compression_type)
+# --------------------------------------------------------------------------
+@register(
+    "q_scan_text_gzip",
+    driver=False,  # §2.1 compressed-text source — pytest oracle
+    oracle="""
+SELECT count(*) AS n_lines, count(DISTINCT text) AS n_distinct,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+""",
+)
+def q_scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed WriteToText → ReadFromText round trip — Beam textio's
+    ``compression_type=GZIP`` (SURVEY §2.1): the write emits .txt.gz
+    part-files, the read decompresses transparently by extension, and the
+    oracle checks the line census against the original table, proving the
+    codec path is lossless.
+
+    Scale: gzip part-files are NOT splittable — each file is one read task
+    regardless of size, so the compressed-ingest rule at 100 TB is "many
+    bounded files" (upstream repartition controls file count/size; the
+    write helper documents it). Splittable alternatives (bzip2, or
+    zstd-in-parquet) keep intra-file parallelism when needed."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"textgz_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("text")
+    io.write_text(docs, out, compression="gzip")
+    lines = io.read_text(spark, out)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiline (JSON-array) document scan (round 5 continuation — §2.1)
+# --------------------------------------------------------------------------
+@register(
+    "q_scan_json_multiline",
+    driver=False,  # §2.1 whole-file JSON source — pytest oracle
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 20 = 0
+GROUP BY lang
+""",
+)
+def q_scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file JSON-ARRAY scan (``multiLine=true``) — the other JSON shape
+    next to q_scan_jsonl's line-oriented one (SURVEY §2.1): a doc subset is
+    serialized as ONE pretty-printable JSON array document, read back with
+    the multiline parser, and census-checked against the original table.
+
+    Scale: a multiline JSON document is inherently UNSPLITTABLE — the whole
+    file is one parse task (and this builder funnels the subset through a
+    1-row to_json, which is the format's nature, not a plan choice). This
+    query exists to prove the capability and to document the advice: at any
+    real scale, convert to JSONL/parquet at ingest; multiLine is for
+    config-sized API exports only."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"jsonml_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    arr = docs.agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "lang", "n_chars"))
+            )
+        ).alias("value")
+    )
+    io.write_text(arr, out)
+    back = (
+        spark.read.option("multiLine", "true")
+        .schema("doc_id long, lang string, n_chars long")
+        .json(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

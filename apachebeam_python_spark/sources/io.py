@@ -19,11 +19,17 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_text(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None) -> None:
     """Beam ``WriteToText``: writes string column(s) as text part-files.
     Sharding is Spark-native (one file per partition) — Beam's num_shards
-    equivalent is ``df.repartition(n)`` before the write."""
-    df.write.mode(mode).text(path)
+    equivalent is ``df.repartition(n)`` before the write. ``compression``
+    maps Beam's textio ``compression_type`` ('gzip', 'bzip2', …); gzip
+    part-files are NOT splittable — one file = one read task, so keep
+    per-file size bounded by the upstream partitioning at scale."""
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:

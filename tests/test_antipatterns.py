@@ -78,7 +78,8 @@ ALLOWED_BROADCASTS = {
     "queries/experiments.py": 19,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
-    "queries/llm.py": 15,
+    # + the t-closeness band spine / global distribution / 1-row total
+    "queries/llm.py": 18,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
     "queries/corpus_lm.py": 20,

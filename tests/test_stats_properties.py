@@ -892,3 +892,53 @@ def test_geohash_formula_matches_canonical_bisection(lat, lon):
 def test_geohash_known_answer():
     # the classic 57.64911,10.40744 → u4pruydqqvj example, precision 5
     assert _geohash_bisect(57.64911, 10.40744, 5) == "u4pru"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # nationkey (few classes)
+            st.sampled_from(["AUTOMOBILE", "BUILDING"]),
+            st.integers(-99999, 999999),            # acctbal cents
+        ),
+        min_size=3,
+        max_size=120,
+    )
+)
+def test_t_closeness_oracle_matches_reference(rows):
+    frame = pd.DataFrame(
+        [
+            {"c_custkey": i, "c_nationkey": nk, "c_mktsegment": seg, "c_acctbal": c / 100.0}
+            for i, (nk, seg, c) in enumerate(rows)
+        ]
+    )
+    con = duckdb.connect()
+    con.register("customer", frame)
+    try:
+        out = con.execute(q.ORACLES["q_t_closeness"]).fetchall()
+    finally:
+        con.close()
+    bands = [(nk, seg, (c + 100000) // 200000) for nk, seg, c in rows]
+    all_bands = sorted({b for _, _, b in bands})
+    n = len(bands)
+    gl = Counter(b for _, _, b in bands)
+    per_class = {}
+    for nk, seg, b in bands:
+        per_class.setdefault((nk, seg), Counter())[b] += 1
+    assert len(out) == len(per_class)
+    for nk, seg, class_size, t in out:
+        cc = per_class[(nk, seg)]
+        cn = sum(cc.values())
+        assert class_size == cn
+        if len(all_bands) == 1:
+            # single band: EMD is 0 but the (B-1) normalizer divides by zero
+            # — DuckDB yields NULL/inf; the fixture always has >1 band, so
+            # just require the class census to have matched.
+            continue
+        cp = cq = emd = 0.0
+        for b in all_bands:
+            cp += cc.get(b, 0) / cn
+            cq += gl[b] / n
+            emd += abs(cp - cq)
+        assert t == pytest.approx(emd / (len(all_bands) - 1), abs=1e-5)
