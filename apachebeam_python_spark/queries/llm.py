@@ -3671,3 +3671,125 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("cp") - F.col("cq"))) / (F.max("n_bands") - 1), 6
         ).alias("t_closeness"),
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (round 5 continuation — denoising pretraining)
+# --------------------------------------------------------------------------
+@register(
+    "q_span_corruption",
+    driver=False,  # §2.11 LLM training-data extension (round 5) — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id % 5 = 0
+), m AS (
+  SELECT doc_id, w, pos,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100) < 15 AS masked
+  FROM tok
+), runs AS (
+  SELECT doc_id, w, pos, masked,
+         masked AND NOT coalesce(
+           lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+         ) AS mask_start
+  FROM m
+), spans AS (
+  SELECT doc_id, w, pos, masked, mask_start,
+         sum(CASE WHEN mask_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS span_idx
+  FROM runs
+), pieces AS (
+  SELECT doc_id, pos, masked, mask_start,
+         CASE WHEN NOT masked THEN w
+              WHEN mask_start THEN '<extra_id_' || CAST(span_idx AS VARCHAR) || '>'
+         END AS input_piece,
+         CASE WHEN mask_start THEN '<extra_id_' || CAST(span_idx AS VARCHAR) || '> ' || w
+              WHEN masked THEN w
+         END AS target_piece
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN mask_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       md5(coalesce(string_agg(input_piece, ' ' ORDER BY pos), '')) AS input_md5,
+       md5(coalesce(string_agg(target_piece, ' ' ORDER BY pos), '')) AS target_md5
+FROM pieces
+GROUP BY doc_id
+""",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption: deterministically mask ~15 % of each
+    document's tokens, collapse contiguous masked runs into numbered
+    sentinels, and emit the (input, target) denoising pair — the
+    training-example generator of an encoder-decoder pretraining pipeline
+    (SURVEY §2.11 LLM curation tier, next to q_doc_chunks / q_bpe_apply).
+    The mask decision is md5(doc_id|pos) % 100 — replayable in both
+    engines; runs become spans by gaps-and-islands (mask-start census →
+    cumulative span index); the reconstructed strings are verified by md5
+    so the oracle proves EXACT string equality without hauling full texts
+    through the canon. Input keeps unmasked tokens and one
+    ``<extra_id_k>`` per span; target lists each sentinel followed by the
+    span's tokens — byte-identical to the T5 preprocessing contract.
+
+    Scale: posexplode + per-doc windows partition by doc_id (parallel);
+    reassembly is a doc-keyed agg over position-sorted structs. One
+    doc-sized shuffle end-to-end; no Python in the hot path."""
+    from .experiments import _md5_int
+
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("pos").cast("string"))
+    m = tok.withColumn("masked", (_md5_int(key) % 100) < 15)
+    runs = m.withColumn(
+        "mask_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(wdoc), F.lit(False)),
+    )
+    spans = runs.withColumn(
+        "span_idx",
+        F.sum(F.col("mask_start").cast("int"))
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        - 1,
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("span_idx").cast("string"), F.lit(">"))
+    pieces = spans.select(
+        "doc_id",
+        "pos",
+        "masked",
+        "mask_start",
+        F.when(~F.col("masked"), F.col("w"))
+        .when(F.col("mask_start"), sentinel)
+        .alias("input_piece"),
+        F.when(F.col("mask_start"), F.concat(sentinel, F.lit(" "), F.col("w")))
+        .when(F.col("masked"), F.col("w"))
+        .alias("target_piece"),
+    )
+
+    def _joined(col: str):
+        # position-ordered reassembly; array_join drops the NULL pieces,
+        # mirroring string_agg's NULL-skipping
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", col))),
+                    lambda s: s[col],
+                ),
+                " ",
+            )
+        )
+
+    return pieces.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        F.sum(F.col("mask_start").cast("long")).alias("n_spans"),
+        _joined("input_piece").alias("input_md5"),
+        _joined("target_piece").alias("target_md5"),
+    )

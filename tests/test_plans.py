@@ -507,3 +507,31 @@ def test_round5_plan_shapes(spark, sf_dir):
     assert not P.has(hav, "CartesianProduct")
     enc = q.QUERIES["q_target_encoding"](spark, sf_dir)
     assert not P.has(enc, "CartesianProduct")  # 1-row global mean is BNLJ-broadcast, not cartesian
+
+
+def test_round5_continuation_plan_shapes(spark, sf_dir):
+    """Round-5 continuation wave keeps its designed shapes: the stats
+    censuses are one data-sized shuffle plus metadata assembly; the geohash
+    encode is pure codegen (exactly the one rollup exchange); MI/JSD
+    marginal joins broadcast rather than shuffling the census; t-closeness'
+    band spine never degenerates into a cartesian over the data."""
+    assert P.count_exchanges(q.QUERIES["q_fleiss_kappa"](spark, sf_dir)) <= 1
+    assert P.count_exchanges(q.QUERIES["q_jarque_bera"](spark, sf_dir)) <= 3
+    assert P.count_exchanges(q.QUERIES["q_confusion_matrix"](spark, sf_dir)) <= 2
+
+    gh = q.QUERIES["q_geohash_rollup"](spark, sf_dir)
+    assert not P.has(gh, "CartesianProduct")
+    plan = P.executed_plan(gh)
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, (
+        "geohash encode must stay codegen-only"
+    )
+
+    mi = q.QUERIES["q_mutual_information"](spark, sf_dir)
+    assert P.has(mi, "BroadcastHashJoin") or P.has(mi, "BroadcastNestedLoopJoin")
+
+    jsd = q.QUERIES["q_js_divergence"](spark, sf_dir)
+    assert P.has(jsd, "BroadcastHashJoin")
+    assert not P.has(jsd, "CartesianProduct"), "JSD must stay vocab-sized (no sources x vocab)"
+
+    tc = q.QUERIES["q_t_closeness"](spark, sf_dir)
+    assert not P.has(tc, "CartesianProduct")

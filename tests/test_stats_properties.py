@@ -942,3 +942,49 @@ def test_t_closeness_oracle_matches_reference(rows):
             cq += gl[b] / n
             emd += abs(cp - cq)
         assert t == pytest.approx(emd / (len(all_bands) - 1), abs=1e-5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]), min_size=1, max_size=40),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_span_corruption_oracle_matches_reference(docs):
+    import hashlib
+
+    frame = pd.DataFrame(
+        [{"doc_id": i * 5, "text": " ".join(toks)} for i, toks in enumerate(docs)]
+    )
+    con = duckdb.connect()
+    con.register("documents", frame)
+    try:
+        out = {r[0]: r[1:] for r in con.execute(q.ORACLES["q_span_corruption"]).fetchall()}
+    finally:
+        con.close()
+    assert len(out) == len(docs)
+    for i, toks in enumerate(docs):
+        doc_id = i * 5
+        masked = [
+            int(hashlib.md5(f"{doc_id}|{p}".encode()).hexdigest()[:15], 16) % 100 < 15
+            for p in range(len(toks))
+        ]
+        inp, tgt, span = [], [], -1
+        for p, (w, mk) in enumerate(zip(toks, masked)):
+            start = mk and (p == 0 or not masked[p - 1])
+            if start:
+                span += 1
+                inp.append(f"<extra_id_{span}>")
+                tgt.append(f"<extra_id_{span}> {w}")
+            elif mk:
+                tgt.append(w)
+            else:
+                inp.append(w)
+        n_tokens, n_masked, n_spans, input_md5, target_md5 = out[doc_id]
+        assert n_tokens == len(toks)
+        assert n_masked == sum(masked)
+        assert n_spans == span + 1
+        assert input_md5 == hashlib.md5(" ".join(inp).encode()).hexdigest()
+        assert target_md5 == hashlib.md5(" ".join(tgt).encode()).hexdigest()
