@@ -3563,3 +3563,159 @@ def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lon"), 6).alias("min_lon"),
         F.round(F.max("lon"), 6).alias("max_lon"),
     )
+
+
+# --------------------------------------------------------------------------
+# Betweenness centrality (round 5 continuation — graph wave 3)
+# --------------------------------------------------------------------------
+@register(
+    "q_betweenness",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH RECURSIVE e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 190
+), e AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), walk AS (
+  SELECT u AS src, v AS node, 1 AS d FROM e
+  UNION
+  SELECT w.src, e.v, w.d + 1
+  FROM walk w JOIN e ON e.u = w.node
+  WHERE w.d < 9 AND e.v <> w.src
+), sp0 AS (
+  SELECT src, node, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2
+), sp AS (
+  SELECT src, src AS node, CAST(0 AS BIGINT) AS d
+  FROM (SELECT DISTINCT src FROM sp0)
+  UNION ALL
+  SELECT * FROM sp0
+), paths AS (
+  -- UNION ALL over the shortest-path DAG only (each extension must land
+  -- exactly one level deeper per sp) — row multiplicity IS sigma
+  SELECT src, src AS node, CAST(0 AS BIGINT) AS d
+  FROM (SELECT DISTINCT src FROM sp0)
+  UNION ALL
+  SELECT p.src, e.v, p.d + 1
+  FROM paths p
+  JOIN e ON e.u = p.node
+  JOIN sp ON sp.src = p.src AND sp.node = e.v AND sp.d = p.d + 1
+), sig AS (
+  SELECT src, node, max(d) AS d, CAST(count(*) AS BIGINT) AS sigma
+  FROM paths GROUP BY src, node
+)
+SELECT a.node AS node,
+       CAST(count(*) AS BIGINT) AS n_mid_pairs,
+       round(CAST(sum(CAST(a.sigma * b.sigma AS HUGEINT) * 720720 // st.sigma)
+                  AS DOUBLE) / 720720.0, 6) AS betweenness
+FROM sig a
+JOIN sig b ON b.src = a.node
+JOIN sig st ON st.src = a.src AND st.node = b.node
+WHERE a.src < b.node
+  AND a.node <> a.src AND a.node <> b.node
+  AND a.d + b.d = st.d
+GROUP BY a.node
+""",
+)
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact betweenness centrality of the trade nation graph (SURVEY §2.11
+    graph tier, completing the centrality trio with q_pagerank and
+    q_closeness_centrality). Forward phase: multi-source BFS that carries
+    the shortest-path COUNT sigma — each level is frontier⋈edges, partial
+    sigmas summed per (src, node) (exact integers), anti-joined against
+    visited, checkpointed (the shared iterative discipline). Scoring uses
+    the pair-counting identity B(v) = Σ_{s<t} σ_sv·σ_vt/σ_st over pairs
+    with d_sv + d_vt = d_st — no backward sweep, no order-dependent double
+    accumulation: each term is the INTEGER (σ_sv·σ_vt·720720) div σ_st
+    (the q_closeness 2520-census trick; 720720 = 2⁴·3²·5·7·11·13 makes
+    every σ_st ≤ 16 exact and truncates identically in both engines
+    beyond), summed exactly and divided once at the end. Products widen
+    to DECIMAL/HUGEINT before the scale multiply (the q_anova lesson).
+    Nodes on no shortest path are absent (betweenness 0).
+
+    Scale: BFS state is O(n²) pairs and the scoring join O(n³) — exact
+    betweenness is an entity-graph statistic ANYWHERE (NetworkX included);
+    for big graphs the standard swap is source-sampled Brandes (same BFS
+    from k sampled sources), which reuses this exact frontier machinery."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 190
+        """
+    )
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .transform(checkpoint, eager=False)
+    )
+    nodes = e.select(F.col("u").alias("n")).distinct()
+    frontier = nodes.select(
+        F.col("n").alias("src"),
+        F.col("n").alias("node"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    visited = frontier
+    for _ in range(9):
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .groupBy("src", F.col("v").alias("node"))
+            .agg(F.max(F.col("d") + 1).alias("d"), F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select(F.col("src").alias("vs"), F.col("node").alias("vn")),
+                (F.col("src") == F.col("vs")) & (F.col("node") == F.col("vn")),
+                "left_anti",
+            )
+        )
+        nxt = checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    sig = visited
+    a = sig.select(
+        F.col("src").alias("s"), F.col("node").alias("v"),
+        F.col("d").alias("d_sv"), F.col("sigma").alias("sig_sv"),
+    )
+    b = sig.select(
+        F.col("src").alias("v"), F.col("node").alias("t"),
+        F.col("d").alias("d_vt"), F.col("sigma").alias("sig_vt"),
+    )
+    st = sig.select(
+        F.col("src").alias("s"), F.col("node").alias("t"),
+        F.col("d").alias("d_st"), F.col("sigma").alias("sig_st"),
+    )
+    term = F.expr(
+        "cast(cast(sig_sv * sig_vt as decimal(38,0)) * 720720 as decimal(38,0)) div sig_st"
+    )
+    return (
+        a.join(F.broadcast(b), "v")
+        .join(F.broadcast(st), ["s", "t"])
+        .filter(
+            (F.col("s") < F.col("t"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+            & (F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        )
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            F.count("*").alias("n_mid_pairs"),
+            F.round(F.sum(term).cast("double") / 720720.0, 6).alias("betweenness"),
+        )
+    )

@@ -1117,3 +1117,85 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source", "n").agg(
         F.round(0.5 * (F.sum(in_vocab) + (1.0 - F.sum(qq))), 6).alias("jsd_bits")
     ).select("source", F.col("n").cast("long").alias("n_tokens"), "jsd_bits")
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_kneser_ney",
+    driver=False,  # §2.11 LM extension (round 5) — pytest oracle
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2
+), left_t AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+         CAST(count(*) AS BIGINT) AS n_after
+  FROM bc GROUP BY w1
+), right_t AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_before FROM bc GROUP BY w2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bc
+)
+SELECT w1, w2, c, cw1, n_after, n_before,
+       round(greatest(c - 0.75, 0.0) / cw1
+             + (0.75 / cw1) * n_after * (n_before / CAST(n_bi AS DOUBLE)), 6)
+         AS p_kn
+FROM bc JOIN left_t USING (w1) JOIN right_t USING (w2) CROSS JOIN tot
+ORDER BY c DESC, w1, w2
+LIMIT 20
+""",
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities — the LM-quality upgrade
+    over q_bigram_lm_score's add-k smoothing (SURVEY §2.11 corpus-LM tier):
+    absolute discounting (d = 0.75) with the CONTINUATION back-off
+    P_cont(w2) = N1+(·w2)/N1+(··), the estimator that fixes the
+    "San Francisco" problem (high c(Francisco) but only one left context).
+    Every ingredient is an exact integer census — bigram counts, prefix
+    totals, distinct-continuation counts left and right, distinct-bigram
+    total — assembled through one shared IEEE tree and rounded at 6 dp.
+    Top-20 rows by the engine-stable (count DESC, w1, w2) order.
+
+    Scale: the bigram build is a per-doc window (lag), then token-keyed
+    aggs whose results are Heaps-law small; the final join broadcasts the
+    marginal tables. One corpus-sized shuffle on (w1, w2)."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("w2", F.lead("w").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    left_t = bc.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count("*").alias("n_after")
+    )
+    right_t = bc.groupBy("w2").agg(F.count("*").alias("n_before"))
+    tot = bc.agg(F.count("*").alias("n_bi"))
+    j = (
+        bc.join(F.broadcast(left_t), "w1")
+        .join(F.broadcast(right_t), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_kn = F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("cw1") + (
+        0.75 / F.col("cw1")
+    ) * F.col("n_after") * (F.col("n_before") / F.col("n_bi").cast("double"))
+    return (
+        j.select(
+            "w1", "w2", "c", "cw1", "n_after", "n_before",
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(20)
+    )

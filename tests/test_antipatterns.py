@@ -72,7 +72,8 @@ ALLOWED_BROADCASTS = {
     # TPC-H: nation/region/supplier/part dims + 1-row scalar subqueries
     "queries/tpch.py": 34,
     # dims, 1-row grand totals, k-row channel/scenario/state tables
-    "queries/analytics.py": 33,
+    # + the betweenness sigma-table self-joins (n²-row metadata)
+    "queries/analytics.py": 35,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid
     "queries/experiments.py": 19,
@@ -82,7 +83,8 @@ ALLOWED_BROADCASTS = {
     "queries/llm.py": 18,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
-    "queries/corpus_lm.py": 20,
+    # + the Kneser-Ney marginal tables (Heaps-law small)
+    "queries/corpus_lm.py": 23,
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most; incl. the

@@ -41,6 +41,7 @@ ITERATIVE = [
     "q_setsim_join",
     "q_scc",
     "q_closeness_centrality",
+    "q_betweenness",
 ]
 
 

@@ -988,3 +988,84 @@ def test_span_corruption_oracle_matches_reference(docs):
         assert n_spans == span + 1
         assert input_md5 == hashlib.md5(" ".join(inp).encode()).hexdigest()
         assert target_md5 == hashlib.md5(" ".join(tgt).encode()).hexdigest()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edge_set=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_betweenness_oracle_matches_reference(edge_set):
+    # build the four trade tables so the >=190 edge census yields edge_set
+    sup, cus, orders, items = [], [], [], []
+    for i, (a, b) in enumerate(sorted(edge_set)):
+        sup.append({"s_suppkey": i, "s_nationkey": a})
+        cus.append({"c_custkey": i, "c_nationkey": b})
+        orders.append({"o_orderkey": i, "o_custkey": i})
+        items.extend({"l_orderkey": i, "l_suppkey": i} for _ in range(190))
+    con = duckdb.connect()
+    con.register("supplier", pd.DataFrame(sup))
+    con.register("customer", pd.DataFrame(cus))
+    con.register("orders", pd.DataFrame(orders))
+    con.register("lineitem", pd.DataFrame(items))
+    try:
+        out = {r[0]: r[1:] for r in con.execute(q.ORACLES["q_betweenness"]).fetchall()}
+    finally:
+        con.close()
+
+    # pure-Python reference: BFS (d, sigma) per source, then the same
+    # integer pair census
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_set:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    dist, sig = {}, {}
+    for s in nodes:
+        d = {s: 0}
+        g = {s: 1}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    g[v] = 0
+                    dq.append(v)
+                if d[v] == d[u] + 1:
+                    g[v] += g[u]
+        dist[s], sig[s] = d, g
+    ref: dict[int, list[int]] = {}
+    for v in nodes:
+        pairs, acc = 0, 0
+        for s in nodes:
+            for t in nodes:
+                if not (s < t and v != s and v != t):
+                    continue
+                if t not in dist[s] or v not in dist[s] or t not in dist[v]:
+                    continue
+                if dist[s][v] + dist[v][t] != dist[s][t]:
+                    continue
+                pairs += 1
+                acc += sig[s][v] * sig[v][t] * 720720 // sig[s][t]
+        if pairs:
+            ref[v] = [pairs, acc]
+    assert set(out) == set(ref)
+    for v, (n_pairs, bc) in out.items():
+        assert n_pairs == ref[v][0]
+        assert bc == pytest.approx(ref[v][1] / 720720.0, abs=1e-6)
+        # and the census stays within truncation distance of TRUE betweenness
+        true_bc = sum(
+            sig[s][v] * sig[v][t] / sig[s][t]
+            for s in nodes
+            for t in nodes
+            if s < t and v != s and v != t
+            and t in dist[s] and v in dist[s] and t in dist[v]
+            and dist[s][v] + dist[v][t] == dist[s][t]
+        )
+        assert abs(bc - true_bc) <= ref[v][0] / 720720.0 + 1e-6
