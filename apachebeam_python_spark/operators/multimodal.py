@@ -76,10 +76,12 @@ def decode_image(payload: bytes):
         return decode_webp(payload)
     if payload[:2] in (b"II", b"MM"):
         return decode_tiff(payload)
+    if payload[:4] == b"qoif":
+        return decode_qoi(payload)
     raise NotImplementedError(
         "AVIF/HEIC/... (and lossy-VP8 WebP) need codec libraries this "
         "environment lacks; baseline JPEG (jpeg_lite), PNG (stdlib zlib), "
-        "lossless WebP (webp_lite), GIF, TIFF (PackBits), PPM (P6), "
+        "lossless WebP (webp_lite), GIF, TIFF (PackBits), QOI, PPM (P6), "
         "24-bpp BMP, and RAWI decode natively"
     )
 
@@ -1392,3 +1394,106 @@ def decode_tiff(payload: bytes):
             )
         remaining -= rows
     return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# QOI — "Quite OK Image" (public spec qoiformat.org, round 5) — lossless,
+# byte-oriented: hash-index, diff, luma, run and raw-RGB ops. Eighth codec
+# family; pure Python like the rest (SURVEY §2.11 multimodal tier).
+# --------------------------------------------------------------------------
+def _qoi_wrap(d: int) -> int:
+    """int8 wraparound difference, matching the spec's signed-char math."""
+    return ((d + 128) & 0xFF) - 128
+
+
+def encode_qoi(arr) -> bytes:
+    """numpy (h, w, 3) uint8 RGB → QOI (channels=3, linear colorspace)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("this QOI encoder is 3-channel RGB")
+    out = bytearray(
+        b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+    )
+    index = [(0, 0, 0, 0)] * 64
+    pr = pg = pb = 0
+    run = 0
+    for r, g, b in a.reshape(-1, 3).tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        idx = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[idx] == (r, g, b, 255):
+            out.append(idx)
+        else:
+            index[idx] = (r, g, b, 255)
+            dr, dg, db = _qoi_wrap(r - pr), _qoi_wrap(g - pg), _qoi_wrap(b - pb)
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes):
+    """QOI → numpy (h, w, 3) uint8 RGB (RGBA payloads flatten their alpha
+    away would be lossy — rejected; this pipeline only emits RGB)."""
+    import numpy as np
+
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    if payload[12] != 3:
+        raise NotImplementedError("RGBA QOI not produced by this pipeline")
+    out = np.empty((h * w, 3), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i, n = 14, 0
+    total = h * w
+    while n < total:
+        b1 = payload[i]
+        i += 1
+        if b1 == 0xFE:  # QOI_OP_RGB
+            r, g, b = payload[i], payload[i + 1], payload[i + 2]
+            i += 3
+        elif b1 == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = payload[i], payload[i + 1], payload[i + 2], payload[i + 3]
+            i += 4
+        elif b1 >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[b1]
+        elif b1 >> 6 == 1:  # QOI_OP_DIFF
+            r = (r + ((b1 >> 4) & 3) - 2) & 0xFF
+            g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
+            b = (b + (b1 & 3) - 2) & 0xFF
+        elif b1 >> 6 == 2:  # QOI_OP_LUMA
+            dg = (b1 & 0x3F) - 32
+            b2 = payload[i]
+            i += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (b2 & 0xF) - 8) & 0xFF
+        else:  # QOI_OP_RUN
+            for _ in range((b1 & 0x3F) + 1):
+                out[n] = (r, g, b)
+                n += 1
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[n] = (r, g, b)
+        n += 1
+    return out.reshape(h, w, 3)

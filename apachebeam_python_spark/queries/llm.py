@@ -2766,6 +2766,30 @@ def q_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.drop("byte_len")
 
 
+@register(
+    "q_qoi_pipeline",
+    driver=False,  # §2.11 eighth codec family (QOI) — pytest oracle
+    oracle=_THUMB8_ORACLE,  # lossless codec ⇒ same closed-form pixel math
+)
+def q_qoi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QOI ("Quite OK Image", qoiformat.org) multimodal pipeline: an
+    all-QOI corpus through decode→resize→featurize. QOI is the eighth
+    compression family in the decode path — a byte-oriented lossless
+    format built from a 64-slot color hash index, wraparound diff/luma
+    deltas, and run-length ops (operators/multimodal encode_qoi/decode_qoi,
+    pure Python from the one-page public spec). Lossless, so the
+    closed-form pixel oracle checks the whole path hash-exact.
+
+    Scale: identical economics to the other image pipelines — payload
+    bytes stay in the row, decode is Arrow-batched mapInPandas, no
+    shuffle before the feature row."""
+    from ..operators.multimodal import encode_qoi, image_features, synth_images
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_images(d, formats=(encode_qoi,)))
+    return feats.drop("byte_len")
+
+
 @register("q_adpcm_pipeline", driver=False)  # rows-only: lossy-but-integer-exact codec; feature values pinned against a numpy replay in pytest (q_jpeg_pipeline precedent)
 def q_adpcm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sixth compression family in the multimodal tier: IMA ADPCM

@@ -310,7 +310,7 @@ def test_lossless_image_codecs_round_trip(h, w, seed, flat):
         a[: max(1, h // 2)] = a[0, 0]  # flat block exercises RLE/LZ runs
     from apachebeam_python_spark.operators.webp_lite import encode_webp
 
-    for enc in (M.encode_ppm, M.encode_bmp, M.encode_png, M.encode_tiff, encode_webp):
+    for enc in (M.encode_ppm, M.encode_bmp, M.encode_png, M.encode_tiff, encode_webp, M.encode_qoi):
         back = M.decode_image(enc(a))
         assert back.shape == a.shape, enc.__name__
         assert (back == a).all(), enc.__name__
