@@ -108,3 +108,36 @@ def compression_ratio():
         return text.map(ratio)
 
     return _compression_ratio
+
+
+@cache
+def dtw_band(radius: int = 7):
+    """Scalar vectorized UDF: banded dynamic-time-warping distance between
+    two integer series (arrays of cents) under a Sakoe-Chiba band —
+    exact integer DP, |a−b| step cost. Not SQL-expressible (the DP cell
+    recurrence is data-dependent), so this is the §2.10 escape hatch;
+    q_dtw pins it against an independent numpy replay."""
+    import numpy as np
+
+    @pandas_udf("long")
+    def _dtw_band(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(va, vb):
+            a = np.asarray(a, dtype=np.int64)
+            b = np.asarray(b, dtype=np.int64)
+            n, m = len(a), len(b)
+            big = np.iinfo(np.int64).max // 4
+            prev = np.full(m + 1, big, dtype=np.int64)
+            prev[0] = 0
+            for i in range(1, n + 1):
+                cur = np.full(m + 1, big, dtype=np.int64)
+                lo = max(1, i - radius)
+                hi = min(m, i + radius)
+                for j in range(lo, hi + 1):
+                    cost = abs(int(a[i - 1]) - int(b[j - 1]))
+                    cur[j] = cost + min(prev[j], prev[j - 1], cur[j - 1])
+                prev = cur
+            out.append(int(prev[m]))
+        return pd.Series(out, dtype="int64")
+
+    return _dtw_band

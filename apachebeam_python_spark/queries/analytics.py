@@ -3719,3 +3719,83 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double") / 720720.0, 6).alias("betweenness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DAG layering / critical-path depth (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_dag_layers",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey < c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 100
+), nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+walk(v, d) AS (
+  SELECT v, CAST(0 AS BIGINT) FROM nodes
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+)
+SELECT v AS node, CAST(max(d) AS BIGINT) AS depth
+FROM walk GROUP BY v
+""",
+)
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of a DAG: longest-path depth per node — the
+    stage-scheduling shape (build systems, task orchestration, lineage
+    DAGs): depth 0 = sources, depth d = nodes whose slowest dependency
+    chain has d hops, i.e. the earliest wave the node can run in
+    (SURVEY §2.11 graph tier, completing the directed family beside
+    q_scc and q_bfs_reachability). The nation trade graph is made acyclic
+    by construction (src < dst), and depth relaxes iteratively:
+    d(v) ← max(d(v), d(u)+1) over incoming edges until a fixpoint — the
+    distributed Bellman-Ford specialization for DAGs. Convergence is
+    detected by the monotone Σd invariant (strictly increases until the
+    fixpoint, so one cheap scalar action per round). The oracle is a
+    recursive CTE with UNION dedup — the (v, d) pair space is
+    |V|·diameter, so it never path-explodes even on dense graphs.
+
+    Scale: each round joins the (broadcastable, |V|-sized) depth table
+    against the edge list — the edge list is checkpointed once and never
+    rebuilt; rounds grow O(diameter) like q_kcore, and the same
+    pointer-jumping doubling applies to deep chains. Depth tables at
+    web scale shuffle on v with map-side max partials."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey < c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 100
+        """
+    )
+    e = checkpoint(e0, eager=False)
+    nodes = (
+        e.select(F.col("src").alias("v")).union(e.select(F.col("dst"))).distinct()
+    )
+    depth = nodes.select("v", F.lit(0).cast("long").alias("d"))
+    prev = -1
+    # terminates in ≤ diameter ≤ |V| rounds on a DAG; the cap is a backstop
+    for _ in range(64):
+        nd = e.join(F.broadcast(depth), e.src == depth.v).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        depth = checkpoint(
+            depth.union(nd).groupBy("v").agg(F.max("d").alias("d"))
+        )
+        cur = depth.agg(F.sum("d")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return depth.select(F.col("v").alias("node"), F.col("d").cast("long").alias("depth"))

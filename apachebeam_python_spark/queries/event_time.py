@@ -705,3 +705,62 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cents") / 100.0 - trend - seasonal, 4).alias("residual"),
         )
     )
+
+
+@register("q_dtw", driver=False)  # rows-only: DP recurrence, not SQL-expressible (SURVEY §7.4.3); numpy-replay-pinned in tests
+def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between every pair of
+    event-type daily-spend series (SURVEY §2.11 time-series tier — the
+    alignment-tolerant similarity measure shape-based clustering and
+    anomaly triage use where Euclidean distance punishes small phase
+    shifts). Each series is the exact integer cents-per-day vector; the
+    DP runs under a Sakoe-Chiba band of radius 7 days (the standard
+    locality constraint — O(n·r) instead of O(n²), and it regularizes
+    pathological warpings) with |a−b| step cost, so the distance is an
+    exact integer in both the query and the pytest numpy replay.
+
+    This is genuinely not SQL-expressible (the DP cell recurrence has a
+    data-dependent chain), so it is the grouped-map escape hatch SURVEY
+    §2.10 reserves: series aggregate to one array row per key (exact
+    sort_array on day), pairs form a k² metadata cross join, and one
+    Arrow-batched pandas UDF computes the band. Rows-only by nature; the
+    test pins the full distance matrix against an independent numpy DP.
+
+    Scale: the heavy side is the per-key daily aggregation (one shuffle,
+    map-side partials); series arrays are metadata (days × keys). For
+    millions of keys the pair space needs LSH-style prefiltering (PAA /
+    SAX envelopes — same banding idea as q_dedup_minhash) before the
+    exact DP re-ranks candidates."""
+    from ..functions.udfs import dtw_band
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        e.groupBy(
+            F.col("event_type").alias("k"), F.to_date("ts").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    series = daily.groupBy("k").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("vec")
+    )
+    pairs = (
+        series.alias("a")
+        .crossJoin(F.broadcast(series.alias("b")))
+        .filter(F.col("a.k") < F.col("b.k"))
+        .select(
+            F.col("a.k").alias("type_a"),
+            F.col("b.k").alias("type_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("va").cast("long").alias("n_a"),
+        F.size("vb").cast("long").alias("n_b"),
+        dtw_band()("va", "vb").alias("dtw_cents"),
+    )

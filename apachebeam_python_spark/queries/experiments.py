@@ -2806,3 +2806,118 @@ def q_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("lift"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Decision stump (exact 1-D split search, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_decision_stump",
+    driver=False,  # §2.11 ML-eval family (round 5) — pytest oracle
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 10000000
+                   >= 28000000 THEN 1 ELSE 0 END AS y
+  FROM orders
+), thr AS (
+  SELECT x AS t, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+  FROM pts GROUP BY x
+), cum AS (
+  SELECT t,
+         CAST(sum(cnt) OVER (ORDER BY t) AS BIGINT) AS nl,
+         CAST(sum(pos) OVER (ORDER BY t) AS BIGINT) AS al
+  FROM thr
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos FROM pts
+), scored AS (
+  SELECT t, nl, al, n - nl AS nr, pos - al AS ar, n,
+         least(al, nl - al)
+           + least(pos - al, (n - nl) - (pos - al)) AS errors
+  FROM cum, tot
+  WHERE nl < n
+), best AS (
+  SELECT * FROM scored ORDER BY errors, t LIMIT 1
+)
+SELECT t AS threshold_cents, nl AS n_left, nr AS n_right,
+       CAST(errors AS BIGINT) AS errors,
+       round(1.0 - errors / CAST(n AS DOUBLE), 6) AS accuracy,
+       round((nl - (CAST(al AS DOUBLE) * al
+                    + CAST(nl - al AS DOUBLE) * (nl - al)) / nl) / n
+             + (nr - (CAST(ar AS DOUBLE) * ar
+                      + CAST(nr - ar AS DOUBLE) * (nr - ar)) / nr) / n, 6)
+         AS weighted_gini
+FROM best
+""",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training: the best single threshold on order
+    price (cents) predicting a noisy-boundary label (price plus an
+    md5-derived jitter crossing a fixed line — deterministic, RNG-free,
+    and genuinely learnable: the stump must recover the boundary region
+    through the noise). SURVEY §2.11 ML-eval tier — the one-split tree
+    every AutoML baseline and every gradient-boosting iteration evaluates
+    millions of times.
+    Candidate thresholds are the distinct feature values; per-threshold
+    class censuses come from ONE cumulative window over the sorted
+    threshold table, and the split is chosen by exact INTEGER
+    misclassification count (tie → smaller threshold), so the argmin is
+    engine-deterministic with no float comparison. The weighted Gini of
+    the chosen split is reported through one shared IEEE tree (squares
+    widen to DOUBLE before multiplying — the q_anova lesson).
+
+    Scale: one groupBy on the feature + one prefix-sum window. The window
+    here is a global ORDER BY over distinct feature values — fine for a
+    price-grained domain; at 100 TB bin candidates to an equi-depth
+    histogram first (q_histogram_equidepth — exactly what MLlib's
+    maxBins does) and the window runs over B metadata-sized bins."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    jitter = _md5_int(F.col("o_orderkey").cast("string")) % 10_000_000
+    pts = table(spark, sf_dir, "orders").select(
+        cents.alias("x"),
+        F.when(cents + jitter >= 28_000_000, 1).otherwise(0).alias("y"),
+    )
+    thr = pts.groupBy(F.col("x").alias("t")).agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = thr.select(
+        "t",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("al"),
+    )
+    tot = pts.agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    n, pos, nl, al = F.col("n"), F.col("pos"), F.col("nl"), F.col("al")
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nl < n)
+        .select(
+            "t",
+            "nl",
+            "al",
+            (n - nl).alias("nr"),
+            (pos - al).alias("ar"),
+            "n",
+            (
+                F.least(al, nl - al)
+                + F.least(pos - al, (n - nl) - (pos - al))
+            ).alias("errors"),
+        )
+    )
+    best = scored.orderBy("errors", "t").limit(1)
+    nr, ar, errors = F.col("nr"), F.col("ar"), F.col("errors")
+    gini = (
+        nl - (al.cast("double") * al + (nl - al).cast("double") * (nl - al)) / nl
+    ) / n + (
+        nr - (ar.cast("double") * ar + (nr - ar).cast("double") * (nr - ar)) / nr
+    ) / n
+    return best.select(
+        F.col("t").alias("threshold_cents"),
+        F.col("nl").alias("n_left"),
+        nr.alias("n_right"),
+        errors.cast("long").alias("errors"),
+        F.round(1.0 - errors / n.cast("double"), 6).alias("accuracy"),
+        F.round(gini, 6).alias("weighted_gini"),
+    )

@@ -3817,3 +3817,125 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         _joined("input_piece").alias("input_md5"),
         _joined("target_piece").alias("target_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_naive_bayes",
+    driver=False,  # §2.11 ML-eval family (round 5) — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+), train AS (SELECT * FROM d WHERE doc_id % 5 <> 3),
+test AS (SELECT * FROM d WHERE doc_id % 5 = 3),
+ctc AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(ws) AS w FROM train) GROUP BY 1, 2
+), nc AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok FROM ctc GROUP BY lang
+), vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ctc),
+prior AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY lang
+), ptot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM prior),
+tf AS (
+  SELECT doc_id, lang AS true_lang, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang, unnest(ws) AS w FROM test) GROUP BY 1, 2, 3
+), scored AS (
+  SELECT tf.doc_id, tf.true_lang, p.lang,
+         sum(tf.tf * ln((coalesce(c.c, 0) + 1.0) / (nc.n_tok + vv.v))) AS loglik
+  FROM tf
+  CROSS JOIN prior p
+  LEFT JOIN ctc c ON c.lang = p.lang AND c.w = tf.w
+  JOIN nc ON nc.lang = p.lang
+  CROSS JOIN vv
+  GROUP BY 1, 2, 3
+), full_s AS (
+  SELECT s.doc_id, s.true_lang, s.lang,
+         round(s.loglik + ln(p.n_docs / CAST(pt.n AS DOUBLE)), 6) AS score
+  FROM scored s JOIN prior p ON p.lang = s.lang CROSS JOIN ptot pt
+), pick AS (
+  SELECT doc_id, true_lang, lang AS predicted, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM full_s
+)
+SELECT doc_id, true_lang, predicted, score,
+       true_lang = predicted AS is_correct
+FROM pick WHERE rn = 1
+""",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes with add-one smoothing: train per-language
+    token counts on 80 % of documents (doc_id % 5 ≠ 3), classify the
+    held-out 20 % by argmax of log prior + Σ tf·log((c+1)/(n_c+V))
+    (SURVEY §2.11 ML-eval tier — the generative counterpart of
+    q_knn_classifier, and the classic bag-of-words baseline every text
+    pipeline reports before anything neural). Unseen tokens take the
+    smoothed floor 1/(n_c+V). The argmax runs on the 6-dp ROUNDED score
+    with language as tie-break, so prediction is engine-deterministic;
+    per-term log inputs are identical integer ratios in both engines
+    (the q_bigram_lm_score convention).
+
+    Scale: the model (token×class counts + class totals + priors) is
+    vocabulary-sized — broadcast it against the exploded test tokens when
+    it fits, else the score join shuffles on the token key (both sides
+    partial-agg first, so the shuffle carries (doc, token, tf) not raw
+    text). The class cross join is k=|langs| rows, always broadcast."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    train = d.filter(F.col("doc_id") % 5 != 3)
+    test = d.filter(F.col("doc_id") % 5 == 3)
+    ctc = (
+        train.select("lang", F.explode("ws").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nc = ctc.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    vv = ctc.agg(F.count_distinct("w").alias("v"))
+    prior = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    ptot = prior.agg(F.sum("n_docs").alias("n"))
+    tf = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), F.explode("ws").alias("w"))
+        .groupBy("doc_id", "true_lang", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    langs = prior.select("lang")
+    scored = (
+        tf.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(ctc), ["lang", "w"], "left")
+        .join(F.broadcast(nc), "lang")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+            ).alias("loglik")
+        )
+    )
+    full_s = (
+        scored.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(
+                F.col("loglik") + F.log(F.col("n_docs") / F.col("n").cast("double")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    pick = full_s.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pick.select(
+        "doc_id",
+        "true_lang",
+        F.col("lang").alias("predicted"),
+        "score",
+        (F.col("true_lang") == F.col("lang")).alias("is_correct"),
+    )

@@ -1951,3 +1951,208 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_e"),
         F.when(p_e < 1.0, F.round((p_bar - p_e) / (1.0 - p_e), 6)).alias("fleiss_kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test (repeated-measures rank test, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_friedman",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS meas
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM m
+), blocks AS (
+  SELECT user_id FROM m GROUP BY user_id
+  HAVING CAST(count(*) AS BIGINT) = (SELECT k FROM kk)
+), mb AS (
+  SELECT m.* FROM m JOIN blocks USING (user_id)
+), ranked AS (
+  SELECT user_id, event_type,
+         rank() OVER (PARTITION BY user_id ORDER BY meas)
+           + (count(*) OVER (PARTITION BY user_id, meas) - 1) / 2.0 AS r
+  FROM mb
+), rj AS (
+  SELECT event_type, sum(r) AS rj FROM ranked GROUP BY event_type
+), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM blocks),
+ties AS (
+  SELECT coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mb GROUP BY user_id, meas) u
+  WHERE t > 1
+), agg AS (SELECT sum(rj * rj) AS rsq FROM rj)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN CAST(tie3 AS DOUBLE)
+                 < CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1.0) THEN
+         round((12.0 * rsq / (CAST(n AS DOUBLE) * k * (k + 1)) - 3.0 * n * (k + 1))
+               / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1.0))), 6)
+       END AS q_stat
+FROM nt, kk, ties, agg
+""",
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test on repeated measures: blocks = users, treatments =
+    event types, measurement = the user's exact spend (cents) per type
+    (SURVEY §2.3 statistical extensions — the within-subject companion to
+    q_kruskal_wallis, which compares INDEPENDENT samples). Only COMPLETE
+    blocks enter (users observed under every treatment — the textbook
+    requirement); within-block average ranks are exact 0.5 multiples, so
+    rank sums are exact in doubles. The statistic uses the tie-corrected
+    variant Q/C with C = 1 − Σ(t³−t)/(n·k·(k²−1)) (the same correction
+    family as Kruskal-Wallis; within-block ties on exact cent sums are
+    rare but handled). t³ widens to DECIMAL/HUGEINT before multiplying
+    (the q_anova overflow lesson, ADVICE r4); NULL when every block is
+    all-ties (C = 0).
+
+    Scale: one (user, type) groupBy, then ranking PARTITIONED BY user —
+    fully parallel (no global sort, unlike Mann-Whitney); the rest is a
+    k-row + 1-row metadata assembly."""
+    m = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(_cents(F.col("value"))).alias("meas"))
+    )
+    kdf = m.agg(F.count_distinct("event_type").alias("k"))
+    blocks = (
+        m.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(kdf), F.col("c") == F.col("k"), "inner")
+        .select("user_id")
+    )
+    mb = m.join(blocks, "user_id", "left_semi")
+    ranked = mb.select(
+        "user_id",
+        "event_type",
+        (
+            F.rank().over(Window.partitionBy("user_id").orderBy("meas"))
+            + (F.count("*").over(Window.partitionBy("user_id", "meas")) - 1) / 2.0
+        ).alias("r"),
+    )
+    rj = ranked.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    nt = blocks.agg(F.count("*").alias("n"))
+    td = F.col("t").cast("decimal(12,0)")
+    ties = (
+        mb.groupBy("user_id", "meas")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(td * td * td - td), F.lit(0).cast("decimal(38,0)")
+            ).alias("tie3")
+        )
+    )
+    agg = rj.agg(F.sum(F.col("rj") * F.col("rj")).alias("rsq"))
+    j = (
+        nt.crossJoin(F.broadcast(kdf))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(agg))
+    )
+    n, k = F.col("n"), F.col("k")
+    nd, kd = n.cast("double"), k.cast("double")
+    denom3 = nd * k * (kd * k - 1.0)
+    q = (12.0 * F.col("rsq") / (nd * k * (k + 1)) - 3.0 * n * (k + 1)) / (
+        1.0 - F.col("tie3").cast("double") / denom3
+    )
+    return j.select(
+        "n",
+        "k",
+        (k - 1).cast("long").alias("dof"),
+        F.when(F.col("tie3").cast("double") < denom3, F.round(q, 6)).alias("q_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q test (k paired binary treatments, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cochran_q",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH obs AS (
+  SELECT user_id, event_type,
+         CAST(max(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS resp
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), dense AS (
+  SELECT u.user_id, t.event_type, coalesce(o.resp, 0) AS resp
+  FROM (SELECT DISTINCT user_id FROM obs) u
+  CROSS JOIN (SELECT DISTINCT event_type FROM obs) t
+  LEFT JOIN obs o ON o.user_id = u.user_id AND o.event_type = t.event_type
+), gj AS (
+  SELECT event_type, CAST(sum(resp) AS BIGINT) AS g FROM dense GROUP BY event_type
+), li AS (
+  SELECT user_id, CAST(sum(resp) AS BIGINT) AS l FROM dense GROUP BY user_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS gsq,
+         CAST(sum(g) AS HUGEINT) AS big_n
+  FROM gj
+), rows_ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CAST(l AS HUGEINT) * l) AS HUGEINT) AS lsq
+  FROM li
+)
+SELECT n_blocks, k, CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN k * big_n - lsq > 0 THEN
+         round((k - 1) * CAST(k * gsq - big_n * big_n AS DOUBLE)
+               / CAST(k * big_n - lsq AS DOUBLE), 6)
+       END AS q_stat
+FROM tot, rows_
+""",
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over k PAIRED binary treatments: did user i ever record
+    a high-value (≥ $100) event of type j? — the k-treatment extension of
+    q_mcnemar (2 treatments) and the binary counterpart of q_friedman
+    (SURVEY §2.3 statistical extensions). Blocks are densified (a user
+    with no events of a type responds 0 — absence IS the negative
+    response), column totals G_j, row totals L_i and the grand total N
+    stay exact integers, and Q = (k−1)(kΣG² − N²)/(kN − ΣL²) assembles
+    through one shared IEEE tree. Squares widen to HUGEINT/decimal before
+    multiplying (the q_anova lesson); NULL when every block responds
+    identically under all treatments (denominator 0).
+
+    Scale: one (user, type) groupBy; the densify cross join is
+    |users| × k with k a handful of treatments — a broadcast of the k-row
+    type list against the user table, then two partial-agg shuffles."""
+    obs = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("resp"))
+    )
+    users = obs.select("user_id").distinct()
+    types = obs.select("event_type").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(types))
+        .join(obs, ["user_id", "event_type"], "left")
+        .select("user_id", "event_type", F.coalesce("resp", F.lit(0)).alias("resp"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gj = dense.groupBy("event_type").agg(F.sum("resp").alias("g"))
+    li = dense.groupBy("user_id").agg(F.sum("resp").alias("l"))
+    tot = gj.agg(
+        F.count("*").alias("k"),
+        F.sum(dec(F.col("g")) * F.col("g")).alias("gsq"),
+        F.sum("g").cast("decimal(38,0)").alias("big_n"),
+    )
+    rows_ = li.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(dec(F.col("l")) * F.col("l")).alias("lsq"),
+    )
+    j = rows_.crossJoin(F.broadcast(tot))
+    k, big_n, gsq, lsq = F.col("k"), F.col("big_n"), F.col("gsq"), F.col("lsq")
+    denom = k * big_n - lsq
+    q = (k - 1) * (k * gsq - big_n * big_n).cast("double") / denom.cast("double")
+    return j.select(
+        "n_blocks",
+        "k",
+        (k - 1).cast("long").alias("dof"),
+        F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
+    )

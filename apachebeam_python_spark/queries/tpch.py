@@ -886,7 +886,7 @@ WITH eu AS (
   SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY 1
 )
 SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_type,
-       CAST(round(o.unit_price, 4) AS DOUBLE) AS unit_price
+       CAST(floor(o.unit_price * 10000 + 0.5) AS BIGINT) AS unit_price_e4
 FROM offers o
 JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
 JOIN part p ON p.p_partkey = o.l_partkey
@@ -901,7 +901,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the supply-offer relation derives from lineitem history —
     min(l_extendedprice / l_quantity) per (part, supplier). The division
     is a single IEEE op on identical inputs, so min/equality agree
-    bit-for-bit across engines (no sums involved).
+    bit-for-bit across engines (no sums involved). The OUTPUT price uses
+    floor(x·10⁴ + 0.5) instead of round(x, 4): cents/quantity can land on
+    an exact decimal half (e.g. 1259.58/48 = 26.24125), where Spark's
+    BigDecimal HALF_UP and DuckDB's float-multiply round() disagree —
+    the floor form is the same IEEE ops in both engines, so it cannot
+    diverge (found by the sf0.001 sweep, round 5).
 
     Scale: offers is a partial+final agg on (partkey, suppkey); best
     re-aggregates the SAME keyed exchange one level up (no extra fact
@@ -945,7 +950,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_type",
-            F.round("unit_price", 4).alias("unit_price"),
+            F.floor(F.col("unit_price") * 10000 + 0.5).cast("long").alias("unit_price_e4"),
         )
     )
 

@@ -1069,3 +1069,103 @@ def test_betweenness_oracle_matches_reference(edge_set):
             and dist[s][v] + dist[v][t] == dist[s][t]
         )
         assert abs(bc - true_bc) <= ref[v][0] / 720720.0 + 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.booleans(),  # user is complete (has all k types)
+            st.lists(st.integers(min_value=1, max_value=12), min_size=5, max_size=5),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_friedman_oracle_matches_reference(blocks):
+    # narrow integer range forces within-block ties, exercising the correction
+    rows = []
+    complete = []
+    for u, (full, meas) in enumerate(blocks):
+        vals = meas if full else meas[:3]
+        if full:
+            complete.append(meas)
+        for t, m in zip(TYPES, vals):
+            rows.append({"user_id": u, "event_type": t, "value": float(m)})
+    if not complete:  # oracle needs at least one complete block
+        complete = [blocks[0][1]]
+        for t, m in zip(TYPES, blocks[0][1]):
+            rows.append({"user_id": 9999, "event_type": t, "value": float(m)})
+    frame = pd.DataFrame(rows)
+    (n, k, dof, qstat), = _run_oracle("q_friedman", frame)
+    assert (n, k, dof) == (len(complete), 5, 4)
+    # pure-python replay: within-block average ranks, tie-corrected Q
+    rsums = Counter()
+    tie3 = 0
+    for meas in complete:
+        order = sorted(range(5), key=lambda i: meas[i])
+        i = 0
+        while i < 5:
+            j = i
+            while j < 5 and meas[order[j]] == meas[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for m in range(i, j):
+                rsums[order[m]] += avg
+            if j - i > 1:
+                tie3 += (j - i) ** 3 - (j - i)
+            i = j
+    denom = 1.0 - tie3 / (n * 5 * (25 - 1))
+    if denom > 0:
+        ref = (
+            12.0 * sum(r * r for r in rsums.values()) / (n * 5 * 6) - 3.0 * n * 6
+        ) / denom
+        assert qstat == pytest.approx(ref, abs=1e-4)
+    else:
+        assert qstat is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    grid=st.lists(
+        st.lists(st.sampled_from([None, True, False]), min_size=5, max_size=5),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_cochran_q_oracle_matches_reference(grid):
+    # None = user never saw that treatment (densified to response 0)
+    rows = []
+    for u, resp in enumerate(grid):
+        seen_any = False
+        for t, r in zip(TYPES, resp):
+            if r is None:
+                continue
+            seen_any = True
+            rows.append({"user_id": u, "event_type": t, "value": 130.0 if r else 50.0})
+        if not seen_any:  # user absent from events entirely: not a block
+            grid[u] = "absent"
+    # every treatment must appear somewhere or k shrinks — pad deterministic 0s
+    present = {r["event_type"] for r in rows}
+    for i, t in enumerate(TYPES):
+        if t not in present:
+            rows.append({"user_id": 10_000 + i, "event_type": t, "value": 50.0})
+            grid.append([False if tt == t else None for tt in TYPES])
+    frame = pd.DataFrame(rows)
+    (n_blocks, k, dof, qstat), = _run_oracle("q_cochran_q", frame)
+    # blocks with at least one observed treatment only; None → False (densify)
+    dense = []
+    for resp in grid:
+        if resp == "absent":
+            continue
+        dense.append([bool(r) if r is not None else False for r in resp])
+    assert (n_blocks, k, dof) == (len(dense), 5, 4)
+    G = [sum(row[j] for row in dense) for j in range(5)]
+    L = [sum(row) for row in dense]
+    N = sum(G)
+    den = 5 * N - sum(x * x for x in L)
+    if den > 0:
+        ref = 4 * (5 * sum(g * g for g in G) - N * N) / den
+        assert qstat == pytest.approx(ref, abs=1e-4)
+    else:
+        assert qstat is None
