@@ -2156,3 +2156,277 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - 1).cast("long").alias("dof"),
         F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cliffs_delta",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), v AS (
+  SELECT c,
+         CAST(sum(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS b_cnt
+  FROM s GROUP BY c
+), cum AS (
+  SELECT a_cnt, b_cnt,
+         coalesce(sum(b_cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_lt,
+         coalesce(sum(b_cnt) OVER (ORDER BY c
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS b_gt
+  FROM v
+), agg AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n1,
+         CAST(sum(b_cnt) AS BIGINT) AS n2,
+         CAST(sum(CAST(a_cnt AS HUGEINT) * b_lt) AS HUGEINT) AS gt_pairs,
+         CAST(sum(CAST(a_cnt AS HUGEINT) * b_gt) AS HUGEINT) AS lt_pairs
+  FROM cum
+)
+SELECT n1, n2,
+       CAST(gt_pairs AS BIGINT) AS gt_pairs,
+       CAST(lt_pairs AS BIGINT) AS lt_pairs,
+       round(CAST(gt_pairs - lt_pairs AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2), 6) AS cliffs_delta
+FROM agg WHERE n1 > 0 AND n2 > 0
+""",
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta: the ordinal, distribution-free effect size
+    δ = (#{x>y} − #{x<y}) / (n₁·n₂) for click vs view values — the robust
+    companion to q_cohens_d (immune to outliers and non-normality, the
+    measure nonparametric A/B readouts pair with q_mann_whitney; SURVEY
+    §2.3 statistical extensions). The n₁·n₂ pair census is computed
+    WITHOUT a cross join: values collapse to distinct cents with
+    per-group counts, one ordered window gives each distinct value the
+    count of view values strictly below/above it, and
+    Σ a_cnt·b_lt / Σ a_cnt·b_gt are exact 128-bit integer pair counts
+    (ties counted in neither — the definition). One double division at
+    the end; engine-identical.
+
+    Scale: the distinct-value table is domain-sized (2-dp cents), so the
+    global ordered window is metadata after one data-sized groupBy — the
+    same shape as q_histogram_equidepth; δ at 100 TB costs one shuffle."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    v = s.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0)).alias("b_cnt"),
+    )
+    wl = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    wg = Window.orderBy("c").rowsBetween(1, Window.unboundedFollowing)
+    cum = v.select(
+        "a_cnt",
+        "b_cnt",
+        F.coalesce(F.sum("b_cnt").over(wl), F.lit(0)).alias("b_lt"),
+        F.coalesce(F.sum("b_cnt").over(wg), F.lit(0)).alias("b_gt"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    agg = cum.agg(
+        F.sum("a_cnt").alias("n1"),
+        F.sum("b_cnt").alias("n2"),
+        F.sum(hi(F.col("a_cnt")) * F.col("b_lt")).alias("gt_pairs"),
+        F.sum(hi(F.col("a_cnt")) * F.col("b_gt")).alias("lt_pairs"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "n1",
+        "n2",
+        F.col("gt_pairs").cast("long").alias("gt_pairs"),
+        F.col("lt_pairs").cast("long").alias("lt_pairs"),
+        F.round(
+            (F.col("gt_pairs") - F.col("lt_pairs")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2")),
+            6,
+        ).alias("cliffs_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test for homogeneity of variances (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_bartlett",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT)   AS n_g,
+         CAST(sum(c) AS BIGINT)     AS s_g,
+         CAST(sum(c * c) AS BIGINT) AS ss_g
+  FROM s GROUP BY grp
+), per AS (
+  SELECT n_g,
+         CAST(CAST(n_g AS HUGEINT) * ss_g - CAST(s_g AS HUGEINT) * s_g AS DOUBLE)
+           / (CAST(n_g AS DOUBLE) * (n_g - 1)) AS var_g
+  FROM g WHERE n_g > 1
+), ok AS (SELECT * FROM per WHERE var_g > 0),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         sum((n_g - 1) * var_g)   AS pooled_num,
+         sum((n_g - 1) * ln(var_g)) AS sum_ln,
+         sum(1.0 / (n_g - 1))     AS sum_inv
+  FROM ok
+)
+SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN k > 1 THEN
+         round(((n - k) * ln(pooled_num / (n - k)) - sum_ln)
+               / (1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
+       END AS bartlett_t
+FROM agg
+""",
+)
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test: are the k event types' value variances equal —
+    the parametric (normality-assuming) counterpart of q_levene's
+    Brown-Forsythe, closing the variance-homogeneity pair every ANOVA
+    pre-check runs (SURVEY §2.3 statistical extensions). Per-group
+    moments are exact integer cents; each variance numerator
+    n·Σc² − (Σc)² widens to 128-bit before ONE double conversion (the
+    q_anova lesson), then T = ((N−k)·ln(s_p²) − Σ(n_g−1)·ln(s_g²)) / C
+    with the Bartlett correction C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1))
+    assembles through the identical IEEE tree (ln on identical doubles —
+    the q_naive_bayes convention; k=5 terms summed before a 6-dp round).
+    Degenerate groups (n=1 or zero variance) are excluded from k, and
+    NULL is returned when fewer than two groups survive.
+
+    Scale: one partial/final shuffle on event_type; everything after is
+    the k-row statistic assembly."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_g"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    per = g.filter(F.col("n_g") > 1).select(
+        "n_g",
+        (
+            (hi(F.col("n_g")) * hi(F.col("ss_g")) - hi(F.col("s_g")) * hi(F.col("s_g")))
+            .cast("double")
+            / (F.col("n_g").cast("double") * (F.col("n_g") - 1))
+        ).alias("var_g"),
+    )
+    ok = per.filter(F.col("var_g") > 0)
+    agg = ok.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("pooled_num"),
+        F.sum((F.col("n_g") - 1) * F.log(F.col("var_g"))).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n_g") - 1)).alias("sum_inv"),
+    )
+    n, k = F.col("n"), F.col("k")
+    t = (
+        (n - k) * F.log(F.col("pooled_num") / (n - k)) - F.col("sum_ln")
+    ) / (1.0 + (F.col("sum_inv") - 1.0 / (n - k)) / (3.0 * (k - 1)))
+    return agg.select(
+        "n",
+        "k",
+        (k - 1).cast("long").alias("dof"),
+        F.when(k > 1, F.round(t, 6)).alias("bartlett_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grubbs' outlier test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_grubbs",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT)   AS n,
+         CAST(sum(c) AS BIGINT)     AS sm,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM s
+), dev AS (
+  SELECT c, abs(CAST(c AS HUGEINT) * n - sm) AS d, n, sm, ss
+  FROM s, tot
+), pick AS (
+  SELECT c, d, n, sm, ss,
+         row_number() OVER (ORDER BY d DESC, c DESC) AS rn
+  FROM dev
+)
+SELECT n, c AS suspect_cents,
+       CASE WHEN CAST(n AS HUGEINT) * ss - CAST(sm AS HUGEINT) * sm > 0
+            AND n > 1 THEN
+         round((CAST(d AS DOUBLE) / n)
+               / sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(sm AS HUGEINT) * sm
+                           AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))), 6)
+       END AS g_stat
+FROM pick WHERE rn = 1
+""",
+)
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test (two-sided): the most extreme purchase value as a
+    candidate outlier, G = max|c − mean| / sd — the single-outlier
+    detector run before q_mad_outliers' bulk pass (SURVEY §2.3
+    statistical extensions). The argmax is engine-deterministic because
+    the deviation is computed as the EXACT 128-bit integer |c·n − Σc|
+    (no float mean subtraction — ties broken by larger c), and G then
+    assembles from the same exact moments through one shared IEEE tree:
+    (d/n) / sqrt((n·Σc² − (Σc)²)/(n(n−1))).
+
+    Scale: one pass for the moments (3-value broadcast), one pass for the
+    deviation argmax — a 2-scan reduce with no shuffle beyond the two
+    global aggregates; the window here orders ONE already-reduced argmax
+    candidate set (the driver plan keeps it metadata-sized via the
+    broadcast total)."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(_cents(F.col("value")).alias("c"))
+    )
+    tot = s.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sm"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    dev = s.crossJoin(F.broadcast(tot)).select(
+        "c", "n", "sm", "ss",
+        F.abs(hi(F.col("c")) * F.col("n") - F.col("sm")).alias("d"),
+    )
+    # exact-integer argmax: one max over (d, c) pairs, then re-derive —
+    # expressed as a max_by on the exact struct so no global sort happens
+    pick = dev.agg(
+        F.max_by(
+            F.struct("c", "d", "n", "sm", "ss"), F.struct("d", "c")
+        ).alias("m")
+    ).select("m.c", "m.d", "m.n", "m.sm", "m.ss")
+    varnum = hi(F.col("n")) * hi(F.col("ss")) - hi(F.col("sm")) * hi(F.col("sm"))
+    g = (F.col("d").cast("double") / F.col("n")) / F.sqrt(
+        varnum.cast("double") / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return pick.select(
+        F.col("n"),
+        F.col("c").alias("suspect_cents"),
+        F.when((varnum > 0) & (F.col("n") > 1), F.round(g, 6)).alias("g_stat"),
+    )

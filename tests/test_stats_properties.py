@@ -1169,3 +1169,78 @@ def test_cochran_q_oracle_matches_reference(grid):
         assert qstat == pytest.approx(ref, abs=1e-4)
     else:
         assert qstat is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=values, b=values)
+def test_cliffs_delta_oracle_matches_reference(a, b):
+    frame = _events_frame({"click": a, "view": b})
+    (n1, n2, gt, lt, delta), = _run_oracle("q_cliffs_delta", frame)
+    assert (n1, n2) == (len(a), len(b))
+    ref_gt = sum(1 for x in a for y in b if x > y)
+    ref_lt = sum(1 for x in a for y in b if x < y)
+    assert (gt, lt) == (ref_gt, ref_lt)
+    assert delta == pytest.approx((ref_gt - ref_lt) / (len(a) * len(b)), abs=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bartlett_oracle_matches_reference(groups):
+    frame = _events_frame({t: vs for t, vs in zip(TYPES, groups)})
+    (n, k, dof, t_stat), = _run_oracle("q_bartlett", frame)
+    # reference: only groups with n>1 and positive variance participate
+    ok = []
+    for vs in groups:
+        ng = len(vs)
+        if ng < 2:
+            continue
+        cents = [round(v * 100) for v in vs]
+        mean = sum(cents) / ng
+        var = sum((c - mean) ** 2 for c in cents) / (ng - 1)
+        if var > 0:
+            ok.append((ng, var))
+    assert k == len(ok)
+    # sum over an empty survivor set is NULL in both engines, not 0
+    assert (n or 0) == sum(ng for ng, _ in ok)
+    if len(ok) > 1:
+        big_n = sum(ng for ng, _ in ok)
+        kk = len(ok)
+        sp2 = sum((ng - 1) * v for ng, v in ok) / (big_n - kk)
+        num = (big_n - kk) * math.log(sp2) - sum(
+            (ng - 1) * math.log(v) for ng, v in ok
+        )
+        c = 1.0 + (
+            sum(1.0 / (ng - 1) for ng, _ in ok) - 1.0 / (big_n - kk)
+        ) / (3.0 * (kk - 1))
+        assert t_stat == pytest.approx(num / c, abs=1e-4)
+    else:
+        assert t_stat is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=values)
+def test_grubbs_oracle_matches_reference(a):
+    frame = _events_frame({"purchase": a})
+    (n, suspect, g), = _run_oracle("q_grubbs", frame)
+    assert n == len(a)
+    cents = [round(v * 100) for v in a]
+    total = sum(cents)
+    # exact-integer argmax with ties broken toward the larger value
+    best = max(cents, key=lambda c: (abs(c * n - total), c))
+    assert suspect == best
+    mean = total / n
+    var = sum((c - mean) ** 2 for c in cents) / (n - 1) if n > 1 else 0.0
+    if n > 1 and var > 0:
+        assert g == pytest.approx(abs(best - mean) / math.sqrt(var), abs=1e-4)
+    else:
+        assert g is None
