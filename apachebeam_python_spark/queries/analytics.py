@@ -3799,3 +3799,98 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev = cur
     return depth.select(F.col("v").alias("node"), F.col("d").cast("long").alias("depth"))
+
+
+# --------------------------------------------------------------------------
+# Directed-cycle membership + reachability census (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cycle_nodes",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 100
+), walk(s, v) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT w.s, e.dst FROM walk w JOIN e ON e.src = w.v
+), nodes AS (
+  -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE DuckDB
+  -- gives a top-level-UNION CTE recursive semantics and skips the dedup
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+)
+SELECT n.node,
+       CAST(coalesce(r.cnt, 0) AS BIGINT) AS n_reachable,
+       coalesce(c.on_cycle, FALSE) AS on_cycle
+FROM nodes n
+LEFT JOIN (SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM walk GROUP BY s) r
+  ON r.s = n.node
+LEFT JOIN (SELECT s, TRUE AS on_cycle FROM walk WHERE s = v GROUP BY s) c
+  ON c.s = n.node
+""",
+)
+def q_cycle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-cycle membership over the UNCONSTRAINED nation trade graph
+    (src ≠ dst, so cycles are real): a node is on a cycle iff it can reach
+    itself through the transitive closure — the feedback-loop detector
+    dependency systems run before topological scheduling (q_dag_layers
+    assumes acyclicity; this query is the check that licenses it; SURVEY
+    §2.11 graph tier). The closure builds by iterative edge-extension of
+    the (start, v) pair set with UNION-dedup per round — the pair space
+    is capped at |V|², so rounds shrink as the set saturates, and the
+    fixpoint is detected by the pair COUNT stalling (monotone non-
+    decreasing, so one cheap scalar action per round). Also reports each
+    node's reachable-set size — the closure census. The oracle is the
+    same closure as a recursive CTE.
+
+    Scale: |V| here is nation-sized, so every table is metadata. At web
+    scale, transitive closure is the wrong primitive (|V|² pairs) — the
+    100 TB path is SCC condensation first (q_scc's pointer-jumping), then
+    cycle membership = |SCC| > 1, which this query's fixture-scale output
+    is pinned against in pytest."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 100
+        """
+    )
+    e = checkpoint(e0, eager=False)
+    paths = e.select(F.col("src").alias("s"), F.col("dst").alias("v"))
+    prev = -1
+    for _ in range(64):  # ≤ diameter rounds; |V|² cap keeps each tiny
+        ext = paths.join(e, paths.v == e.src).select("s", F.col("dst").alias("v"))
+        paths = checkpoint(paths.union(ext).distinct())
+        cur = paths.count()
+        if cur == prev:
+            break
+        prev = cur
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst"))
+    ).distinct()
+    reach = paths.groupBy("s").agg(F.count("*").alias("cnt"))
+    cyc = paths.filter(F.col("s") == F.col("v")).select("s").distinct()
+    return (
+        nodes.join(reach, nodes.node == reach.s, "left")
+        .drop("s")
+        .join(cyc.withColumn("on_cycle", F.lit(True)), nodes.node == cyc.s, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_reachable"),
+            F.coalesce(F.col("on_cycle"), F.lit(False)).alias("on_cycle"),
+        )
+    )

@@ -2921,3 +2921,105 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - errors / n.cast("double"), 6).alias("accuracy"),
         F.round(gini, 6).alias("weighted_gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration via the minimax (max-min) PAV identity (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_isotonic_calibration",
+    driver=False,  # §2.11 ML-eval family (round 5) — pytest oracle
+    oracle=f"""
+WITH scored AS (
+  SELECT event_id, {_SCORE_SQL} AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT ntile(20) OVER (ORDER BY score, event_id) AS b, y FROM scored
+), bins AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+  FROM binned GROUP BY b
+), cum AS (
+  SELECT b, n_b, pos_b,
+         CAST(sum(n_b) OVER (ORDER BY b) AS BIGINT)   AS cn,
+         CAST(sum(pos_b) OVER (ORDER BY b) AS BIGINT) AS cp
+  FROM bins
+), seg AS (
+  SELECT j.b AS j, k.b AS k,
+         CAST(k.cp - j.cp + j.pos_b AS DOUBLE)
+           / (k.cn - j.cn + j.n_b) AS seg_mean
+  FROM cum j JOIN cum k ON j.b <= k.b
+), inner_min AS (
+  SELECT i.b AS b, s.j, min(s.seg_mean) AS m
+  FROM bins i JOIN seg s ON s.j <= i.b AND s.k >= i.b
+  GROUP BY i.b, s.j
+), iso AS (
+  SELECT b, max(m) AS iso_rate FROM inner_min GROUP BY b
+)
+SELECT bins.b AS bin, bins.n_b AS n,
+       round(CAST(bins.pos_b AS DOUBLE) / bins.n_b, 6) AS observed_rate,
+       round(iso.iso_rate, 6) AS iso_rate
+FROM bins JOIN iso ON iso.b = bins.b
+""",
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration (pool-adjacent-violators) of the
+    q_calibration reliability curve: the monotone step function closest
+    in weighted L2 to the per-bin observed positive rates — the
+    calibration map production scorers apply at inference (SURVEY §2.11
+    ML-eval tier, the non-parametric alternative to Platt scaling).
+    PAV's sequential pooling is replaced by the equivalent CLOSED-FORM
+    minimax identity iso(i) = max_{{j≤i}} min_{{k≥i}} mean(y, bins j..k),
+    which is pure relational algebra: 20 ntile bins → prefix sums → the
+    O(B²) segment-mean table → an (i,j) min / i max cascade. Segment
+    means are single divisions of identical exact integers, so every
+    comparison sees bit-identical doubles in both engines and the whole
+    query is hash-oracle-checkable (no iterative pooling to diverge).
+    The result is monotone by construction — pinned in pytest along with
+    a pure-python PAV replay.
+
+    Scale: the data-sized work is one global ntile (at 100 TB: broadcast
+    quantile cutpoints instead, as q_calibration documents) and one
+    bin rollup; the minimax cascade runs on B²≈400 metadata rows."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        "event_id",
+        _score_col().alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.ntile(20).over(Window.orderBy("score", "event_id")).alias("b"), "y"
+    )
+    bins = binned.groupBy("b").agg(
+        F.count("*").alias("n_b"), F.sum("y").alias("pos_b")
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "b", "n_b", "pos_b",
+        F.sum("n_b").over(wc).alias("cn"),
+        F.sum("pos_b").over(wc).alias("cp"),
+    )
+    j, k = cum.alias("j"), cum.alias("k")
+    seg = j.join(k, F.col("j.b") <= F.col("k.b")).select(
+        F.col("j.b").alias("j"),
+        F.col("k.b").alias("k"),
+        (
+            (F.col("k.cp") - F.col("j.cp") + F.col("j.pos_b")).cast("double")
+            / (F.col("k.cn") - F.col("j.cn") + F.col("j.n_b"))
+        ).alias("seg_mean"),
+    )
+    inner_min = (
+        bins.select(F.col("b").alias("i"))
+        .join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("seg_mean").alias("m"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("m").alias("iso_rate"))
+    return bins.join(iso, bins.b == iso.i).select(
+        F.col("b").alias("bin"),
+        F.col("n_b").alias("n"),
+        F.round(F.col("pos_b").cast("double") / F.col("n_b"), 6).alias(
+            "observed_rate"
+        ),
+        F.round(F.col("iso_rate"), 6).alias("iso_rate"),
+    )

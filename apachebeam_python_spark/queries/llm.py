@@ -3939,3 +3939,73 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("true_lang") == F.col("lang")).alias("is_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entropy l-diversity privacy audit (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_entropy_l_diversity",
+    driver=False,  # §2.11 privacy audit (round 5) — pytest oracle
+    oracle="""
+WITH sens AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS s_bucket
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, s_bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM sens GROUP BY 1, 2, 3
+), cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS distinct_l,
+         sum(c * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM cells GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n, distinct_l,
+       round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy,
+       round(exp(ln(CAST(n AS DOUBLE)) - clnc / n), 4) AS effective_l,
+       ln(CAST(n AS DOUBLE)) - clnc / n < ln(3.0) AS violates_l3
+FROM cls
+""",
+)
+def q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity audit — the STRICTER criterion completing the
+    privacy trio beside q_k_anonymity (distinct-count l-diversity) and
+    q_t_closeness: an equivalence class over the quasi-identifiers
+    (nation, market segment) satisfies entropy-l iff the Shannon entropy
+    of its sensitive-attribute distribution (account-balance bands of
+    $2000) is ≥ ln(l) — a class can have many distinct values yet still
+    leak if one dominates, which distinct-count l misses (SURVEY §2.11
+    privacy tier). Entropy assembles from exact integer cell counts via
+    H = ln(n) − Σc·ln(c)/n (the q_token_entropy identity — one log per
+    DISTINCT cell, never per row), effective_l = e^H is the intuitive
+    headline number, and the l=3 violation flag is computed on the
+    un-rounded double so the boolean is engine-identical.
+
+    Scale: one partial+final hash agg on (QI, sensitive), one on QI —
+    both map-side-combining; output is class-count-sized."""
+    sens = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("s_bucket"),
+    )
+    cells = sens.groupBy("c_nationkey", "c_mktsegment", "s_bucket").agg(
+        F.count("*").alias("c")
+    )
+    cls = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("distinct_l"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clnc"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n")
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "distinct_l",
+        F.round(h, 6).alias("entropy"),
+        F.round(F.exp(h), 4).alias("effective_l"),
+        (h < math.log(3.0)).alias("violates_l3"),
+    )

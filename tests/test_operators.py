@@ -1524,3 +1524,108 @@ def test_dtw_matches_numpy_replay(spark, sf_dir):
     # DTW(x, x) = 0 sanity on one series through the same kernel
     any_k = keys[0]
     assert dtw(series[any_k], series[any_k]) == 0
+
+
+def test_isotonic_matches_sequential_pav(spark, sf_dir):
+    """The minimax (max-min) identity used by q_isotonic_calibration must
+    equal classic sequential pool-adjacent-violators on the same bins."""
+    import pytest
+
+    from apachebeam_python_spark import queries as q
+
+    rows = sorted(
+        (r.bin, r.n, r.observed_rate, r.iso_rate)
+        for r in q.QUERIES["q_isotonic_calibration"](spark, sf_dir).collect()
+    )
+    # classic PAV replay over (weight, value) in bin order
+    blocks = []  # [weight, weighted_sum]
+    for _, n, obs, _ in rows:
+        blocks.append([n, n * obs])
+        while len(blocks) > 1 and blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]:
+            w2, s2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+    # expand: each block covers as many bins as its accumulated weight came from
+    fitted = []
+    i = 0
+    for w, s in blocks:
+        acc = 0
+        while acc < w:
+            acc += rows[i][1]
+            fitted.append(s / w)
+            i += 1
+    assert len(fitted) == len(rows)
+    prev = -1.0
+    for (b, n, obs, iso), ref in zip(rows, fitted):
+        assert iso == pytest.approx(ref, abs=1e-4), f"bin {b}"
+        assert iso >= prev - 1e-9, "isotonic fit not monotone"
+        prev = iso
+
+
+def test_cycle_nodes_matches_python_closure(spark, sf_dir):
+    """q_cycle_nodes vs an independent Floyd-Warshall transitive closure
+    over the same thresholded edge list rebuilt in DuckDB."""
+    import duckdb
+
+    from apachebeam_python_spark import queries as q
+
+    got = {
+        r.node: (r.n_reachable, r.on_cycle)
+        for r in q.QUERIES["q_cycle_nodes"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ["customer", "supplier", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute(
+        """
+        SELECT s_nationkey, c_nationkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey GROUP BY 1, 2 HAVING count(*) >= 100
+        """
+    ).fetchall()
+    nodes = sorted({v for e in edges for v in e})
+    reach = {v: set() for v in nodes}
+    for s, d in edges:
+        reach[s].add(d)
+    for m in nodes:  # Floyd-Warshall boolean closure
+        for a in nodes:
+            if m in reach[a]:
+                reach[a] |= reach[m]
+    expected = {v: (len(reach[v]), v in reach[v]) for v in nodes}
+    assert got == expected
+
+
+def test_bollinger_band_invariants(spark, sf_dir):
+    from apachebeam_python_spark import queries as q
+
+    rows = q.QUERIES["q_bollinger_bands"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_win > 1:
+            assert r.lower_band <= r.mid <= r.upper_band
+            # flags agree with the published bands up to the 4-dp rounding
+            if r.breakout_up:
+                assert r.close >= r.upper_band - 1e-4
+            if r.breakout_down:
+                assert r.close <= r.lower_band + 1e-4
+        else:
+            assert r.breakout_up is None and r.breakout_down is None
+
+
+def test_entropy_l_diversity_invariants(spark, sf_dir):
+    import math as _m
+
+    from apachebeam_python_spark import queries as q
+
+    rows = q.QUERIES["q_entropy_l_diversity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy <= _m.log(r.distinct_l) + 1e-6
+        assert r.effective_l <= r.distinct_l + 1e-4
+        assert r.violates_l3 == (r.entropy < round(_m.log(3.0), 6) + 1e-12) or (
+            abs(r.entropy - _m.log(3.0)) < 1e-5
+        )
