@@ -3023,3 +3023,141 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("iso_rate"), 6).alias("iso_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multiple linear regression via Cramer's rule on exact moments (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_multiple_regression",
+    driver=False,  # §2.11 ML-eval family (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x1,
+         CAST(count(*) AS BIGINT) AS x2,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT)      AS n,
+         CAST(sum(x1) AS HUGEINT)       AS sx1,
+         CAST(sum(x2) AS HUGEINT)       AS sx2,
+         CAST(sum(x1 * x1) AS HUGEINT)  AS s11,
+         CAST(sum(x1 * x2) AS HUGEINT)  AS s12,
+         CAST(sum(x2 * x2) AS HUGEINT)  AS s22,
+         CAST(sum(y) AS HUGEINT)        AS sy,
+         CAST(sum(x1 * y) AS HUGEINT)   AS s1y,
+         CAST(sum(x2 * y) AS HUGEINT)   AS s2y,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM daily
+), det AS (
+  SELECT *,
+         n   * (s11 * s22 - s12 * s12)
+       - sx1 * (sx1 * s22 - s12 * sx2)
+       + sx2 * (sx1 * s12 - s11 * sx2) AS d,
+         sy  * (s11 * s22 - s12 * s12)
+       - sx1 * (s1y * s22 - s12 * s2y)
+       + sx2 * (s1y * s12 - s11 * s2y) AS d0,
+         n   * (s1y * s22 - s12 * s2y)
+       - sy  * (sx1 * s22 - s12 * sx2)
+       + sx2 * (sx1 * s2y - s1y * sx2) AS d1,
+         n   * (s11 * s2y - s1y * s12)
+       - sx1 * (sx1 * s2y - s1y * sx2)
+       + sy  * (sx1 * s12 - s11 * sx2) AS d2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CAST(d0 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta0,
+       round(CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta1,
+       round(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta2,
+       round(1.0 - (CAST(syy AS DOUBLE)
+                    - (CAST(d0 AS DOUBLE) * CAST(sy AS DOUBLE)
+                       + CAST(d1 AS DOUBLE) * CAST(s1y AS DOUBLE)
+                       + CAST(d2 AS DOUBLE) * CAST(s2y AS DOUBLE))
+                      / CAST(d AS DOUBLE))
+                   / (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n AS DOUBLE)), 6) AS r2
+FROM det WHERE d <> 0
+""",
+)
+def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression — daily revenue (cents) on day index and
+    event count, y = β₀ + β₁·day + β₂·n_events — solved EXACTLY by
+    Cramer's rule over the 3×3 normal equations (SURVEY §2.11 ML-eval
+    tier; the multi-feature extension of q_ols_trend). Every moment of
+    X'X and X'y is an exact 128-bit integer sum (day index is rebased to
+    2024-01-01 so all products stay far inside DECIMAL(38,0)/HUGEINT);
+    the four 3×3 determinants expand in a FIXED cofactor order, so both
+    engines compute bit-identical integers and each β is ONE double
+    division. R² assembles from the same moments via
+    SSE = y'y − β'X'y (no residual pass). The closed-form solve is the
+    100 TB story: ONE partial/final aggregation regardless of row count —
+    no gradient iterations, no driver-side matrix library.
+
+    Scale: the daily rollup is the only data-sized shuffle; the moment
+    census and determinant assembly are one metadata row. For p features
+    the same shape carries a p²-sized moment struct (p ≤ ~30 before
+    Cramer gives way to a broadcast Cholesky on the driver)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x1")
+    ).agg(
+        F.count("*").alias("x2"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    hi = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = daily.agg(
+        hi(F.count("*")).alias("n"),
+        hi(F.sum("x1")).alias("sx1"),
+        hi(F.sum("x2")).alias("sx2"),
+        hi(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        hi(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        hi(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        hi(F.sum("y")).alias("sy"),
+        hi(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        hi(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+        hi(F.sum(hi(F.col("y")) * F.col("y"))).alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = m.select(
+        "*",
+        (
+            n * (s11 * s22 - s12 * s12)
+            - sx1 * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s12 - s11 * sx2)
+        ).alias("d"),
+        (
+            sy * (s11 * s22 - s12 * s12)
+            - sx1 * (s1y * s22 - s12 * s2y)
+            + sx2 * (s1y * s12 - s11 * s2y)
+        ).alias("d0"),
+        (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (sx1 * s22 - s12 * sx2)
+            + sx2 * (sx1 * s2y - s1y * sx2)
+        ).alias("d1"),
+        (
+            n * (s11 * s2y - s1y * s12)
+            - sx1 * (sx1 * s2y - s1y * sx2)
+            + sy * (sx1 * s12 - s11 * sx2)
+        ).alias("d2"),
+    )
+    dd = F.col("d").cast("double")
+    sse = syy.cast("double") - (
+        F.col("d0").cast("double") * sy.cast("double")
+        + F.col("d1").cast("double") * s1y.cast("double")
+        + F.col("d2").cast("double") * s2y.cast("double")
+    ) / dd
+    sst = syy.cast("double") - sy.cast("double") * sy.cast("double") / n.cast("double")
+    return det.filter(F.col("d") != 0).select(
+        n.cast("long").alias("n_days"),
+        F.round(F.col("d0").cast("double") / dd, 6).alias("beta0"),
+        F.round(F.col("d1").cast("double") / dd, 6).alias("beta1"),
+        F.round(F.col("d2").cast("double") / dd, 6).alias("beta2"),
+        F.round(1.0 - sse / sst, 6).alias("r2"),
+    )

@@ -4009,3 +4009,78 @@ def q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(h), 4).alias("effective_l"),
         (h < math.log(3.0)).alias("violates_l3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries two-pass heavy hitters (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_misra_gries",
+    driver=False,  # §2.11 sketch family (round 5) — pytest oracle
+    oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+SELECT c.tok, c.cnt,
+       round(CAST(c.cnt AS DOUBLE) / t.n, 6) AS share
+FROM cnts c, tot t
+WHERE c.cnt * 30 > t.n
+""",
+)
+def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries two-pass heavy hitters: every token with frequency
+    > N/k (k=30) — the DETERMINISTIC-guarantee sketch beside
+    q_heavy_hitters' probabilistic count-min (SURVEY §2.11 sketch
+    family). Pass 1 runs the classic k-counter Misra-Gries summary
+    per partition inside one Arrow mapInPandas (any item with global
+    f > N/k must survive in at least one partition, by averaging — the
+    standard union-of-candidates guarantee), producing a tiny candidate
+    set. Pass 2 recounts ONLY the candidates exactly (semi-join BEFORE
+    the shuffle, so the exchange carries candidate tokens, never the
+    vocabulary) and filters by the exact integer test cnt·k > N. The
+    final answer is therefore exact and engine-deterministic — the
+    oracle is a plain GROUP BY ... HAVING — while the plan never
+    shuffles the full token stream to a vocabulary-sized aggregation.
+
+    Scale: pass 1 is embarrassingly parallel with k counters of state
+    per task; pass 2's shuffle is bounded by (#partitions · k)
+    candidates. This is THE pattern for top-talker detection at 100 TB
+    where the vocabulary itself is shuffle-prohibitive."""
+    import pandas as _pd
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    k = 30
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t in counters if counters[t] == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+        yield _pd.DataFrame({"tok": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg_partition, "tok string").distinct()
+    tot = toks.agg(F.count("*").alias("n"))
+    exact = (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+        )
+    )
