@@ -3894,3 +3894,74 @@ def q_cycle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("on_cycle"), F.lit(False)).alias("on_cycle"),
         )
     )
+
+
+@register("q_sssp_weighted", driver=False)  # rows-only: weighted shortest paths need recursion-with-aggregation, which DuckDB 1.0 recursive CTEs cannot express on cyclic graphs (SURVEY §7.4.3); python-Dijkstra-replay-pinned in tests
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths over the cyclic nation trade
+    graph — the Dijkstra/Bellman-Ford capability completing the graph
+    tier's distance family (q_bfs_reachability is the unweighted case,
+    q_dag_layers the longest-path dual; SURVEY §2.11 graph tier). Edge
+    weight = the MINIMUM observed lineitem price (exact integer cents —
+    min, not avg, so the weight is engine-exact), source = the smallest
+    node id. Distances relax iteratively: d(v) ← min(d(v), d(u)+w(u,v))
+    until the monotone Σd fixpoint — distributed Bellman-Ford, which
+    tolerates the cycles a recursive-CTE walk cannot (positive-cost
+    cycles never improve a distance, so the fixpoint exists and is the
+    true shortest-path vector).
+
+    Rows-only by nature: DuckDB 1.0 recursive CTEs forbid aggregation
+    in the recursive term and would path-explode on a cyclic graph, so
+    the pin is an independent heap Dijkstra replay in pytest over the
+    same edge list.
+
+    Scale: each round is one (edges ⋈ broadcast distance-table) join +
+    a min partial-agg — O(diameter) rounds like q_kcore; the edge list
+    is checkpointed once. At web scale the round table shuffles on v
+    with map-side min combine; delta-stepping (bucketed relaxation) is
+    the documented swap when diameters grow."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+               CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 100
+        """
+    )
+    e = checkpoint(e0, eager=False)
+    nodes = (
+        e.select(F.col("src").alias("v")).union(e.select(F.col("dst"))).distinct()
+    )
+    src_row = nodes.agg(F.min("v").alias("s"))
+    big = F.lit(1 << 60).cast("long")
+    dist = nodes.crossJoin(F.broadcast(src_row)).select(
+        "v", F.when(F.col("v") == F.col("s"), 0).otherwise(big).alias("d")
+    )
+    prev = None
+    for _ in range(64):  # ≤ |V| rounds on positive weights; cap is a backstop
+        relaxed = e.join(F.broadcast(dist), e.src == dist.v).select(
+            F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = checkpoint(
+            dist.union(relaxed).groupBy("v").agg(F.min("d").alias("d"))
+        )
+        # widen the fixpoint probe: |V| sentinel distances of 2^60 overflow int64
+        cur = dist.agg(F.sum(F.col("d").cast("decimal(38,0)"))).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        dist.crossJoin(F.broadcast(src_row))
+        .select(
+            F.col("s").alias("source"),
+            F.col("v").alias("node"),
+            F.when(F.col("d") < (1 << 60), F.col("d")).alias("dist_cents"),
+        )
+    )

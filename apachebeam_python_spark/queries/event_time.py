@@ -9,6 +9,8 @@ GREATER than gap — an exactly-gap event merges; session end = last_ts + gap).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -857,3 +859,68 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sd_c").isNotNull(), F.col("cents") > up).alias("breakout_up"),
         F.when(F.col("sd_c").isNotNull(), F.col("cents") < dn).alias("breakout_down"),
     )
+
+
+@register("q_periodogram", driver=False)  # rows-only: libm cos/sin sums accumulate cross-engine ulp drift (SURVEY §7.4.4); numpy-FFT-replay-pinned in tests
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the mean-centered daily revenue
+    series: spectral power at the first 20 Fourier frequencies — the
+    seasonality detector that picks the period q_seasonal_naive and
+    q_stl_decompose then assume (SURVEY §2.11 time-series tier). For
+    each frequency k, P(k) = (2/n)·[(Σy_t·cos(2πkt/n))² +
+    (Σy_t·sin(2πkt/n))²] over the day-ranked series; the dominant k
+    flags the cycle length n/k.
+
+    Rows-only by nature: the cos/sin sums run through libm on ~n·20
+    terms, where last-ulp differences between JVM StrictMath-backed
+    Spark and DuckDB's libm could accumulate past a fixed rounding
+    depth — so the pin is an independent numpy rFFT replay in pytest
+    (power ratios at every k), not a SQL hash.
+
+    Scale: the day series is metadata after one data-sized rollup; the
+    (t, k) expansion is days×20 rows of pure codegen arithmetic — at
+    finer granularity (per-second series) switch to mapInPandas over
+    contiguous chunks and one numpy rFFT per key, the same partial
+    shape."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    n_row = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    t_idx = daily.select(
+        "cents",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+    )
+    centered = t_idx.crossJoin(F.broadcast(n_row)).select(
+        "t",
+        "n",
+        (F.col("cents") - F.col("s").cast("double") / F.col("n")).alias("y"),
+    )
+    ks = spark.range(1, 21).select(F.col("id").alias("k"))
+    ang = (
+        centered.crossJoin(F.broadcast(ks))
+        .filter(F.col("k") < F.col("n") / 2)
+        .select(
+            "k",
+            "n",
+            (F.col("y") * F.cos(
+                2.0 * math.pi * F.col("k") * F.col("t") / F.col("n")
+            )).alias("c"),
+            (F.col("y") * F.sin(
+                2.0 * math.pi * F.col("k") * F.col("t") / F.col("n")
+            )).alias("s"),
+        )
+    )
+    g = ang.groupBy("k", "n").agg(F.sum("c").alias("sc"), F.sum("s").alias("ss"))
+    return g.select(
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("n") / F.col("k").cast("double"), 4).alias("period_days"),
+        F.round(
+            2.0
+            / F.col("n")
+            * (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")),
+            2,
+        ).alias("power"),
+    ).orderBy("k")

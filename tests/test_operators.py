@@ -1680,3 +1680,93 @@ def test_misra_gries_exact_and_complete(spark, sf_dir):
         for r in toks.groupBy("tok").count().filter(F.col("count") * 30 > n).collect()
     }
     assert got == exact and got
+
+
+def test_periodogram_matches_numpy_fft(spark, sf_dir):
+    """q_periodogram is rows-only (libm trig sums); pin every frequency's
+    power against an independent numpy rFFT of the same centered series."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from apachebeam_python_spark import queries as q
+
+    rows = {
+        r.k: (r.period_days, r.power)
+        for r in q.QUERIES["q_periodogram"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    y = (
+        con.execute(
+            f"""
+            SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE value IS NOT NULL
+            GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)
+            """
+        )
+        .df()["cents"]
+        .to_numpy(dtype=float)
+    )
+    n = len(y)
+    yc = y - y.mean()
+    spec = np.fft.rfft(yc)
+    ks = sorted(rows)
+    assert ks == [k for k in range(1, 21) if k < n / 2]
+    for k in ks:
+        ref = 2.0 / n * (spec[k].real ** 2 + spec[k].imag ** 2)
+        period, power = rows[k]
+        assert period == pytest.approx(n / k, abs=1e-3)
+        assert power == pytest.approx(ref, rel=1e-6, abs=1e-2)
+
+
+def test_sssp_matches_python_dijkstra(spark, sf_dir):
+    """q_sssp_weighted vs an independent heap Dijkstra over the same
+    weighted edge list rebuilt in DuckDB."""
+    import heapq
+
+    import duckdb
+
+    from apachebeam_python_spark import queries as q
+
+    got = {
+        r.node: r.dist_cents
+        for r in q.QUERIES["q_sssp_weighted"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ["customer", "supplier", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    edges = con.execute(
+        """
+        SELECT s_nationkey, c_nationkey,
+               CAST(min(round(l_extendedprice * 100)) AS BIGINT)
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey GROUP BY 1, 2 HAVING count(*) >= 100
+        """
+    ).fetchall()
+    nodes = sorted({v for s, d, _ in edges for v in (s, d)})
+    if not nodes:  # sf0.001: the threshold legitimately yields no edges
+        assert got == {}
+        return
+    adj: dict[int, list[tuple[int, int]]] = {v: [] for v in nodes}
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    source = min(nodes)
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        dd, u = heapq.heappop(heap)
+        if dd > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = dd + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    expected = {v: dist.get(v) for v in nodes}
+    assert got == expected
