@@ -2430,3 +2430,216 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("suspect_cents"),
         F.when((varnum > 0) & (F.col("n") > 1), F.round(g, 6)).alias("g_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_mann_kendall",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.d < b.d
+), s AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s_stat FROM pairs),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+              AS HUGEINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) u
+  WHERE t > 1
+), v AS (
+  SELECT s.s_stat, nt.n,
+         CAST(CAST(nt.n AS HUGEINT) * (nt.n - 1) * (2 * nt.n + 5)
+              - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+  FROM s, nt, ties
+)
+SELECT n, s_stat, round(var_s, 6) AS var_s,
+       CASE WHEN var_s > 0 THEN
+         round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0.0 END, 6)
+       END AS z_stat
+FROM v
+""",
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily revenue series — the
+    nonparametric companion to q_ols_trend's parametric slope and the
+    temporal sibling of q_kendall_tau (SURVEY §2.3 statistical
+    extensions; THE standard is-this-metric-drifting test in
+    environmental and ops monitoring). S = Σ_{i<j} sign(x_j − x_i) is an
+    exact integer census over day pairs; the tie-corrected variance
+    [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 widens the tie term to 128-bit
+    (the q_anova lesson), and the continuity-corrected z assembles
+    through one shared IEEE tree.
+
+    Scale: the pair join runs on the METADATA-sized daily series (days²
+    pairs — the q_kendall_tau adjudication); the data-sized work is one
+    daily rollup. For per-key trend tests at 100 TB, the O(n log n)
+    merge-sort S computation replaces the pair join per key."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = pairs.agg(F.coalesce(F.sum("sgn"), F.lit(0)).alias("s_stat"))
+    nt = daily.agg(F.count("*").alias("n"))
+    td = F.col("t").cast(_HI)
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(td * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0).cast(_HI),
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    v = (
+        s.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "n",
+            (
+                (n.cast(_HI) * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast(
+                    "double"
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    ss = F.col("s_stat")
+    z = (
+        F.when(ss > 0, (ss - 1) / F.sqrt(F.col("var_s")))
+        .when(ss < 0, (ss + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "n",
+        "s_stat",
+        F.round(F.col("var_s"), 6).alias("var_s"),
+        F.when(F.col("var_s") > 0, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_runs_test",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), med AS (
+  SELECT x AS m FROM (
+    SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), signs AS (
+  SELECT d, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+  FROM daily, med WHERE x <> m
+), runs AS (
+  SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM signs
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM runs
+)
+SELECT n_kept, n1, n2, r,
+       round(2.0 * n1 * n2 / n_kept + 1.0, 6) AS mu_r,
+       CASE WHEN n_kept > 1 AND n1 > 0 AND n2 > 0
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n_kept) > 0 THEN
+         round((r - (2.0 * n1 * n2 / n_kept + 1.0))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n_kept)
+                      / (CAST(n_kept AS DOUBLE) * n_kept * (n_kept - 1))), 6)
+       END AS z_stat
+FROM agg
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue series
+    around its median: too FEW runs of above/below-median days means
+    positive autocorrelation (regimes), too many means oscillation — the
+    independence check that should precede q_acf's parametric lags
+    (SURVEY §2.3 statistical extensions). The lower median is picked by
+    integer rank position (the q_levene convention — no interpolation),
+    exactly-median days are dropped (the textbook rule), runs count from
+    one lag window over the day order, and μ_R = 2n₁n₂/n + 1 with the
+    Wald-Wolfowitz σ assemble from exact integers through one shared
+    IEEE tree.
+
+    Scale: one data-sized daily rollup; the median rank, lag window and
+    statistic run on the metadata-sized day series."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("x"))
+    r = daily.select(
+        "d",
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("x").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("d", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    runs = signs.select("s", F.lag("s").over(Window.orderBy("d")).alias("prev"))
+    agg = runs.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("s").alias("n1"),
+        (F.count("*") - F.sum("s")).alias("n2"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("s") != F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("r"),
+    )
+    nk, n1, n2, rr = F.col("n_kept"), F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / nk + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nk)
+        / (nk.cast("double") * nk * (nk - 1))
+    )
+    return agg.select(
+        "n_kept",
+        "n1",
+        "n2",
+        "r",
+        F.round(mu, 6).alias("mu_r"),
+        F.when(
+            (nk > 1) & (n1 > 0) & (n2 > 0)
+            & (2.0 * n1 * n2 * (2.0 * n1 * n2 - nk) > 0),
+            F.round((rr - mu) / F.sqrt(var), 6),
+        ).alias("z_stat"),
+    )

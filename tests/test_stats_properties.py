@@ -1244,3 +1244,93 @@ def test_grubbs_oracle_matches_reference(a):
         assert g == pytest.approx(abs(best - mean) / math.sqrt(var), abs=1e-4)
     else:
         assert g is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=40).map(lambda c: c / 2.0),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_mann_kendall_oracle_matches_reference(series):
+    # one event per day: ts strides days so each value IS the daily total
+    rows = [
+        {
+            "event_type": "click",
+            "value": v,
+            "event_id": i,
+            "user_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+        }
+        for i, v in enumerate(series)
+    ]
+    frame = pd.DataFrame(rows)
+    (n, s_stat, var_s, z), = _run_oracle("q_mann_kendall", frame)
+    assert n == len(series)
+    cents = [round(v * 100) for v in series]
+    ref_s = sum(
+        (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for i in range(len(cents))
+        for j in range(i + 1, len(cents))
+    )
+    assert s_stat == ref_s
+    nn = len(cents)
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(cents).values() if t > 1
+    )
+    ref_var = (nn * (nn - 1) * (2 * nn + 5) - tie) / 18.0
+    assert var_s == pytest.approx(ref_var, abs=1e-4)
+    if ref_var > 0:
+        ref_z = (
+            (ref_s - 1) / math.sqrt(ref_var)
+            if ref_s > 0
+            else (ref_s + 1) / math.sqrt(ref_var) if ref_s < 0 else 0.0
+        )
+        assert z == pytest.approx(ref_z, abs=1e-4)
+    else:
+        assert z is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=12).map(lambda c: c / 2.0),
+        min_size=3,
+        max_size=50,
+    )
+)
+def test_runs_test_oracle_matches_reference(series):
+    rows = [
+        {
+            "event_type": "click",
+            "value": v,
+            "event_id": i,
+            "user_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+        }
+        for i, v in enumerate(series)
+    ]
+    frame = pd.DataFrame(rows)
+    (n_kept, n1, n2, r, mu_r, z), = _run_oracle("q_runs_test", frame)
+    cents = [round(v * 100) for v in series]
+    med = sorted(cents)[(len(cents) + 1) // 2 - 1]  # lower median, 1-based rank
+    signs = [1 if c > med else 0 for c in cents if c != med]
+    assert n_kept == len(signs)
+    # sums over an empty survivor set are NULL in both engines, not 0
+    assert (n1 or 0) == sum(signs)
+    assert (n2 or 0) == len(signs) - sum(signs)
+    ref_r = sum(
+        1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+    )
+    assert (r or 0) == ref_r
+    if signs:
+        ref_mu = 2.0 * n1 * n2 / len(signs) + 1.0
+        assert mu_r == pytest.approx(ref_mu, abs=1e-4)
+        num = 2.0 * n1 * n2 * (2.0 * n1 * n2 - len(signs))
+        if len(signs) > 1 and n1 > 0 and n2 > 0 and num > 0:
+            sd = math.sqrt(num / (len(signs) ** 2 * (len(signs) - 1)))
+            assert z == pytest.approx((ref_r - ref_mu) / sd, abs=1e-4)
+        else:
+            assert z is None
