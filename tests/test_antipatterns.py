@@ -73,14 +73,18 @@ ALLOWED_BROADCASTS = {
     "queries/tpch.py": 34,
     # dims, 1-row grand totals, k-row channel/scenario/state tables
     # + the betweenness sigma-table self-joins (n²-row metadata)
-    "queries/analytics.py": 35,
+    # + |V|-row graph round tables (DAG depth, SSSP dist + 1-row source ×2;
+    #   doc'd: shuffle on v past broadcast size, the operators/graph.py note)
+    "queries/analytics.py": 39,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
-    # the 41-row DP candidate grid
-    "queries/experiments.py": 19,
+    # the 41-row DP candidate grid + the decision stump's 1-row class total
+    "queries/experiments.py": 20,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     # + the t-closeness band spine / global distribution / 1-row total
-    "queries/llm.py": 18,
+    # + naive Bayes k-row langs/priors/1-row totals (the vocab-sized model
+    #   is broadcast_if_small-gated) + Misra-Gries candidates (partitions·k)
+    "queries/llm.py": 25,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
     # + the Kneser-Ney marginal tables (Heaps-law small)
@@ -90,7 +94,9 @@ ALLOWED_BROADCASTS = {
     # 1-row moment/statistic assemblies (k groups at most; incl. the
     # Kruskal-Wallis tie census, the Jarque-Bera integer pivot, and the
     # mutual-information marginal/entropy tables — all 1-row or k-row)
-    "queries/stats_tests.py": 18,
+    # + the r5 wave: Friedman k/tie/rank-sum tables, Cochran type list,
+    #   Grubbs/Mann-Kendall/runs-test 1-row moment+median pivots
+    "queries/stats_tests.py": 28,
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size
@@ -98,8 +104,10 @@ ALLOWED_BROADCASTS = {
     # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket
     # past broadcast size at web scale — the loop structure is unchanged)
     "operators/graph.py": 4,
-    # calendar spine (days) + 1-row bounds
-    "queries/event_time.py": 2,
+    # calendar spine (days) + 1-row bounds + DTW's k-row series table
+    # (docstring documents the PAA/SAX prefilter swap for large key spaces)
+    # + periodogram's 1-row moments and 20-row frequency list
+    "queries/event_time.py": 5,
     # idf table capped by vocab prune + 1-row corpus stats
     "operators/retrieval.py": 2,
     # O(files) manifest metadata join
