@@ -795,7 +795,7 @@ WITH daily AS (
          END AS sd_c
   FROM win
 )
-SELECT day, round(cents / 100.0, 2) AS close,
+SELECT CAST(day AS TIMESTAMP) AS day, round(cents / 100.0, 2) AS close,
        n_w AS n_win,
        round(s_w / (100.0 * n_w), 4) AS mid,
        round((s_w / CAST(n_w AS DOUBLE) + 2.0 * sd_c) / 100.0, 4) AS upper_band,

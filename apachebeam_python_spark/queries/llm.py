@@ -4088,3 +4088,104 @@ def q_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (round 5 continuation)
+# --------------------------------------------------------------------------
+_RAKE_STOP = (
+    "the a an and or of to in is are was were be been it this that with "
+    "for on as by at from"
+).split()
+
+
+@register(
+    "q_rake_keyphrases",
+    driver=False,  # §2.11 text-analysis family (round 5) — pytest oracle
+    oracle=f"""
+WITH phrases AS (
+  SELECT doc_id, phrase FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(text),
+             '\\b({"|".join(_RAKE_STOP)})\\b', '|', 'g'), '|')) AS raw
+    FROM documents
+  ), LATERAL (SELECT trim(raw) AS phrase)
+  WHERE phrase <> '' AND length(string_split(phrase, ' ')) <= 3
+), words AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+  FROM phrases
+), wstats AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(length(string_split(phrase, ' '))) AS BIGINT) AS degree
+  FROM words WHERE w <> '' GROUP BY w
+), scored AS (
+  SELECT p.doc_id, p.phrase,
+         sum(CAST(s.degree AS DOUBLE) / s.freq) AS score
+  FROM words p JOIN wstats s ON s.w = p.w
+  WHERE p.w <> ''
+  GROUP BY p.doc_id, p.phrase
+), ranked AS (
+  SELECT doc_id, phrase, round(score, 6) AS rake_score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(score, 6) DESC, phrase) AS rn
+  FROM scored
+)
+SELECT doc_id, phrase, rake_score, rn AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) keyphrases: split each
+    document at stopwords into candidate phrases (≤ 3 words), score
+    every word by degree/frequency over the corpus phrase table (degree
+    = Σ lengths of phrases containing the word — co-occurrence reach;
+    frequency = appearances), and rank each document's phrases by the
+    sum of member-word scores — the MULTI-WORD keyphrase extractor
+    beside q_keywords_tfidf's single terms (SURVEY §2.11 text-analysis
+    tier; RAKE is the standard cheap keyphrase baseline). The top-3 cut
+    ranks on the 6-dp ROUNDED score with the phrase as tie-break, so
+    the selection is engine-deterministic; degree/freq are exact
+    integers and each score is the same double division in both
+    engines.
+
+    Scale: phrase splitting is a scan-fused regexp; word stats are one
+    vocabulary-keyed partial/final agg broadcast back (gate it with
+    broadcast_if_small at open-web vocabularies); the per-doc top-3 is
+    WindowGroupLimit-shaped. No raw-text re-reads."""
+    from ..session import broadcast_if_small
+
+    d = table(spark, sf_dir, "documents")
+    stop_re = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
+    phrases = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), stop_re, "|"), r"\|")
+            ).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("phrase"))
+        .filter((F.col("phrase") != "") & (F.size(F.split(F.col("phrase"), " ")) <= 3))
+    )
+    words = phrases.select(
+        "doc_id", "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wstats = words.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum(F.size(F.split(F.col("phrase"), " "))).alias("degree"),
+    )
+    scored = (
+        words.join(broadcast_if_small(wstats), "w")
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum(F.col("degree").cast("double") / F.col("freq")).alias("score"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("phrase")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "phrase",
+        F.round(F.col("score"), 6).alias("rake_score"),
+        F.row_number().over(wr).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 3)

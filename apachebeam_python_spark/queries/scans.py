@@ -949,3 +949,59 @@ def q_scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width text extract round trip (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_scan_fixed_width",
+    driver=False,  # §2.1 source/sink family (round 5) — pytest oracle
+    oracle="""
+SELECT n_nationkey, trim(name_field) AS n_name, n_regionkey
+FROM (
+  SELECT CAST(TRY_CAST(substr(line, 1, 4) AS BIGINT) AS BIGINT) AS n_nationkey,
+         substr(line, 5, 25) AS name_field,
+         CAST(TRY_CAST(substr(line, 30, 4) AS BIGINT) AS BIGINT) AS n_regionkey
+  FROM (
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
+           || rpad(n_name, 25, ' ')
+           || lpad(CAST(n_regionkey AS VARCHAR), 4, '0') AS line
+    FROM nation
+  )
+)
+""",
+)
+def q_scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe-extract / COBOL copybook) text round trip
+    (SURVEY §2.1 source family): nation rows serialize to 33-byte
+    fixed-layout lines (4-digit zero-padded key, 25-char space-padded
+    name, 4-digit region), land as a text file, and parse back by
+    COLUMN POSITION — substr slices at fixed offsets, the layout every
+    bank/telco feed still ships. The oracle replays the same
+    pad-then-slice pipeline in SQL, so the byte layout itself is what's
+    checked (padding widths, trim semantics, numeric re-casts).
+
+    Scale: text scans split by line; a fixed-width parse is a single
+    narrow projection per line (substring + cast — whole-stage codegen,
+    no regex), making this the cheapest possible structured ingest: at
+    100 TB the parse fuses into the scan with zero shuffles."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"fixw_{_sfkey(sf_dir)}")
+    lines = table(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+            F.rpad(F.col("n_name"), 25, " "),
+            F.lpad(F.col("n_regionkey").cast("string"), 4, "0"),
+        ).alias("value")
+    )
+    shutil.rmtree(out, ignore_errors=True)  # stale part files would be re-read
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    line = F.col("value")
+    return back.select(
+        F.substring(line, 1, 4).cast("long").alias("n_nationkey"),
+        F.trim(F.substring(line, 5, 25)).alias("n_name"),
+        F.substring(line, 30, 4).cast("long").alias("n_regionkey"),
+    )

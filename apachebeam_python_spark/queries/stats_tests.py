@@ -24,6 +24,8 @@ tables here, flagged per-query below).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2642,4 +2644,554 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2.0 * n1 * n2 * (2.0 * n1 * n2 - nk) > 0),
             F.round((rr - mu) / F.sqrt(var), 6),
         ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial correlation (controls for the day index, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_partial_correlation",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS z,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(z) AS HUGEINT) AS sz,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+         CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+  FROM daily
+), r AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+         CAST(n * sxz - sx * sz AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+         CAST(n * syz - sy * sz AS DOUBLE)
+           / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+              * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+  FROM m
+  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        AND n * szz - sz * sz > 0
+)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+       CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+         round((rxy - rxz * ryz)
+               / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+       END AS r_xy_given_z
+FROM r
+""",
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily revenue (x) and daily event count (y)
+    CONTROLLING for the day index (z): r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) — the detrended association, answering "do
+    revenue and activity co-move beyond their shared time trend?"
+    (SURVEY §2.3 statistical extensions; completes the correlation family
+    beside Pearson, Spearman, Kendall, cross-correlation). All nine
+    moments are exact 128-bit integer sums from ONE aggregation; the
+    three first-order correlations and the partial assemble through a
+    shared IEEE tree (sqrt correctly rounded), NULL when any variance is
+    degenerate or either control correlation is ±1.
+
+    Scale: one data-sized daily rollup, one metadata moment row —
+    closed-form like q_multiple_regression (whose residualized-x-on-z
+    regression this is equivalent to)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("z")
+    ).agg(
+        F.sum(_cents(F.col("value"))).alias("x"),
+        F.count("*").alias("y"),
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    m = daily.agg(
+        hi(F.count("*")).alias("n"),
+        hi(F.sum("x")).alias("sx"),
+        hi(F.sum("y")).alias("sy"),
+        hi(F.sum("z")).alias("sz"),
+        hi(F.sum(hi(F.col("x")) * F.col("x"))).alias("sxx"),
+        hi(F.sum(hi(F.col("y")) * F.col("y"))).alias("syy"),
+        hi(F.sum(hi(F.col("z")) * F.col("z"))).alias("szz"),
+        hi(F.sum(hi(F.col("x")) * F.col("y"))).alias("sxy"),
+        hi(F.sum(hi(F.col("x")) * F.col("z"))).alias("sxz"),
+        hi(F.sum(hi(F.col("y")) * F.col("z"))).alias("syz"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    vz = n * F.col("szz") - F.col("sz") * F.col("sz")
+
+    def corr(cov, va, vb):
+        return cov.cast("double") / (
+            F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+        )
+
+    r = m.filter((vx > 0) & (vy > 0) & (vz > 0)).select(
+        n.cast("long").alias("n"),
+        corr(n * F.col("sxy") - F.col("sx") * F.col("sy"), vx, vy).alias("rxy"),
+        corr(n * F.col("sxz") - F.col("sx") * F.col("sz"), vx, vz).alias("rxz"),
+        corr(n * F.col("syz") - F.col("sy") * F.col("sz"), vy, vz).alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    return r.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.when(den > 0, F.round((rxy - rxz * ryz) / F.sqrt(den), 6)).alias(
+            "r_xy_given_z"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha internal-consistency reliability (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cronbach_alpha",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS item
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM m),
+cases_ AS (
+  SELECT user_id FROM m GROUP BY user_id
+  HAVING CAST(count(*) AS BIGINT) = (SELECT k FROM kk)
+), mb AS (SELECT m.* FROM m JOIN cases_ USING (user_id)),
+item_var AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(item) AS HUGEINT) AS s,
+         CAST(sum(CAST(item AS HUGEINT) * item) AS HUGEINT) AS ss
+  FROM mb GROUP BY event_type
+), iv AS (
+  SELECT sum(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+           AS sum_item_var
+  FROM item_var WHERE n > 1
+), totals AS (
+  SELECT user_id, CAST(sum(item) AS BIGINT) AS tot FROM mb GROUP BY user_id
+), tv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(tot) AS HUGEINT) AS s,
+         CAST(sum(CAST(tot AS HUGEINT) * tot) AS HUGEINT) AS ss
+  FROM totals
+)
+SELECT tv.n AS n_cases, kk.k,
+       round(iv.sum_item_var, 6) AS sum_item_var,
+       round(CAST(tv.n * tv.ss - tv.s * tv.s AS DOUBLE)
+             / (CAST(tv.n AS DOUBLE) * (tv.n - 1)), 6) AS total_var,
+       CASE WHEN kk.k > 1 AND tv.n > 1
+                 AND CAST(tv.n * tv.ss - tv.s * tv.s AS DOUBLE) > 0 THEN
+         round(CAST(kk.k AS DOUBLE) / (kk.k - 1)
+               * (1.0 - iv.sum_item_var
+                        / (CAST(tv.n * tv.ss - tv.s * tv.s AS DOUBLE)
+                           / (CAST(tv.n AS DOUBLE) * (tv.n - 1)))), 6)
+       END AS cronbach_alpha
+FROM tv, kk, iv
+""",
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha: internal-consistency reliability of the k event
+    types treated as scale items, cases = users observed under every item
+    (the q_friedman complete-block convention) — α = k/(k−1)·(1 −
+    Σvar_item/var_total), THE metric survey and composite-score pipelines
+    report before averaging item scores (SURVEY §2.3 statistical
+    extensions). Item and total variances derive from exact integer cents
+    moments, each n·Σx² − (Σx)² widened to 128-bit (the q_anova lesson);
+    the item-variance sum adds k doubles before the single 6-dp round.
+    NULL when the total variance is degenerate.
+
+    Scale: one (user, item) groupBy; item variances are a k-row rollup,
+    case totals one more user-keyed partial agg — no global sorts."""
+    m = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(_cents(F.col("value"))).alias("item"))
+    )
+    kdf = m.agg(F.count_distinct("event_type").alias("k"))
+    cases = (
+        m.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(kdf), F.col("c") == F.col("k"))
+        .select("user_id")
+    )
+    mb = m.join(cases, "user_id", "left_semi")
+
+    def hi(c):
+        return c.cast(_HI)
+
+    item_var = mb.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        hi(F.sum("item")).alias("s"),
+        hi(F.sum(hi(F.col("item")) * F.col("item"))).alias("ss"),
+    )
+    iv = item_var.filter(F.col("n") > 1).agg(
+        F.sum(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("sum_item_var")
+    )
+    totals = mb.groupBy("user_id").agg(F.sum("item").alias("tot"))
+    tv = totals.agg(
+        F.count("*").alias("n"),
+        hi(F.sum("tot")).alias("s"),
+        hi(F.sum(hi(F.col("tot")) * F.col("tot"))).alias("ss"),
+    )
+    j = tv.crossJoin(F.broadcast(kdf)).crossJoin(F.broadcast(iv))
+    n, k = F.col("n"), F.col("k")
+    tvar_num = (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    total_var = tvar_num / (n.cast("double") * (n - 1))
+    alpha = k.cast("double") / (k - 1) * (
+        1.0 - F.col("sum_item_var") / total_var
+    )
+    return j.select(
+        n.cast("long").alias("n_cases"),
+        "k",
+        F.round(F.col("sum_item_var"), 6).alias("sum_item_var"),
+        F.round(total_var, 6).alias("total_var"),
+        F.when((k > 1) & (n > 1) & (tvar_num > 0), F.round(alpha, 6)).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Goodman-Kruskal gamma over ordinal bands (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_gk_gamma",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH b AS (
+  SELECT CAST(CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+              WHEN value < 300 THEN 2 ELSE 3 END AS BIGINT) AS vb,
+         CAST(CASE WHEN extract(hour FROM ts) < 6 THEN 0
+              WHEN extract(hour FROM ts) < 12 THEN 1
+              WHEN extract(hour FROM ts) < 18 THEN 2 ELSE 3 END AS BIGINT) AS hb
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT vb, hb, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY vb, hb
+), pairs AS (
+  -- each unordered pair counted ONCE via the a.vb < d.vb orientation
+  SELECT CAST(coalesce(sum(CASE WHEN a.hb < d.hb
+                       THEN CAST(a.c AS HUGEINT) * d.c ELSE 0 END), 0)
+              AS HUGEINT) AS conc,
+         CAST(coalesce(sum(CASE WHEN a.hb > d.hb
+                       THEN CAST(a.c AS HUGEINT) * d.c ELSE 0 END), 0)
+              AS HUGEINT) AS disc
+  FROM cells a JOIN cells d ON a.vb < d.vb
+)
+SELECT CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CASE WHEN conc + disc > 0 THEN
+         round(CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE), 6)
+       END AS gamma
+FROM pairs
+""",
+)
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between ordinal value bands and time-of-day
+    bands — the ordinal-association measure that IGNORES ties (unlike
+    q_kendall_tau's tau-b), the right choice for coarse ordered
+    categories (SURVEY §2.3 statistical extensions; completes the
+    ordinal family). Concordant/discordant pair counts come from the
+    k×m CONTINGENCY-CELL cross product, not a row-pair join: each cell
+    pair contributes c_a·c_d pairs in one direction, so the census is
+    exact 128-bit integers over (k·m)² = 256 metadata rows; γ =
+    (C−D)/(C+D) is one double division.
+
+    Scale: one data-sized groupBy to the contingency table; everything
+    after is constant-size. This is how ordinal association is computed
+    at ANY scale — the contingency contraction is the whole trick."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = e.select(
+        F.when(F.col("value") < 50, 0)
+        .when(F.col("value") < 150, 1)
+        .when(F.col("value") < 300, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("vb"),
+        F.when(F.hour("ts") < 6, 0)
+        .when(F.hour("ts") < 12, 1)
+        .when(F.hour("ts") < 18, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("hb"),
+    )
+    cells = b.groupBy("vb", "hb").agg(F.count("*").alias("c"))
+    a, d = cells.alias("a"), cells.alias("d")
+    hi_ = lambda c: c.cast(_HI)  # noqa: E731
+    # each unordered pair counted ONCE via the a.vb < d.vb orientation
+    pairs = a.join(d, F.col("a.vb") < F.col("d.vb")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.hb") < F.col("d.hb"),
+                    hi_(F.col("a.c")) * F.col("d.c"),
+                ).otherwise(F.lit(0).cast(_HI))
+            ),
+            F.lit(0).cast(_HI),
+        ).alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.hb") > F.col("d.hb"),
+                    hi_(F.col("a.c")) * F.col("d.c"),
+                ).otherwise(F.lit(0).cast(_HI))
+            ),
+            F.lit(0).cast(_HI),
+        ).alias("disc"),
+    )
+    conc, disc = F.col("conc"), F.col("disc")
+    return pairs.select(
+        conc.cast("long").alias("concordant"),
+        disc.cast("long").alias("discordant"),
+        F.when(
+            conc + disc > 0,
+            F.round((conc - disc).cast("double") / (conc + disc).cast("double"), 6),
+        ).alias("gamma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Intraclass correlation ICC(1,1) (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_icc",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT user_id AS g, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(c) AS BIGINT) AS s_g
+  FROM s GROUP BY g HAVING count(*) >= 2
+), kept AS (SELECT s.* FROM s JOIN grp USING (g)),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS st,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sst
+  FROM kept
+), gq AS (
+  -- quotient/remainder split (the q_anova discipline): the integer parts
+  -- sum exactly; the k remainder doubles are each < 1, so engine addition
+  -- order cannot move the 6-dp round
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS HUGEINT) AS gq_int,
+         sum(CAST((CAST(s_g AS HUGEINT) * s_g) % n_g AS DOUBLE)
+             / CAST(n_g AS DOUBLE)) AS gq_fr,
+         CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS HUGEINT) AS sum_n2
+  FROM grp
+), ms AS (
+  SELECT tot.n, gq.k,
+         (CAST(gq.gq_int AS DOUBLE) + gq.gq_fr
+          - CAST(CAST(tot.st AS HUGEINT) * tot.st AS DOUBLE) / tot.n)
+           / (gq.k - 1) AS msb,
+         (CAST(tot.sst AS DOUBLE) - (CAST(gq.gq_int AS DOUBLE) + gq.gq_fr))
+           / (tot.n - gq.k) AS msw,
+         (tot.n - CAST(gq.sum_n2 AS DOUBLE) / tot.n) / (gq.k - 1) AS k0
+  FROM tot, gq
+  WHERE gq.k > 1 AND tot.n > gq.k
+)
+SELECT n, k, round(k0, 6) AS k0, round(msb, 6) AS ms_between,
+       round(msw, 6) AS ms_within,
+       CASE WHEN msb + (k0 - 1) * msw > 0 THEN
+         round((msb - msw) / (msb + (k0 - 1) * msw), 6)
+       END AS icc1
+FROM ms
+""",
+)
+def q_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1), one-way random effects: how much
+    of event-value variance is BETWEEN users vs within them — the
+    repeatability / rater-agreement statistic (and the design-effect
+    input for clustered experiment power; SURVEY §2.3 statistical
+    extensions, reusing q_anova's MS machinery with users as the random
+    factor). Groups need ≥ 2 measurements; unequal group sizes use the
+    standard k₀ = (N − Σn²/N)/(k−1) correction. Between/within mean
+    squares assemble from exact integer cents moments (per-group squared
+    sums widen to 128-bit before ONE double division each — the same
+    quotient discipline as q_anova), and ICC = (MSB − MSW)/(MSB +
+    (k₀−1)·MSW) is one shared IEEE tree.
+
+    Scale: one user-keyed partial/final agg for group moments, one
+    global moment row — no sorts, no windows; user count only affects
+    the k-row group table (itself reduced to one row)."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("user_id").alias("g"), _cents(F.col("value")).alias("c"))
+    )
+    grp = (
+        s.groupBy("g")
+        .agg(F.count("*").alias("n_g"), F.sum("c").alias("s_g"))
+        .filter(F.col("n_g") >= 2)
+    )
+    kept = s.join(grp.select("g"), "g", "left_semi")
+
+    def hi(c):
+        return c.cast(_HI)
+
+    tot = kept.agg(
+        F.count("*").alias("n"),
+        hi(F.sum("c")).alias("st"),
+        hi(F.sum(hi(F.col("c")) * F.col("c"))).alias("sst"),
+    )
+    # quotient/remainder split (the q_anova discipline): exact integer parts
+    # + k sub-1 remainder doubles, so addition order cannot move the round
+    gq = grp.agg(
+        F.count("*").alias("k"),
+        hi(
+            F.sum(
+                F.expr("(cast(s_g as decimal(38,0)) * s_g) div n_g")
+            )
+        ).alias("gq_int"),
+        F.sum(
+            F.expr(
+                "cast((cast(s_g as decimal(38,0)) * s_g) % n_g as double)"
+            )
+            / F.col("n_g").cast("double")
+        ).alias("gq_fr"),
+        hi(F.sum(hi(F.col("n_g")) * F.col("n_g"))).alias("sum_n2"),
+    )
+    j = tot.crossJoin(F.broadcast(gq))
+    n, k = F.col("n"), F.col("k")
+    sum_gq = F.col("gq_int").cast("double") + F.col("gq_fr")
+    msb = (
+        sum_gq
+        - (F.col("st") * F.col("st")).cast("double") / n
+    ) / (k - 1)
+    msw = (F.col("sst").cast("double") - sum_gq) / (n - k)
+    k0 = (n - F.col("sum_n2").cast("double") / n) / (k - 1)
+    ms = j.filter((k > 1) & (n > k)).select(
+        "n", "k",
+        k0.alias("k0_"), msb.alias("msb_"), msw.alias("msw_"),
+    )
+    icc = (F.col("msb_") - F.col("msw_")) / (
+        F.col("msb_") + (F.col("k0_") - 1) * F.col("msw_")
+    )
+    return ms.select(
+        "n",
+        "k",
+        F.round(F.col("k0_"), 6).alias("k0"),
+        F.round(F.col("msb_"), 6).alias("ms_between"),
+        F.round(F.col("msw_"), 6).alias("ms_within"),
+        F.when(
+            F.col("msb_") + (F.col("k0_") - 1) * F.col("msw_") > 0,
+            F.round(icc, 6),
+        ).alias("icc1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_sprt",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH ordered AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         row_number() OVER (ORDER BY ts, event_id) AS t
+  FROM events
+), llr AS (
+  SELECT t,
+         CAST(sum(y) OVER (ORDER BY t) AS BIGINT) AS y_cum,
+         CAST(t AS BIGINT) AS n_seen
+  FROM ordered
+), scored AS (
+  SELECT t,
+         y_cum * ln(2.0) + (n_seen - y_cum) * ln(0.8 / 0.9) AS s
+  FROM llr
+), bounds AS (
+  SELECT ln(0.05 / 0.95) AS lo, ln(0.95 / 0.05) AS hi
+), crossings AS (
+  SELECT min(CASE WHEN s >= hi THEN t END) AS first_reject,
+         min(CASE WHEN s <= lo THEN t END) AS first_accept,
+         CAST(max(t) AS BIGINT) AS n
+  FROM scored, bounds
+)
+SELECT n, first_accept, first_reject,
+       CASE
+         WHEN first_accept IS NOT NULL
+              AND (first_reject IS NULL OR first_accept < first_reject)
+           THEN 'accept_h0'
+         WHEN first_reject IS NOT NULL
+              AND (first_accept IS NULL OR first_reject <= first_accept)
+           THEN 'reject_h0'
+         ELSE 'continue'
+       END AS decision
+FROM crossings
+""",
+)
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test: stream events in (ts,
+    event_id) order and test H₀: purchase rate = 0.10 against H₁: rate
+    = 0.20 with α = β = 0.05, stopping at the FIRST log-likelihood-ratio
+    boundary crossing — the always-valid sequential monitor that replaces
+    fixed-horizon q_ab_test peeking (SURVEY §2.3 statistical extensions).
+    The LLR after t events is y·ln(p₁/p₀) + (t−y)·ln((1−p₁)/(1−p₀)) with
+    y the cumulative purchase count — exact integers times two shared
+    libm constants, so every partial sum is the identical IEEE product
+    tree in both engines and the crossing indexes are engine-exact.
+
+    Scale: one global-order cumulative window (at 100 TB: range-partition
+    by time + per-partition offsets, the distributed-ranking pattern);
+    the crossing scan is a single min-aggregate over the same pass. The
+    sequential decision is also the natural streaming shape —
+    applyInPandasWithState carrying (t, y) per experiment key."""
+    ordered = table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("t"),
+    )
+    w = Window.orderBy("t")
+    llr = ordered.select(
+        "t",
+        F.sum("y").over(w).alias("y_cum"),
+        F.col("t").cast("long").alias("n_seen"),
+    )
+    a = math.log(2.0)
+    b = math.log(0.8 / 0.9)
+    lo = math.log(0.05 / 0.95)
+    hi_b = math.log(0.95 / 0.05)
+    scored = llr.select(
+        "t", (F.col("y_cum") * a + (F.col("n_seen") - F.col("y_cum")) * b).alias("s")
+    )
+    crossings = scored.agg(
+        F.min(F.when(F.col("s") >= hi_b, F.col("t"))).alias("first_reject"),
+        F.min(F.when(F.col("s") <= lo, F.col("t"))).alias("first_accept"),
+        F.max("t").cast("long").alias("n"),
+    )
+    fa, fr = F.col("first_accept"), F.col("first_reject")
+    return crossings.select(
+        "n",
+        "first_accept",
+        "first_reject",
+        F.when(fa.isNotNull() & (fr.isNull() | (fa < fr)), "accept_h0")
+        .when(fr.isNotNull() & (fa.isNull() | (fr <= fa)), "reject_h0")
+        .otherwise("continue")
+        .alias("decision"),
     )

@@ -1334,3 +1334,216 @@ def test_runs_test_oracle_matches_reference(series):
             assert z == pytest.approx((ref_r - ref_mu) / sd, abs=1e-4)
         else:
             assert z is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    days=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=4,
+        max_size=25,
+    )
+)
+def test_partial_correlation_oracle_matches_numpy(days):
+    rows = []
+    i = 0
+    for d, vals in enumerate(days):
+        for v in vals:
+            rows.append(
+                {
+                    "event_type": "click",
+                    "value": v,
+                    "event_id": i,
+                    "user_id": i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=d),
+                }
+            )
+            i += 1
+    frame = pd.DataFrame(rows)
+    out = _run_oracle("q_partial_correlation", frame)
+    x = np.array([sum(round(v * 100) for v in vals) for vals in days], dtype=float)
+    y = np.array([len(vals) for vals in days], dtype=float)
+    z = np.arange(len(days), dtype=float)
+    degenerate = x.std() == 0 or y.std() == 0 or z.std() == 0
+    if degenerate:
+        assert out == []
+        return
+    (n, rxy, rxz, ryz, pr), = out
+    assert n == len(days)
+    ref_xy = np.corrcoef(x, y)[0, 1]
+    ref_xz = np.corrcoef(x, z)[0, 1]
+    ref_yz = np.corrcoef(y, z)[0, 1]
+    assert rxy == pytest.approx(ref_xy, abs=1e-4)
+    assert rxz == pytest.approx(ref_xz, abs=1e-4)
+    assert ryz == pytest.approx(ref_yz, abs=1e-4)
+    den = (1 - ref_xz**2) * (1 - ref_yz**2)
+    if den > 1e-12:
+        ref_pr = (ref_xy - ref_xz * ref_yz) / math.sqrt(den)
+        assert pr == pytest.approx(ref_pr, abs=1e-3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    grid=st.lists(
+        st.lists(st.integers(min_value=1, max_value=60), min_size=5, max_size=5),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_cronbach_alpha_oracle_matches_reference(grid):
+    rows = [
+        {"event_type": t, "value": float(m), "event_id": u * 5 + j, "user_id": u}
+        for u, meas in enumerate(grid)
+        for j, (t, m) in enumerate(zip(TYPES, meas))
+    ]
+    frame = pd.DataFrame(rows)
+    (n_cases, k, sum_iv, total_var, alpha), = _run_oracle("q_cronbach_alpha", frame)
+    assert (n_cases, k) == (len(grid), 5)
+    cents = [[round(m * 100) for m in meas] for meas in grid]
+
+    def var(xs):
+        mu = sum(xs) / len(xs)
+        return sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+
+    items = [[row[j] for row in cents] for j in range(5)]
+    ref_iv = sum(var(it) for it in items)
+    totals = [sum(row) for row in cents]
+    ref_tv = var(totals)
+    assert sum_iv == pytest.approx(ref_iv, abs=1e-3)
+    assert total_var == pytest.approx(ref_tv, abs=1e-3)
+    if ref_tv > 0:
+        assert alpha == pytest.approx(5 / 4 * (1 - ref_iv / ref_tv), abs=1e-4)
+    else:
+        assert alpha is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),          # hour
+            st.integers(min_value=1, max_value=8).map(lambda b: b * 60.0),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_gk_gamma_oracle_matches_reference(obs):
+    rows = [
+        {
+            "event_type": "click",
+            "value": v,
+            "event_id": i,
+            "user_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+        }
+        for i, (h, v) in enumerate(obs)
+    ]
+    frame = pd.DataFrame(rows)
+    (conc, disc, gamma), = _run_oracle("q_gk_gamma", frame)
+
+    def vband(v):
+        return 0 if v < 50 else 1 if v < 150 else 2 if v < 300 else 3
+
+    def hband(h):
+        return 0 if h < 6 else 1 if h < 12 else 2 if h < 18 else 3
+
+    pts = [(vband(v), hband(h)) for h, v in obs]
+    ref_c = ref_d = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (v1, h1), (v2, h2) = pts[i], pts[j]
+            if (v1 - v2) * (h1 - h2) > 0:
+                ref_c += 1
+            elif (v1 - v2) * (h1 - h2) < 0 and v1 != v2 and h1 != h2:
+                ref_d += 1
+    assert (conc, disc) == (ref_c, ref_d)
+    if ref_c + ref_d:
+        assert gamma == pytest.approx((ref_c - ref_d) / (ref_c + ref_d), abs=1e-6)
+    else:
+        assert gamma is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_icc_oracle_matches_reference(groups):
+    rows = [
+        {"event_type": "click", "value": v, "event_id": u * 100 + j, "user_id": u}
+        for u, vs in enumerate(groups)
+        for j, v in enumerate(vs)
+    ]
+    frame = pd.DataFrame(rows)
+    out = _run_oracle("q_icc", frame)
+    kept = [[round(v * 100) for v in vs] for vs in groups if len(vs) >= 2]
+    k = len(kept)
+    n = sum(len(g) for g in kept)
+    if k < 2 or n <= k:
+        assert out == []
+        return
+    (n_o, k_o, k0, msb, msw, icc), = out
+    assert (n_o, k_o) == (n, k)
+    grand = sum(sum(g) for g in kept)
+    sum_gq = sum(sum(g) ** 2 / len(g) for g in kept)
+    sst = sum(c * c for g in kept for c in g)
+    ref_msb = (sum_gq - grand * grand / n) / (k - 1)
+    ref_msw = (sst - sum_gq) / (n - k)
+    ref_k0 = (n - sum(len(g) ** 2 for g in kept) / n) / (k - 1)
+    assert msb == pytest.approx(ref_msb, abs=1e-3)
+    assert msw == pytest.approx(ref_msw, abs=1e-3)
+    assert k0 == pytest.approx(ref_k0, abs=1e-4)
+    den = ref_msb + (ref_k0 - 1) * ref_msw
+    if den > 0:
+        assert icc == pytest.approx((ref_msb - ref_msw) / den, abs=1e-4)
+    else:
+        assert icc is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(ys=st.lists(st.booleans(), min_size=1, max_size=200))
+def test_sprt_oracle_matches_reference(ys):
+    rows = [
+        {
+            "event_type": "purchase" if y else "view",
+            "value": 10.0,
+            "event_id": i,
+            "user_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+        }
+        for i, y in enumerate(ys)
+    ]
+    frame = pd.DataFrame(rows)
+    (n, first_accept, first_reject, decision), = _run_oracle("q_sprt", frame)
+    assert n == len(ys)
+    a, b = math.log(2.0), math.log(0.8 / 0.9)
+    lo, hi = math.log(0.05 / 0.95), math.log(0.95 / 0.05)
+    s = 0.0
+    ref_acc = ref_rej = None
+    ycum = 0
+    for t, y in enumerate(ys, start=1):
+        ycum += int(y)
+        s = ycum * a + (t - ycum) * b
+        if ref_rej is None and s >= hi:
+            ref_rej = t
+        if ref_acc is None and s <= lo:
+            ref_acc = t
+    assert (first_accept, first_reject) == (ref_acc, ref_rej)
+    if ref_acc is not None and (ref_rej is None or ref_acc < ref_rej):
+        assert decision == "accept_h0"
+    elif ref_rej is not None and (ref_acc is None or ref_rej <= ref_acc):
+        assert decision == "reject_h0"
+    else:
+        assert decision == "continue"
