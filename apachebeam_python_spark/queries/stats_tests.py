@@ -3195,3 +3195,296 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mood's median test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_mood_median",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT c AS m FROM (
+    SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+    FROM s
+  ) WHERE rn = (n + 1) // 2
+), cls AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN c > m THEN 1 ELSE 0 END) AS BIGINT) AS above,
+         CAST(sum(CASE WHEN c < m THEN 1 ELSE 0 END) AS BIGINT) AS below
+  FROM s, med GROUP BY grp
+), tot AS (
+  SELECT CAST(sum(above) AS BIGINT) AS ta,
+         CAST(sum(below) AS BIGINT) AS tb,
+         CAST(sum(above + below) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cls
+)
+SELECT max(n) AS n, max(k) AS k, CAST(max(k) - 1 AS BIGINT) AS dof,
+       round(sum(
+         CASE WHEN ta > 0 THEN
+           (n * above - (above + below) * ta)
+             * CAST(n * above - (above + below) * ta AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (above + below) * ta) ELSE 0.0 END
+         + CASE WHEN tb > 0 THEN
+           (n * below - (above + below) * tb)
+             * CAST(n * below - (above + below) * tb AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (above + below) * tb) ELSE 0.0 END), 6)
+         AS chi2
+FROM cls, tot
+""",
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the k event types share a common median —
+    the coarsest, most outlier-proof k-sample location test (it reduces
+    each observation to above/below the GRAND median and runs the
+    χ² independence machinery; SURVEY §2.3 statistical extensions,
+    completing the location-test ladder under Kruskal-Wallis and ANOVA).
+    The grand lower median is picked by integer rank position (the
+    q_levene convention), exactly-median values are dropped (textbook),
+    and the χ² over the k×2 above/below table reuses q_chi_square's
+    exact-integer-numerator IEEE tree.
+
+    Scale: one global rank for the median (at 100 TB: a fixed-point
+    quantile sketch — the median itself is the only global object), one
+    event_type groupBy, then a k-row assembly."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    r = s.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("c").alias("m")
+    )
+    cls = (
+        s.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("m"), 1).otherwise(0)).alias("above"),
+            F.sum(F.when(F.col("c") < F.col("m"), 1).otherwise(0)).alias("below"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("above").alias("ta"),
+        F.sum("below").alias("tb"),
+        F.sum(F.col("above") + F.col("below")).alias("n"),
+        F.count("*").alias("k"),
+    )
+    cells = cls.crossJoin(F.broadcast(tot))
+    n, ta, tb = F.col("n"), F.col("ta"), F.col("tb")
+    ab = F.col("above") + F.col("below")
+
+    def term(obs, ct):
+        num = n * obs - ab * ct
+        return F.when(
+            ct > 0,
+            num * num.cast("double") / (n.cast("double") * ab * ct),
+        ).otherwise(F.lit(0.0))
+
+    return cells.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        (F.max("k") - 1).cast("long").alias("dof"),
+        F.round(
+            F.sum(term(F.col("above"), ta) + term(F.col("below"), tb)), 6
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_cochran_armitage",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH b AS (
+  SELECT CAST(CASE WHEN value < 50 THEN 0 WHEN value < 150 THEN 1
+              WHEN value < 300 THEN 2 ELSE 3 END AS BIGINT) AS dose,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT dose, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(y) AS BIGINT) AS r_i
+  FROM b GROUP BY dose
+), tot AS (
+  SELECT CAST(sum(n_i) AS HUGEINT) AS n, CAST(sum(r_i) AS HUGEINT) AS r,
+         CAST(sum(CAST(n_i AS HUGEINT) * dose) AS HUGEINT) AS snd,
+         CAST(sum(CAST(n_i AS HUGEINT) * dose * dose) AS HUGEINT) AS sndd,
+         CAST(sum(CAST(r_i AS HUGEINT) * dose) AS HUGEINT) AS srd
+  FROM g
+), v AS (
+  SELECT CAST(n AS BIGINT) AS n_obs,
+         CAST(n * srd - r * snd AS HUGEINT) AS tnum,
+         CAST(r AS HUGEINT) AS r, n, snd, sndd
+  FROM tot
+)
+SELECT n_obs, CAST(tnum AS BIGINT) AS t_num,
+       CASE WHEN r > 0 AND r < n AND n * sndd - snd * snd > 0 THEN
+         round(CAST(tnum AS DOUBLE)
+               / sqrt(CAST(r * (n - r) AS DOUBLE)
+                      * CAST(n * sndd - snd * snd AS DOUBLE) / n), 6)
+       END AS z_stat
+FROM v
+""",
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does purchase propensity rise
+    MONOTONICALLY across ordered value bands (dose levels 0..3) — the
+    ordered-alternative refinement of q_chi_square, the standard
+    dose-response / tiering analysis (SURVEY §2.3 statistical
+    extensions). With scores d_i, the statistic is T = Σr_i·d_i −
+    R·Σn_i·d_i/N, z = T/√(R(N−R)/N · (Σn_i·d_i² − (Σn_i·d_i)²/N) / N)
+    — every census (N, R, Σnd, Σnd², Σrd) is an exact 128-bit integer
+    from ONE groupBy, T's numerator is computed as the exact integer
+    N·Σrd − R·Σnd, and z is one shared IEEE tree. NULL when responses
+    are degenerate (all or none) or the score variance is 0.
+
+    Scale: one partial/final agg on the 4-row dose table; nothing else
+    touches data size."""
+    b = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("value") < 50, 0)
+            .when(F.col("value") < 150, 1)
+            .when(F.col("value") < 300, 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("dose"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    g = b.groupBy("dose").agg(
+        F.count("*").alias("n_i"), F.sum("y").alias("r_i")
+    )
+
+    def hi(c):
+        return c.cast(_HI)
+
+    tot = g.agg(
+        hi(F.sum("n_i")).alias("n"),
+        hi(F.sum("r_i")).alias("r"),
+        hi(F.sum(hi(F.col("n_i")) * F.col("dose"))).alias("snd"),
+        hi(F.sum(hi(F.col("n_i")) * F.col("dose") * F.col("dose"))).alias("sndd"),
+        hi(F.sum(hi(F.col("r_i")) * F.col("dose"))).alias("srd"),
+    )
+    n, r = F.col("n"), F.col("r")
+    tnum = n * F.col("srd") - r * F.col("snd")
+    scorevar = n * F.col("sndd") - F.col("snd") * F.col("snd")
+    z = tnum.cast("double") / F.sqrt(
+        (r * (n - r)).cast("double") * scorevar.cast("double") / n
+    )
+    return tot.select(
+        n.cast("long").alias("n_obs"),
+        tnum.cast("long").alias("t_num"),
+        F.when((r > 0) & (r < n) & (scorevar > 0), F.round(z, 6)).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_tukey_hsd",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH s AS (
+  SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g,
+         CAST(sum(c * c) AS BIGINT) AS ss_g
+  FROM s GROUP BY grp
+), msw AS (
+  -- pooled within-group variance via the quotient/remainder split
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         (CAST(sum(ss_g) AS DOUBLE)
+          - (CAST(sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS DOUBLE)
+             + sum(CAST((CAST(s_g AS HUGEINT) * s_g) % n_g AS DOUBLE)
+                   / CAST(n_g AS DOUBLE))))
+           / (sum(n_g) - count(*)) AS ms_within
+  FROM g
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       round((a.s_g / CAST(a.n_g AS DOUBLE)
+              - b.s_g / CAST(b.n_g AS DOUBLE)) / 100.0, 6) AS mean_diff,
+       CASE WHEN msw.ms_within > 0 THEN
+         round((a.s_g / CAST(a.n_g AS DOUBLE) - b.s_g / CAST(b.n_g AS DOUBLE))
+               / sqrt(msw.ms_within / 2.0
+                      * (1.0 / a.n_g + 1.0 / b.n_g)), 6)
+       END AS q_stat
+FROM g a JOIN g b ON a.grp < b.grp, msw
+""",
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc comparisons: after q_anova rejects equal means,
+    WHICH pairs of event types differ — the studentized-range q for every
+    unordered pair, with the Tukey-Kramer unequal-n correction
+    q = (m_a − m_b)/√(MSW/2·(1/n_a + 1/n_b)) (SURVEY §2.3 statistical
+    extensions; the pairwise readout every ANOVA report ends with).
+    Group moments are exact integer cents; the pooled MSW takes the
+    quotient/remainder split (the q_anova/q_icc discipline) so k group
+    remainders cannot move the 6-dp round; each pair's mean difference
+    and q assemble through one shared IEEE tree. Pairs are oriented
+    grp_a < grp_b so each comparison appears once.
+
+    Scale: one event_type groupBy; the pair join is k²/2 metadata rows
+    against a 1-row MSW — nothing else touches data size."""
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("grp"), _cents(F.col("value")).alias("c"))
+    )
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_g"),
+    )
+    msw = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        (
+            (
+                F.sum("ss_g").cast("double")
+                - (
+                    F.sum(
+                        F.expr("(cast(s_g as decimal(38,0)) * s_g) div n_g")
+                    ).cast("double")
+                    + F.sum(
+                        F.expr(
+                            "cast((cast(s_g as decimal(38,0)) * s_g) % n_g as double)"
+                        )
+                        / F.col("n_g").cast("double")
+                    )
+                )
+            )
+            / (F.sum("n_g") - F.count("*"))
+        ).alias("ms_within"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.grp") < F.col("b.grp")).crossJoin(F.broadcast(msw))
+    mean_a = F.col("a.s_g") / F.col("a.n_g").cast("double")
+    mean_b = F.col("b.s_g") / F.col("b.n_g").cast("double")
+    qs = (mean_a - mean_b) / F.sqrt(
+        F.col("ms_within") / 2.0 * (1.0 / F.col("a.n_g") + 1.0 / F.col("b.n_g"))
+    )
+    return pairs.select(
+        F.col("a.grp").alias("grp_a"),
+        F.col("b.grp").alias("grp_b"),
+        F.round((mean_a - mean_b) / 100.0, 6).alias("mean_diff"),
+        F.when(F.col("ms_within") > 0, F.round(qs, 6)).alias("q_stat"),
+    )

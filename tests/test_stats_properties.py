@@ -1547,3 +1547,118 @@ def test_sprt_oracle_matches_reference(ys):
         assert decision == "reject_h0"
     else:
         assert decision == "continue"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(TYPES),
+        st.lists(
+            st.integers(min_value=1, max_value=60).map(lambda c: c / 2.0),
+            min_size=2,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_mood_median_oracle_matches_reference(groups):
+    frame = _events_frame(groups)
+    (n, k, dof, chi2), = _run_oracle("q_mood_median", frame)
+    allc = sorted(round(v * 100) for vs in groups.values() for v in vs)
+    med = allc[(len(allc) + 1) // 2 - 1]
+    cls = {
+        t: (
+            sum(1 for v in vs if round(v * 100) > med),
+            sum(1 for v in vs if round(v * 100) < med),
+        )
+        for t, vs in groups.items()
+    }
+    ta = sum(a for a, _ in cls.values())
+    tb = sum(b for _, b in cls.values())
+    nn = ta + tb
+    assert (n, k, dof) == (nn, len(groups), len(groups) - 1)
+    ref = 0.0
+    for a, bl in cls.values():
+        ab = a + bl
+        if ta > 0:
+            ref += (nn * a - ab * ta) ** 2 / (nn * ab * ta) if ab else 0.0
+        if tb > 0:
+            ref += (nn * bl - ab * tb) ** 2 / (nn * ab * tb) if ab else 0.0
+    assert chi2 == pytest.approx(ref, abs=1e-4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # dose band index
+            st.booleans(),                           # purchase?
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_cochran_armitage_oracle_matches_reference(obs):
+    band_price = {0: 25.0, 1: 100.0, 2: 200.0, 3: 400.0}
+    rows = [
+        {
+            "event_type": "purchase" if y else "view",
+            "value": band_price[d],
+            "event_id": i,
+            "user_id": i,
+        }
+        for i, (d, y) in enumerate(obs)
+    ]
+    frame = pd.DataFrame(rows)
+    (n_obs, t_num, z), = _run_oracle("q_cochran_armitage", frame)
+    assert n_obs == len(obs)
+    n = len(obs)
+    r = sum(1 for _, y in obs if y)
+    snd = sum(d for d, _ in obs)
+    sndd = sum(d * d for d, _ in obs)
+    srd = sum(d for d, y in obs if y)
+    assert t_num == n * srd - r * snd
+    scorevar = n * sndd - snd * snd
+    if 0 < r < n and scorevar > 0:
+        ref = (n * srd - r * snd) / math.sqrt(r * (n - r) * scorevar / n)
+        assert z == pytest.approx(ref, abs=1e-4)
+    else:
+        assert z is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(TYPES),
+        st.lists(
+            st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+            min_size=2,
+            max_size=25,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_tukey_hsd_oracle_matches_reference(groups):
+    frame = _events_frame(groups)
+    out = {(a, b): (md, qs) for a, b, md, qs in _run_oracle("q_tukey_hsd", frame)}
+    cents = {t: [round(v * 100) for v in vs] for t, vs in groups.items()}
+    n = sum(len(v) for v in cents.values())
+    k = len(cents)
+    sum_gq = sum(sum(g) ** 2 / len(g) for g in cents.values())
+    sst = sum(c * c for g in cents.values() for c in g)
+    msw = (sst - sum_gq) / (n - k)
+    names = sorted(cents)
+    assert set(out) == {(a, b) for i, a in enumerate(names) for b in names[i + 1 :]}
+    for (a, b), (md, qs) in out.items():
+        ma = sum(cents[a]) / len(cents[a])
+        mb = sum(cents[b]) / len(cents[b])
+        assert md == pytest.approx((ma - mb) / 100.0, abs=1e-4)
+        if msw > 0:
+            ref_q = (ma - mb) / math.sqrt(
+                msw / 2.0 * (1.0 / len(cents[a]) + 1.0 / len(cents[b]))
+            )
+            assert qs == pytest.approx(ref_q, abs=1e-3)
+        else:
+            assert qs is None
