@@ -3965,3 +3965,94 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") < (1 << 60), F.col("d")).alias("dist_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 1-D DBSCAN via gaps-and-islands (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_dbscan_1d",
+    driver=False,  # §2.11 clustering family (round 5) — pytest oracle
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), weighted AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS w
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+), flagged AS (
+  SELECT c, CASE WHEN lag(c) OVER (ORDER BY c) IS NULL
+                   OR c - lag(c) OVER (ORDER BY c) > 500 THEN 1 ELSE 0 END AS brk
+  FROM pts
+), islands AS (
+  SELECT c, CAST(sum(brk) OVER (ORDER BY c) AS BIGINT) AS cid FROM flagged
+), clusters AS (
+  SELECT i.cid, min(i.c) AS lo_cents, max(i.c) AS hi_cents,
+         CAST(sum(w.w) AS BIGINT) AS n_points,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM islands i JOIN weighted w USING (c)
+  GROUP BY i.cid
+)
+SELECT CAST(row_number() OVER (ORDER BY lo_cents) AS BIGINT) AS cluster_id,
+       lo_cents, hi_cents, n_points, n_distinct,
+       n_points >= 5 AS is_core_cluster
+FROM clusters
+""",
+)
+def q_dbscan_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN in one dimension, exactly: on a line, density clusters with
+    eps-reachability are PRECISELY the gaps-and-islands partition (two
+    points connect iff their gap ≤ eps = $5.00), so the classic lag +
+    running-break-sum construction computes the true DBSCAN clustering
+    with no iteration and no approximation — clusters carry their value
+    range, weighted point count, and a min-points core flag (SURVEY
+    §2.11 clustering tier beside k-means/SemDeDup; 1-D DBSCAN is the
+    price-banding / sensor-mode-detection workhorse). Everything is
+    exact integer cents; the oracle replays the identical construction.
+
+    Scale: distinct cents collapse the stream to a domain-sized table
+    first (the q_cliffs_delta contraction), so the ordered window runs
+    over metadata; at a continuous domain, pre-bucket to eps/2 grid
+    cells and merge adjacent non-empty cells — the same islands shape,
+    provably equivalent for eps-reachability."""
+    pts_all = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    weighted = pts_all.groupBy("c").agg(F.count("*").alias("w"))
+    pts = weighted.select("c")
+    wl = Window.orderBy("c")
+    flagged = pts.select(
+        "c",
+        F.when(
+            F.lag("c").over(wl).isNull() | (F.col("c") - F.lag("c").over(wl) > 500),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "c",
+        F.sum("brk").over(wl.rowsBetween(Window.unboundedPreceding, 0)).alias("cid"),
+    )
+    clusters = (
+        islands.join(weighted, "c")
+        .groupBy("cid")
+        .agg(
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+            F.sum("w").alias("n_points"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    return clusters.select(
+        F.row_number().over(Window.orderBy("lo_cents")).cast("long").alias(
+            "cluster_id"
+        ),
+        "lo_cents",
+        "hi_cents",
+        "n_points",
+        "n_distinct",
+        (F.col("n_points") >= 5).alias("is_core_cluster"),
+    )

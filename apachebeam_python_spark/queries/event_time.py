@@ -924,3 +924,96 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("power"),
     ).orderBy("k")
+
+
+@register("q_hurst", driver=False)  # rows-only: R/S rescaling chains libm ops whose ulp drift a fixed round can't bound (SURVEY §7.4.4); numpy-replay-pinned in tests
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    revenue series: for window sizes w ∈ {8, 16, 32, 64}, split the
+    day-ranked series into ⌊n/w⌋ blocks, compute each block's rescaled
+    range R/S (range of the cumulative mean-centered sum over the block
+    sd), average per w, and fit log2(R/S) on log2(w) by exact-OLS slope
+    — H > 0.5 flags long-range dependence (trending), H < 0.5 mean
+    reversion; the memory diagnostic behind q_acf and q_ewma parameter
+    choices (SURVEY §2.11 time-series tier). Blocks assemble with ONE
+    ordered window (rank → block id), per-block moments are exact
+    integers, and the cumulative deviation uses the running-sum window
+    WITHIN each block — fully parallel over blocks.
+
+    Rows-only by nature: R/S chains sqrt, division and log2 per block
+    before averaging, so cross-engine ulp drift can accumulate past any
+    fixed rounding depth — the pin is an independent numpy replay of the
+    identical estimator.
+
+    Scale: the daily rollup is the data-sized step; block statistics
+    shuffle on (w, block) with map-side partials — millions of blocks
+    parallelize; the final fit sees 4 rows."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    t_idx = daily.select(
+        "cents", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    ws = spark.range(0, 4).select(
+        F.expr("cast(shiftleft(8L, cast(id as int)) as long)").alias("w")
+    )
+    blocks = (
+        t_idx.crossJoin(F.broadcast(ws))
+        .select("w", (F.col("t") / F.col("w")).cast("long").alias("blk"), "t", "cents")
+    )
+    # keep only complete blocks: block size == w
+    sized = blocks.withColumn(
+        "blk_n", F.count("*").over(Window.partitionBy("w", "blk"))
+    ).filter(F.col("blk_n") == F.col("w"))
+    stats = sized.groupBy("w", "blk").agg(
+        F.sum("cents").alias("s"),
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("ss"),
+    )
+    dev = (
+        sized.join(stats, ["w", "blk"])
+        .withColumn(
+            "cum_dev",
+            F.sum(
+                F.col("cents") - F.col("s").cast("double") / F.col("n")
+            ).over(
+                Window.partitionBy("w", "blk").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("w", "blk", "s", "n", "ss")
+        .agg((F.max("cum_dev") - F.min("cum_dev")).alias("rng"))
+    )
+    n, s = F.col("n"), F.col("s")
+    sd = F.sqrt(
+        (n * F.col("ss") - s.cast("decimal(38,0)") * s).cast("double")
+        / (n.cast("double") * n)
+    )
+    rs = dev.filter(sd > 0).select(
+        "w", (F.col("rng") / sd).alias("rs")
+    )
+    per_w = (
+        rs.groupBy("w")
+        .agg(F.avg("rs").alias("avg_rs"))
+        .select(
+            "w",
+            F.log2(F.col("w").cast("double")).alias("x"),
+            F.log2(F.col("avg_rs")).alias("y"),
+        )
+    )
+    fit = per_w.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        k.cast("long").alias("n_window_sizes"),
+        F.round(slope, 6).alias("hurst_h"),
+    )

@@ -1770,3 +1770,82 @@ def test_sssp_matches_python_dijkstra(spark, sf_dir):
                 heapq.heappush(heap, (nd, v))
     expected = {v: dist.get(v) for v in nodes}
     assert got == expected
+
+
+def test_dbscan_1d_invariants(spark, sf_dir):
+    """Cluster ranges are disjoint, separated by > eps, and internally
+    eps-chained — the defining DBSCAN properties on a line."""
+    import duckdb
+
+    from apachebeam_python_spark import queries as q
+
+    rows = sorted(
+        (r.lo_cents, r.hi_cents, r.n_points, r.n_distinct)
+        for r in q.QUERIES["q_dbscan_1d"](spark, sf_dir).collect()
+    )
+    assert rows
+    con = duckdb.connect()
+    pts = sorted(
+        c
+        for (c,) in con.execute(
+            f"""
+            SELECT DISTINCT CAST(round(value * 100) AS BIGINT)
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            """
+        ).fetchall()
+    )
+    # independent islands replay
+    expected = []
+    start = prev = pts[0]
+    cnt = 1
+    for c in pts[1:]:
+        if c - prev > 500:
+            expected.append((start, prev, cnt))
+            start, cnt = c, 0
+        prev = c
+        cnt += 1
+    expected.append((start, prev, cnt))
+    assert [(lo, hi, nd) for lo, hi, _, nd in rows] == expected
+    for (_, hi_a, _, _), (lo_b, _, _, _) in zip(rows, rows[1:]):
+        assert lo_b - hi_a > 500
+
+
+def test_hurst_matches_numpy_replay(spark, sf_dir):
+    """q_hurst is rows-only (chained libm); replay the identical R/S
+    estimator in numpy over the same daily series."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from apachebeam_python_spark import queries as q
+
+    (row,) = q.QUERIES["q_hurst"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    y = (
+        con.execute(
+            f"""
+            SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE value IS NOT NULL
+            GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)
+            """
+        )
+        .df()["c"]
+        .to_numpy(dtype=float)
+    )
+    xs, ys = [], []
+    for w in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(y) // w):
+            blk = y[b * w : (b + 1) * w]
+            dev = np.cumsum(blk - blk.mean())
+            sd = blk.std()  # population sd, matching n*ss - s^2 over n^2
+            if sd > 0:
+                rss.append((dev.max() - dev.min()) / sd)
+        if rss:
+            xs.append(np.log2(w))
+            ys.append(np.log2(np.mean(rss)))
+    assert row.n_window_sizes == len(xs)
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert row.hurst_h == pytest.approx(slope, abs=1e-4)
