@@ -32,6 +32,8 @@ the signal that k is too small).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -269,3 +271,70 @@ def kcenter_select(
         selected.append((int(far[id_col]), float(far["d"])))
         cents.append([float(x) for x in far[vec_col]])
     return selected
+
+
+def gmm_em_1d(
+    values, n_iter: int = 10
+) -> list[tuple[int, float, float, float]]:
+    """Two-component 1-D Gaussian mixture by EM over a DataFrame of exact
+    integer cents (column ``c``) — the probabilistic sibling of k-means
+    (SURVEY §2.11 clustering tier): soft responsibilities instead of hard
+    assignment, giving overlap-aware price/latency band models.
+
+    Determinism without RNG: initial means are the rank-picked 25th/75th
+    percentile values (integer rank positions, the q_levene convention),
+    weights start 0.5/0.5, and both variances start at the population
+    variance; EM then runs a FIXED n_iter iterations. Each iteration is
+    ONE aggregation: per-row responsibilities are codegen arithmetic
+    against 5 broadcast scalars, and the new (weight, mean, variance)
+    triples come from responsibility-weighted moment sums — the driver
+    collects exactly one 1-row parameter frame per iteration (sanctioned:
+    parameters are k·3 scalars, never data).
+
+    At 100 TB each iteration is a full scan + one partial/final agg —
+    identical shape to k-means; cache the cents column once upstream.
+    Returns [(comp, weight, mean_cents, var_cents)] after n_iter rounds."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    r = values.select(
+        "c",
+        F.row_number().over(W.orderBy("c")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    q1 = r.filter(F.col("rn") == F.expr("(n + 3) div 4")).select("c")
+    q3 = r.filter(F.col("rn") == F.expr("(3 * n + 3) div 4")).select("c")
+    tot = values.agg(
+        F.count("*").alias("n"),
+        F.avg("c").alias("mu"),
+        F.var_pop("c").alias("var"),
+    )
+    mu1 = float(q1.first()[0])
+    mu2 = float(q3.first()[0])
+    trow = tot.first()
+    n_rows, var0 = int(trow["n"]), max(float(trow["var"]), 1.0)
+    w1 = w2 = 0.5
+    v1 = v2 = var0
+    for _ in range(n_iter):
+        c = F.col("c").cast("double")
+        # responsibilities via the log-space-stable ratio of two pdfs
+        d1 = (c - mu1) * (c - mu1) / (2.0 * v1)
+        d2 = (c - mu2) * (c - mu2) / (2.0 * v2)
+        # r1 = w1·pdf1 / (w1·pdf1 + w2·pdf2), pdfs share the 1/sqrt(2π) factor
+        num1 = w1 / math.sqrt(v1) * F.exp(-d1)
+        num2 = w2 / math.sqrt(v2) * F.exp(-d2)
+        r1 = num1 / (num1 + num2)
+        m = values.agg(
+            F.sum(r1).alias("s1"),
+            F.sum(r1 * c).alias("sx1"),
+            F.sum(r1 * c * c).alias("sxx1"),
+            F.sum(1.0 - r1).alias("s2"),
+            F.sum((1.0 - r1) * c).alias("sx2"),
+            F.sum((1.0 - r1) * c * c).alias("sxx2"),
+        ).first()
+        s1, s2 = max(m["s1"], 1e-9), max(m["s2"], 1e-9)
+        mu1, mu2 = m["sx1"] / s1, m["sx2"] / s2
+        v1 = max(m["sxx1"] / s1 - mu1 * mu1, 1.0)
+        v2 = max(m["sxx2"] / s2 - mu2 * mu2, 1.0)
+        w1, w2 = s1 / n_rows, s2 / n_rows
+    return [(1, w1, mu1, v1), (2, w2, mu2, v2)]

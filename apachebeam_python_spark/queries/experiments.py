@@ -3161,3 +3161,119 @@ def q_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d2").cast("double") / dd, 6).alias("beta2"),
         F.round(1.0 - sse / sst, 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch guard (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_srm_check",
+    driver=False,  # §2.11 experimentation family (round 5) — pytest oracle
+    oracle="""
+WITH assign AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+), counts AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY arm
+), w AS (
+  SELECT max(CASE WHEN arm = 'control' THEN n END)   AS n_c,
+         max(CASE WHEN arm = 'treatment' THEN n END) AS n_t
+  FROM counts
+)
+SELECT n_c, n_t,
+       round((n_c - (n_c + n_t) * 0.5)
+             * CAST(n_c - (n_c + n_t) * 0.5 AS DOUBLE)
+             / ((n_c + n_t) * 0.5)
+             + (n_t - (n_c + n_t) * 0.5)
+               * CAST(n_t - (n_c + n_t) * 0.5 AS DOUBLE)
+               / ((n_c + n_t) * 0.5), 6) AS chi2,
+       (n_c - (n_c + n_t) * 0.5) * (n_c - (n_c + n_t) * 0.5)
+         / ((n_c + n_t) * 0.5)
+       + (n_t - (n_c + n_t) * 0.5) * (n_t - (n_c + n_t) * 0.5)
+         / ((n_c + n_t) * 0.5) > 3.841459 AS srm_flag
+FROM w
+""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard: the FIRST check any A/B readout must
+    pass — do the md5-hash-assigned arms actually land 50/50, by a
+    goodness-of-fit χ² against the design ratio (flag at the 3.84
+    α=0.05 critical value)? SRM is the canonical symptom of broken
+    randomization / selective logging, and a readout on an SRM'd
+    experiment is invalid no matter the lift (SURVEY §2.11
+    experimentation tier, the integrity gate in front of q_ab_test /
+    q_cuped / q_two_proportion). Assignment replays q_split_assign's
+    md5-band determinism (zero RNG); counts are exact; the χ² and the
+    flag evaluate one shared IEEE tree — the flag compares the
+    UN-rounded statistic so the boolean is engine-identical.
+
+    Scale: one distinct-user contraction + a 2-row census; the arm
+    assignment fuses into the scan."""
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    counts = users.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count("*").alias("n")
+    )
+    w = counts.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+    )
+    n_c, n_t = F.col("n_c"), F.col("n_t")
+    exp = (n_c + n_t) * 0.5
+    chi2 = (n_c - exp) * (n_c - exp).cast("double") / exp + (n_t - exp) * (
+        n_t - exp
+    ).cast("double") / exp
+    return w.select(
+        "n_c",
+        "n_t",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+@register("q_gmm_em", driver=False)  # rows-only: EM responsibilities chain exp/sqrt libm per row across 10 iterations (SURVEY §7.4.4); numpy-replay-pinned in tests
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by EM over purchase values
+    (operators/clustering.gmm_em_1d): soft price-band modeling where
+    k-means' hard assignment misleads — overlapping components get
+    responsibility-weighted parameters instead of a boundary cut (SURVEY
+    §2.11 clustering tier beside q_kmeans/q_semdedup). Initialization is
+    RNG-free (rank-picked quartile means, population variance) and EM
+    runs a fixed 10 iterations, so the fit is a deterministic function
+    of the data; each iteration is ONE scan + ONE moment aggregation
+    with 5 broadcast scalars — the k-means iteration shape exactly.
+
+    Rows-only by nature: per-row exp()/sqrt() responsibilities summed
+    across engines cannot hold a fixed rounding depth over 10 chained
+    iterations — the pin is an independent numpy EM replay (identical
+    inits, iteration count, and update equations).
+
+    Scale: 10 × (scan + partial/final agg); cache the cents projection
+    once; parameters are 6 scalars per round (never data on the
+    driver)."""
+    from ..operators.clustering import gmm_em_1d
+
+    vals = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    vals = vals.cache()
+    try:
+        params = gmm_em_1d(vals, n_iter=10)
+    finally:
+        vals.unpersist()
+    return spark.createDataFrame(
+        [
+            (comp, round(w, 6), round(mu / 100.0, 4), round(math.sqrt(v) / 100.0, 4))
+            for comp, w, mu, v in params
+        ],
+        "component int, weight double, mean_dollars double, sd_dollars double",
+    )

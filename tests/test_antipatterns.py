@@ -95,8 +95,9 @@ ALLOWED_BROADCASTS = {
     # Kruskal-Wallis tie census, the Jarque-Bera integer pivot, and the
     # mutual-information marginal/entropy tables — all 1-row or k-row)
     # + the r5 wave: Friedman k/tie/rank-sum tables, Cochran type list,
-    #   Grubbs/Mann-Kendall/runs-test 1-row moment+median pivots
-    "queries/stats_tests.py": 28,
+    #   Grubbs/Mann-Kendall/runs-test/ICC/Cronbach/Mood/Tukey 1-row
+    #   moment+median+MSW pivots (all 1-row or k-row)
+    "queries/stats_tests.py": 35,
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size
@@ -107,7 +108,8 @@ ALLOWED_BROADCASTS = {
     # calendar spine (days) + 1-row bounds + DTW's k-row series table
     # (docstring documents the PAA/SAX prefilter swap for large key spaces)
     # + periodogram's 1-row moments and 20-row frequency list
-    "queries/event_time.py": 5,
+    # + hurst's 4-row window-size list
+    "queries/event_time.py": 6,
     # idf table capped by vocab prune + 1-row corpus stats
     "operators/retrieval.py": 2,
     # O(files) manifest metadata join

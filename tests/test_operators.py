@@ -1849,3 +1849,56 @@ def test_hurst_matches_numpy_replay(spark, sf_dir):
     assert row.n_window_sizes == len(xs)
     slope = np.polyfit(xs, ys, 1)[0]
     assert row.hurst_h == pytest.approx(slope, abs=1e-4)
+
+
+def test_gmm_em_matches_numpy_replay(spark, sf_dir):
+    """q_gmm_em is rows-only (per-row exp/sqrt across 10 iterations); replay
+    the identical EM (inits, updates, iteration count) in numpy."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from apachebeam_python_spark import queries as q
+
+    got = {
+        r.component: (r.weight, r.mean_dollars, r.sd_dollars)
+        for r in q.QUERIES["q_gmm_em"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    c = (
+        con.execute(
+            f"""
+            SELECT CAST(round(value * 100) AS BIGINT) AS c
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            """
+        )
+        .df()["c"]
+        .to_numpy(dtype=np.float64)
+    )
+    n = len(c)
+    srt = np.sort(c)
+    mu1 = float(srt[(n + 3) // 4 - 1])   # (n+3) div 4, 1-based rank
+    mu2 = float(srt[(3 * n + 3) // 4 - 1])
+    v1 = v2 = max(float(c.var()), 1.0)
+    w1 = w2 = 0.5
+    for _ in range(10):
+        num1 = w1 / np.sqrt(v1) * np.exp(-((c - mu1) ** 2) / (2 * v1))
+        num2 = w2 / np.sqrt(v2) * np.exp(-((c - mu2) ** 2) / (2 * v2))
+        r1 = num1 / (num1 + num2)
+        s1, s2 = max(r1.sum(), 1e-9), max((1 - r1).sum(), 1e-9)
+        mu1, mu2 = float((r1 * c).sum() / s1), float(((1 - r1) * c).sum() / s2)
+        v1 = max(float((r1 * c * c).sum() / s1) - mu1 * mu1, 1.0)
+        v2 = max(float(((1 - r1) * c * c).sum() / s2) - mu2 * mu2, 1.0)
+        w1, w2 = s1 / n, s2 / n
+    ref = {
+        1: (w1, mu1 / 100.0, np.sqrt(v1) / 100.0),
+        2: (w2, mu2 / 100.0, np.sqrt(v2) / 100.0),
+    }
+    for comp in (1, 2):
+        gw, gm, gs = got[comp]
+        rw, rm, rs_ = ref[comp]
+        assert gw == pytest.approx(rw, abs=1e-3)
+        assert gm == pytest.approx(rm, rel=1e-3, abs=1e-2)
+        assert gs == pytest.approx(rs_, rel=1e-3, abs=1e-2)
+    assert got[1][0] + got[2][0] == pytest.approx(1.0, abs=1e-6)
