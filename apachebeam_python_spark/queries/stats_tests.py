@@ -3488,3 +3488,217 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_a - mean_b) / 100.0, 6).alias("mean_diff"),
         F.when(F.col("ms_within") > 0, F.round(qs, 6)).alias("q_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau autocorrelation test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_ljung_box",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), idx AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(y) OVER () AS BIGINT) AS s,
+         CAST(sum(CAST(y AS HUGEINT) * y) OVER () AS HUGEINT) AS ss
+  FROM daily
+), lags AS (SELECT unnest(range(1, 9)) AS k),
+pairs AS (
+  SELECT l.k, a.n, a.s, a.ss,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS sxy,
+         CAST(sum(a.y) AS BIGINT) AS sh,
+         CAST(sum(b.y) AS BIGINT) AS st
+  FROM idx a JOIN lags l ON a.t > l.k
+  JOIN idx b ON b.t = a.t - l.k
+  GROUP BY l.k, a.n, a.s, a.ss
+), rk AS (
+  SELECT k, n,
+         (CAST(sxy AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * (sh + st)
+          + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS r
+  FROM pairs
+  WHERE CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
+)
+SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_lags,
+       round(max(n) * (max(n) + 2.0) * sum(r * r / (n - k)), 6) AS lb_q
+FROM rk
+""",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test: is the daily revenue series white
+    noise, jointly across lags 1..8 — Q = n(n+2)·Σ r_k²/(n−k), the
+    standard residual-diagnostics statistic after any forecast fit
+    (SURVEY §2.3 statistical extensions; the JOINT version of q_acf's
+    per-lag readouts). Each autocorrelation uses the time-series
+    definition (fixed global mean, total-variance denominator — not
+    pairwise Pearson): its numerator expands to
+    Σy_t·y_{t−k} − ȳ(S_head+S_tail) + m·ȳ² with every sum an exact
+    64/128-bit integer, so r_k is one shared IEEE tree and Q sums 8
+    such terms before the 6-dp round.
+
+    Scale: one data-sized daily rollup; the lag joins run on the
+    metadata-sized day series × 8 lags (the q_acf adjudication)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("y"))
+
+    def hi(c):
+        return c.cast(_HI)
+
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("y").over(wall).alias("s"),
+        F.sum(hi(F.col("y")) * F.col("y")).over(wall).alias("ss"),
+    )
+    lags = spark.range(1, 9).select(F.col("id").alias("k"))
+    a = idx.alias("a")
+    b = idx.select(F.col("t").alias("bt"), F.col("y").alias("by")).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .filter(F.col("a.t") > F.col("k"))
+        .join(b, F.col("bt") == F.col("a.t") - F.col("k"))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(hi(F.col("a.y")) * F.col("by")).alias("sxy"),
+            F.sum(F.col("a.y")).alias("sh"),
+            F.sum(F.col("by")).alias("st"),
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    ybar = s.cast("double") / n
+    denom = F.col("ss").cast("double") - s.cast("double") * s / n
+    r = (
+        F.col("sxy").cast("double")
+        - ybar * (F.col("sh") + F.col("st"))
+        + F.col("m") * ybar * ybar
+    ) / denom
+    rk = pairs.filter(denom > 0).select("k", "n", r.alias("r"))
+    return rk.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_lags"),
+        F.round(
+            F.max("n") * (F.max("n") + 2.0)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("lb_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dickey-Fuller unit-root test (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_dickey_fuller",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+         lag(y) OVER (ORDER BY d) AS x
+  FROM daily
+), kept AS (SELECT dy, x FROM pairs WHERE x IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(dy) AS HUGEINT) AS sd,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * dy) AS HUGEINT) AS sxd,
+         CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS sdd
+  FROM kept
+), v AS (
+  SELECT CAST(n AS BIGINT) AS n_obs,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS sxx_c,
+         CAST(n * sxd - sx * sd AS DOUBLE) AS sxd_c,
+         CAST(n * sdd - sd * sd AS DOUBLE) AS sdd_c,
+         CAST(n AS DOUBLE) AS nd
+  FROM m
+)
+SELECT n_obs,
+       round(sxd_c / sxx_c, 6) AS beta,
+       CASE WHEN n_obs > 2 AND sxx_c > 0
+                 AND sdd_c - sxd_c * sxd_c / sxx_c > 0 THEN
+         round((sxd_c / sxx_c)
+               / sqrt((sdd_c - sxd_c * sxd_c / sxx_c) / nd
+                      / (nd - 2) * nd / sxx_c), 6)
+       END AS df_t
+FROM v WHERE sxx_c > 0
+""",
+)
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (with drift): regress the daily
+    revenue DIFFERENCE on the lagged level, Δy_t = α + β·y_{t−1} + ε,
+    and report β's t-ratio — β near 0 means a random walk
+    (non-stationary), significantly negative means mean reversion; the
+    stationarity check run before q_acf/q_ols_trend model choices
+    (SURVEY §2.3 statistical extensions). All six regression moments
+    are exact 64/128-bit integers; the centered sums Sxx, Sxd, Sdd take
+    ONE double conversion each, and β, SSE = (Sdd − Sxd²/Sxx)/n and the
+    t-ratio assemble through a shared IEEE tree. (The critical values
+    are the Dickey-Fuller table's, not Student-t — reporting the
+    statistic is the engine's job; the lookup is the analyst's.)
+
+    Scale: one daily rollup, one lag window over the metadata-sized day
+    series, one moment row."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("y"))
+    wl = Window.orderBy("d")
+    pairs = daily.select(
+        (F.col("y") - F.lag("y").over(wl)).alias("dy"),
+        F.lag("y").over(wl).alias("x"),
+    ).filter(F.col("x").isNotNull())
+
+    def hi(c):
+        return c.cast(_HI)
+
+    m = pairs.agg(
+        hi(F.count("*")).alias("n"),
+        hi(F.sum("x")).alias("sx"),
+        hi(F.sum("dy")).alias("sd"),
+        hi(F.sum(hi(F.col("x")) * F.col("x"))).alias("sxx"),
+        hi(F.sum(hi(F.col("x")) * F.col("dy"))).alias("sxd"),
+        hi(F.sum(hi(F.col("dy")) * F.col("dy"))).alias("sdd"),
+    )
+    n = F.col("n")
+    v = m.select(
+        n.cast("long").alias("n_obs"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("sxx_c"),
+        (n * F.col("sxd") - F.col("sx") * F.col("sd")).cast("double").alias("sxd_c"),
+        (n * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double").alias("sdd_c"),
+        n.cast("double").alias("nd"),
+    )
+    beta = F.col("sxd_c") / F.col("sxx_c")
+    sse_n = F.col("sdd_c") - F.col("sxd_c") * F.col("sxd_c") / F.col("sxx_c")
+    t = beta / F.sqrt(
+        sse_n / F.col("nd") / (F.col("nd") - 2) * F.col("nd") / F.col("sxx_c")
+    )
+    return v.filter(F.col("sxx_c") > 0).select(
+        "n_obs",
+        F.round(beta, 6).alias("beta"),
+        F.when(
+            (F.col("n_obs") > 2) & (F.col("sxx_c") > 0) & (sse_n > 0),
+            F.round(t, 6),
+        ).alias("df_t"),
+    )

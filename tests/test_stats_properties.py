@@ -1662,3 +1662,80 @@ def test_tukey_hsd_oracle_matches_reference(groups):
             assert qs == pytest.approx(ref_q, abs=1e-3)
         else:
             assert qs is None
+
+
+def _daily_frame(series):
+    return pd.DataFrame(
+        [
+            {
+                "event_type": "click",
+                "value": v,
+                "event_id": i,
+                "user_id": i,
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+            }
+            for i, v in enumerate(series)
+        ]
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+        min_size=10,
+        max_size=50,
+    )
+)
+def test_ljung_box_oracle_matches_reference(series):
+    (n, n_lags, lb_q), = _run_oracle("q_ljung_box", _daily_frame(series))
+    y = np.array([round(v * 100) for v in series], dtype=float)
+    nn = len(y)
+    ybar = y.mean()
+    denom = ((y - ybar) ** 2).sum()
+    if denom == 0:
+        assert lb_q is None or n_lags == 0
+        return
+    assert n == nn
+    q_ref = 0.0
+    k_count = 0
+    for k in range(1, 9):
+        if nn <= k:
+            continue
+        r = ((y[k:] - ybar) * (y[:-k] - ybar)).sum() / denom
+        q_ref += r * r / (nn - k)
+        k_count += 1
+    assert n_lags == k_count
+    assert lb_q == pytest.approx(nn * (nn + 2.0) * q_ref, abs=1e-4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+        min_size=5,
+        max_size=50,
+    )
+)
+def test_dickey_fuller_oracle_matches_reference(series):
+    out = _run_oracle("q_dickey_fuller", _daily_frame(series))
+    y = np.array([round(v * 100) for v in series], dtype=float)
+    x = y[:-1]
+    dy = np.diff(y)
+    nn = len(x)
+    sxx = nn * (x * x).sum() - x.sum() ** 2
+    if sxx == 0:
+        assert out == []
+        return
+    (n_obs, beta, df_t), = out
+    assert n_obs == nn
+    sxd = nn * (x * dy).sum() - x.sum() * dy.sum()
+    sdd = nn * (dy * dy).sum() - dy.sum() ** 2
+    ref_beta = sxd / sxx
+    assert beta == pytest.approx(ref_beta, abs=1e-4)
+    sse_n = sdd - sxd * sxd / sxx
+    if nn > 2 and sse_n > 0:
+        ref_t = ref_beta / math.sqrt(sse_n / nn / (nn - 2) * nn / sxx)
+        assert df_t == pytest.approx(ref_t, abs=1e-3)
+    else:
+        assert df_t is None
