@@ -3277,3 +3277,279 @@ def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component int, weight double, mean_dollars double, sd_dollars double",
     )
+
+
+# --------------------------------------------------------------------------
+# Granger causality (lag-1, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_granger",
+    driver=False,  # §2.11 experimentation/time-series family (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), rows_ AS (
+  SELECT y,
+         lag(y) OVER (ORDER BY d) AS yl,
+         lag(x) OVER (ORDER BY d) AS xl
+  FROM daily
+), kept AS (SELECT y, yl, xl FROM rows_ WHERE yl IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(yl) AS HUGEINT) AS s1, CAST(sum(xl) AS HUGEINT) AS s2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS s11,
+         CAST(sum(CAST(yl AS HUGEINT) * xl) AS HUGEINT) AS s12,
+         CAST(sum(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS s22,
+         CAST(sum(CAST(yl AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         CAST(sum(CAST(xl AS HUGEINT) * y) AS HUGEINT) AS s2y,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM kept
+), unres AS (
+  -- 3x3 normal equations [1, yl, xl] via Cramer (fixed cofactor order)
+  SELECT *,
+         n   * (s11 * s22 - s12 * s12)
+       - s1  * (s1  * s22 - s12 * s2)
+       + s2  * (s1  * s12 - s11 * s2) AS du,
+         sy  * (s11 * s22 - s12 * s12)
+       - s1  * (s1y * s22 - s12 * s2y)
+       + s2  * (s1y * s12 - s11 * s2y) AS du0,
+         n   * (s1y * s22 - s12 * s2y)
+       - sy  * (s1  * s22 - s12 * s2)
+       + s2  * (s1  * s2y - s1y * s2) AS du1,
+         n   * (s11 * s2y - s1y * s12)
+       - s1  * (s1  * s2y - s1y * s2)
+       + sy  * (s1  * s12 - s11 * s2) AS du2
+  FROM m
+), sses AS (
+  SELECT CAST(n AS BIGINT) AS n_obs,
+         -- unrestricted SSE = y'y − β'X'y
+         CAST(syy AS DOUBLE)
+           - (CAST(du0 AS DOUBLE) * CAST(sy AS DOUBLE)
+              + CAST(du1 AS DOUBLE) * CAST(s1y AS DOUBLE)
+              + CAST(du2 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             / CAST(du AS DOUBLE) AS sse_u,
+         -- restricted (drop xl): simple OLS on yl
+         (CAST(n * syy - sy * sy AS DOUBLE)
+          - CAST(n * s1y - s1 * sy AS DOUBLE)
+            * CAST(n * s1y - s1 * sy AS DOUBLE)
+            / CAST(n * s11 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE) AS sse_r,
+         CAST(n AS DOUBLE) AS nd
+  FROM unres
+  WHERE du <> 0 AND n * s11 - s1 * s1 > 0
+)
+SELECT n_obs, round(sse_r, 6) AS sse_restricted, round(sse_u, 6) AS sse_unrestricted,
+       CASE WHEN sse_u > 0 AND n_obs > 3 THEN
+         round((sse_r - sse_u) / (sse_u / (nd - 3.0)), 6)
+       END AS f_stat
+FROM sses
+""",
+)
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1: does yesterday's event COUNT improve
+    today's revenue forecast beyond yesterday's revenue alone —
+    F = (SSE_restricted − SSE_unrestricted)/(SSE_u/(n−3)) comparing the
+    AR(1) against the bivariate lag regression (SURVEY §2.11
+    experimentation/time-series tier; the lead-indicator screen before
+    any metric is promoted to a leading KPI). Both regressions solve in
+    closed form from ONE exact 128-bit moment census — the unrestricted
+    via the q_multiple_regression Cramer machinery (fixed cofactor
+    order, bit-identical determinants), the restricted via centered
+    simple-OLS sums — so each SSE is one shared IEEE tree and the F
+    assembly is engine-exact.
+
+    Scale: one daily rollup, one lag window over the metadata-sized day
+    series, one moment row — closed-form like its siblings."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+        F.count("*").alias("x"),
+    )
+    wl = Window.orderBy("d")
+    kept = daily.select(
+        "y",
+        F.lag("y").over(wl).alias("yl"),
+        F.lag("x").over(wl).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    hi = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = kept.agg(
+        hi(F.count("*")).alias("n"),
+        hi(F.sum("yl")).alias("s1"),
+        hi(F.sum("xl")).alias("s2"),
+        hi(F.sum("y")).alias("sy"),
+        hi(F.sum(hi(F.col("yl")) * F.col("yl"))).alias("s11"),
+        hi(F.sum(hi(F.col("yl")) * F.col("xl"))).alias("s12"),
+        hi(F.sum(hi(F.col("xl")) * F.col("xl"))).alias("s22"),
+        hi(F.sum(hi(F.col("yl")) * F.col("y"))).alias("s1y"),
+        hi(F.sum(hi(F.col("xl")) * F.col("y"))).alias("s2y"),
+        hi(F.sum(hi(F.col("y")) * F.col("y"))).alias("syy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y, syy = F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    unres = m.select(
+        "*",
+        (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        ).alias("du"),
+        (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        ).alias("du0"),
+        (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        ).alias("du1"),
+        (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        ).alias("du2"),
+    )
+    du = F.col("du").cast("double")
+    sse_u = syy.cast("double") - (
+        F.col("du0").cast("double") * sy.cast("double")
+        + F.col("du1").cast("double") * s1y.cast("double")
+        + F.col("du2").cast("double") * s2y.cast("double")
+    ) / du
+    s1c = (n * s11 - s1 * s1).cast("double")
+    sse_r = (
+        (n * syy - sy * sy).cast("double")
+        - (n * s1y - s1 * sy).cast("double")
+        * (n * s1y - s1 * sy).cast("double")
+        / s1c
+    ) / n.cast("double")
+    sses = unres.filter((F.col("du") != 0) & ((n * s11 - s1 * s1) > 0)).select(
+        n.cast("long").alias("n_obs"),
+        sse_u.alias("sse_u"),
+        sse_r.alias("sse_r"),
+        n.cast("double").alias("nd"),
+    )
+    f = (F.col("sse_r") - F.col("sse_u")) / (F.col("sse_u") / (F.col("nd") - 3.0))
+    return sses.select(
+        "n_obs",
+        F.round(F.col("sse_r"), 6).alias("sse_restricted"),
+        F.round(F.col("sse_u"), 6).alias("sse_unrestricted"),
+        F.when((F.col("sse_u") > 0) & (F.col("n_obs") > 3), F.round(f, 6)).alias(
+            "f_stat"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Uplift by segment (two-model difference, round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_uplift_segments",
+    driver=False,  # §2.11 experimentation family (round 5) — pytest oracle
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         CAST(count(*) AS BIGINT) AS activity
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT arm, converted,
+         CASE WHEN activity < 50 THEN 'low'
+              WHEN activity < 80 THEN 'mid' ELSE 'high' END AS segment
+  FROM u
+), g AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)   AS n_c,
+         CAST(sum(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_t,
+         CAST(sum(CASE WHEN arm = 'control' THEN converted ELSE 0 END)
+              AS BIGINT) AS conv_c
+  FROM seg GROUP BY segment
+)
+SELECT segment, n_t, n_c, conv_t, conv_c,
+       CASE WHEN n_t > 0 AND n_c > 0 THEN
+         round(conv_t / CAST(n_t AS DOUBLE)
+               - conv_c / CAST(n_c AS DOUBLE), 6)
+       END AS uplift
+FROM g
+""",
+)
+def q_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment uplift (two-model difference): treatment-minus-control
+    conversion rate inside activity segments — WHERE does the treatment
+    work, the heterogeneous-treatment-effect readout that follows a
+    passing q_srm_check and a significant q_ab_test (SURVEY §2.11
+    experimentation tier). Arms replay the md5-deterministic assignment
+    (zero RNG, same hash as q_srm_check so the queries describe the same
+    experiment); conversion is ever-purchased per user; segments are
+    activity bands. All censuses are exact integers from ONE user-level
+    rollup; uplift is one double subtraction per segment.
+
+    Scale: one user-keyed partial/final agg (the contraction), then a
+    3-row segment census — the same shape at any corpus size."""
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.count("*").alias("activity"),
+        )
+        .select(
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("arm"),
+            "converted",
+            F.when(F.col("activity") < 50, "low")
+            .when(F.col("activity") < 80, "mid")
+            .otherwise("high")
+            .alias("segment"),
+        )
+    )
+    g = u.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("converted")).otherwise(0)
+        ).alias("conv_t"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("converted")).otherwise(0)
+        ).alias("conv_c"),
+    )
+    return g.select(
+        "segment",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(
+                F.col("conv_t") / F.col("n_t").cast("double")
+                - F.col("conv_c") / F.col("n_c").cast("double"),
+                6,
+            ),
+        ).alias("uplift"),
+    )

@@ -1739,3 +1739,52 @@ def test_dickey_fuller_oracle_matches_reference(series):
         assert df_t == pytest.approx(ref_t, abs=1e-3)
     else:
         assert df_t is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+            st.integers(min_value=1, max_value=6),  # events per day
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_granger_oracle_matches_numpy(series):
+    rows = []
+    i = 0
+    for d, (v, cnt) in enumerate(series):
+        for _ in range(cnt):
+            rows.append(
+                {
+                    "event_type": "click",
+                    "value": v,
+                    "event_id": i,
+                    "user_id": i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=d),
+                }
+            )
+            i += 1
+    frame = pd.DataFrame(rows)
+    out = _run_oracle("q_granger", frame)
+    y = np.array([round(v * 100) * cnt for v, cnt in series], dtype=float)
+    x = np.array([cnt for _, cnt in series], dtype=float)
+    yy, yl, xl = y[1:], y[:-1], x[:-1]
+    nn = len(yy)
+    Xu = np.column_stack([np.ones(nn), yl, xl])
+    if np.linalg.matrix_rank(Xu.T @ Xu) < 3 or np.ptp(yl) == 0:
+        assert out == [] or out[0][3] is None
+        return
+    bu, *_ = np.linalg.lstsq(Xu, yy, rcond=None)
+    sse_u = float(((yy - Xu @ bu) ** 2).sum())
+    Xr = np.column_stack([np.ones(nn), yl])
+    br, *_ = np.linalg.lstsq(Xr, yy, rcond=None)
+    sse_r = float(((yy - Xr @ br) ** 2).sum())
+    (n_obs, o_sse_r, o_sse_u, f), = out
+    assert n_obs == nn
+    assert o_sse_r == pytest.approx(sse_r, rel=1e-6, abs=1e-2)
+    assert o_sse_u == pytest.approx(sse_u, rel=1e-6, abs=1e-2)
+    if sse_u > 1e-9 and nn > 3:
+        assert f == pytest.approx((sse_r - sse_u) / (sse_u / (nn - 3)), rel=1e-4, abs=1e-3)
