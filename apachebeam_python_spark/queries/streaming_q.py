@@ -755,3 +755,64 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC materialization (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_stream_cdc_materialize",
+    driver=False,  # §2.9 stateful streaming (round 5) — pytest oracle
+    oracle="""
+SELECT user_id, ts AS last_ts, event_id, event_type,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q_stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream → materialized snapshot BY THE STREAMING ENGINE
+    (streaming/stateful.cdc_materialize_stream): per user, last-write-wins
+    on the (ts, event_id) version key, one O(1) state row per key, update
+    log emitted per micro-batch — the upsert view every CDC consumer
+    maintains (fourth stateful pattern beside emit-first dedup,
+    emit-on-transition alerts, and emit-on-timeout sessions; SURVEY §2.9).
+    The drained update log is reduced to its final version per key by a
+    trivial batch rank over the (already key-collapsed) sink — the same
+    production split as q_stream_topk. Stream ≡ batch: the snapshot equals
+    the batch last-row-per-user, oracle-checked end to end.
+
+    Scale: state is one row per key (the minimum any upsert view needs);
+    the update log is micro-batch-granular, not event-granular — the sink
+    sees O(keys × batches), never O(events)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..streaming import stateful
+
+    name = _sink("stream_cdc_materialize", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    jobs.run_to_memory(
+        stateful.cdc_materialize_stream(s), name, output_mode="append"
+    )
+    log = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "last_ts",
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )

@@ -168,3 +168,59 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cdc_materialize_stream(events: DataFrame) -> DataFrame:
+    """Stateful CDC materialization (the streaming upsert / last-write-wins
+    view): per user, keep the LATEST event by (ts, event_id) and emit the
+    key's current row once per micro-batch that touches it — the
+    change-stream → materialized-snapshot pattern every streaming lakehouse
+    sink runs (Beam: ValueState holding the newest version; Spark:
+    applyInPandasWithState with O(1) state per key).
+
+    State is one row per key (the current version) — the upsert profile.
+    The emitted stream is an UPDATE LOG: downstream (or the batch step in
+    q_stream_cdc_materialize) takes the last emission per key, which equals
+    the batch last-row-per-user answer exactly because versions are ordered
+    by the total (ts, event_id) key both here and in the oracle."""
+
+    def upsert(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_ts, cur_id, cur_type, cur_val = state.get
+        else:
+            cur_ts, cur_id, cur_type, cur_val = (None, -1, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+            last = rows.iloc[-1]
+            last_key = (last["ts"].value, int(last["event_id"]))
+            if cur_ts is None or last_key > (cur_ts, cur_id):
+                cur_ts = last["ts"].value  # epoch nanos — integer-exact state
+                cur_id = int(last["event_id"])
+                cur_type = str(last["event_type"])
+                cur_val = None if pd.isna(last["value"]) else float(last["value"])
+            state.update((int(cur_ts), int(cur_id), cur_type, cur_val))
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        pd.Timestamp(cur_ts, unit="ns"),
+                        cur_id,
+                        cur_type,
+                        cur_val,
+                    )
+                ],
+                columns=["user_id", "last_ts", "event_id", "event_type", "value"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        upsert,
+        outputStructType="user_id long, last_ts timestamp, event_id long, "
+        "event_type string, value double",
+        stateStructType="ts_nanos long, event_id long, event_type string, "
+        "value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -587,3 +587,60 @@ def test_processing_time_timer_flushes_idle_keys(spark):
 
     # user 1 flushed exactly once with its full count after going idle
     assert rows == {(1, 3)}
+
+
+def test_cdc_materialize_state_upserts_across_batches(spark):
+    """cdc_materialize_stream must keep last-write-wins state ACROSS
+    micro-batches: an older version arriving in a later batch must NOT
+    overwrite a newer one, and each touched key emits one update per
+    batch — proven with a two-file source processed one file per trigger."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from apachebeam_python_spark.streaming.stateful import cdc_materialize_stream
+
+    src = f"{SCRATCH}/{_uuid.uuid4().hex}"
+    sink = f"cdc_{_uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    # batch 1: u1 has two versions (id 2 newer), u2 one
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=5), 2, "view", 20.0),
+            (1, base, 1, "click", 10.0),
+            (2, base, 3, "purchase", 99.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: u1 gets an OLDER (late) version — must be ignored;
+    # u2 gets a newer one — must win
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=1), 0, "click", 5.0),
+            (2, base + dt.timedelta(minutes=9), 4, "view", 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        cdc_materialize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    # u1 touched in both batches -> 2 emissions; u2 likewise
+    assert len(rows) == 4
+    final = {}
+    for r in sorted(rows, key=lambda r: (r.last_ts, r.event_id)):
+        final[r.user_id] = (r.event_id, r.event_type, r.value)
+    assert final == {1: (2, "view", 20.0), 2: (4, "view", 1.0)}
