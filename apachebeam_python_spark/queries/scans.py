@@ -1005,3 +1005,72 @@ def q_scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring(line, 5, 25)).alias("n_name"),
         F.substring(line, 30, 4).cast("long").alias("n_regionkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lake wave 4: merge-on-read deletion vectors (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_lake_delete_vectors",
+    driver=False,  # §4.2 lake maintenance (round 5) — pytest oracle
+    oracle="""
+WITH base AS (
+  SELECT doc_id, n_chars, source FROM documents
+), v1 AS (  -- after the first MOR delete
+  SELECT * FROM base WHERE NOT (n_chars % 7 = 0)
+), v2 AS (  -- after the second, stacked vector
+  SELECT * FROM v1 WHERE NOT (doc_id % 11 = 0)
+), v3 AS (SELECT * FROM v2)  -- compact: logically a no-op
+SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM base
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM v2
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM v3
+""",
+)
+def q_lake_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors end to end (sources/laketable.py
+    lake wave 4 — the Delta/Iceberg-v2 read path): create a table from
+    `documents`, MOR-delete n_chars%7 rows (a parquet position sidecar,
+    ZERO data files rewritten), stack a second vector (doc_id%11), then
+    COMPACT — the DV purge. All four versions read back through their
+    manifests and aggregate; a green hash proves (a) vectors subtract
+    exactly the predicate rows at read time, (b) vectors stack, (c) time
+    travel still sees pre-delete rows, and (d) compaction preserves the
+    logical table while clearing every vector (asserted structurally in
+    tests/test_laketable.py).
+
+    Scale: a GDPR point-delete under copy-on-write rewrites every file
+    holding one matching row; a vector writes O(deleted) sidecar rows,
+    distributed, and readers pay one anti-join until the next compaction
+    — exactly Delta's trade."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lakedv_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    LT.create_table(docs, out)
+    LT.delete_where_mor(spark, out, "n_chars % 7 = 0")
+    LT.delete_where_mor(spark, out, "doc_id % 11 = 0")
+    LT.compact(spark, out)
+    per_version = [
+        LT.read_table(spark, out, version=v).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        ).select(F.lit(v).alias("version"), "n_docs", "id_sum", "chars_sum")
+        for v in range(4)
+    ]
+    outdf = per_version[0]
+    for p in per_version[1:]:
+        outdf = outdf.unionByName(p)
+    return outdf

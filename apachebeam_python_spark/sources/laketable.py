@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_DV = "dv"
 #: stats are kept for JSON-native, order-preserving leaf types only —
 #: date/timestamp would stringify in the manifest and then compare
 #: incorrectly (or raise) against native bounds; nested/binary columns add
@@ -286,7 +287,16 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
     schema-evolving MERGE the snapshot mixes old-schema carried-over files
     with new-schema rewrites, and the explicit schema makes the parquet
     reader fill the missing columns with NULL — Delta's read path for
-    evolved tables, without rewriting history."""
+    evolved tables, without rewriting history.
+
+    Merge-on-read (round 5): file entries may carry ``dv`` sidecar refs
+    (deletion vectors from ``delete_where_mor``). When any exist in the
+    snapshot, the scan adds ``_metadata`` (file, row position) and LEFT
+    ANTI joins the union of the referenced position sets — deleted rows
+    vanish at read time without the files ever rewriting (Delta/Iceberg
+    v2 merge-on-read). The join is distributed: positions are parquet,
+    keyed (file, pos), broadcastable while small and shuffleable past
+    that; DV-free snapshots keep the plain fast path."""
     from pyspark.sql.types import StructType
 
     v = current_version(path) if version is None else version
@@ -297,9 +307,21 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
         # empty snapshot (e.g. a delete matched every row): readable via
         # the schema the manifest carries
         return spark.createDataFrame([], schema)
-    if schema is not None:
-        return spark.read.schema(schema).parquet(*files)
-    return spark.read.parquet(*files)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    dv_dirs = sorted({d for e in m["files"] for d in e.get("dv", [])})
+    if not dv_dirs:
+        return reader.parquet(*files)
+    base = reader.parquet(*files).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dv_dirs]).select(
+        F.col("file").alias("__f"), F.col("pos").alias("__p")
+    )
+    cols = [f.name for f in (schema.fields if schema else base.schema.fields)
+            if f.name not in ("__f", "__p")]
+    return base.join(dv, ["__f", "__p"], "left_anti").select(*cols)
 
 
 def files_matching(path: str, column: str, lo, hi, version: int | None = None) -> list[dict]:
@@ -315,6 +337,29 @@ def files_matching(path: str, column: str, lo, hi, version: int | None = None) -
         elif not (st[1] < lo or st[0] > hi):
             out.append(e)
     return out
+
+
+def _read_entries(spark: SparkSession, path: str, entries: list[dict], schema) -> DataFrame:
+    """Read a SUBSET of a snapshot's file entries with their deletion
+    vectors applied — the shared path every rewrite (COW delete, merge,
+    compact-via-read_table) must use, or an entry's vectors would be
+    silently dropped by the rewrite and the MOR-deleted rows resurrected."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    files = [os.path.join(path, e["path"]) for e in entries]
+    df = reader.parquet(*files)
+    dv_dirs = sorted({d for e in entries for d in e.get("dv", [])})
+    if not dv_dirs:
+        return df
+    base = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dv_dirs]).select(
+        F.col("file").alias("__f"), F.col("pos").alias("__p")
+    )
+    cols = [c for c in df.columns]
+    return base.join(dv, ["__f", "__p"], "left_anti").select(*cols)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -355,13 +400,87 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     if not touched:
         return v  # nothing to delete — no empty commit
     # IS NOT TRUE: NULL-predicate rows are NOT deletions and must survive
-    # the rewrite exactly as they survive in carried-over files
-    survivors = reader.parquet(*touched).where(f"({predicate}) IS NOT TRUE")
+    # the rewrite exactly as they survive in carried-over files; the read
+    # applies the touched entries' deletion vectors (round 5) so a rewrite
+    # can never resurrect MOR-deleted rows
+    touched_entries = [
+        e for e in m["files"] if os.path.basename(e["path"]) in hit
+    ]
+    survivors = _read_entries(spark, path, touched_entries, schema).where(
+        f"({predicate}) IS NOT TRUE"
+    )
     if survivors.limit(1).count():
         entries, schema = _stage_files(survivors, path)
     else:
         entries, schema = [], None
     return _commit(path, lambda cur: keep + entries, "delete", v, schema)
+
+
+def delete_where_mor(spark: SparkSession, path: str, predicate: str) -> int:
+    """Merge-on-read delete (lake wave 4 — the Delta/Iceberg-v2 deletion
+    vector): instead of rewriting hit files (``delete_where``'s
+    copy-on-write), record the (file, row position) pairs the predicate
+    matches as a parquet sidecar under ``dv/<uuid>/`` and attach the ref
+    to each hit file's manifest entry. Data files NEVER rewrite; readers
+    apply the vectors with one anti-join (see ``read_table``), and any
+    rewrite of a file (``compact``, COW delete, merge) naturally purges
+    its vectors because rewritten files are new entries.
+
+    Why at 100 TB: a point-delete (GDPR erasure, bad-record purge) under
+    copy-on-write rewrites every file that holds one matching row — a
+    deletion vector is O(deleted rows) of sidecar parquet instead, written
+    DISTRIBUTED (the positions never pass through the driver; only the
+    O(files) hit-list does, to update manifest entries). Same NULL
+    semantics as delete_where: a row is deleted iff the predicate is TRUE.
+    Trade-off (documented, as in Delta): reads pay the anti-join until the
+    next compaction — ``compact()`` is the DV purge.
+
+    ``history()`` row counts remain PHYSICAL rows (files' footer counts);
+    the logical count is physical minus live vector sizes."""
+    from pyspark.sql.types import StructType
+
+    v = current_version(path)
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        return v
+    schema = StructType.fromJson(json.loads(m["schema"])) if m.get("schema") else None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    files = [os.path.join(path, e["path"]) for e in m["files"]]
+    hits = (
+        reader.parquet(*files)
+        .where(predicate)
+        .select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    sidecar = uuid.uuid4().hex
+    rel = os.path.join(_DV, sidecar)
+    hits.write.mode("errorifexists").parquet(os.path.join(path, rel))
+    # O(files)-sized metadata: which files the vector touches (drives the
+    # manifest update; the positions themselves stay on disk)
+    hit_files = {
+        r["file"]
+        for r in spark.read.parquet(os.path.join(path, rel))
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    if not hit_files:
+        return v  # nothing matched — no commit (empty sidecar is inert)
+
+    def build(cur):
+        out = []
+        for e in cur:
+            e = dict(e)
+            if os.path.basename(e["path"]) in hit_files:
+                e["dv"] = list(e.get("dv", [])) + [rel]
+            out.append(e)
+        return out
+
+    return _commit(path, build, "delete-mor", v, None)
 
 
 def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
@@ -422,9 +541,8 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
         if candidates:
             # evolved-schema read: hit files staged before the evolution
             # surface the new columns as NULL without a history rewrite
-            cand_df = spark.read.schema(evolved).parquet(
-                *[os.path.join(path, e["path"]) for e in candidates]
-            )
+            # DV-aware read (round 5): survivors must respect vectors
+            cand_df = _read_entries(spark, path, candidates, evolved)
             # survivors of the hit files (non-matched rows) + ALL source rows
             merged = cand_df.join(
                 F.broadcast(src.select(F.col(key).alias("__k"))),

@@ -22,8 +22,9 @@ ALLOWED_COLLECTS = {
     "sources/io.py": 1,  # binary sink action: 1 count row per task
     "sources/mlexport.py": 3,  # sink actions: 1 row per shard (tar / tfrecord / arrow)
     # manifest metadata: per-file stats (1 row per staged FILE), delete's
-    # hit-file list (≤ files), merge's 1-row source bounds — all O(files)
-    "sources/laketable.py": 3,
+    # hit-file list (≤ files), merge's 1-row source bounds, the MOR
+    # delete's hit-file list (≤ files; positions stay on disk) — all O(files)
+    "sources/laketable.py": 4,
 }
 
 

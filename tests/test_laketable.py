@@ -464,3 +464,78 @@ def test_compact_manifests_squashes_log_keeps_audit(spark, tbl):
     assert LT.compact_manifests(tbl, keep_last=2) == 2  # v5, v6
     assert [h["version"] for h in LT.history(tbl)] == list(range(9))
     assert LT.compact_manifests(tbl, keep_last=10) == 0  # nothing to squash
+
+
+# --------------------------------------------------------------------------
+# Lake wave 4 (round 5): merge-on-read deletion vectors
+# --------------------------------------------------------------------------
+def test_delete_mor_never_rewrites_data_files(spark, tbl):
+    before = [e["path"] for e in LT._read_manifest(tbl, 0)["files"]]
+    v = LT.delete_where_mor(spark, tbl, "id < 10")
+    assert v == 1
+    m = LT._read_manifest(tbl, 1)
+    assert [e["path"] for e in m["files"]] == before, "MOR must not rewrite"
+    # exactly the files whose spans admit id<10 carry a vector
+    assert any(e.get("dv") for e in m["files"])
+    assert _ids(spark, tbl) == list(range(10, 100))
+    # time travel: the pre-delete snapshot still sees every row
+    assert _ids(spark, tbl, version=0) == list(range(100))
+    # physical rows in history are unchanged (documented MOR semantics)
+    assert LT.history(tbl)[-1]["n_rows"] == 100
+
+
+def test_delete_mor_vectors_accumulate(spark, tbl):
+    LT.delete_where_mor(spark, tbl, "id < 10")
+    v = LT.delete_where_mor(spark, tbl, "id >= 90")
+    assert v == 2
+    assert _ids(spark, tbl) == list(range(10, 90))
+    # a file hit twice carries both sidecar refs
+    m = LT._read_manifest(tbl, 2)
+    n_refs = sum(len(e.get("dv", [])) for e in m["files"])
+    assert n_refs >= 2
+    # NULL-predicate rows survive (TRUE-only deletion)
+    v = LT.delete_where_mor(spark, tbl, "CASE WHEN id = 50 THEN NULL ELSE id = 55 END")
+    assert _ids(spark, tbl) == [i for i in range(10, 90) if i != 55]
+    # no-match predicate: no commit
+    assert LT.delete_where_mor(spark, tbl, "id > 1000000") == v
+
+
+def test_compact_purges_deletion_vectors(spark, tbl):
+    LT.delete_where_mor(spark, tbl, "id % 2 = 0")
+    assert _ids(spark, tbl) == list(range(1, 100, 2))
+    v = LT.compact(spark, tbl)
+    m = LT._read_manifest(tbl, v)
+    assert not any(e.get("dv") for e in m["files"]), "compact must purge DVs"
+    assert _ids(spark, tbl) == list(range(1, 100, 2))
+    # physical == logical again after the purge
+    assert LT.history(tbl)[-1]["n_rows"] == 50
+
+
+def test_mor_then_cow_delete_compose(spark, tbl):
+    """A COW delete after a MOR delete must respect the vectors (it reads
+    through read_table semantics for survivors of rewritten files)."""
+    LT.delete_where_mor(spark, tbl, "id < 10")
+    LT.delete_where(spark, tbl, "id >= 95")
+    assert _ids(spark, tbl) == list(range(10, 95))
+
+
+def test_cow_rewrite_of_dv_file_does_not_resurrect(spark, tbl):
+    """The critical composition: a COW delete that rewrites a file which
+    already carries a deletion vector must apply the vector when staging
+    survivors — otherwise MOR-deleted rows resurrect."""
+    LT.delete_where_mor(spark, tbl, "id < 10")       # vector on file [0..24]
+    LT.delete_where(spark, tbl, "id >= 15 AND id < 20")  # rewrites SAME file
+    assert _ids(spark, tbl) == [10, 11, 12, 13, 14] + list(range(20, 100))
+
+
+def test_merge_over_dv_file_does_not_resurrect(spark, tbl):
+    LT.delete_where_mor(spark, tbl, "id < 10")
+    src = spark.createDataFrame([(15, -1)], "id long, v long")
+    LT.merge(spark, tbl, src, "id")
+    ids = _ids(spark, tbl)
+    assert ids == list(range(10, 100))
+    got = {
+        r.id: r.v
+        for r in LT.read_table(spark, tbl).filter("id = 15").collect()
+    }
+    assert got == {15: -1}
