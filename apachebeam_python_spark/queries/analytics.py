@@ -4056,3 +4056,120 @@ def q_dbscan_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.col("n_points") >= 5).alias("is_core_cluster"),
     )
+
+
+# --------------------------------------------------------------------------
+# Column-profile drift report (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_profile_drift",
+    driver=False,  # §2.11 data-quality family (round 5) — pytest oracle
+    oracle="""
+WITH bounds AS (
+  SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+), tagged AS (
+  SELECT e.*, CASE WHEN epoch(e.ts) - epoch(b.t0)
+                   < (epoch(b.t1) - epoch(b.t0)) / 2.0
+              THEN 'early' ELSE 'late' END AS half
+  FROM events e, bounds b
+), prof AS (
+  SELECT half,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS null_rate,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+         round(sum(CAST(round(value * 100) AS BIGINT))
+               / (100.0 * count(value)), 4) AS mean_value
+  FROM tagged GROUP BY half
+), w AS (
+  SELECT max(CASE WHEN half = 'early' THEN n END) AS n_e,
+         max(CASE WHEN half = 'late' THEN n END) AS n_l,
+         max(CASE WHEN half = 'early' THEN null_rate END) AS nr_e,
+         max(CASE WHEN half = 'late' THEN null_rate END) AS nr_l,
+         max(CASE WHEN half = 'early' THEN n_types END) AS ty_e,
+         max(CASE WHEN half = 'late' THEN n_types END) AS ty_l,
+         max(CASE WHEN half = 'early' THEN n_users END) AS us_e,
+         max(CASE WHEN half = 'late' THEN n_users END) AS us_l,
+         max(CASE WHEN half = 'early' THEN mean_value END) AS mv_e,
+         max(CASE WHEN half = 'late' THEN mean_value END) AS mv_l
+  FROM prof
+)
+SELECT n_e, n_l, nr_e, nr_l, ty_e, ty_l, us_e, us_l, mv_e, mv_l,
+       abs(nr_l - nr_e) > 0.02 AS null_rate_drift,
+       ty_l <> ty_e AS type_domain_drift,
+       CASE WHEN mv_e <> 0 THEN abs(mv_l - mv_e) / abs(mv_e) > 0.25 END
+         AS mean_drift
+FROM w
+""",
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift report: split the event stream at the midpoint
+    of its time range and compare per-half data-contract profiles — null
+    rate, categorical domain size, user cardinality, value mean — with
+    threshold flags (SURVEY §2.11 data-quality tier; the schema-drift
+    monitor every ingestion pipeline runs between yesterday's and today's
+    partition, beside q_data_quality's static checks and q_drift_psi's
+    distributional score). Every profile number is an exact integer
+    census or an exact-cents ratio rounded at a fixed depth; the drift
+    flags compare the ROUNDED profile numbers, so the booleans are
+    engine-identical.
+
+    Scale: one pass for the time bounds (2 scalars broadcast), one
+    grouped profile pass — both map-side partials; the report is 1 row.
+    Per-column × per-partition at 100 TB: the same profile agg grouped
+    by (day, column) with the flags as a window over consecutive days."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp("t0")
+            < (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 2.0,
+            "early",
+        )
+        .otherwise("late")
+        .alias("half"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    prof = tagged.groupBy("half").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("null_rate"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.round(F.sum(cents) / (100.0 * F.count("value")), 4).alias("mean_value"),
+    )
+
+    def half(col, h):
+        return F.max(F.when(F.col("half") == h, F.col(col)))
+
+    w = prof.agg(
+        half("n", "early").alias("n_e"),
+        half("n", "late").alias("n_l"),
+        half("null_rate", "early").alias("nr_e"),
+        half("null_rate", "late").alias("nr_l"),
+        half("n_types", "early").alias("ty_e"),
+        half("n_types", "late").alias("ty_l"),
+        half("n_users", "early").alias("us_e"),
+        half("n_users", "late").alias("us_l"),
+        half("mean_value", "early").alias("mv_e"),
+        half("mean_value", "late").alias("mv_l"),
+    )
+    return w.select(
+        "n_e", "n_l", "nr_e", "nr_l", "ty_e", "ty_l", "us_e", "us_l",
+        "mv_e", "mv_l",
+        (F.abs(F.col("nr_l") - F.col("nr_e")) > 0.02).alias("null_rate_drift"),
+        (F.col("ty_l") != F.col("ty_e")).alias("type_domain_drift"),
+        F.when(
+            F.col("mv_e") != 0,
+            F.abs(F.col("mv_l") - F.col("mv_e")) / F.abs(F.col("mv_e")) > 0.25,
+        ).alias("mean_drift"),
+    )
