@@ -76,7 +76,8 @@ ALLOWED_BROADCASTS = {
     # + the betweenness sigma-table self-joins (n²-row metadata)
     # + |V|-row graph round tables (DAG depth, SSSP dist + 1-row source ×2;
     #   doc'd: shuffle on v past broadcast size, the operators/graph.py note)
-    "queries/analytics.py": 39,
+    # + profile drift's 1-row time bounds
+    "queries/analytics.py": 40,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
     "queries/experiments.py": 20,
