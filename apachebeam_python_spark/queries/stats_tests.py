@@ -3702,3 +3702,155 @@ def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(t, 6),
         ).alias("df_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation via unrolled Durbin-Levinson (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "q_pacf",
+    driver=False,  # §2.3 statistical extension (round 5) — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), lags AS (SELECT unnest(range(1, 5)) AS k),
+cens AS (
+  SELECT l.k, a.n, a.s, a.ss,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS sxy,
+         CAST(sum(a.y) AS BIGINT) AS sh,
+         CAST(sum(b.y) AS BIGINT) AS st
+  FROM (SELECT y, row_number() OVER (ORDER BY d) AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(y) OVER () AS BIGINT) AS s,
+               CAST(sum(CAST(y AS HUGEINT) * y) OVER () AS HUGEINT) AS ss
+        FROM daily) a
+  JOIN lags l ON a.t > l.k
+  JOIN (SELECT y, row_number() OVER (ORDER BY d) AS t FROM daily) b
+    ON b.t = a.t - l.k
+  GROUP BY l.k, a.n, a.s, a.ss
+), rk AS (
+  SELECT k,
+         (CAST(sxy AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * (sh + st)
+          + m * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS r
+  FROM cens
+  WHERE CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n > 0
+), piv AS (
+  SELECT max(CASE WHEN k = 1 THEN r END) AS r1,
+         max(CASE WHEN k = 2 THEN r END) AS r2,
+         max(CASE WHEN k = 3 THEN r END) AS r3,
+         max(CASE WHEN k = 4 THEN r END) AS r4
+  FROM rk
+), dl AS (
+  SELECT r1, r2, r3, r4,
+         r1 AS p1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+  FROM piv WHERE abs(r1) < 1
+), dl2 AS (
+  SELECT *, r1 - p2 * r1 AS f21 FROM dl
+), dl3 AS (
+  SELECT *,
+         (r3 - f21 * r2 - p2 * r1) / (1.0 - f21 * r1 - p2 * r2) AS p3
+  FROM dl2 WHERE abs(1.0 - f21 * r1 - p2 * r2) > 1e-12
+), dl4 AS (
+  SELECT *, f21 - p3 * p2 AS f31, p2 - p3 * f21 AS f32 FROM dl3
+)
+SELECT round(p1, 6) AS pacf1, round(p2, 6) AS pacf2, round(p3, 6) AS pacf3,
+       CASE WHEN abs(1.0 - f31 * r1 - f32 * r2 - p3 * r3) > 1e-12 THEN
+         round((r4 - f31 * r3 - f32 * r2 - p3 * r1)
+               / (1.0 - f31 * r1 - f32 * r2 - p3 * r3), 6)
+       END AS pacf4
+FROM dl4
+""",
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1..4 via the
+    Durbin-Levinson recursion UNROLLED to closed form — the AR-order
+    selector read next to q_acf (a PACF cutoff at lag p says fit AR(p);
+    SURVEY §2.3 statistical extensions, completing the ACF/Ljung-Box
+    family). The autocorrelations r₁..r₄ use the same exact-integer
+    fixed-mean censuses as q_ljung_box, and because Durbin-Levinson at
+    fixed depth is a rational function of the r_k, both engines evaluate
+    the IDENTICAL expression tree — no iteration, hash-checkable.
+    Guarded NULL where a recursion denominator degenerates.
+
+    Scale: identical to q_ljung_box — one daily rollup, metadata lag
+    joins, then pure scalar algebra on one row."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(_cents(F.col("value"))).alias("y"))
+
+    def hi(c):
+        return c.cast(_HI)
+
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("y").over(wall).alias("s"),
+        F.sum(hi(F.col("y")) * F.col("y")).over(wall).alias("ss"),
+    )
+    lags = spark.range(1, 5).select(F.col("id").alias("k"))
+    a = idx.alias("a")
+    b = idx.select(F.col("t").alias("bt"), F.col("y").alias("by"))
+    cens = (
+        a.crossJoin(F.broadcast(lags))
+        .filter(F.col("a.t") > F.col("k"))
+        .join(b, F.col("bt") == F.col("a.t") - F.col("k"))
+        .groupBy("k", "n", "s", "ss")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(hi(F.col("a.y")) * F.col("by")).alias("sxy"),
+            F.sum(F.col("a.y")).alias("sh"),
+            F.sum(F.col("by")).alias("st"),
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    ybar = s.cast("double") / n
+    denom = F.col("ss").cast("double") - s.cast("double") * s / n
+    r = (
+        F.col("sxy").cast("double")
+        - ybar * (F.col("sh") + F.col("st"))
+        + F.col("m") * ybar * ybar
+    ) / denom
+    rk = cens.filter(denom > 0).select("k", r.alias("r"))
+    piv = rk.agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("r"))).alias(f"r{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    r1, r2, r3, r4 = (F.col(f"r{i}") for i in (1, 2, 3, 4))
+    dl = piv.filter(F.abs(r1) < 1).select(
+        "*",
+        r1.alias("p1"),
+        ((r2 - r1 * r1) / (1.0 - r1 * r1)).alias("p2"),
+    )
+    dl2 = dl.select("*", (r1 - F.col("p2") * r1).alias("f21"))
+    f21, p2 = F.col("f21"), F.col("p2")
+    den3 = 1.0 - f21 * r1 - p2 * r2
+    dl3 = dl2.filter(F.abs(den3) > 1e-12).select(
+        "*", ((r3 - f21 * r2 - p2 * r1) / den3).alias("p3")
+    )
+    p3 = F.col("p3")
+    dl4 = dl3.select("*", (f21 - p3 * p2).alias("f31"), (p2 - p3 * f21).alias("f32"))
+    f31, f32 = F.col("f31"), F.col("f32")
+    den4 = 1.0 - f31 * r1 - f32 * r2 - p3 * r3
+    return dl4.select(
+        F.round(F.col("p1"), 6).alias("pacf1"),
+        F.round(p2, 6).alias("pacf2"),
+        F.round(p3, 6).alias("pacf3"),
+        F.when(
+            F.abs(den4) > 1e-12,
+            F.round((r4 - f31 * r3 - f32 * r2 - p3 * r1) / den4, 6),
+        ).alias("pacf4"),
+    )

@@ -99,8 +99,8 @@ ALLOWED_BROADCASTS = {
     # + the r5 wave: Friedman k/tie/rank-sum tables, Cochran type list,
     #   Grubbs/Mann-Kendall/runs-test/ICC/Cronbach/Mood/Tukey 1-row
     #   moment+median+MSW pivots (all 1-row or k-row)
-    # + Ljung-Box's 8-row lag list
-    "queries/stats_tests.py": 36,
+    # + Ljung-Box's 8-row and PACF's 4-row lag lists
+    "queries/stats_tests.py": 37,
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size

@@ -1788,3 +1788,50 @@ def test_granger_oracle_matches_numpy(series):
     assert o_sse_u == pytest.approx(sse_u, rel=1e-6, abs=1e-2)
     if sse_u > 1e-9 and nn > 3:
         assert f == pytest.approx((sse_r - sse_u) / (sse_u / (nn - 3)), rel=1e-4, abs=1e-3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=400).map(lambda c: c / 2.0),
+        min_size=8,
+        max_size=50,
+    )
+)
+def test_pacf_oracle_matches_durbin_levinson(series):
+    out = _run_oracle("q_pacf", _daily_frame(series))
+    y = np.array([round(v * 100) for v in series], dtype=float)
+    nn = len(y)
+    ybar = y.mean()
+    denom = ((y - ybar) ** 2).sum()
+    if denom == 0:
+        assert out == []
+        return
+    r = [((y[k:] - ybar) * (y[:-k] - ybar)).sum() / denom for k in (1, 2, 3, 4)]
+    # reference Durbin-Levinson to depth 4
+    if abs(r[0]) >= 1:
+        assert out == []
+        return
+    phi = {1: {1: r[0]}}
+    v = 1 - r[0] ** 2
+    ok = True
+    for k in (2, 3, 4):
+        num = r[k - 1] - sum(phi[k - 1][j] * r[k - 1 - j] for j in range(1, k))
+        if abs(v) < 1e-12:
+            ok = False
+            break
+        pk = num / v
+        phi[k] = {k: pk}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - pk * phi[k - 1][k - j]
+        v = v * (1 - pk * pk)
+    if not out:
+        return  # a guard filtered a degenerate denominator — acceptable
+    (p1, p2, p3, p4), = out
+    assert p1 == pytest.approx(phi[1][1], abs=1e-4)
+    if 2 in phi:
+        assert p2 == pytest.approx(phi[2][2], abs=1e-4)
+    if ok and 3 in phi and p3 is not None:
+        assert p3 == pytest.approx(phi[3][3], abs=1e-3)
+    if ok and 4 in phi and p4 is not None:
+        assert p4 == pytest.approx(phi[4][4], abs=1e-3)
