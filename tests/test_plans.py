@@ -535,3 +535,42 @@ def test_round5_continuation_plan_shapes(spark, sf_dir):
 
     tc = q.QUERIES["q_t_closeness"](spark, sf_dir)
     assert not P.has(tc, "CartesianProduct")
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation-wave plan pins
+# --------------------------------------------------------------------------
+def test_misra_gries_recount_is_candidate_bounded(spark, sf_dir):
+    """q_misra_gries's exact recount must semi-join the token stream
+    against the (broadcast) candidate set BEFORE aggregating — the plan
+    that keeps the shuffle candidate-sized, never vocabulary-sized."""
+    df = q.QUERIES["q_misra_gries"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "LeftSemi" in plan, "candidate semi-join lost"
+    assert "BroadcastHashJoin" in plan, "candidate set should broadcast"
+
+
+def test_dbscan_window_runs_on_distinct_contraction(spark, sf_dir):
+    """q_dbscan_1d's ordered window must consume the distinct-cents
+    aggregate (domain-sized), not the raw event stream."""
+    df = q.QUERIES["q_dbscan_1d"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w > -1 and agg > -1
+    assert plan.count("HashAggregate") >= 2, "distinct contraction expected"
+
+
+def test_lake_dv_read_is_anti_join(spark, sf_dir, tmp_path):
+    """Deletion-vector reads apply positions with one LEFT ANTI join and
+    DV-free snapshots keep the plain scan path."""
+    from apachebeam_python_spark.sources import laketable as LT
+
+    path = str(tmp_path / "dvplan")
+    LT.create_table(spark.range(0, 1000).selectExpr("id", "id * 2 AS v"), path)
+    clean = LT.read_table(spark, path)
+    assert "LeftAnti" not in P.executed_plan(clean), "DV-free read must stay plain"
+    LT.delete_where_mor(spark, path, "id % 3 = 0")
+    dv = LT.read_table(spark, path)
+    assert "LeftAnti" in P.executed_plan(dv), "DV read must anti-join positions"
+    assert dv.count() == 1000 - len([i for i in range(1000) if i % 3 == 0])
