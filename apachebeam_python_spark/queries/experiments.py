@@ -3553,3 +3553,98 @@ def q_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("uplift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes (beta-binomial) rate shrinkage (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_eb_shrinkage",
+    driver=False,  # §2.11 experimentation family (round 5) — pytest oracle
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY user_id
+), mom AS (
+  -- method-of-moments over per-user raw rates (exact integer ratios)
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         sum(k / CAST(n AS DOUBLE)) / count(*) AS mu,
+         sum((k / CAST(n AS DOUBLE)) * (k / CAST(n AS DOUBLE))) / count(*)
+           - (sum(k / CAST(n AS DOUBLE)) / count(*))
+             * (sum(k / CAST(n AS DOUBLE)) / count(*)) AS var
+  FROM u
+), prior AS (
+  SELECT n_users, mu, var,
+         CASE WHEN var > 0 AND mu * (1 - mu) > var
+              THEN mu * (mu * (1 - mu) / var - 1) END AS alpha,
+         CASE WHEN var > 0 AND mu * (1 - mu) > var
+              THEN (1 - mu) * (mu * (1 - mu) / var - 1) END AS beta
+  FROM mom
+)
+SELECT u.user_id, u.n, u.k,
+       round(u.k / CAST(u.n AS DOUBLE), 6) AS raw_rate,
+       round((u.k + p.alpha) / (u.n + p.alpha + p.beta), 6) AS eb_rate
+FROM u, prior p
+WHERE p.alpha IS NOT NULL AND u.user_id % 7 = 0
+""",
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase rates:
+    estimate a Beta(α, β) prior from the population by method of moments,
+    then post each user's rate as (k+α)/(n+α+β) — the smoothing every
+    CTR / conversion ranking applies so a 1-for-1 user doesn't outrank a
+    980-for-1000 one (SURVEY §2.11 experimentation tier; the shrinkage
+    sibling of q_cuped's variance reduction). Per-user (n, k) are exact
+    integers; μ and the raw-rate variance are double sums of exact
+    ratios (bounded terms, one rounding at the end); the α/β and the
+    posted rates evaluate the same IEEE tree in both engines. Output is
+    fenced to a deterministic user subset (id % 7) to keep the compare
+    compact — the full posting is the same projection.
+
+    Scale: one user rollup + a 1-row broadcast prior — the posting fuses
+    into the scan of the rollup; no additional shuffles."""
+    u = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    rate = F.col("k") / F.col("n").cast("double")
+    mom = u.agg(
+        F.count("*").alias("n_users"),
+        (F.sum(rate) / F.count("*")).alias("mu"),
+        (
+            F.sum(rate * rate) / F.count("*")
+            - (F.sum(rate) / F.count("*")) * (F.sum(rate) / F.count("*"))
+        ).alias("var"),
+    )
+    mu, var = F.col("mu"), F.col("var")
+    common = mu * (1 - mu) / var - 1
+    prior = mom.select(
+        "n_users", "mu", "var",
+        F.when((var > 0) & (mu * (1 - mu) > var), mu * common).alias("alpha"),
+        F.when((var > 0) & (mu * (1 - mu) > var), (1 - mu) * common).alias("beta"),
+    )
+    return (
+        u.filter(F.col("user_id") % 7 == 0)
+        .crossJoin(F.broadcast(prior))
+        .filter(F.col("alpha").isNotNull())
+        .select(
+            "user_id",
+            "n",
+            "k",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("eb_rate"),
+        )
+    )

@@ -4189,3 +4189,99 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 3)
+
+
+# --------------------------------------------------------------------------
+# Deterministic unigram^0.75 negative sampling (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_negative_sampling",
+    driver=False,  # §2.11 LLM-pipeline family (round 5) — pytest oracle
+    oracle="""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         pow(CAST(count(*) AS BIGINT), 0.75) AS w
+  FROM toks GROUP BY tok
+), cum AS (
+  SELECT tok, freq, w,
+         sum(w) OVER (ORDER BY tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi,
+         coalesce(sum(w) OVER (ORDER BY tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS c_lo
+  FROM vocab
+), tot AS (SELECT sum(w) AS total FROM vocab),
+slots AS (
+  SELECT doc_id, unnest(range(3)) AS slot FROM documents
+), draws AS (
+  SELECT doc_id, slot,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(slot AS VARCHAR)), 1, 13) AS BIGINT)
+          / CAST(4503599627370496 AS DOUBLE)) * t.total AS u
+  FROM slots, tot t
+)
+SELECT d.doc_id, d.slot, c.tok AS negative, c.freq
+FROM draws d JOIN cum c ON d.u >= c.c_lo AND d.u < c.c_hi
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 negative sampling (the word2vec / contrastive-pair
+    noise distribution): 3 negatives per document drawn by inverse-CDF
+    over the cumulative smoothed-frequency table, with md5(doc:slot) as
+    the uniform — deterministic, RNG-free, and oracle-replayable (SURVEY
+    §2.11 LLM-pipeline tier beside q_hard_negatives, which mines
+    SEMANTIC negatives; this is the FREQUENCY-matched noise every
+    skip-gram/contrastive objective needs). The 13-hex md5 slice over
+    2^52 is an exact dyadic rational in both engines, the cumulative
+    weights are identical double sums over the SAME tok order, and the
+    half-open [c_lo, c_hi) bucket match makes every draw land on exactly
+    one vocab row.
+
+    Scale: the vocab CDF is Heaps-law small (broadcast; the range join
+    on [c_lo, c_hi) is a broadcast-range probe, not a shuffle). Draws
+    fuse into the documents scan — u is a hash of ids. At open-web vocab
+    sizes bucket the CDF into equal-width u-ranges first so the probe
+    becomes an equi-join on the bucket id + one in-bucket scan."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = vocab.select(
+        "tok", "freq", F.pow(F.col("freq").cast("double"), 0.75).alias("w")
+    )
+    wc = Window.orderBy("tok")
+    cum = vocab.select(
+        "tok",
+        "freq",
+        F.sum("w").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias("c_hi"),
+        F.coalesce(
+            F.sum("w").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("c_lo"),
+    )
+    tot = vocab.agg(F.sum("w").alias("total"))
+    slots = d.select(
+        "doc_id", F.explode(F.array([F.lit(i) for i in range(3)])).alias("slot")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 52))
+    ) * F.col("total")
+    draws = slots.crossJoin(F.broadcast(tot)).select("doc_id", "slot", u.alias("u"))
+    return draws.join(
+        F.broadcast(cum),
+        (F.col("u") >= F.col("c_lo")) & (F.col("u") < F.col("c_hi")),
+    ).select("doc_id", "slot", F.col("tok").alias("negative"), "freq")

@@ -80,13 +80,16 @@ ALLOWED_BROADCASTS = {
     "queries/analytics.py": 40,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
-    "queries/experiments.py": 20,
+    # + the EB-shrinkage 1-row prior
+    "queries/experiments.py": 21,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     # + the t-closeness band spine / global distribution / 1-row total
     # + naive Bayes k-row langs/priors/1-row totals (the vocab-sized model
     #   is broadcast_if_small-gated) + Misra-Gries candidates (partitions·k)
-    "queries/llm.py": 25,
+    # + negative sampling's 1-row total and Heaps-small vocab CDF (a range
+    #   join NEEDS the broadcast side; CDF bucketing is the doc'd big-vocab swap)
+    "queries/llm.py": 27,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
     # + the Kneser-Ney marginal tables (Heaps-law small)
