@@ -4173,3 +4173,75 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("mv_l") - F.col("mv_e")) / F.abs(F.col("mv_e")) > 0.25,
         ).alias("mean_drift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded spatial kNN (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_spatial_knn",
+    driver=False,  # §2.4 spatial family (round 5) — pytest oracle
+    oracle=_SPATIAL_SQL_PTS
+    + """
+, pc AS (
+  SELECT p.*, dx.v + CAST(floor(plat / 5.0) AS BIGINT) AS cy,
+         dy.v + CAST(floor(plon / 5.0) AS BIGINT) AS cx
+  FROM pois p,
+       (VALUES (-1), (0), (1)) dx(v),
+       (VALUES (-1), (0), (1)) dy(v)
+), cand AS (
+  SELECT t.user_id, t.lat, t.lon, p.poi_id, p.plat, p.plon
+  FROM (SELECT user_id, lat, lon,
+               CAST(floor(lat / 5.0) AS BIGINT) AS cy,
+               CAST(floor(lon / 5.0) AS BIGINT) AS cx
+        FROM pts) t
+  JOIN pc p ON p.cy = t.cy AND p.cx = t.cx
+), scored AS (
+  SELECT user_id, poi_id,
+         (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) AS d2,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (lat - plat) * (lat - plat)
+                                     + (lon - plon) * (lon - plon), poi_id) AS rn
+  FROM cand
+  WHERE (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon) <= 25.0
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rank, poi_id,
+       round(sqrt(d2), 6) AS dist_deg
+FROM scored WHERE rn <= 3
+""",
+)
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded spatial k-nearest-neighbors: each point's 3 closest POIs
+    WITHIN 5° — the radius-bounded kNN variant (store locators,
+    coverage checks) that the grid machinery answers EXACTLY: because
+    the search radius equals the cell size, the 3×3 candidate ring
+    provably contains every POI within the bound, so the per-point rank
+    over refined distances is the true bounded-kNN answer (SURVEY §2.4
+    spatial family, completing nearest-1 q_spatial_grid_join /
+    q_spatial_haversine). Ranks break ties by poi_id; points with fewer
+    than 3 in-radius POIs return what exists — the bounded-kNN
+    contract. For UNBOUNDED kNN the documented swap is ring-expansion
+    (probe 3×3, widen to 5×5 only for points still short of k — the
+    standard two-round Sedona pattern).
+
+    Scale: identical to the grid join — equi-join on the cell key with
+    a size-gated POI×9 broadcast, WindowGroupLimit-shaped top-3 per
+    point."""
+    pts = _spatial_pts_cells(spark, sf_dir)
+    pc = _poi_cells(_spatial_pois(spark, sf_dir))
+    cand = pts.join(broadcast_if_small(pc), ["cy", "cx"])
+    d2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
+        F.col("lon") - F.col("plon")
+    ) * (F.col("lon") - F.col("plon"))
+    w = Window.partitionBy("user_id").orderBy(d2, "poi_id")
+    return (
+        cand.filter(d2 <= 25.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "user_id",
+            F.col("rank").cast("long").alias("rank"),
+            "poi_id",
+            F.round(F.sqrt(d2), 6).alias("dist_deg"),
+        )
+    )
