@@ -3581,9 +3581,16 @@ WITH RECURSIVE e0 AS (
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 190
 ), e AS (
-  SELECT src AS u, dst AS v FROM e0
-  UNION
-  SELECT dst, src FROM e0
+  -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE DuckDB
+  -- gives a top-level-UNION CTE recursive semantics and skips the dedup;
+  -- duplicate symmetrized edges would double sigma (row multiplicity IS
+  -- sigma below) whenever the census held both (a,b) and (b,a) — caught
+  -- by the hypothesis reversed-duplicate counterexample, round 5
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0
+    UNION ALL
+    SELECT dst, src FROM e0
+  ) sym
 ), walk AS (
   SELECT u AS src, v AS node, 1 AS d FROM e
   UNION
