@@ -4252,3 +4252,113 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(d2), 6).alias("dist_deg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_assortativity",
+    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    oracle="""
+WITH e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), e AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+), ends AS (
+  -- one row per DIRECTED half-edge: (deg(u), deg(v)) — the standard
+  -- symmetric assortativity census (each undirected edge counted twice,
+  -- once per orientation, which is exactly Newman's definition)
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM ends
+)
+SELECT CAST(n AS BIGINT) AS n_half_edges,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM m
+""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected trade graph: the Pearson
+    correlation of endpoint degrees over every directed half-edge —
+    Newman's r, positive when hubs attach to hubs (social networks),
+    negative for hub-and-spoke topologies (the Internet, and most
+    marketplace graphs); the one-number structural summary read next to
+    q_clustering_coefficient (SURVEY §2.11 graph tier). Degrees are
+    exact integer censuses from one groupBy; each half-edge contributes
+    an exact (deg_u, deg_v) pair (both orientations — the symmetric
+    definition); the correlation assembles from six exact 128-bit
+    moments through one shared IEEE tree, NULL when either marginal is
+    degenerate (e.g. a regular graph).
+
+    Scale: degree table joins back to the edge list twice on the node
+    key — both broadcastable at dimension scale, both plain hash joins
+    at web scale (the same two-hop shape as q_triangle_count); the
+    moment census is one row. Plain WITH (no RECURSIVE), so the bare
+    UNION dedups correctly here."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("uu"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("vv"), F.col("d").alias("y"))
+    ends = (
+        e.join(F.broadcast(du), F.col("u") == F.col("uu"))
+        .join(F.broadcast(dv), F.col("v") == F.col("vv"))
+        .select("x", "y")
+    )
+    hi = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ends.agg(
+        hi(F.count("*")).alias("n"),
+        hi(F.sum("x")).alias("sx"),
+        hi(F.sum("y")).alias("sy"),
+        hi(F.sum(hi(F.col("x")) * F.col("x"))).alias("sxx"),
+        hi(F.sum(hi(F.col("y")) * F.col("y"))).alias("syy"),
+        hi(F.sum(hi(F.col("x")) * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return m.select(
+        n.cast("long").alias("n_half_edges"),
+        F.when((vx > 0) & (vy > 0), F.round(r, 6)).alias("assortativity"),
+    )

@@ -76,8 +76,9 @@ ALLOWED_BROADCASTS = {
     # + the betweenness sigma-table self-joins (n²-row metadata)
     # + |V|-row graph round tables (DAG depth, SSSP dist + 1-row source ×2;
     #   doc'd: shuffle on v past broadcast size, the operators/graph.py note)
-    # + profile drift's 1-row time bounds
-    "queries/analytics.py": 40,
+    # + profile drift's 1-row time bounds + assortativity's two |V|-row
+    #   degree tables
+    "queries/analytics.py": 42,
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
     # + the EB-shrinkage 1-row prior

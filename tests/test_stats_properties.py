@@ -1835,3 +1835,45 @@ def test_pacf_oracle_matches_durbin_levinson(series):
         assert p3 == pytest.approx(phi[3][3], abs=1e-3)
     if ok and 4 in phi and p4 is not None:
         assert p4 == pytest.approx(phi[4][4], abs=1e-3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edge_set=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_assortativity_oracle_matches_reference(edge_set):
+    sup, cus, orders, items = [], [], [], []
+    for i, (a, b) in enumerate(sorted(edge_set)):
+        sup.append({"s_suppkey": i, "s_nationkey": a})
+        cus.append({"c_custkey": i, "c_nationkey": b})
+        orders.append({"o_orderkey": i, "o_custkey": i})
+        items.extend({"l_orderkey": i, "l_suppkey": i} for _ in range(120))
+    con = duckdb.connect()
+    con.register("supplier", pd.DataFrame(sup))
+    con.register("customer", pd.DataFrame(cus))
+    con.register("orders", pd.DataFrame(orders))
+    con.register("lineitem", pd.DataFrame(items))
+    try:
+        (n_he, r), = con.execute(q.ORACLES["q_assortativity"]).fetchall()
+    finally:
+        con.close()
+    und = {tuple(sorted(e)) for e in edge_set}
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    pairs = [(deg[a], deg[b]) for a, b in und] + [(deg[b], deg[a]) for a, b in und]
+    assert n_he == len(pairs)
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    if x.std() == 0 or y.std() == 0:
+        assert r is None
+    else:
+        assert r == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-4)
