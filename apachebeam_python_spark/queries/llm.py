@@ -3970,7 +3970,11 @@ WITH sens AS (
 SELECT c_nationkey, c_mktsegment, n, distinct_l,
        round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy,
        round(exp(ln(CAST(n AS DOUBLE)) - clnc / n), 4) AS effective_l,
-       ln(CAST(n AS DOUBLE)) - clnc / n < ln(3.0) AS violates_l3
+       -- flag on the ROUNDED entropy: a class whose H is exactly ln(3)
+       -- (n equal singleton cells) differs by one libm ulp between JVM
+       -- Math.log and glibc log, flipping the raw comparison (found by
+       -- the sf0.001 sweep, round 5)
+       round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) < 1.098612 AS violates_l3
 FROM cls
 """,
 )
@@ -4011,7 +4015,9 @@ def q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_l",
         F.round(h, 6).alias("entropy"),
         F.round(F.exp(h), 4).alias("effective_l"),
-        (h < math.log(3.0)).alias("violates_l3"),
+        # rounded-entropy flag: the exact-boundary class (H == ln 3) flips
+        # on a libm ulp between engines if compared raw
+        (F.round(h, 6) < 1.098612).alias("violates_l3"),
     )
 
 
