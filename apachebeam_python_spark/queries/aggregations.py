@@ -1160,3 +1160,71 @@ def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted median (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_weighted_median",
+    driver=False,  # §2.3 aggregation extension (round 5) — pytest oracle
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, c, wt,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(wt) OVER (PARTITION BY event_type) AS tw
+  FROM w
+)
+SELECT event_type,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS BIGINT)
+         AS weighted_median_cents,
+       CAST(max(tw) AS BIGINT) AS n
+FROM cum GROUP BY event_type
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (frequency) median per event type via the cumulative-weight
+    rule: the smallest value whose cumulative weight reaches half the
+    total — the robust central estimate computed WITHOUT a row-level
+    sort (SURVEY §2.3 aggregation extensions; the lower weighted median,
+    the same no-interpolation convention as q_levene's rank median).
+    Values first collapse to distinct cents with exact integer weights
+    (the q_cliffs_delta contraction), so the ordered window runs over
+    the value DOMAIN, not the row count, and the 2·cw ≥ tw test is an
+    exact integer comparison — engine-identical by construction.
+
+    Scale: one data-sized groupBy to (type, cents) weights; the per-type
+    cumulative window is domain-sized. This is how a median at 100 TB
+    should be computed when the value domain is bounded (prices, ages,
+    ratings) — the contraction IS the optimization."""
+    from pyspark.sql import Window
+
+    w = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .agg(F.count("*").alias("wt"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = w.select(
+        "event_type",
+        "c",
+        "wt",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("c")))
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.max("tw").cast("long").alias("n"),
+    )

@@ -4291,3 +4291,79 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cum),
         (F.col("u") >= F.col("c_lo")) & (F.col("u") < F.col("c_hi")),
     ).select("doc_id", "slot", F.col("tok").alias("negative"), "freq")
+
+
+# --------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary census (round 5 continuation)
+# --------------------------------------------------------------------------
+@register(
+    "q_top_p_nucleus",
+    driver=False,  # §2.11 LLM-pipeline family (round 5) — pytest oracle
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT doc_id, tok, f,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY f DESC, tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+         sum(f) OVER (PARTITION BY doc_id) AS tot,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+  FROM tf
+), kept AS (
+  -- nucleus: tokens up to AND INCLUDING the first row where cumulative
+  -- frequency reaches 90% of the doc — exact integer test 10·cf ≥ 9·tot
+  SELECT doc_id, tot, n_distinct, f, cf
+  FROM cum
+  WHERE 10 * (cf - f) < 9 * tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS nucleus_size,
+       CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+       round(CAST(count(*) AS DOUBLE) / max(n_distinct), 6) AS nucleus_share,
+       round(CAST(max(cf) AS DOUBLE) / max(tot), 6) AS coverage
+FROM kept GROUP BY doc_id
+""",
+)
+def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p, p=0.9) vocabulary census per document: the SMALLEST
+    prefix of the frequency-ranked token distribution whose cumulative
+    mass reaches 90% — how concentrated each document's vocabulary is,
+    the same truncation rule LLM samplers apply per step, run as a
+    corpus diagnostic (SURVEY §2.11 LLM-pipeline tier; a tiny nucleus
+    over many tokens flags boilerplate/repetition, complementing
+    q_repetition_filter). Membership is the exact integer test
+    10·(cf − f) < 9·tot — a row enters iff the mass BEFORE it is still
+    short of 0.9 — over a (freq desc, token) total order per doc, so
+    the census is engine-identical with no float thresholds.
+
+    Scale: one (doc, token) partial/final agg, one doc-partitioned
+    window — both shuffle on the doc key, the same shape as q_doc_stats;
+    nothing global."""
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    wd = Window.partitionBy("doc_id")
+    wc = wd.orderBy(F.col("f").desc(), F.col("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = tf.select(
+        "doc_id",
+        "f",
+        F.sum("f").over(wc).alias("cf"),
+        F.sum("f").over(wd).alias("tot"),
+        F.count("*").over(wd).alias("n_distinct"),
+    )
+    kept = cum.filter(10 * (F.col("cf") - F.col("f")) < 9 * F.col("tot"))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("nucleus_size"),
+        F.max("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.count("*").cast("double") / F.max("n_distinct"), 6).alias(
+            "nucleus_share"
+        ),
+        F.round(F.max("cf").cast("double") / F.max("tot"), 6).alias("coverage"),
+    )
