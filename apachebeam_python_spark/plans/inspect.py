@@ -74,5 +74,11 @@ def plan_fingerprint(df: DataFrame) -> str:
         line = _re.sub(r"plan_id=\d+", "plan_id=", line)
         line = _re.sub(r"\[id=#\]", "", line)
         line = _re.sub(r"\(\d+\)", "()", line)  # codegen stage ids
+        # higher-order-function lambda variables carry a SESSION-GLOBAL
+        # ordinal (``lambda x_5#`` on one run, ``lambda x_13#`` on the
+        # next, depending on how many HOF lambdas the session built
+        # earlier) — the round-5 q_cosine_topk "plan change" was exactly
+        # this artifact, not a plan change (triaged round 6, VERDICT r5 #2)
+        line = _re.sub(r"\blambda ([A-Za-z]+)_\d+#", r"lambda \1#", line)
         lines.append(line.rstrip())
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]

@@ -61,7 +61,13 @@ DRIVER_ORDER: list[str] = [
     "q_doc_stats",
     "q_doc_features",
     "q_topk_per_key",
-    "q_groupbykey_batches",
+    # r6 rotation (VERDICT r5 #4): six slots move to round-4/5 families that
+    # had never earned a driver-green row — lake snapshots, stats tests,
+    # spatial joins, compressed codecs, graph centrality, SCD2 warehousing.
+    # Out (families keep ≥1 driver slot; all stay hash-green in the local
+    # sweep): q_groupbykey_batches, q_join_cross, q_cogroup_full_outer,
+    # q_latest_per_key, q_fn_map, q_partition.
+    "q_lake_snapshot",
     "q_join_broadcast",
     "q_session_window",
     "q_order_limit",
@@ -69,6 +75,7 @@ DRIVER_ORDER: list[str] = [
     "q_json_extract",
     "q_udaf_weighted_avg",
     "q_dedup_ngram_jaccard",
+    "q_chi_square",
     # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
     # anchor) demoted to pytest-only; the embedding-family slot went to the
     # scale-shaped chunk→doc mean-pooling query.
@@ -78,22 +85,21 @@ DRIVER_ORDER: list[str] = [
     "q_join_semi_anti",
     "q_custom_window",
     "q_grouped_map_zscore",
-    "q_latest_per_key",
+    "q_spatial_grid_join",
     "q_cube",
     "q_join_range",
     "q_dedup_clusters",
     "q_python_udtf",
     "q_join_asof",
-    "q_cogroup_full_outer",
+    "q_png_pipeline",
     "q_agg_stats",
-    "q_join_cross",
+    "q_betweenness",
     "q_corpus_curation",
-    "q_partition",
+    "q_scd2_dims",
     # upgraded to oracle-backed in round 2 (DoFn arithmetic / serialized map
     # output / deterministic stub predictions are all SQL-expressible) —
     # ordered before the remaining rows-only tail per the coverage-first rule
     "q_pardo_tagged",
-    "q_fn_map",
     "q_inference_stub",
     # round 3 (VERDICT r2 #1): the rows-only tail (q_ann_lsh, q_dedup_sketch,
     # q_approx_sample) could never earn a hash-green row, so it's swapped for

@@ -193,6 +193,7 @@ def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, round(arg_max(value, ts), 2) AS latest, max(ts) AS max_ts
 FROM events GROUP BY user_id
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): §2.3 keeps 5+ driver slots
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest.PerKey via max_by — single shuffle, no window/self-join."""
@@ -355,6 +356,7 @@ SELECT user_id, 'batch',
                                i -> ids[(i - 1) * 50 + 1 : i * 50])), ',')
 FROM per_key
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): GroupIntoBatches stays local-hash
 )
 def q_groupbykey_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupByKey (ToList + ToSet accumulators) AND GroupIntoBatches(50) in

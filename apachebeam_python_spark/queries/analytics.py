@@ -491,7 +491,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_dims",
-    driver=False,  # extra §2.5 warehouse shape — pytest-only oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): SCD2 warehouse family
     oracle="""
 WITH marked AS (
   SELECT user_id, event_type, ts, event_id,
@@ -2681,7 +2681,7 @@ def _poi_cells(pois: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_spatial_grid_join",
-    driver=False,  # §2.4 spatial-join family (round 4) — pytest oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): spatial-join family
     oracle=_SPATIAL_SQL_PTS
     + """
 , pc AS (
@@ -3570,7 +3570,7 @@ def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_betweenness",
-    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): graph family
     oracle="""
 WITH RECURSIVE e0 AS (
   SELECT s_nationkey AS src, c_nationkey AS dst

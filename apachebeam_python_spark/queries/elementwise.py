@@ -80,6 +80,7 @@ def q_flatmap_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id % 5 AS bucket, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY user_id % 5
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): §2.2 keeps elementwise+pardo slots
 )
 def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``Partition(fn, 5)``: split by deterministic bucket, then

@@ -136,6 +136,7 @@ FROM region,
      (SELECT DISTINCT c_mktsegment AS seg FROM customer),
      (SELECT count(*) AS n_cust FROM customer)
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): join family keeps 6 driver slots
 )
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of tiny sides (guarded cross_join): region ×
@@ -190,6 +191,7 @@ FULL OUTER JOIN
       FROM supplier GROUP BY s_nationkey) b
 ON a.k = b.k
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): CoGBK stays local-hash green
 )
 def q_cogroup_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam ``CoGroupByKey``: per-nation customer names + supplier names,

@@ -2633,7 +2633,7 @@ FROM thumb GROUP BY doc_id, w, h
 
 @register(
     "q_png_pipeline",
-    driver=False,  # §2.11 COMPRESSED-codec multimodal proof — pytest oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): compressed-codec family
     oracle=_THUMB8_ORACLE,
 )
 def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -210,6 +210,7 @@ SELECT doc_id,
        coalesce(lang, '')                      AS lang_val
 FROM documents
 """,
+    driver=False,  # rotated off r6 (VERDICT r5 #4): §2.7 keeps scalar/array/json slots
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: map_from_entries / map_entries / map_keys / element_at.

@@ -351,7 +351,7 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lake_snapshot",
-    driver=False,  # §4.2 snapshot/time-travel transaction layer — pytest oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): lake-snapshot family
     oracle="""
 WITH v0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
      v1 AS (SELECT * FROM documents WHERE doc_id % 3 IN (0, 1)),

@@ -42,7 +42,7 @@ def _cents(col):
 # --------------------------------------------------------------------------
 @register(
     "q_chi_square",
-    driver=False,  # §2.3 statistical extension — pytest oracle
+    # promoted to the driver surface r6 (VERDICT r5 #4): stats-test family
     oracle="""
 WITH g AS (
   SELECT event_type,

@@ -5,6 +5,14 @@ and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ...}
 
+Output contract (round 6, VERDICT r5 #1): stdout carries ONLY that compact
+headline line — round 5's line grew past the driver's output capture
+(BENCH_r05.json came back ``parsed: null`` with just a tail), losing the
+contractual metric. Everything else (cold/warm passes, plan fingerprints,
+the plan-sha diff vs the committed baseline, the scaling curve) is written
+to ``BENCH_DETAIL.json`` next to this script (override with
+$SPARK_GRAFT_BENCH_DETAIL; set it empty to skip the file).
+
 Each query materializes fully via the noop sink (count() alone would let
 Catalyst prune work). Timings are wall-clock per query after a shared
 session warm-up.
@@ -240,6 +248,51 @@ def main() -> None:
             plan_sha[name] = None
     release_signature_caches()
 
+    # plan-sha tripwire diff (round 6, VERDICT r5 #2): compare against the
+    # committed, last-TRIAGED baseline so a plan change surfaces as a named
+    # list in the detail artifact instead of a manual field compare. Changes
+    # get a one-line cause in README's bench-comparability section, then the
+    # baseline is updated.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(repo_dir, "PLAN_SHA_BASELINE.json")
+    plan_sha_changed = None
+    baseline_round = None
+    try:
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+        baseline_round = baseline.get("round")
+        plan_sha_changed = sorted(
+            n
+            for n in HEADLINE
+            if plan_sha.get(n) != baseline.get("plan_sha", {}).get(n)
+        )
+    except OSError:
+        pass
+
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(repo_dir, "BENCH_DETAIL.json")
+    )
+    if detail_path:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "value_cold": round(sum(passes[0].values()), 3),
+                    "queries_cold": passes[0],
+                    "value_warm": round(sum(passes[-1].values()), 3),
+                    "queries_warm": passes[-1],
+                    "plan_sha": plan_sha,
+                    "plan_sha_baseline_round": baseline_round,
+                    "plan_sha_changed": plan_sha_changed,
+                    "scaling": scaling,
+                },
+                fh,
+                indent=2,
+            )
+            fh.write("\n")
+
+    # the ONE stdout line — compact by contract; keep it well under any
+    # plausible output-capture limit
     print(
         json.dumps(
             {
@@ -248,12 +301,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": best,
                 "sf": sf,
-                "value_cold": round(sum(passes[0].values()), 3),
-                "queries_cold": passes[0],
-                "value_warm": round(sum(passes[-1].values()), 3),
-                "queries_warm": passes[-1],
-                "plan_sha": plan_sha,
-                "scaling": scaling,
             }
         )
     )

@@ -12,6 +12,20 @@ from apachebeam_python_spark import queries as q
 
 MAX_DRIVER_ENTRIES = 50
 
+#: Round-6 rotation (VERDICT r5 #4): six slots moved to round-4/5 families
+#: that had never earned a driver-green row (q_lake_snapshot, q_chi_square,
+#: q_spatial_grid_join, q_png_pipeline, q_betweenness, q_scd2_dims). The
+#: rotated-off queries stay registered + oracle-backed in the local sweep
+#: and their §2 families keep at least one driver slot each.
+ROTATED_OFF_R6 = {
+    "q_groupbykey_batches",
+    "q_join_cross",
+    "q_cogroup_full_outer",
+    "q_latest_per_key",
+    "q_fn_map",
+    "q_partition",
+}
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -72,7 +86,7 @@ def test_r2_green_set_never_demoted():
     # Deliberate, documented exceptions only. q_dedup_embedding: all-pairs
     # O(n²) anchor demoted per VERDICT r2 #4; stays oracle-checked in the
     # local sweep, its slot went to q_embedding_pool.
-    intentionally_demoted = {"q_dedup_embedding"}
+    intentionally_demoted = {"q_dedup_embedding"} | ROTATED_OFF_R6
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
         n for n in green
@@ -103,8 +117,18 @@ def test_r3_green_set_never_demoted():
     ]
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
-    demoted = [n for n in green if n not in qs or n not in os_]
+    demoted = [
+        n for n in green if n not in ROTATED_OFF_R6 and (n not in qs or n not in os_)
+    ]
     assert not demoted, f"r3 hash-green queries demoted from the driver surface: {demoted}"
+    # rotated-off queries must stay registered AND oracle-backed locally
+    for n in ROTATED_OFF_R6:
+        assert n in q.QUERIES and n in q.ORACLES, f"rotated-off {n} lost its oracle"
+        assert n not in qs, f"{n} is in ROTATED_OFF_R6 but still on the driver surface"
+    # and each rotated-in replacement must be oracle-backed on the surface
+    for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
+              "q_png_pipeline", "q_betweenness", "q_scd2_dims"]:
+        assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"
 
 
 def test_every_family_in_tier1():
