@@ -4362,3 +4362,103 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_half_edges"),
         F.when((vx > 0) & (vy > 0), F.round(r, 6)).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-truss decomposition (bounded edge peel, round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_ktruss",
+    driver=False,  # §2.11 graph family — pytest oracle
+    oracle="""
+WITH e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), t1 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0
+), s1 AS (
+  SELECT t.u, t.v, CAST(count(*) AS BIGINT) AS support
+  FROM t1 t
+  JOIN (SELECT u, v FROM t1 UNION ALL SELECT v, u FROM t1) e1 ON e1.u = t.u
+  JOIN (SELECT u, v FROM t1 UNION ALL SELECT v, u FROM t1) e2
+    ON e2.u = t.v AND e2.v = e1.v
+  GROUP BY t.u, t.v
+), t2 AS (
+  SELECT u, v FROM s1 WHERE support >= 2
+), s2 AS (
+  SELECT t.u, t.v, CAST(count(*) AS BIGINT) AS support
+  FROM t2 t
+  JOIN (SELECT u, v FROM t2 UNION ALL SELECT v, u FROM t2) e1 ON e1.u = t.u
+  JOIN (SELECT u, v FROM t2 UNION ALL SELECT v, u FROM t2) e2
+    ON e2.u = t.v AND e2.v = e1.v
+  GROUP BY t.u, t.v
+)
+SELECT u, v, support FROM s2 WHERE support >= 2
+""",
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the supplier→customer nation graph (SURVEY §2.11 graph
+    tier; the EDGE-grained sibling of q_kcore's node peel): keep edges
+    that sit in ≥ k−2 = 2 triangles of the surviving subgraph, peel,
+    recompute on the induced edges, repeat. Two peel rounds are unrolled
+    — the fixture graph reaches its fixpoint in one (a third round is
+    pinned as a no-op in pytest, the q_kcore discipline) — and the oracle
+    unrolls the identical rounds, so this is exact.
+
+    Edge support is computed WITHOUT materializing triangles: each
+    (u<v)-oriented edge joins the symmetric adjacency twice (common
+    neighbors of u and v), one count per edge — two hash joins + one agg
+    per round. Scale: at web scale the same join runs degree-ordered
+    (orient edges low-degree→high) to bound the skew of hub nodes, and
+    each round's survivor edge list is a checkpoint cut — identical to
+    q_kcore's round-table story; truss peels converge in tens of rounds
+    on real graphs."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    t = (
+        e0.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(checkpoint, eager=False)
+    )
+
+    def peel(t: DataFrame) -> DataFrame:
+        sym = t.select("u", "v").unionByName(
+            t.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        e1 = sym.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
+        e2 = sym.select(F.col("u").alias("a2"), F.col("v").alias("w2"))
+        return (
+            t.join(e1, t.u == F.col("a1"))
+            .join(e2, (t.v == F.col("a2")) & (F.col("w2") == F.col("w1")))
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("long").alias("support"))
+        )
+
+    k = 4
+    cur = t
+    sup = None
+    for _ in range(2):
+        sup = peel(cur)
+        cur = sup.filter(F.col("support") >= k - 2).select("u", "v").transform(
+            checkpoint, eager=False
+        )
+    return sup.filter(F.col("support") >= k - 2).select("u", "v", "support")

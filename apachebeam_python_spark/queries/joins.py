@@ -434,3 +434,63 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_dt_us"),
         direction.alias("direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — the shuffle-amortization layout (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_bucketed_join",
+    driver=False,  # physical-layout proof; values = plain equi-join
+    oracle="""
+SELECT c_mktsegment AS seg,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables (SURVEY §2.4 join tier / §4 physical layout): both
+    sides are written ONCE with ``bucketBy(8, key).sortBy(key)`` and the
+    join then reads co-located buckets — the executed plan has ZERO
+    Exchange nodes under the SortMergeJoin (pinned in tests/test_plans.py;
+    the only shuffle left in the query is the final segment aggregate).
+
+    Why at 100 TB: a fact table joined on the same key by many daily
+    queries pays ONE layout-time shuffle instead of one per query —
+    bucketing is pre-shuffling persisted into the table layout, the same
+    amortization as laketable's compaction story. The merge hint pins the
+    co-located SMJ so a small test-scale side can't flip the demo to a
+    broadcast (at real scale both sides are too big to broadcast and SMJ
+    is what AQE picks anyway). Values are layout-independent — the oracle
+    is the plain equi-join."""
+    from .scans import _scratch_dir, _sfkey
+
+    tag = _sfkey(sf_dir)
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS graft_bkt "
+        f"LOCATION '{_scratch_dir()}/bucketed_db'"
+    )
+    pairs = [("orders", "o_custkey"), ("customer", "c_custkey")]
+    for name, key in pairs:
+        tbl = f"graft_bkt.{name}_bkt_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                table(spark, sf_dir, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    o = spark.table(f"graft_bkt.orders_bkt_{tag}").hint("merge")
+    c = spark.table(f"graft_bkt.customer_bkt_{tag}").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -4367,3 +4367,114 @@ def q_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("cf").cast("double") / F.max("tot"), 6).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_dsir_select",
+    driver=False,  # §2.11 curation tier — pytest oracle
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 256 AS bkt
+  FROM w WHERE word <> ''
+), tot AS (
+  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+  FROM b
+), lr AS (
+  SELECT bkt,
+         CAST(round((ln((sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1.0)
+                        / (nt + 256.0))
+                     - ln((sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1.0)
+                          / (nr + 256.0))) * 1000000) AS BIGINT) AS lr_micro
+  FROM b CROSS JOIN tot
+  GROUP BY bkt, nt, nr
+), docb AS (
+  SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c
+  FROM b WHERE source <> 'src0'
+  GROUP BY doc_id, bkt
+), wgt AS (
+  SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) AS weight_micro
+  FROM docb JOIN lr USING (bkt)
+  GROUP BY doc_id
+)
+SELECT doc_id, weight_micro,
+       round(weight_micro / 1000000.0, 6) AS log_weight
+FROM wgt
+ORDER BY weight_micro DESC, doc_id
+LIMIT 20
+""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, SURVEY §2.11 curation
+    tier): score every raw-corpus document by how target-domain-like its
+    hashed word distribution is, and keep the top-k. Words hash into 256
+    buckets (the portable 60-bit md5 idiom); the target domain here is
+    ``source = 'src0'``; Laplace-smoothed bucket log-ratios
+    ln(p_tgt/q_raw) are quantized to integer MICRO-units so each doc's
+    weight Σ c_b·lr_b is an EXACT int64 sum — order-independent across
+    engines (the q_anova discipline applied to a log-likelihood ratio;
+    a raw double dot product over 256 buckets drifts at the 6th decimal).
+
+    Scale: the bucket table is 256 rows → broadcast; scoring is one
+    doc-bucket groupBy + a broadcast join + one partial-agg sum per doc
+    (no shuffle of the corpus text); top-k is TakeOrdered. The real DSIR
+    uses 10k hashed bigram buckets and importance RESAMPLING instead of
+    top-k — both swaps are parameter changes, not plan changes. Weight
+    bound: |lr_micro| ≤ ln(nr)·1e6 ≈ 2e7, c ≤ doc words, Σ ≪ 2^63."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    b = words.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % 256).alias(
+            "bkt"
+        ),
+    )
+    is_t = F.when(F.col("source") == "src0", 1).otherwise(0)
+    per_bkt = b.groupBy("bkt").agg(
+        F.sum(is_t).cast("long").alias("ct"),
+        F.sum(1 - is_t).cast("long").alias("cr"),
+    )
+    tot = b.agg(
+        F.sum(is_t).cast("long").alias("nt"), F.sum(1 - is_t).cast("long").alias("nr")
+    )
+    lr = per_bkt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + 256.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + 256.0))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    docb = (
+        b.filter(F.col("source") != "src0")
+        .groupBy("doc_id", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    wgt = (
+        docb.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr_micro")).cast("long").alias("weight_micro"))
+    )
+    return (
+        wgt.select(
+            "doc_id",
+            "weight_micro",
+            F.round(F.col("weight_micro") / 1000000.0, 6).alias("log_weight"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(20)
+    )

@@ -1074,3 +1074,46 @@ def q_lake_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_version[1:]:
         outdf = outdf.unionByName(p)
     return outdf
+
+
+# --------------------------------------------------------------------------
+# Partitioned layout + partition pruning (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_partition_prune",
+    driver=False,  # physical-layout proof; values = plain filtered agg
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning (SURVEY §2.1
+    source tier / §4 physical layout): events are written ONCE with
+    ``partitionBy("event_type")`` and the filtered read then touches ONLY
+    the ``event_type=purchase`` directory — the scan's PartitionFilters
+    prune the other four partitions out of the file listing before any
+    byte is read (pinned in tests/test_plans.py).
+
+    Why at 100 TB: a predicate on the partition column is metadata-only
+    I/O elimination — a 5-way event-type partitioning turns a full-corpus
+    scan into a fifth of it, before pushed filters even run. The layout
+    write is the same one-time amortization story as bucketing; daily
+    jobs filtering by type/date read only their slice forever after.
+    Values are layout-independent — the oracle is the plain filtered agg."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"events_bytype_{_sfkey(sf_dir)}")
+    if not os.path.isdir(os.path.join(out, "event_type=purchase")):
+        shutil.rmtree(out, ignore_errors=True)
+        table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(out)
+    e = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -574,3 +574,59 @@ def test_lake_dv_read_is_anti_join(spark, sf_dir, tmp_path):
     dv = LT.read_table(spark, path)
     assert "LeftAnti" in P.executed_plan(dv), "DV read must anti-join positions"
     assert dv.count() == 1000 - len([i for i in range(1000) if i % 3 == 0])
+
+
+def test_r6_layout_wave_plan_shapes(spark, sf_dir):
+    """Round-6 physical-layout wave: the bucketed join must be a
+    SortMergeJoin with ZERO Exchange beneath it (the one remaining
+    exchange is the final segment aggregate — bucketing pre-shuffled the
+    join at write time), and the partitioned-layout read must carry the
+    event_type predicate as a PartitionFilter (metadata pruning, not a
+    data filter)."""
+    bj = q.QUERIES["q_bucketed_join"](spark, sf_dir)
+    assert P.has(bj, "SortMergeJoin"), "bucketed join lost its SMJ (broadcast flip?)"
+    assert P.count_exchanges(bj) <= 1, "bucketed join re-shuffled a bucketed side"
+
+    pp = q.QUERIES["q_partition_prune"](spark, sf_dir)
+    pf = "\n".join(
+        line.strip()
+        for line in P.formatted(pp).splitlines()
+        if "PartitionFilters" in line
+    )
+    assert "event_type" in pf and "purchase" in pf, f"partition pruning lost: {pf}"
+
+
+def test_r6_dsir_and_ktruss_plan_shapes(spark, sf_dir):
+    """DSIR's 256-row bucket-weight table must broadcast (the corpus side
+    never shuffles for the scoring join) and the top-k must be a
+    TakeOrdered, not a global sort."""
+    ds = q.QUERIES["q_dsir_select"](spark, sf_dir)
+    plan = P.executed_plan(ds)
+    assert "BroadcastHashJoin" in plan, "bucket-weight join lost its broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k became a global sort"
+
+
+def test_ktruss_reaches_fixpoint(spark, sf_dir):
+    """The 2 unrolled peel rounds must be a fixpoint on the fixture graph
+    (the q_kcore discipline): a third peel of q_ktruss's survivor edges
+    changes nothing. Gated on fixture richness — the sf0.001 graph has no
+    4-truss (both engines agree on empty, which the parity sweep checks)."""
+    from pyspark.sql import functions as F
+
+    out = q.QUERIES["q_ktruss"](spark, sf_dir)
+    edges = out.select("u", "v")
+    n = edges.count()
+    if n == 0:
+        return  # tiny-fixture degenerate case: nothing to re-peel
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e1 = sym.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
+    e2 = sym.select(F.col("u").alias("a2"), F.col("v").alias("w2"))
+    sup3 = (
+        edges.join(e1, edges.u == F.col("a1"))
+        .join(e2, (edges.v == F.col("a2")) & (F.col("w2") == F.col("w1")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+    assert sup3.filter(F.col("support") >= 2).count() == n, "third peel not a no-op"
