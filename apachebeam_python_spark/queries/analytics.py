@@ -4462,3 +4462,93 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint, eager=False
         )
     return sup.filter(F.col("support") >= k - 2).select("u", "v", "support")
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_nelson_aalen",
+    driver=False,  # §2.5 survival-analysis extension — pytest oracle
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT CASE WHEN conv_ts IS NOT NULL
+              THEN date_diff('day', CAST(t0 AS DATE), CAST(conv_ts AS DATE))
+              ELSE date_diff('day', CAST(t0 AS DATE), CAST(last_ts AS DATE))
+         END AS t,
+         CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END AS death
+  FROM u
+), tt AS (
+  SELECT t, CAST(sum(death) AS BIGINT) AS d,
+         CAST(sum(1 - death) AS BIGINT) AS c
+  FROM dur GROUP BY t
+), o AS (
+  SELECT t, d, c,
+         CAST(sum(d + c) OVER (ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM tt
+)
+SELECT t AS t_days, n_at_risk, d AS d_events, c AS c_censored,
+       round(sum(CAST(d AS DOUBLE) / n_at_risk) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_hazard
+FROM o
+""",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same
+    right-censored time-to-first-purchase durations as q_survival_km —
+    the additive estimator that stays stable where KM's product
+    underflows, and the direct input to hazard-ratio eyeballing. Unlike
+    KM's sequential PRODUCT (which needs the grouped-map replay), the
+    hazard is a running SUM of per-time d/n terms in a fixed order —
+    plain ordered windows in both engines, each term one IEEE divide,
+    identical accumulation order ⇒ identical doubles; zero UDFs.
+
+    Scale: identical profile to q_survival_km minus the sequential tail —
+    one user-keyed agg, then windows over the |distinct durations|-row
+    risk table (bounded by the observation window, not event volume)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    dur = u.select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.to_date("conv_ts"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("t0")))
+        .alias("t"),
+        F.when(F.col("conv_ts").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    tt = dur.groupBy("t").agg(
+        F.sum("death").cast("long").alias("d"),
+        F.sum(1 - F.col("death")).cast("long").alias("c"),
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    o = tt.withColumn(
+        "n_at_risk", F.sum(F.col("d") + F.col("c")).over(w_risk).cast("long")
+    )
+    return o.select(
+        F.col("t").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_at_risk")).over(w_cum), 6
+        ).alias("cum_hazard"),
+    )

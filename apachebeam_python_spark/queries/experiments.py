@@ -3648,3 +3648,87 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eb_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences read-out (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_diff_in_diff",
+    driver=False,  # §2.3 experimentation tier — pytest oracle
+    oracle="""
+WITH cell AS (
+  SELECT user_id % 2 AS treated,
+         CASE WHEN ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+), w AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 1 THEN s_c * 1.0 / n END) AS tp,
+    max(CASE WHEN treated = 1 AND post = 0 THEN s_c * 1.0 / n END) AS tr,
+    max(CASE WHEN treated = 0 AND post = 1 THEN s_c * 1.0 / n END) AS cp,
+    max(CASE WHEN treated = 0 AND post = 0 THEN s_c * 1.0 / n END) AS cr,
+    CAST(sum(n) AS BIGINT) AS n_total
+  FROM cell
+)
+SELECT n_total,
+       round(tp / 100.0, 6) AS treat_post,
+       round(tr / 100.0, 6) AS treat_pre,
+       round(cp / 100.0, 6) AS ctrl_post,
+       round(cr / 100.0, 6) AS ctrl_pre,
+       round(((tp - tr) - (cp - cr)) / 100.0, 6) AS did_estimate
+FROM w
+""",
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences read-out (SURVEY §2.3 experimentation
+    tier, the q_ab_test → q_cuped → q_uplift_segments chain's
+    quasi-experimental sibling): purchase value means in the four
+    (treated × pre/post) cells with the '2024-02-01' policy cut and the
+    same ``user_id % 2`` assignment the rest of the experiment family
+    replays; DiD = (T_post − T_pre) − (C_post − C_pre) cancels both the
+    group baseline and the common time trend. Cell means are exact cents
+    sums over exact counts — one divide per cell, engine-identical.
+
+    Scale: one partial+final agg to 4 rows, then a 1-row assembly —
+    the same anywhere from 10 GB to 100 TB."""
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    cell = e.groupBy(
+        (F.col("user_id") % 2).alias("treated"),
+        F.when(F.col("ts") >= F.lit("2024-02-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s_c"),
+    )
+
+    def pick(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s_c") * 1.0 / F.col("n"),
+            )
+        )
+
+    w = cell.agg(
+        pick(1, 1).alias("tp"),
+        pick(1, 0).alias("tr"),
+        pick(0, 1).alias("cp"),
+        pick(0, 0).alias("cr"),
+        F.sum("n").alias("n_total"),
+    )
+    return w.select(
+        "n_total",
+        F.round(F.col("tp") / 100.0, 6).alias("treat_post"),
+        F.round(F.col("tr") / 100.0, 6).alias("treat_pre"),
+        F.round(F.col("cp") / 100.0, 6).alias("ctrl_post"),
+        F.round(F.col("cr") / 100.0, 6).alias("ctrl_pre"),
+        F.round(
+            ((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))) / 100.0, 6
+        ).alias("did_estimate"),
+    )

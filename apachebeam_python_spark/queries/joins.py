@@ -332,14 +332,19 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of one. Targets the middle ground where the small side is too big to
     broadcast but the fact side is skewed; result is row-identical to the
     plain join, which is what the oracle checks. Revenue sums exact
-    decimal (order-independent under re-partitioning)."""
+    decimal (order-independent under re-partitioning). The merge hint
+    keeps the demo honest at fixture scale (round 6): AQE would broadcast
+    the replicated customer side and hide the salt from the plan — the
+    SMJ-on-(key, salt) shape is now pinned in tests/test_plans.py."""
     from ..operators import skew
 
     o = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
     )
-    c = table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+        .hint("merge")
     )
     j = skew.salted_join(o, c, "custkey", F.col("o_orderkey"), 8)
     return j.groupBy("c_mktsegment").agg(
@@ -494,3 +499,71 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pure range join made equi via bin replication (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_range_join_binned",
+    driver=False,  # scale pattern for keyless range joins — pytest oracle
+    oracle="""
+SELECT b AS band, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS sum_value
+FROM (SELECT unnest(range(10)) AS b) bands
+JOIN events e ON e.value >= b * 40.0 AND e.value < b * 40.0 + 60.0
+GROUP BY b
+""",
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join at scale (SURVEY §2.4 join tier): events match
+    OVERLAPPING value bands [b·40, b·40+60) — no equi key exists, and a
+    naive theta join is a broadcast-nested-loop that dies when neither
+    side broadcasts. The scale form BINS the range axis (width 40): each
+    band replicates to the ⌈span/width⌉ = 2 bins it overlaps, each event
+    computes its one bin, and the join becomes EQUI on bin + a residual
+    band predicate — a hash join whose fan-out is bounded by the
+    replication factor, never |bands|·|events|.
+
+    This is the standard interval-join decomposition (Flink/Spark
+    interval joins and every time-range join do exactly this with time
+    buckets). Band sums use the cents discipline (exact int64) — a
+    2000-term double sum per band is order-dependent at the 6th decimal.
+
+    Scale: replication factor = band span / bin width is the tuning knob;
+    at 100 TB pick the width near the median span so the bands side stays
+    small enough to broadcast per bin while events never shuffle twice."""
+    e = table(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 40.0).alias("lo"),
+        (F.col("id") * 40.0 + 60.0).alias("hi"),
+    )
+    width = 40.0
+    bands_binned = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / width).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    ev = e.select(
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.col("value") / width).cast("long").alias("bin"),
+    )
+    return (
+        ev.join(F.broadcast(bands_binned), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+        )
+    )
+

@@ -4478,3 +4478,90 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — greedy context-window bin fill (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_sequence_pack",
+    driver=False,  # §2.11 training-data export tier — pytest oracle
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id % 8 AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), step AS (
+  SELECT shard, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin_idx, n_tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.n_tok, d.rn,
+         CASE WHEN s.fill + d.n_tok > 512 THEN s.bin_idx + 1 ELSE s.bin_idx END,
+         CASE WHEN s.fill + d.n_tok > 512 THEN d.n_tok ELSE s.fill + d.n_tok END
+  FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT shard, bin_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM step GROUP BY shard, bin_idx
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (SURVEY §2.11 training-data export tier): greedy
+    first-fit of documents into 512-token context windows WITHOUT
+    splitting — the step every LLM training pipeline runs between
+    curation and batching (padding waste → near-zero). Docs are sharded
+    by ``doc_id % 8`` and packed in doc_id order within a shard; a bin
+    closes when the next doc would overflow it (an oversized doc takes a
+    bin alone). The recurrence is inherently sequential, so the Spark
+    side is a per-shard ``applyInPandas`` scan — Arrow-batched, one
+    partition per shard, embarrassingly parallel ACROSS shards — and the
+    DuckDB oracle replays the identical greedy walk as a recursive CTE.
+
+    Unlike q_corpus_pack (size-balanced shard assignment), this is the
+    TOKEN-BUDGET bin fill: output is per-bin occupancy, the direct input
+    to a fixed-length batch writer.
+
+    Scale: sequentiality is per shard, so shard count = parallelism knob;
+    at 100 TB shards come from the curation pipeline's existing
+    partitioning and each executor packs its shards in one pass —
+    O(docs/shards) memory, no shuffle beyond the shard exchange."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+
+    CAP = 512
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rows = []
+        bin_idx, fill = 0, 0
+        first = True
+        for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tok"]):
+            if not first and fill + n_tok > CAP:
+                bin_idx += 1
+                fill = 0
+            first = False
+            fill += n_tok
+            rows.append((int(pdf["shard"].iloc[0]), bin_idx, int(doc_id), int(n_tok)))
+        out = pd.DataFrame(rows, columns=["shard", "bin_idx", "doc_id", "n_tok"])
+        g = out.groupby(["shard", "bin_idx"], as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            sum_tokens=("n_tok", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        return g
+
+    schema = (
+        "shard long, bin_idx long, n_docs long, sum_tokens long, "
+        "first_doc long, last_doc long"
+    )
+    return d.groupBy("shard").applyInPandas(pack, schema=schema)

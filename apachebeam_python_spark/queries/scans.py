@@ -1117,3 +1117,64 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lake file-stats data skipping (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_lake_stats_skipping",
+    driver=False,  # lake read-path pruning proof; values = plain filtered agg
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+WHERE doc_id BETWEEN 100 AND 149
+""",
+)
+def q_lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping on the lake read path (sources/
+    laketable.py `files_matching`, SURVEY §4.2): documents land in the
+    lake table range-partitioned on doc_id, so each data file's manifest
+    entry carries a disjoint [min,max] doc_id span; a doc_id-band query
+    consults ONLY the manifest (driver-side, no footer reads) to find the
+    files that can hold matches, reads just those, and re-applies the
+    predicate. The skip is asserted real (pruned file set strictly
+    smaller) before the read — a silent no-prune regression fails the
+    query, not just a perf number.
+
+    This is Delta/Iceberg data skipping in miniature: partition pruning
+    eliminates directories by partition VALUE; stats skipping eliminates
+    files WITHIN a partition by column [min,max]. At 100 TB the two
+    compose with clustering (sources/layout.py z-order) — skip quality is
+    exactly the narrowness of each file's value span.
+
+    Values are layout-independent: the oracle is the plain filtered agg."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lakeskip_{_sfkey(sf_dir)}")
+    if not os.path.isdir(os.path.join(out, "_log")):
+        shutil.rmtree(out, ignore_errors=True)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        LT.create_table(docs.repartitionByRange(8, "doc_id"), out)
+    all_files = LT._read_manifest(out, LT.current_version(out))["files"]
+    hit = LT.files_matching(out, "doc_id", 100, 149)
+    if len(all_files) > 1 and not len(hit) < len(all_files):
+        raise AssertionError(
+            "stats skipping regressed: band query pruned no files "
+            f"({len(hit)}/{len(all_files)})"
+        )
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    m = LT._read_manifest(out, LT.current_version(out))
+    schema = StructType.fromJson(_json.loads(m["schema"])) if m.get("schema") else None
+    df = LT._read_entries(spark, out, hit, schema)
+    return df.filter(F.col("doc_id").between(100, 149)).agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )

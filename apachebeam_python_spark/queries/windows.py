@@ -186,3 +186,91 @@ def q_win_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w_run), 2).alias("run_sum"),
         F.round(F.avg("value").over(w_mavg), 6).alias("mavg3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance via the running-min closed form (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_floored_running_balance",
+    driver=False,  # §2.5 window tier, non-associative recurrence — pytest oracle
+    oracle="""
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'view'
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c
+  FROM events WHERE event_type IN ('view', 'click')
+), s1 AS (
+  SELECT user_id, event_id, ts,
+         sum(delta_c) OVER w AS cum_c
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT user_id, event_id, cum_c,
+         min(cum_c) OVER w2 AS low_c
+  FROM s1 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CAST(cum_c - least(CAST(0 AS BIGINT), low_c) AS BIGINT) AS balance_cents,
+       round((cum_c - least(CAST(0 AS BIGINT), low_c)) / 100.0, 2) AS balance
+FROM s
+""",
+)
+def q_floored_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance — the wallet/inventory recurrence
+    b_i = max(0, b_{i−1} + δ_i) (credits for views, debits for clicks,
+    balance can never go negative). The recurrence is NON-associative, so
+    it looks like a sequential per-key loop — but the one-sided clamp has
+    an exact closed form over plain windows:
+
+        b_i = s_i − min(0, min_{j≤i} s_j)
+
+    where s is the unclamped running sum: the running minimum is exactly
+    the total credit the floor injected so far. Two ordered window passes,
+    zero UDFs, cents-exact integers (SURVEY §2.5 frames tier; the
+    technique that turns many 'must-be-a-loop' state machines back into
+    windows — two-sided caps genuinely need the per-key sequential scan,
+    which is the applyInPandas fallback documented in scale_notes).
+
+    Scale: both windows share one (user_id) shuffle + one in-partition
+    sort; state per key is O(1)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "view", cents).otherwise(-cents).alias(
+            "delta_c"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("delta_c").over(w).alias("cum_c"),
+    )
+    s = s1.select(
+        "user_id",
+        "event_id",
+        "cum_c",
+        F.min("cum_c").over(w).alias("low_c"),
+    )
+    bal_c = F.col("cum_c") - F.least(F.lit(0).cast("long"), F.col("low_c"))
+    return s.select(
+        "user_id",
+        "event_id",
+        bal_c.cast("long").alias("balance_cents"),
+        F.round(bal_c / 100.0, 2).alias("balance"),
+    )

@@ -90,7 +90,9 @@ ALLOWED_BROADCASTS = {
     #   is broadcast_if_small-gated) + Misra-Gries candidates (partitions·k)
     # + negative sampling's 1-row total and Heaps-small vocab CDF (a range
     #   join NEEDS the broadcast side; CDF bucketing is the doc'd big-vocab swap)
-    "queries/llm.py": 27,
+    # + DSIR's 1-row corpus totals and 256-row bucket log-ratio table (r6 —
+    #   bucket count is a constant, independent of corpus size)
+    "queries/llm.py": 29,
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
     # + the Kneser-Ney marginal tables (Heaps-law small)
@@ -126,7 +128,9 @@ ALLOWED_BROADCASTS = {
     # static enrichment dim (Beam side-input shape)
     "queries/streaming_q.py": 1,
     # nation dim lookup (the side-input join itself)
-    "queries/joins.py": 1,
+    # + the binned range join's band×bin table (r6 — |bands|·replication
+    #   rows of metadata, independent of the events side)
+    "queries/joins.py": 2,
     # skew-salting replicates the SMALL side by the salt factor
     "operators/skew.py": 1,
     # as-of join's quantized probe calendar

@@ -630,3 +630,69 @@ def test_ktruss_reaches_fixpoint(spark, sf_dir):
         .agg(F.count("*").alias("support"))
     )
     assert sup3.filter(F.col("support") >= 2).count() == n, "third peel not a no-op"
+
+
+def test_r6_skew_and_binning_plan_shapes(spark, sf_dir):
+    """The salted join's salt must be REAL in the plan (a SortMergeJoin
+    keyed on (event_type, _salt) — not a broadcast that hides it), and the
+    binned range join must be a broadcast hash join on bin (the metadata
+    side replicated, events never shuffling for the join)."""
+    sj = q.QUERIES["q_salted_join"](spark, sf_dir)
+    plan = P.executed_plan(sj)
+    assert "SortMergeJoin" in plan, "salted join got broadcast — salt demo lost"
+    assert "_salt" in plan, "salt column missing from the join plan"
+
+    rb = q.QUERIES["q_range_join_binned"](spark, sf_dir)
+    plan = P.executed_plan(rb)
+    assert "BroadcastHashJoin" in plan, "bands side lost its broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, "range join degenerated to BNLJ"
+
+
+def test_floored_balance_single_shuffle(spark, sf_dir):
+    """Both window passes of the clamped balance share one (user_id)
+    partitioning: exactly one exchange in the whole plan."""
+    fb = q.QUERIES["q_floored_running_balance"](spark, sf_dir)
+    assert P.count_exchanges(fb) <= 1, "the two window passes re-shuffled"
+
+
+def test_sequence_pack_matches_local_greedy(spark, sf_dir):
+    """Replay the greedy packer in plain Python over the collected doc
+    sizes and compare bin-for-bin — pins the applyInPandas packer against
+    the independent reference implementation (the oracle already pins it
+    against the recursive-CTE replay)."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.session import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 8).alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .collect()  # |documents| rows of metadata at test scale
+    )
+    by_shard: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    expect = {}
+    for shard, rows in by_shard.items():
+        bin_idx, fill = 0, 0
+        stats: dict[int, list] = {}
+        for i, r in enumerate(rows):
+            if i and fill + r.n_tok > 512:
+                bin_idx += 1
+                fill = 0
+            fill += r.n_tok
+            s = stats.setdefault(bin_idx, [0, 0, r.doc_id, r.doc_id])
+            s[0] += 1
+            s[1] += r.n_tok
+            s[3] = r.doc_id
+        for b, (n_docs, tot, first, last) in stats.items():
+            expect[(shard, b)] = (n_docs, tot, first, last)
+    got = {
+        (r.shard, r.bin_idx): (r.n_docs, r.sum_tokens, r.first_doc, r.last_doc)
+        for r in q.QUERIES["q_sequence_pack"](spark, sf_dir).collect()
+    }
+    assert got == expect
