@@ -4552,3 +4552,98 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d").cast("double") / F.col("n_at_risk")).over(w_cum), 6
         ).alias("cum_hazard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality, integer-quantized (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_katz",
+    driver=False,  # §2.11 graph family — pytest oracle
+    oracle="""
+WITH e0 AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), e AS (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), x0 AS (
+  SELECT DISTINCT u AS node, CAST(1000000 AS BIGINT) AS xm FROM e
+), x1 AS (
+  SELECT e.u AS node,
+         1000000 + CAST(sum(x0.xm) AS BIGINT) // 10 AS xm
+  FROM e JOIN x0 ON e.v = x0.node GROUP BY e.u
+), x2 AS (
+  SELECT e.u AS node,
+         1000000 + CAST(sum(x1.xm) AS BIGINT) // 10 AS xm
+  FROM e JOIN x1 ON e.v = x1.node GROUP BY e.u
+), x3 AS (
+  SELECT e.u AS node,
+         1000000 + CAST(sum(x2.xm) AS BIGINT) // 10 AS xm
+  FROM e JOIN x2 ON e.v = x2.node GROUP BY e.u
+)
+SELECT node, xm AS katz_micro, round(xm / 1000000.0, 6) AS katz
+FROM x3
+""",
+)
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality x = Σ_k α^k (Aᵏ1) with α = 0.1 on the nation
+    graph, three unrolled power-iteration rounds (SURVEY §2.11 graph
+    tier, the attenuation-weighted sibling of q_pagerank). Scores are
+    kept in integer MICRO-units with the α-step as exact integer
+    division (Σ xm) div 10 — every round is exact int64 arithmetic, so
+    the cross-engine result is bit-identical with no accumulated-double
+    drift (per-node neighbor sums are unordered; the q_dsir_select
+    quantization lesson). The quantization bias is < 1 micro-unit per
+    round, documented rather than hidden in rounding.
+
+    Scale: each round is one edge-table join against an |V|-row score
+    table + one groupBy — the q_pagerank loop shape; the score table
+    broadcasts until |V| outgrows it, then co-bucketing on node id takes
+    over (operators/graph.py note)."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .transform(checkpoint, eager=False)
+    )
+    x = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "xm", F.lit(1000000).cast("long")
+    )
+    for _ in range(3):
+        x = (
+            e.join(broadcast_if_small(x), e.v == x.node)
+            .groupBy("u")
+            .agg(
+                (
+                    F.lit(1000000)
+                    + F.expr("cast(sum(xm) as bigint) div 10")
+                ).alias("xm")
+            )
+            .select(F.col("u").alias("node"), "xm")
+        )
+    return x.select(
+        "node",
+        F.col("xm").alias("katz_micro"),
+        F.round(F.col("xm") / 1000000.0, 6).alias("katz"),
+    )

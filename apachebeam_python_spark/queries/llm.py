@@ -4565,3 +4565,70 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc long, last_doc long"
     )
     return d.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Crypto-shredding — right-to-be-forgotten without corpus rewrite (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_crypto_shred",
+    driver=False,  # §2.11 privacy tier — pytest oracle
+    oracle="""
+WITH reg AS (
+  SELECT c_custkey AS k,
+         md5('k:' || CAST(c_custkey AS VARCHAR)) AS salt
+  FROM customer WHERE c_custkey % 13 <> 0
+), tok AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN r.salt IS NOT NULL
+              THEN md5(r.salt || ':' || c.c_name) END AS token
+  FROM customer c LEFT JOIN reg r ON c.c_custkey = r.k
+)
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_forgotten,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+       min(token) AS anchor_token
+FROM tok GROUP BY c_mktsegment
+""",
+)
+def q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding (SURVEY §2.11 privacy tier, beside k-anonymity /
+    PII scrub / DP counts): PII is stored only as a KEYED token
+    md5(salt‖name) where each user's salt lives in a separate key
+    registry; the right to be forgotten is exercised by DELETING the
+    registry row (here: custkey % 13 = 0 simulates the erased keys) — the
+    corpus itself never rewrites, tokens of forgotten users become
+    permanently unlinkable, and the read path surfaces them as NULL via
+    one left join. md5 stands in for the keyed cipher: the PATTERN under
+    audit is registry-join + tokenize + forget-by-key-delete, which is
+    cipher-agnostic.
+
+    Why at 100 TB: a GDPR erasure under rewrite costs a copy-on-write
+    pass per request (q_lake_delete_vectors is the per-ROW answer);
+    crypto-shredding makes erasure O(1) metadata — the registry is
+    |users| rows against a corpus of trillions, and the same lake
+    snapshot stays byte-identical and auditable."""
+    c = table(spark, sf_dir, "customer")
+    reg = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.md5(F.concat(F.lit("k:"), F.col("c_custkey").cast("string"))).alias(
+            "salt"
+        ),
+    )
+    tok = c.join(reg, c.c_custkey == reg.k, "left").select(
+        "c_mktsegment",
+        F.when(
+            F.col("salt").isNotNull(),
+            F.md5(F.concat(F.col("salt"), F.lit(":"), F.col("c_name"))),
+        ).alias("token"),
+    )
+    return tok.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("token").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_forgotten"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.min("token").alias("anchor_token"),
+    )
