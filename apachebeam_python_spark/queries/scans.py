@@ -1178,3 +1178,65 @@ def q_lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum("n_chars").alias("chars_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_dynamic_partition_prune",
+    driver=False,  # Catalyst runtime-pruning proof; values = plain dim join
+    oracle="""
+WITH dim AS (
+  SELECT event_type
+  FROM events GROUP BY event_type
+  HAVING avg(value) >= 49.0
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (SURVEY §4 Catalyst tier; the RUNTIME
+    sibling of q_partition_prune's static pruning): the fact is the
+    hive-partitioned events layout, the dim side is selected by a
+    predicate on a NON-key column (HAVING avg(value) ≥ 49 — nothing
+    Catalyst can statically push onto the fact's partition column), so
+    the only way the fact scan avoids reading every partition is the
+    broadcast side feeding its surviving keys back into the scan as a
+    ``dynamicpruningexpression`` PartitionFilter at runtime. Pinned in
+    tests/test_plans.py.
+
+    Why at 100 TB: star joins where "which partitions matter" is decided
+    by the dim query (last-quarter dates, active experiments) — DPP is
+    what turns those into partial scans without anyone hand-writing the
+    partition list. Values are layout-independent (plain dim join)."""
+    import shutil
+
+    out = os.path.join(_scratch_dir(), f"events_bytype_{_sfkey(sf_dir)}")
+    if not os.path.isdir(os.path.join(out, "event_type=purchase")):
+        shutil.rmtree(out, ignore_errors=True)
+        table(spark, sf_dir, "events").write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("avg_v"))
+        .filter(F.col("avg_v") >= 49.0)
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
+        )
+    )

@@ -123,6 +123,9 @@ ALLOWED_BROADCASTS = {
     "operators/retrieval.py": 2,
     # O(files) manifest metadata join
     "sources/laketable.py": 1,
+    # DPP demo's event-type dim (domain-bounded, ≤|event types| rows; the
+    # broadcast is what DPP reuses to feed the runtime partition filter)
+    "queries/scans.py": 1,
     # 1-row side-input scalar (Beam AsSingleton shape)
     "queries/udfs.py": 1,
     # static enrichment dim (Beam side-input shape)

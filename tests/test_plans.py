@@ -696,3 +696,12 @@ def test_sequence_pack_matches_local_greedy(spark, sf_dir):
         for r in q.QUERIES["q_sequence_pack"](spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """q_dynamic_partition_prune's fact scan must carry a runtime
+    dynamicpruningexpression PartitionFilter — the dim predicate is on a
+    non-key column, so static pruning cannot explain a pruned scan."""
+    df = q.QUERIES["q_dynamic_partition_prune"](spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire on the fact scan"
