@@ -3732,3 +3732,97 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))) / 100.0, 6
         ).alias("did_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_conformal_interval",
+    driver=False,  # §2.3 ML-eval tier — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), resid0 AS (
+  SELECT day, abs(rev_c - lag(rev_c) OVER (ORDER BY day)) AS ar
+  FROM daily
+), resid AS (
+  SELECT ar, row_number() OVER (ORDER BY day) AS dn
+  FROM resid0 WHERE ar IS NOT NULL
+), split AS (
+  SELECT ar, dn,
+         CASE WHEN dn <= (SELECT count(*) FROM resid) // 2
+              THEN 'cal' ELSE 'test' END AS part
+  FROM resid
+), qhat AS (
+  SELECT ar AS q_c FROM (
+    SELECT ar, row_number() OVER (ORDER BY ar, dn) AS rk,
+           count(*) OVER () AS n_cal
+    FROM split WHERE part = 'cal'
+  ) WHERE rk = (9 * (n_cal + 1) + 9) // 10
+)
+SELECT CAST((SELECT count(*) FROM split WHERE part = 'cal') AS BIGINT)  AS n_cal,
+       CAST((SELECT count(*) FROM split WHERE part = 'test') AS BIGINT) AS n_test,
+       CAST(q_c AS BIGINT) AS q_hat_cents,
+       round((SELECT sum(CASE WHEN ar <= q_c THEN 1 ELSE 0 END)
+              FROM split WHERE part = 'test')
+             * 1.0
+             / (SELECT count(*) FROM split WHERE part = 'test'), 6) AS coverage
+FROM qhat
+""",
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (SURVEY §2.3 ML-eval tier,
+    beside q_calibration / q_auc_brier): the distribution-free interval
+    for a naive day-ahead revenue forecaster. Absolute persistence
+    residuals |y_t − y_{t−1}| split chronologically: the calibration
+    half's ⌈(n+1)·0.9⌉-th smallest residual (EXACT integer rank —
+    ceil(9(n+1)/10) = (9(n+1)+9) div 10, no double quantile) is the
+    conformal radius q̂; the held-out half reports empirical coverage,
+    which conformal theory lower-bounds at 90% on exchangeable data. All
+    arithmetic is cents-integer; one divide for the coverage ratio.
+
+    Scale: the residual series is |days| rows (window-bounded metadata),
+    so rank selection is a one-partition window — the data-sized work is
+    the daily rollup's single shuffle."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    resid = (
+        daily.select(
+            "day", F.abs(F.col("rev_c") - F.lag("rev_c").over(w)).alias("ar")
+        )
+        .filter(F.col("ar").isNotNull())
+        .select("ar", F.row_number().over(w).alias("dn"))
+    )
+    n_resid = resid.count()  # |days|-bounded metadata scalar
+    split = resid.withColumn(
+        "part",
+        F.when(F.col("dn") <= n_resid // 2, F.lit("cal")).otherwise(F.lit("test")),
+    )
+    cal = split.filter(F.col("part") == "cal")
+    n_cal = cal.count()
+    k = (9 * (n_cal + 1) + 9) // 10
+    wq = Window.orderBy("ar", "dn")
+    qhat = cal.select("ar", F.row_number().over(wq).alias("rk")).filter(
+        F.col("rk") == k
+    )
+    test = split.filter(F.col("part") == "test")
+    cov = test.crossJoin(F.broadcast(qhat.select(F.col("ar").alias("q_c")))).agg(
+        F.count("*").alias("n_test"),
+        F.sum(F.when(F.col("ar") <= F.col("q_c"), 1).otherwise(0)).alias("covered"),
+        F.first("q_c").alias("q_c"),
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("q_c").cast("long").alias("q_hat_cents"),
+        F.round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias("coverage"),
+    )

@@ -816,3 +816,53 @@ def q_stream_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "q_stream_union",
+    driver=False,  # §2.6 Flatten in streaming mode — pytest oracle
+    oracle="""
+SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+         AS sum_value
+FROM (
+  SELECT 'purchases' AS arm, value FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'clicks', value FROM events WHERE event_type = 'click'
+)
+GROUP BY arm
+""",
+)
+def q_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Flatten (Beam §2.6 union-of-PCollections in STREAMING
+    mode): two independently-filtered file-replay streams union into one
+    unbounded DataFrame, aggregate, and drain via availableNow — proving
+    stream ≡ batch holds across a multi-source topology, not just a
+    single linear pipeline. Cents-exact sums (the stream's micro-batch
+    boundaries must not move a 6th decimal).
+
+    Scale: each arm keeps its own source offsets/checkpoint lineage;
+    Spark unions unbounded plans without materializing either side —
+    the multi-topic Kafka fan-in shape."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_union", sf_dir)
+    a = (
+        jobs.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.lit("purchases").alias("arm"), "value")
+    )
+    b = (
+        jobs.events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.lit("clicks").alias("arm"), "value")
+    )
+    u = a.unionByName(b)
+    agg = u.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+        ).alias("sum_value"),
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)

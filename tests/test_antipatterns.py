@@ -82,7 +82,8 @@ ALLOWED_BROADCASTS = {
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
     # + the EB-shrinkage 1-row prior
-    "queries/experiments.py": 21,
+    # + the conformal radius (a 1-row quantile scalar, r6)
+    "queries/experiments.py": 22,
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     # + the t-closeness band spine / global distribution / 1-row total
