@@ -71,6 +71,19 @@ class Pipeline:
     def reshuffle(self, n: int | None = None, *cols: str) -> "Pipeline":
         return Pipeline(_ew.reshuffle(self._df, n, *cols))
 
+    def with_keys(self, key_expr: Column, key_col: str = "key") -> "Pipeline":
+        """Beam ``WithKeys`` (round 6 facade completion)."""
+        return Pipeline(_ew.with_keys(self._df, key_expr, key_col))
+
+    def partition_into(
+        self, bucket_expr: Column, n: int, bucket_col: str = "bucket"
+    ) -> "list[Pipeline]":
+        """Beam ``Partition(fn, n)`` — a list of n disjoint Pipelines
+        (round 6 facade completion)."""
+        return [
+            Pipeline(d) for d in _ew.partition_into(self._df, bucket_expr, n, bucket_col)
+        ]
+
     # ---- grouping / combining -----------------------------------------
     def combine_per_key(self, keys: Sequence[str], **aggs: Column) -> "Pipeline":
         return Pipeline(_agg.combine_per_key(self._df, keys, **aggs))
@@ -90,6 +103,22 @@ class Pipeline:
     def top_k_per_key(self, keys: Sequence[str], order: Sequence[Column], k: int) -> "Pipeline":
         return Pipeline(_agg.top_k_per_key(self._df, keys, order, k))
 
+    def latest_per_key(
+        self, keys: Sequence[str], value: str, ts: str, out: str = "latest"
+    ) -> "Pipeline":
+        """Beam ``Latest.PerKey`` (round 6 facade completion)."""
+        return Pipeline(_agg.latest_per_key(self._df, keys, value, ts, out))
+
+    def group_into_batches(
+        self, keys: Sequence[str], value: str, batch_size: int, out: str = "batch"
+    ) -> "Pipeline":
+        """Beam ``GroupIntoBatches`` (round 6 facade completion)."""
+        return Pipeline(_agg.group_into_batches(self._df, keys, value, batch_size, out))
+
+    def sample_fixed(self, n: int, seed: int = 42) -> "Pipeline":
+        """Beam ``Sample.FixedSizeGlobally`` (round 6 facade completion)."""
+        return Pipeline(_agg.sample_fixed_global(self._df, n, seed))
+
     # ---- joins ---------------------------------------------------------
     def join(self, other: "Pipeline | DataFrame", on, how: str = "inner") -> "Pipeline":
         return Pipeline(_joins.equi_join(self._df, _unwrap(other), on, how))
@@ -99,6 +128,14 @@ class Pipeline:
 
     def cogroup(self, other: "Pipeline | DataFrame", keys, lv: str, rv: str) -> "Pipeline":
         return Pipeline(_joins.cogroup_by_key(self._df, _unwrap(other), keys, lv, rv))
+
+    def join_semi(self, other: "Pipeline | DataFrame", on) -> "Pipeline":
+        """EXISTS filter — Beam side-input membership (round 6 facade)."""
+        return Pipeline(_joins.semi_join(self._df, _unwrap(other), on))
+
+    def join_anti(self, other: "Pipeline | DataFrame", on) -> "Pipeline":
+        """NOT EXISTS filter — the decontamination shape (round 6 facade)."""
+        return Pipeline(_joins.anti_join(self._df, _unwrap(other), on))
 
     # ---- set ops -------------------------------------------------------
     def flatten(self, *others: "Pipeline | DataFrame") -> "Pipeline":

@@ -95,3 +95,48 @@ def test_lake_facade_round_trip(spark, tmp_path):
     rows = {r.id: r.v for r in Pipeline.read_lake(spark, path).to_df().collect()}
     assert rows[3] == 999 and rows[20] == 1 and len(rows) == 16
     assert Pipeline.read_lake(spark, path, version=0).to_df().count() == 10
+
+
+def test_r6_facade_completions(spark, sf_dir):
+    """Round-6 facade completions delegate to the one operator
+    implementation: Partition covers the input disjointly, WithKeys
+    attaches a key, Latest.PerKey equals max_by, GroupIntoBatches caps
+    batch sizes, Sample is fixed-size and deterministic, and semi/anti
+    joins partition the left side."""
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.pipeline import Pipeline
+    from apachebeam_python_spark.session import table
+
+    e = table(spark, sf_dir, "events")
+    p = Pipeline.of(e)
+
+    parts = p.partition_into(F.col("user_id") % 3, 3)
+    assert sum(q.to_df().count() for q in parts) == e.count()
+
+    keyed = p.with_keys(F.col("user_id") % 10, "k").to_df()
+    assert "k" in keyed.columns
+
+    latest = p.latest_per_key(["user_id"], "value", "ts").to_df()
+    expect = (
+        e.groupBy("user_id").agg(F.max_by("value", "ts").alias("latest")).collect()
+    )
+    assert {(r.user_id, r.latest) for r in latest.select("user_id", "latest").collect()} == {
+        (r.user_id, r.latest) for r in expect
+    }
+
+    batches = p.group_into_batches(["user_id"], "event_id", 50).to_df()
+    assert batches.select(F.max(F.size("batch"))).first()[0] <= 50
+
+    s1 = p.sample_fixed(25).to_df().collect()
+    s2 = p.sample_fixed(25).to_df().collect()
+    assert len(s1) == 25 and {r.event_id for r in s1} == {r.event_id for r in s2}
+
+    urgent = Pipeline.of(
+        table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    c = Pipeline.of(table(spark, sf_dir, "customer"))
+    on = F.col("c_custkey") == F.col("o_custkey")
+    n_semi = c.join_semi(urgent, on).to_df().count()
+    n_anti = c.join_anti(urgent, on).to_df().count()
+    assert n_semi + n_anti == table(spark, sf_dir, "customer").count()
