@@ -53,3 +53,7 @@ def test_statistics_toolkit_example(spark, sf_dir):
 
 def test_governed_lake_example(spark, sf_dir):
     _run("governed_lake", sf_dir)
+
+
+def test_physical_layout_example(spark, sf_dir):
+    _run("physical_layout", sf_dir)
