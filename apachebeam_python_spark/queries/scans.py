@@ -1240,3 +1240,72 @@ def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lake CDC-apply MERGE: upserts + deletes in one commit (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_lake_merge_cdc",
+    driver=False,  # lake write-path proof; values = recomputed final state
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 7 THEN CAST(-1 AS BIGINT) ELSE n_chars END
+           AS n_chars
+  FROM documents WHERE doc_id % 20 <> 3
+  UNION ALL
+  SELECT doc_id + 100000, CAST(42 AS BIGINT)
+  FROM documents WHERE doc_id % 20 = 11
+)
+""",
+)
+def q_lake_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply MERGE on the lake table (sources/laketable.merge_apply —
+    the Delta ``WHEN MATCHED THEN DELETE`` arm, round 6): one binlog-style
+    batch carries deletes (doc_id%20=3), in-place updates (%20=7 →
+    n_chars=-1), and inserts (+100000 ids), and lands in ONE
+    snapshot-isolated commit — no intermediate version where a key is
+    missing mid-batch. The oracle recomputes the final state relationally.
+
+    Scale: same stats-prune skeleton as MERGE — a CDC trickle rewrites
+    O(changed key-ranges) files; a wide-range batch widens the prune
+    window, which is why CDC consumers compact to final-state-per-key
+    and split wild ranges upstream (q_stream_cdc_materialize's output is
+    exactly the right input shape)."""
+    import shutil
+
+    from ..sources import laketable as LT
+
+    out = os.path.join(_scratch_dir(), f"lakecdc_{_sfkey(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    LT.create_table(docs.repartitionByRange(4, "doc_id"), out)
+    base = table(spark, sf_dir, "documents").select("doc_id")
+    cdc = (
+        base.filter(F.col("doc_id") % 20 == 3)
+        .select("doc_id", F.lit(None).cast("long").alias("n_chars"),
+                F.lit("D").alias("_op"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 7).select(
+                "doc_id", F.lit(-1).cast("long").alias("n_chars"),
+                F.lit("U").alias("_op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 11).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.lit(42).cast("long").alias("n_chars"),
+                F.lit("U").alias("_op"),
+            )
+        )
+    )
+    LT.merge_apply(spark, out, cdc, key="doc_id")
+    return LT.read_table(spark, out).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )

@@ -23,8 +23,9 @@ ALLOWED_COLLECTS = {
     "sources/mlexport.py": 3,  # sink actions: 1 row per shard (tar / tfrecord / arrow)
     # manifest metadata: per-file stats (1 row per staged FILE), delete's
     # hit-file list (≤ files), merge's 1-row source bounds, the MOR
-    # delete's hit-file list (≤ files; positions stay on disk) — all O(files)
-    "sources/laketable.py": 4,
+    # delete's hit-file list (≤ files; positions stay on disk), and
+    # merge_apply's 1-row source bounds (r6) — all O(files) or 1-row
+    "sources/laketable.py": 5,
 }
 
 
@@ -122,8 +123,9 @@ ALLOWED_BROADCASTS = {
     "queries/event_time.py": 6,
     # idf table capped by vocab prune + 1-row corpus stats
     "operators/retrieval.py": 2,
-    # O(files) manifest metadata join
-    "sources/laketable.py": 1,
+    # merge/merge_apply source-key sets: micro-batch-bounded CDC/upsert
+    # batches (a batch too big to broadcast should be split upstream)
+    "sources/laketable.py": 2,
     # DPP demo's event-type dim (domain-bounded, ≤|event types| rows; the
     # broadcast is what DPP reuses to feed the runtime partition filter)
     "queries/scans.py": 1,

@@ -539,3 +539,51 @@ def test_merge_over_dv_file_does_not_resurrect(spark, tbl):
         for r in LT.read_table(spark, tbl).filter("id = 15").collect()
     }
     assert got == {15: -1}
+
+
+def test_merge_apply_cdc_delete_and_upsert(spark, tbl):
+    """merge_apply: matched 'D' keys vanish, 'U' rows replace or insert,
+    'D' for an absent key is a no-op, stats-missed files carry over, and
+    the whole batch lands in ONE commit (snapshot isolation: no
+    intermediate version where a deleted-and-reinserted key is absent)."""
+    import pytest as _pytest
+
+    before = {e["path"] for e in LT._read_manifest(tbl, 0)["files"]}
+    # batch 1 confined to the first file's key range: delete + upsert in one
+    # commit; the other range-partitioned files' stats miss it → carry over
+    src = spark.createDataFrame(
+        [(5, 999, "U"), (7, None, "D")], "id long, v long, _op string"
+    )
+    v = LT.merge_apply(spark, tbl, src, key="id")
+    assert v == 1  # one commit for the whole batch
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[5] == 999 and 7 not in rows and len(rows) == 99
+    after = {e["path"] for e in LT._read_manifest(tbl, 1)["files"]}
+    assert before & after, "stats-missed files should carry over untouched"
+    # batch 2: insert-on-unmatched-U plus delete-of-absent-key no-op.
+    # NOTE the range lesson: a wide batch (here keys 150..9999) widens the
+    # [lo,hi] prune window — CDC consumers should split wild-range batches
+    rows2 = spark.createDataFrame(
+        [(150, 300, "U"), (9999, None, "D")], "id long, v long, _op string"
+    )
+    LT.merge_apply(spark, tbl, rows2, key="id")
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[150] == 300 and 9999 not in rows and len(rows) == 100
+    # duplicate source keys rejected (binlog must be pre-compacted)
+    dup = spark.createDataFrame(
+        [(5, 1, "U"), (5, 2, "D")], "id long, v long, _op string"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        LT.merge_apply(spark, tbl, dup, key="id")
+    # snapshot isolation: version 0 untouched
+    assert len(LT.read_table(spark, tbl, version=0).collect()) == 100
+
+
+def test_merge_apply_respects_deletion_vectors(spark, tbl):
+    """A merge_apply rewrite must read hit files through their deletion
+    vectors — MOR-deleted rows can never resurrect in the rewrite."""
+    LT.delete_where_mor(spark, tbl, "id IN (6, 8)")
+    src = spark.createDataFrame([(5, -1, "U")], "id long, v long, _op string")
+    LT.merge_apply(spark, tbl, src, key="id")
+    ids = {r.id for r in LT.read_table(spark, tbl).collect()}
+    assert 6 not in ids and 8 not in ids and 5 in ids
