@@ -199,7 +199,10 @@ def _union_schema(cur_json: str | None, new_json: str | None) -> str | None:
     return json.dumps(cur)
 
 
-def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int:
+def _commit(
+    path: str, build_manifest, op: str, base, schema: str | None,
+    extra: dict | None = None,
+) -> int:
     """Optimistic commit loop: try to publish the next version with
     O_EXCL. On a lost race, ops whose result is a pure function of the
     new files (``base is _ANY_BASE``: append, overwrite, create-conflict
@@ -232,6 +235,7 @@ def _commit(path: str, build_manifest, op: str, base, schema: str | None) -> int
             "op": op,
             "schema": next_schema,
             "files": build_manifest(cur_m["files"] if cur_m else []),
+            **(extra or {}),
         }
         try:
             with open(_version_file(path, next_v), "x") as fh:
@@ -558,7 +562,12 @@ def merge(spark: SparkSession, path: str, source: DataFrame, key: str) -> int:
 
 
 def merge_apply(
-    spark: SparkSession, path: str, source: DataFrame, key: str, op_col: str = "_op"
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    op_col: str = "_op",
+    batch_id: int | None = None,
 ) -> int:
     """CDC-apply MERGE (round 6) — the Delta ``WHEN MATCHED [AND cond]
     THEN DELETE`` shape: ``source`` carries an ``op_col`` of 'U' (upsert)
@@ -577,6 +586,16 @@ def merge_apply(
     Duplicate source keys are rejected like ``merge`` (a binlog batch
     must be pre-compacted to final-state-per-key — q_stream_cdc's job)."""
     from pyspark.sql.types import StructType
+
+    # exactly-once under foreachBatch (round 6): a replayed micro-batch
+    # (driver died between commit and checkpoint) finds its batch_id in a
+    # prior merge-cdc manifest and SKIPS — the same idempotence contract
+    # as append_stream_batch, extended to the update/delete path.
+    if batch_id is not None:
+        for pv in reversed(_versions(path)):
+            pm = _read_manifest(path, pv)
+            if pm["op"] == "merge-cdc" and pm.get("batch_id") == batch_id:
+                return pv
 
     v = current_version(path)
     m = _read_manifest(path, v)
@@ -624,7 +643,9 @@ def merge_apply(
     finally:
         src.unpersist()
     return _commit(
-        path, lambda cur: keep + entries, "merge-cdc", v, schema or tgt_schema.json()
+        path, lambda cur: keep + entries, "merge-cdc", v,
+        schema or tgt_schema.json(),
+        extra=None if batch_id is None else {"batch_id": batch_id},
     )
 
 

@@ -587,3 +587,70 @@ def test_merge_apply_respects_deletion_vectors(spark, tbl):
     LT.merge_apply(spark, tbl, src, key="id")
     ids = {r.id for r in LT.read_table(spark, tbl).collect()}
     assert 6 not in ids and 8 not in ids and 5 in ids
+
+
+def test_merge_apply_batch_id_exactly_once(spark, tbl):
+    """Replayed micro-batch (same batch_id) must be a no-op commit —
+    the foreachBatch exactly-once contract on the update/delete path."""
+    src = spark.createDataFrame([(5, 999, "U")], "id long, v long, _op string")
+    v1 = LT.merge_apply(spark, tbl, src, key="id", batch_id=7)
+    v2 = LT.merge_apply(spark, tbl, src, key="id", batch_id=7)  # replay
+    assert v1 == v2 == 1
+    assert LT._read_manifest(tbl, 1).get("batch_id") == 7
+    # a NEW batch id still commits
+    src2 = spark.createDataFrame([(6, -6, "U")], "id long, v long, _op string")
+    assert LT.merge_apply(spark, tbl, src2, key="id", batch_id=8) == 2
+
+
+def test_stream_cdc_into_lake_via_foreach_batch(spark, tbl):
+    """End-to-end CDC: a stream of change events lands in the lake table
+    through foreachBatch(merge_apply) — each micro-batch compacted to
+    final-state-per-key (last write wins) before the one-commit apply."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    src_dir = f"/root/repo/.tmp/streamtest/cdclake_{_uuid.uuid4().hex[:8]}"
+    schema = "seq long, id long, v long, _op string"
+    # batch 1: update id=5 twice (last wins), delete id=7
+    spark.createDataFrame(
+        [(1, 5, 100, "U"), (2, 5, 200, "U"), (3, 7, None, "D")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def apply_batch(bdf, bid):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        final = (
+            bdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "v", "_op")
+        )
+        LT.merge_apply(spark, tbl, final, key="id", batch_id=bid)
+
+    def drain():
+        qs = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{src_dir}_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs.awaitTermination()
+
+    drain()
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[5] == 200 and 7 not in rows and len(rows) == 99
+    # batch 2: resurrect 7, delete 5
+    spark.createDataFrame(
+        [(4, 7, 777, "U"), (5, 5, None, "D")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    drain()
+    rows = {r.id: r.v for r in LT.read_table(spark, tbl).collect()}
+    assert rows[7] == 777 and 5 not in rows and len(rows) == 99
+    ops = [h["op"] for h in LT.history(tbl)]
+    assert ops.count("merge-cdc") == 2  # one commit per micro-batch
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(f"{src_dir}_ck", ignore_errors=True)
