@@ -232,3 +232,141 @@ def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), F.asc("custkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars + VWAP (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_ohlc_bars",
+    driver=False,  # §2.8 window rollup, finance shape — pytest oracle
+    oracle="""
+WITH px AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM px
+)
+SELECT event_type, bar,
+       round(max(CASE WHEN ra = 1 THEN c END) / 100.0, 2) AS open,
+       round(max(c) / 100.0, 2)                           AS high,
+       round(min(c) / 100.0, 2)                           AS low,
+       round(max(CASE WHEN rd = 1 THEN c END) / 100.0, 2) AS close,
+       CAST(count(*) AS BIGINT)                           AS volume,
+       round(CAST(sum(c) AS BIGINT) * 1.0 / count(*) / 100.0, 6) AS vwap
+FROM rn GROUP BY event_type, bar
+""",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars + VWAP per event_type — THE market-data rollup
+    (SURVEY §2.8 fixed-window tier in its finance shape). Open/close are
+    first/last by the deterministic (ts, event_id) total order — computed
+    as row_number flags folded into the SAME aggregate pass (no separate
+    first/last window scan); high/low/volume/vwap are plain aggregates on
+    exact cents.
+
+    Scale: one shuffle on (type, bar); the two row_numbers share its sort.
+    Real tick pipelines run this exact plan per symbol-minute — the bar
+    key's cardinality (symbols × bars) keeps every partition bounded."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    px = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    wa = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = px.select(
+        "*",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rn.groupBy("event_type", "bar").agg(
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("c"))) / 100.0, 2).alias("open"),
+        F.round(F.max("c") / 100.0, 2).alias("high"),
+        F.round(F.min("c") / 100.0, 2).alias("low"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("c"))) / 100.0, 2).alias("close"),
+        F.count("*").alias("volume"),
+        F.round(F.sum("c") * 1.0 / F.count("*") / 100.0, 6).alias("vwap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_max_drawdown",
+    driver=False,  # §2.5 running-extremum window family — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS flow_c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), eq0 AS (
+  SELECT event_type, day,
+         sum(flow_c) OVER w AS equity_c
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), eq AS (
+  SELECT event_type, day, equity_c,
+         max(equity_c) OVER w2 AS peak_c
+  FROM eq0 WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(max(peak_c - equity_c) AS BIGINT) AS max_drawdown_cents,
+       round(max(peak_c - equity_c) / 100.0, 2) AS max_drawdown
+FROM eq GROUP BY event_type
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event_type: peak-to-trough fall of the
+    cumulative daily cents flow — running sum, running max of it, max gap
+    (SURVEY §2.5 frames tier; the risk metric every equity-curve report
+    carries, and the q_floored_running_balance trick's mirror image:
+    running-EXTREMUM windows turn the sequential-looking scan into plain
+    ordered frames). Exact cents integers end to end.
+
+    Scale: one (type) shuffle; both windows share its sort."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("flow_c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = daily.select(
+        "event_type", "day", F.sum("flow_c").over(w).alias("equity_c")
+    ).select(
+        "event_type",
+        "day",
+        "equity_c",
+        F.max("equity_c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("peak_c"),
+    )
+    dd = F.col("peak_c") - F.col("equity_c")
+    return eq.groupBy("event_type").agg(
+        F.max(dd).cast("long").alias("max_drawdown_cents"),
+        F.round(F.max(dd) / 100.0, 2).alias("max_drawdown"),
+    )
