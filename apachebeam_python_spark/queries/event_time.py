@@ -1017,3 +1017,87 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("n_window_sizes"),
         F.round(slope, 6).alias("hurst_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Out-of-orderness census — the watermark-sizing diagnostic (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_disorder_census",
+    driver=False,  # §2.8 watermark-ops diagnostic — pytest oracle
+    oracle="""
+WITH arr AS (
+  SELECT event_type, ts,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         max(CAST(epoch_us(ts) AS BIGINT))
+           OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us
+  FROM events
+), late AS (
+  SELECT event_type, hwm_us - t_us AS late_us FROM arr
+), rk AS (
+  SELECT event_type, late_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY late_us, 1) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM late
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN late_us END) AS BIGINT)
+         AS p95_late_us,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN late_us END) AS BIGINT)
+         AS p99_late_us
+FROM rk GROUP BY event_type
+""",
+)
+def q_disorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness census (SURVEY §2.8 watermark tier, the OPS side):
+    per event_type, how late does an event arrive behind the running
+    event-time high-water mark? Arrival order is the fixture's event_id
+    deterministically scrambled by md5 — a reproducible stand-in for
+    network/shard reordering (the fixture's raw event_id order IS
+    timestamp order, which would make the census trivially zero).
+    ``lateness = hwm − ts`` per event; the report is max / exact-rank p95
+    / p99 lateness (rank = ⌈n·q⌉ as integer arithmetic, no double
+    percentile) plus the late-row count. p99_late is THE number that
+    sizes ``withWatermark`` — the engine's lateness budget below which
+    <1% of rows would drop (q_stream_tumbling's delay and the README
+    trigger notes cite exactly this measurement discipline).
+
+    Scale: one (type) shuffle; the running max shares the rank sort."""
+    e = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    w_arr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        "event_type", (F.max(t_us).over(w_arr) - t_us).alias("late_us")
+    )
+    wr = Window.partitionBy("event_type").orderBy("late_us", F.lit(1))
+    wn = Window.partitionBy("event_type")
+    rk = late.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    rank95 = F.expr("(n * 95 + 99) div 100")
+    rank99 = F.expr("(n * 99 + 99) div 100")
+    return rk.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.max(F.when(F.col("rn") == rank95, F.col("late_us")))
+        .cast("long")
+        .alias("p95_late_us"),
+        F.max(F.when(F.col("rn") == rank99, F.col("late_us")))
+        .cast("long")
+        .alias("p99_late_us"),
+    )

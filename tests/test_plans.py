@@ -705,3 +705,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = q.QUERIES["q_dynamic_partition_prune"](spark, sf_dir)
     plan = P.executed_plan(df)
     assert "dynamicpruning" in plan.lower(), "DPP did not fire on the fact scan"
+
+
+def test_bucket_pruning_on_point_filter(spark, sf_dir):
+    """A point predicate on the bucket key must prune buckets at the scan
+    (SelectedBucketsCount < total) — the read-side dividend of
+    q_bucketed_join's layout, beyond the join itself."""
+    q.QUERIES["q_bucketed_join"](spark, sf_dir)  # materializes the tables
+    from apachebeam_python_spark.queries.scans import _sfkey
+
+    # autoBucketedScan turns the bucketed layout OFF for plans that don't
+    # need its distribution (a plain filter) — disable it so the scan stays
+    # bucketed and the planner can prune buckets by the point predicate
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        t = spark.table(f"graft_bkt.customer_bkt_{_sfkey(sf_dir)}")
+        df = t.filter(t.c_custkey == 42)
+        plan = P.executed_plan(df)
+        assert "SelectedBucketsCount" in plan, f"bucket pruning absent: {plan[:400]}"
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), (
+            m.group(0) if m else plan[:200]
+        )
+    finally:
+        spark.conf.set(key, prev)
