@@ -4647,3 +4647,93 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xm").alias("katz_micro"),
         F.round(F.col("xm") / 1000000.0, 6).alias("katz"),
     )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_item_cf",
+    driver=False,  # §2.11 recsys tier beside q_assoc_rules — pytest oracle
+    oracle="""
+WITH bi AS (
+  SELECT DISTINCT o_orderkey AS basket, l_partkey AS item
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), norms AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_b FROM bi GROUP BY item
+), co AS (
+  SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item <> b.item
+  GROUP BY a.item, b.item
+), scored AS (
+  SELECT co.i, co.j, co.c, ni.n_b AS n_i, nj.n_b AS n_j,
+         CAST((CAST(co.c AS HUGEINT) * co.c * 1000000000000)
+              // (CAST(ni.n_b AS HUGEINT) * nj.n_b) AS BIGINT) AS cos2_p12
+  FROM co JOIN norms ni ON co.i = ni.item JOIN norms nj ON co.j = nj.item
+), ranked AS (
+  SELECT i, j, c, cos2_p12,
+         round(sqrt(cos2_p12 / 1000000000000.0), 6) AS cosine,
+         row_number() OVER (PARTITION BY i ORDER BY cos2_p12 DESC, j) AS rk
+  FROM scored
+)
+SELECT i AS item, j AS neighbor, c AS n_co, cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (SURVEY §2.11 recsys tier, the
+    normalized sibling of q_assoc_rules): cosine similarity over basket
+    co-occurrence — cos(i,j) = c_ij / √(n_i·n_j) — with top-3 neighbors
+    per item. Ranking compares the EXACT scaled rational c²·10¹²/(n_i·n_j)
+    (128-bit widened; c² alone reaches 2.25e18 at sf0.01 — past int64/4)
+    so neighbor order can never flip on a double ulp; the cosine itself
+    is one sqrt of that integer, for display.
+
+    Scale: pair generation is the basket self-join — work is
+    Σ_b |basket|² , bounded by the basket-size cap the feed enforces
+    upstream (the q_assoc_rules note); norms broadcast-join the pair
+    table at |items| rows; top-k is one WindowGroupLimit per item."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    bi = spark.sql(
+        """
+        SELECT DISTINCT o_orderkey AS basket, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """
+    )
+    norms = bi.groupBy("item").agg(F.count("*").cast("long").alias("n_b"))
+    a = bi.select(F.col("basket"), F.col("item").alias("i"))
+    b = bi.select(F.col("basket").alias("b2"), F.col("item").alias("j"))
+    co = (
+        a.join(b, (a.basket == b.b2) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ni = norms.select(F.col("item").alias("i"), F.col("n_b").alias("n_i"))
+    nj = norms.select(F.col("item").alias("j"), F.col("n_b").alias("n_j"))
+    scored = (
+        co.join(broadcast_if_small(ni), "i")
+        .join(broadcast_if_small(nj), "j")
+        .withColumn(
+            "cos2_p12",
+            F.expr(
+                "cast((cast(c as decimal(38,0)) * c * 1000000000000) "
+                "div (cast(n_i as decimal(38,0)) * n_j) as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cos2_p12").desc(), "j")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("c").alias("n_co"),
+            F.round(F.sqrt(F.col("cos2_p12") / 1000000000000.0), 6).alias(
+                "cosine"
+            ),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

@@ -3826,3 +3826,89 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_c").cast("long").alias("q_hat_cents"),
         F.round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Average precision / PR-AUC (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_average_precision",
+    driver=False,  # §2.11 model-evaluation extension — pytest oracle
+    oracle=f"""
+WITH scored AS (
+  SELECT {_SCORE_SQL} AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), grp AS (
+  SELECT score,
+         CAST(sum(y) AS BIGINT) AS tp_g,
+         CAST(count(*) AS BIGINT) AS n_g
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT tp_g,
+         CAST(sum(tp_g) OVER w AS BIGINT) AS cum_tp,
+         CAST(sum(n_g) OVER w AS BIGINT)  AS cum_n
+  FROM grp WINDOW w AS (ORDER BY score DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  -- integer-scaled exact group terms (the q_katz/q_dsir quantization
+  -- discipline): term = tp_g · precision_after_group, scaled by 1e9 and
+  -- floored — identical integers in both engines; bound tp·cumTP·1e9 ≈
+  -- 1e17 at sf1, inside int64
+  SELECT CAST(sum((tp_g * cum_tp * 1000000000) // cum_n) AS BIGINT) AS s9,
+         CAST(max(cum_tp) AS BIGINT) AS np,
+         CAST(max(cum_n) AS BIGINT)  AS n
+  FROM cum
+)
+SELECT n, np,
+       round(s9 * 1.0 / np / 1000000000, 6) AS average_precision
+FROM terms
+""",
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) — the class-imbalance companion to
+    q_auc_brier's ROC AUC (SURVEY §2.11 model-evaluation tier): AP =
+    Σ_thresholds ΔRecall · Precision with one threshold per DISTINCT
+    score (tie groups enter atomically, the scikit step convention).
+    Each group term tp_g·cumTP/cumN is kept EXACT by ×1e9 integer
+    scaling + floor division — both engines sum identical int64 terms
+    (a 10⁴-group double sum drifts at the 6th decimal); the only double
+    divide is the final Σ/(n⁺·1e9). Flooring biases AP down by
+    < groups/1e9/n⁺ ≈ 1e-8 — beneath the 6 dp output.
+
+    Scale: one groupBy on score + one ordered window over the distinct-
+    score table (domain-sized after the contraction) — the same shape as
+    q_auc_brier; nothing re-touches the event volume."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        _score_col().alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("score").agg(
+        F.sum("y").cast("long").alias("tp_g"),
+        F.count("*").cast("long").alias("n_g"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "tp_g",
+        F.sum("tp_g").over(w).cast("long").alias("cum_tp"),
+        F.sum("n_g").over(w).cast("long").alias("cum_n"),
+    )
+    terms = cum.agg(
+        F.sum(F.expr("tp_g * cum_tp * 1000000000 div cum_n"))
+        .cast("long")
+        .alias("s9"),
+        F.max("cum_tp").cast("long").alias("np"),
+        F.max("cum_n").cast("long").alias("n"),
+    )
+    return terms.select(
+        "n",
+        "np",
+        F.round(F.col("s9") * 1.0 / F.col("np") / 1000000000, 6).alias(
+            "average_precision"
+        ),
+    )
