@@ -567,3 +567,103 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join — the runtime-filter pattern (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_bloom_semi_join",
+    driver=False,  # Catalyst runtime-bloom shape, made deterministic — pytest oracle
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 900
+), pos AS (
+  SELECT CAST(('0x' || substr(md5('a:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 65536 AS p FROM dim
+  UNION
+  SELECT CAST(('0x' || substr(md5('b:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 65536 FROM dim
+), probe AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(('0x' || substr(md5('a:' || CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 65536 AS h1,
+         CAST(('0x' || substr(md5('b:' || CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 65536 AS h2
+  FROM orders
+), cand AS (
+  SELECT o_orderkey, o_custkey FROM probe
+  WHERE h1 IN (SELECT p FROM pos) AND h2 IN (SELECT p FROM pos)
+), exact AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM dim)
+)
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM cand) AS BIGINT)   AS n_candidates,
+       CAST((SELECT count(*) FROM exact) AS BIGINT)  AS n_exact,
+       CAST((SELECT count(*) FROM cand) - (SELECT count(*) FROM exact) AS BIGINT)
+         AS false_positives,
+       round(((SELECT count(*) FROM cand) - (SELECT count(*) FROM exact)) * 1.0
+             / (SELECT count(*) FROM orders), 6) AS fp_rate
+FROM (SELECT 1)
+""",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join — the RUNTIME-FILTER pattern Catalyst
+    injects at cluster scale (spark.sql.optimizer.runtime.bloomFilter),
+    made deterministic and oracle-checkable: the filtered dim's keys build
+    a k=2 md5 bloom over 2¹⁶ slots, the fact probes it BEFORE the exact
+    semi-join, and the report counts candidates / exact matches / the
+    bloom's false positives bit-for-bit (same census discipline as
+    q_bloom_decontaminate, applied to the join prefilter). Spark's native
+    injection is size-thresholded (≥10 GB application side) so it can't
+    fire at fixture scale — this query IS the shape, with the FP cost
+    measured instead of assumed.
+
+    Scale: the position set is ≤ 2·|dim| ints (broadcast); the fact scans
+    once, drops (1−FP)·non-matching rows before the shuffle the exact
+    semi-join needs — the whole point at 100 TB where the fact's shuffle
+    dominates. Slot count 2¹⁶ matches the fixture dim; size m ≈ 10·|dim|
+    at scale for ~1% FP."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 900)
+    dim = c.select(F.col("c_custkey").alias("k"))
+
+    def h(prefix, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 65536
+        )
+
+    pos = (
+        dim.select(h("a:", F.col("k")).alias("p"))
+        .unionByName(dim.select(h("b:", F.col("k")).alias("p")))
+        .distinct()
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        h("a:", F.col("o_custkey")).alias("h1"),
+        h("b:", F.col("o_custkey")).alias("h2"),
+    )
+    p1 = pos.select(F.col("p").alias("h1"))
+    p2 = pos.select(F.col("p").alias("h2"))
+    cand = probe.join(F.broadcast(p1), "h1", "left_semi").join(
+        F.broadcast(p2), "h2", "left_semi"
+    )
+    exact = o.join(F.broadcast(dim), o.o_custkey == dim.k, "left_semi")
+    n_orders = o.count()
+    n_cand = cand.count()
+    n_exact = exact.count()
+    return spark.createDataFrame(
+        [(n_orders, n_cand, n_exact, n_cand - n_exact)],
+        "n_orders long, n_candidates long, n_exact long, false_positives long",
+    ).select(
+        "*",
+        F.round((F.col("false_positives")) * 1.0 / F.col("n_orders"), 6).alias(
+            "fp_rate"
+        ),
+    )

@@ -866,3 +866,77 @@ def q_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jobs.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "q_stream_ohlc",
+    driver=False,  # §2.8 streaming windowed agg, finance shape — pytest oracle
+    oracle="""
+WITH px AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), rn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, window_start
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, window_start
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM px
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       round(max(CASE WHEN ra = 1 THEN c END) / 100.0, 2) AS open,
+       round(max(c) / 100.0, 2)                           AS high,
+       round(min(c) / 100.0, 2)                           AS low,
+       round(max(CASE WHEN rd = 1 THEN c END) / 100.0, 2) AS close,
+       CAST(count(*) AS BIGINT)                           AS volume
+FROM rn GROUP BY window_start, event_type
+""",
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed BY THE STREAMING ENGINE (q_ohlc_bars' streaming
+    twin): watermarked hourly windows with ``min_by``/``max_by`` on the
+    deterministic (ts, event_id) struct order give exact open/close INSIDE
+    one declarative streaming aggregate — no row_number pass, so the same
+    query is a legal streaming aggregate (complete mode here, the
+    q_stream_tumbling drain convention: append would hold back the final
+    still-open window). Stream ≡ batch: the oracle is the batch row_number
+    formulation, so this also proves min_by-over-struct equals
+    first-by-total-order.
+
+    Scale: per-window state is five scalars per (symbol, bar) — O(1) per
+    key, the streaming-native shape real tick pipelines run; the batch
+    twin's row_number sort is what this avoids."""
+    from pyspark.sql import functions as F
+
+    name = _sink("stream_ohlc", sf_dir)
+    s = jobs.events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        s.withColumn("c", c)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("c", F.struct("ts", "event_id")).alias("open_c"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max_by("c", F.struct("ts", "event_id")).alias("close_c"),
+            F.count("*").alias("volume"),
+        )
+    )
+    jobs.run_to_memory(agg, name, output_mode="complete")
+    t = spark.table(name)
+    return t.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        F.round(F.col("open_c") / 100.0, 2).alias("open"),
+        F.round(F.col("high_c") / 100.0, 2).alias("high"),
+        F.round(F.col("low_c") / 100.0, 2).alias("low"),
+        F.round(F.col("close_c") / 100.0, 2).alias("close"),
+        F.col("volume").cast("long").alias("volume"),
+    )

@@ -136,7 +136,9 @@ ALLOWED_BROADCASTS = {
     # nation dim lookup (the side-input join itself)
     # + the binned range join's band×bin table (r6 — |bands|·replication
     #   rows of metadata, independent of the events side)
-    "queries/joins.py": 2,
+    # + bloom semi-join's two position-set probes (≤ 2·|dim| ints — the
+    #   bloom IS the broadcast) and its exact-side dim key set (r6)
+    "queries/joins.py": 5,
     # skew-salting replicates the SMALL side by the salt factor
     "operators/skew.py": 1,
     # as-of join's quantized probe calendar
