@@ -4696,12 +4696,14 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import register_views
 
     register_views(spark, sf_dir)
+    # one lineage cut: bi feeds the norms agg AND both self-join sides —
+    # without it the 2-table join + distinct re-executes three times
     bi = spark.sql(
         """
         SELECT DISTINCT o_orderkey AS basket, l_partkey AS item
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """
-    )
+    ).transform(checkpoint, eager=False)
     norms = bi.groupBy("item").agg(F.count("*").cast("long").alias("n_b"))
     a = bi.select(F.col("basket"), F.col("item").alias("i"))
     b = bi.select(F.col("basket").alias("b2"), F.col("item").alias("j"))

@@ -733,3 +733,14 @@ def test_bucket_pruning_on_point_filter(spark, sf_dir):
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def test_r6_single_shuffle_invariants(spark, sf_dir):
+    """Round-6 queries whose whole value is sharing ONE shuffle: the OHLC
+    bars (two row_number passes + the agg on one (type,bar) exchange), the
+    disorder census (running max + rank + agg on one (type) exchange), and
+    sequence packing (one shard exchange feeding the applyInPandas scan)."""
+    for name in ["q_ohlc_bars", "q_disorder_census", "q_sequence_pack"]:
+        df = q.QUERIES[name](spark, sf_dir)
+        n = P.count_exchanges(df)
+        assert n <= 1, f"{name}: {n} exchanges — lost its shared-shuffle shape"
