@@ -370,3 +370,87 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dd).cast("long").alias("max_drawdown_cents"),
         F.round(F.max(dd) / 100.0, 2).alias("max_drawdown"),
     )
+
+
+# --------------------------------------------------------------------------
+# Realized volatility from daily log returns (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "q_realized_vol",
+    driver=False,  # §2.5 time-series finance — pytest oracle
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS close_c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), ret AS (
+  SELECT event_type,
+         CAST(round(ln(close_c * 1.0 / lag(close_c) OVER w) * 1000000) AS BIGINT)
+           AS r_u
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  QUALIFY lag(close_c) OVER w IS NOT NULL
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r_u) AS BIGINT) AS s,
+         CAST(sum(CAST(r_u AS HUGEINT) * r_u) AS BIGINT) AS ss
+  FROM ret GROUP BY event_type
+)
+SELECT event_type, n,
+       round(s / 1000000.0 / n, 6) AS mean_return,
+       round(sqrt((ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT)
+                   * 1.0) / (n - 1)) / 1000000.0 * sqrt(252.0), 6)
+         AS annualized_vol
+FROM mom WHERE n > 1
+""",
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized realized volatility per event_type — stddev of daily
+    log returns × √252 (SURVEY §2.5 time-series tier beside q_bollinger /
+    q_ewma). Returns quantize to integer MICRO-units (round(ln(ratio)·1e6)
+    — one libm ln per row, identical input ⇒ identical double ⇒ identical
+    rounding), so Σr and Σr² are exact int64/128-bit sums and the variance
+    uses the q_anova quotient split: engine drift is impossible until the
+    final sqrt. n−1 denominator (sample vol).
+
+    Scale: one (type, day) rollup shuffle + one |days|-row window per
+    type; the moments are a partial+final agg."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("close_c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ret = (
+        daily.select(
+            "event_type",
+            F.round(
+                F.log(F.col("close_c") * 1.0 / F.lag("close_c").over(w)) * 1000000
+            )
+            .cast("long")
+            .alias("r_u"),
+        )
+        .filter(F.col("r_u").isNotNull())
+    )
+    mom = ret.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r_u").cast("long").alias("s"),
+        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("r_u"))
+        .cast("long")
+        .alias("ss"),
+    )
+    q_term = F.expr("cast((cast(s as decimal(38,0)) * s) div n as bigint)")
+    return mom.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / 1000000.0 / F.col("n"), 6).alias("mean_return"),
+        F.round(
+            F.sqrt((F.col("ss") - q_term * 1.0) / (F.col("n") - 1))
+            / 1000000.0
+            * F.sqrt(F.lit(252.0)),
+            6,
+        ).alias("annualized_vol"),
+    )
