@@ -3853,9 +3853,13 @@ WITH scored AS (
 ), terms AS (
   -- integer-scaled exact group terms (the q_katz/q_dsir quantization
   -- discipline): term = tp_g · precision_after_group, scaled by 1e9 and
-  -- floored — identical integers in both engines; bound tp·cumTP·1e9 ≈
-  -- 1e17 at sf1, inside int64
-  SELECT CAST(sum((tp_g * cum_tp * 1000000000) // cum_n) AS BIGINT) AS s9,
+  -- floored — identical integers in both engines. The product is widened
+  -- to HUGEINT (Spark: decimal(38,0)) because past tp_g·cumTP ≈ 9.2e9 a
+  -- plain int64 product wraps silently in Spark but raises in DuckDB
+  -- (ADVICE r6); each FLOORED term is ≤ tp_g·1e9, so the outer sum
+  -- (≤ n⁺·1e9) narrows back to BIGINT safely
+  SELECT CAST(sum((CAST(tp_g AS HUGEINT) * cum_tp * 1000000000) // cum_n)
+              AS BIGINT) AS s9,
          CAST(max(cum_tp) AS BIGINT) AS np,
          CAST(max(cum_n) AS BIGINT)  AS n
   FROM cum
@@ -3898,8 +3902,16 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tp_g").over(w).cast("long").alias("cum_tp"),
         F.sum("n_g").over(w).cast("long").alias("cum_n"),
     )
+    # decimal(38,0) product — int64 wraps silently past tp_g·cumTP ≈ 9.2e9
+    # while DuckDB raises; the q_item_cf/q_realized_vol widening discipline
+    # applied here too (ADVICE r6), narrowing back only after the floor div
     terms = cum.agg(
-        F.sum(F.expr("tp_g * cum_tp * 1000000000 div cum_n"))
+        F.sum(
+            F.expr(
+                "cast(cast(tp_g as decimal(38,0)) * cum_tp * 1000000000"
+                " div cum_n as bigint)"
+            )
+        )
         .cast("long")
         .alias("s9"),
         F.max("cum_tp").cast("long").alias("np"),

@@ -385,12 +385,17 @@ WITH daily AS (
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS close_c
   FROM events WHERE value IS NOT NULL
   GROUP BY 1, 2
-), ret AS (
-  SELECT event_type,
-         CAST(round(ln(close_c * 1.0 / lag(close_c) OVER w) * 1000000) AS BIGINT)
-           AS r_u
+), lagged AS (
+  SELECT event_type, close_c, lag(close_c) OVER w AS prev_c
   FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
-  QUALIFY lag(close_c) OVER w IS NOT NULL
+), ret AS (
+  -- both engines drop the SAME rows: lag-NULL AND any non-positive close
+  -- on either side of the ratio (ln of a non-positive argument is
+  -- NaN/error in DuckDB but a silent NULL in Spark — ADVICE r6)
+  SELECT event_type,
+         CAST(round(ln(close_c * 1.0 / prev_c) * 1000000) AS BIGINT) AS r_u
+  FROM lagged
+  WHERE prev_c IS NOT NULL AND prev_c > 0 AND close_c > 0
 ), mom AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
@@ -424,16 +429,20 @@ def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("close_c"))
     w = Window.partitionBy("event_type").orderBy("day")
-    ret = (
-        daily.select(
-            "event_type",
-            F.round(
-                F.log(F.col("close_c") * 1.0 / F.lag("close_c").over(w)) * 1000000
-            )
-            .cast("long")
-            .alias("r_u"),
-        )
-        .filter(F.col("r_u").isNotNull())
+    # explicit positivity guard BEFORE the log so Spark and the oracle drop
+    # identical rows: F.log returns a silent NULL for non-positive ratios
+    # while DuckDB's ln() NaNs/errors — a zero/negative daily flow would
+    # otherwise diverge the engines without any visible failure (ADVICE r6)
+    lagged = daily.select(
+        "event_type", "close_c", F.lag("close_c").over(w).alias("prev_c")
+    )
+    ret = lagged.filter(
+        F.col("prev_c").isNotNull() & (F.col("prev_c") > 0) & (F.col("close_c") > 0)
+    ).select(
+        "event_type",
+        F.round(F.log(F.col("close_c") * 1.0 / F.col("prev_c")) * 1000000)
+        .cast("long")
+        .alias("r_u"),
     )
     mom = ret.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),

@@ -123,6 +123,47 @@ def _read_checkpoint(path: str) -> dict | None:
         return None
 
 
+def _persist_replay_ids(path: str, manifests: list[dict]) -> None:
+    """Exactly-once survives log maintenance (round 7, ADVICE r6): before
+    ``compact_manifests``/``vacuum`` delete old manifest JSONs, the
+    (op, batch_id, version) of every streaming commit among them is merged
+    into the checkpoint's ``replay`` list — O(1) per squashed version — so
+    a replayed micro-batch whose commit was squashed still SKIPS instead of
+    silently double-applying its appends (or worse, its CDC upserts/deletes).
+    Without this, the replay guard's manifest scan had a horizon equal to
+    the log-maintenance window."""
+    ids = [
+        {"op": m["op"], "batch_id": m["batch_id"], "version": m["version"]}
+        for m in manifests
+        if m.get("batch_id") is not None
+    ]
+    if not ids:
+        return
+    prior = _read_checkpoint(path) or {}
+    prior["replay"] = list(prior.get("replay", [])) + ids
+    os.makedirs(_log_dir(path), exist_ok=True)
+    tmp = _checkpoint_file(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(prior, fh)
+    os.replace(tmp, _checkpoint_file(path))
+
+
+def _replayed_version(path: str, op: str, batch_id) -> int | None:
+    """Idempotence lookup for foreachBatch replays: the version that already
+    committed (op, batch_id), or None. Scans live manifests newest-first,
+    then the checkpoint's persisted ``replay`` ids (commits squashed by
+    compact_manifests / vacuum — see :func:`_persist_replay_ids`)."""
+    for v in reversed(_versions(path)):
+        m = _read_manifest(path, v)
+        if m["op"] == op and m.get("batch_id") == batch_id:
+            return v
+    ck = _read_checkpoint(path)
+    for r in reversed((ck or {}).get("replay", [])):
+        if r["op"] == op and r["batch_id"] == batch_id:
+            return r["version"]
+    return None
+
+
 def current_version(path: str) -> int:
     vs = _versions(path)
     if not vs:
@@ -589,13 +630,14 @@ def merge_apply(
 
     # exactly-once under foreachBatch (round 6): a replayed micro-batch
     # (driver died between commit and checkpoint) finds its batch_id in a
-    # prior merge-cdc manifest and SKIPS — the same idempotence contract
-    # as append_stream_batch, extended to the update/delete path.
+    # prior merge-cdc manifest — or, post log maintenance, in the
+    # checkpoint's persisted replay ids (round 7, ADVICE r6) — and SKIPS;
+    # the same idempotence contract as append_stream_batch, extended to
+    # the update/delete path where a double-apply is silent corruption.
     if batch_id is not None:
-        for pv in reversed(_versions(path)):
-            pm = _read_manifest(path, pv)
-            if pm["op"] == "merge-cdc" and pm.get("batch_id") == batch_id:
-                return pv
+        pv = _replayed_version(path, "merge-cdc", batch_id)
+        if pv is not None:
+            return pv
 
     v = current_version(path)
     m = _read_manifest(path, v)
@@ -662,11 +704,12 @@ def append_stream_batch(df: DataFrame, path: str, batch_id: int) -> int:
     finds its id already present and SKIPS — the transactional half of
     the checkpoint+idempotent-sink contract. Spark serializes foreachBatch
     invocations within a query, so the check-then-commit pair does not
-    race with itself."""
-    for v in reversed(_versions(path)):
-        m = _read_manifest(path, v)
-        if m["op"] == "stream-append" and m.get("batch_id") == batch_id:
-            return v  # replayed batch — already committed
+    race with itself. Batch ids of commits squashed by compact_manifests /
+    vacuum persist in the checkpoint's replay list (round 7, ADVICE r6),
+    so log maintenance never shortens the replay horizon."""
+    v = _replayed_version(path, "stream-append", batch_id)
+    if v is not None:
+        return v  # replayed batch — already committed
     entries, schema = _stage_files(df, path)
     os.makedirs(_log_dir(path), exist_ok=True)
     while True:
@@ -810,9 +853,9 @@ def compact_manifests(path: str, keep_last: int = 10) -> int:
     if not dropped:
         return 0
     prior = _read_checkpoint(path)
-    history_rows = list(prior["history"]) if prior else []
-    for v in dropped:
-        m = _read_manifest(path, v)
+    history_rows = list(prior["history"]) if prior and "history" in prior else []
+    manifests = [_read_manifest(path, v) for v in dropped]
+    for v, m in zip(dropped, manifests):
         history_rows.append(
             {
                 "version": v,
@@ -821,9 +864,15 @@ def compact_manifests(path: str, keep_last: int = 10) -> int:
                 "n_rows": sum(e["rows"] for e in m["files"]),
             }
         )
+    # exactly-once horizon (round 7, ADVICE r6): streaming batch_ids among
+    # the squashed manifests persist in the checkpoint's replay list BEFORE
+    # their JSONs are deleted, so a foreachBatch replay still skips
+    _persist_replay_ids(path, manifests)
+    prior = _read_checkpoint(path) or {}
+    prior.update({"upto": dropped[-1], "history": history_rows})
     tmp = _checkpoint_file(path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"upto": dropped[-1], "history": history_rows}, fh)
+        json.dump(prior, fh)
     os.replace(tmp, _checkpoint_file(path))  # atomic publish, then prune
     for v in dropped:
         os.remove(_version_file(path, v))
@@ -870,13 +919,20 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 600.0) -> i
     the same): files younger than it are NEVER removed even if no kept
     manifest references them, because an in-flight writer may have staged
     them ahead of a commit that hasn't published yet. Pass 0 only when no
-    writer can be concurrent (tests, single-process maintenance)."""
+    writer can be concurrent (tests, single-process maintenance).
+
+    Streaming batch_ids of the dropped manifests persist in the
+    checkpoint's replay list before removal (round 7, ADVICE r6), so the
+    exactly-once replay guard of append_stream_batch / merge_apply keeps
+    its full horizon through log maintenance — no keep_last tuning
+    against the streaming checkpoint's replay window is required."""
     import time
 
     vs = _versions(path)
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the current version")
     kept, dropped = vs[-keep_last:], vs[:-keep_last]
+    _persist_replay_ids(path, [_read_manifest(path, v) for v in dropped])
     live = {e["path"] for v in kept for e in _read_manifest(path, v)["files"]}
     now = time.time()
     removed = 0

@@ -35,8 +35,10 @@ def main() -> None:
 
     # 1) partitioned layout: static + dynamic pruning
     pp = QUERIES["q_partition_prune"](spark, sf_dir)
-    assert "PartitionFilters" in executed_plan(pp) or True
-    print("static pruning rows:", pp.count())
+    # print the boolean like the DPP line below — the hard pin lives in
+    # tests/test_plans.py (the old `... or True` assert was a no-op)
+    pruned = "PartitionFilters" in executed_plan(pp)
+    print(f"static pruning in plan: {pruned}; rows: {pp.count()}")
     dpp = QUERIES["q_dynamic_partition_prune"](spark, sf_dir)
     fired = "dynamicpruning" in executed_plan(dpp).lower()
     print(f"dynamic pruning fired: {fired}; rows: {dpp.count()}")

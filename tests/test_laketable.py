@@ -602,6 +602,41 @@ def test_merge_apply_batch_id_exactly_once(spark, tbl):
     assert LT.merge_apply(spark, tbl, src2, key="id", batch_id=8) == 2
 
 
+def test_replay_guard_survives_compact_manifests(spark, tbl):
+    """Round 7 (ADVICE r6 medium): compact_manifests squashes the manifest
+    that recorded a streaming commit's batch_id — the replay must STILL
+    skip, via the batch_ids persisted in the checkpoint's replay list.
+    Before the fix a replayed micro-batch whose commit was squashed
+    re-applied its CDC upserts/deletes silently."""
+    src = spark.createDataFrame([(5, 999, "U"), (6, -1, "D")], "id long, v long, _op string")
+    v1 = LT.merge_apply(spark, tbl, src, key="id", batch_id=42)  # v1
+    b2 = spark.createDataFrame([(200, 1)], "id long, v long")
+    LT.append_stream_batch(b2, tbl, batch_id=9)  # v2
+    for i in range(3, 9):  # pad the log so the streaming commits get squashed
+        LT.append(spark.createDataFrame([(300 + i, 1)], "id long, v long"), tbl)
+    before = _ids(spark, tbl)
+    assert LT.compact_manifests(tbl, keep_last=2) > 0  # v1, v2 squashed
+    with pytest.raises(ValueError, match="compacted away"):
+        LT._read_manifest(tbl, v1)  # the manifest really is gone
+    # replays after the squash: both must skip and return the original version
+    assert LT.merge_apply(spark, tbl, src, key="id", batch_id=42) == v1
+    assert LT.append_stream_batch(b2, tbl, batch_id=9) == 2
+    assert _ids(spark, tbl) == before  # nothing double-applied
+
+
+def test_replay_guard_survives_vacuum(spark, tbl):
+    """Same horizon contract through vacuum, which also deletes old
+    manifests: the dropped commits' batch_ids persist first."""
+    b = spark.createDataFrame([(500, 5)], "id long, v long")
+    LT.append_stream_batch(b, tbl, batch_id=3)  # v1
+    LT.compact(spark, tbl, target_files=1)  # v2
+    before = _ids(spark, tbl)
+    LT.vacuum(tbl, keep_last=1, retention_seconds=0)
+    # replay after vacuum: skips via the persisted replay id
+    assert LT.append_stream_batch(b, tbl, batch_id=3) == 1
+    assert _ids(spark, tbl) == before
+
+
 def test_stream_cdc_into_lake_via_foreach_batch(spark, tbl):
     """End-to-end CDC: a stream of change events lands in the lake table
     through foreachBatch(merge_apply) — each micro-batch compacted to

@@ -43,12 +43,14 @@ def _interleave(monkeypatch, winner):
     orig = LT._commit
     fired = {"done": False}
 
-    def wrapped(path, build, op, base, schema):
+    def wrapped(*args, **kwargs):
+        # forward everything — merge_apply passes extra=, and future _commit
+        # signature growth must not TypeError inside the race hook (ADVICE r6)
         if not fired["done"]:
             fired["done"] = True
             monkeypatch.setattr(LT, "_commit", orig)
             winner()
-        return orig(path, build, op, base, schema)
+        return orig(*args, **kwargs)
 
     monkeypatch.setattr(LT, "_commit", wrapped)
 

@@ -47,6 +47,12 @@ RISKY = {
     ),
     "q_mann_kendall": ("apachebeam_python_spark.queries.stats_tests", "q_mann_kendall"),
     "q_betweenness": ("apachebeam_python_spark.queries.analytics", "q_betweenness"),
+    # tp_g·cumTP·1e9 wraps int64 past tp_g·cumTP ≈ 9.2e9 — widened in r7
+    # (ADVICE r6); floored terms narrow back to BIGINT before the sum
+    "q_average_precision": (
+        "apachebeam_python_spark.queries.experiments",
+        "q_average_precision",
+    ),
 }
 
 
