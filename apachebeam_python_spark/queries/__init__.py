@@ -59,7 +59,6 @@ DRIVER_ORDER: list[str] = [
     "q_stream_tumbling",        # streaming windowed agg ≡ batch (§2.8)
     # tier 2 — deepen each family (all oracle-backed)
     "q_doc_stats",
-    "q_doc_features",
     "q_topk_per_key",
     # r6 rotation (VERDICT r5 #4): six slots move to round-4/5 families that
     # had never earned a driver-green row — lake snapshots, stats tests,
@@ -70,7 +69,15 @@ DRIVER_ORDER: list[str] = [
     "q_lake_snapshot",
     "q_join_broadcast",
     "q_session_window",
-    "q_order_limit",
+    # r7 rotation (VERDICT r6 #3): six slots move to the round-6 families
+    # that had never earned a driver-green row — finance (q_ohlc_bars),
+    # recsys (q_item_cf), physical layout (q_bucketed_join), lake CDC
+    # (q_lake_merge_cdc), binned range join (q_range_join_binned, replacing
+    # q_join_range's BNLJ shape with the scale path), graph (q_katz).
+    # Out (each family keeps ≥1 driver slot; all six stay hash-green in the
+    # local sweep): q_doc_features, q_order_limit, q_join_semi_anti,
+    # q_join_range, q_pardo_tagged, q_inference_stub.
+    "q_ohlc_bars",
     "q_fn_array",
     "q_json_extract",
     "q_udaf_weighted_avg",
@@ -82,12 +89,12 @@ DRIVER_ORDER: list[str] = [
     "q_embedding_pool",
     "q_stream_source",
     "q_star_join",
-    "q_join_semi_anti",
+    "q_bucketed_join",
     "q_custom_window",
     "q_grouped_map_zscore",
     "q_spatial_grid_join",
     "q_cube",
-    "q_join_range",
+    "q_range_join_binned",
     "q_dedup_clusters",
     "q_python_udtf",
     "q_join_asof",
@@ -96,11 +103,9 @@ DRIVER_ORDER: list[str] = [
     "q_betweenness",
     "q_corpus_curation",
     "q_scd2_dims",
-    # upgraded to oracle-backed in round 2 (DoFn arithmetic / serialized map
-    # output / deterministic stub predictions are all SQL-expressible) —
-    # ordered before the remaining rows-only tail per the coverage-first rule
-    "q_pardo_tagged",
-    "q_inference_stub",
+    "q_item_cf",
+    "q_lake_merge_cdc",
+    "q_katz",
     # round 3 (VERDICT r2 #1): the rows-only tail (q_ann_lsh, q_dedup_sketch,
     # q_approx_sample) could never earn a hash-green row, so it's swapped for
     # three oracle-backed queries from distinct capability families. The

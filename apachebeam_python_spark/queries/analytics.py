@@ -4559,7 +4559,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_katz",
-    driver=False,  # §2.11 graph family — pytest oracle
+    # driver slot since r7 (VERDICT r6 #3): second graph row beside q_betweenness
     oracle="""
 WITH e0 AS (
   SELECT s_nationkey AS src, c_nationkey AS dst
@@ -4654,7 +4654,8 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_item_cf",
-    driver=False,  # §2.11 recsys tier beside q_assoc_rules — pytest oracle
+    # driver slot since r7 (VERDICT r6 #3): the recsys family's first
+    # driver-green row (§2.11 tier beside q_assoc_rules)
     oracle="""
 WITH bi AS (
   SELECT DISTINCT o_orderkey AS basket, l_partkey AS item

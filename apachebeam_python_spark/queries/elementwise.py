@@ -99,6 +99,7 @@ def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pardo_tagged",
+    driver=False,  # r7 rotation: elementwise family keeps q_elementwise on the driver
     oracle="""
 SELECT e.event_id, e.user_id, e.value - 50.0 AS value_centered, s.n_small
 FROM events e

@@ -239,7 +239,8 @@ def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_ohlc_bars",
-    driver=False,  # §2.8 window rollup, finance shape — pytest oracle
+    # driver slot since r7 (VERDICT r6 #3): the finance family's first
+    # driver-green row
     oracle="""
 WITH px AS (
   SELECT event_type,

@@ -150,6 +150,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_range",
+    driver=False,  # r7 rotation: range-join family slot moved to the binned scale path
     oracle="""
 SELECT p_partkey, count(*) AS n_close,
        round(avg(l_quantity), 6) AS avg_close_qty
@@ -286,6 +287,7 @@ def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_semi_anti",
+    driver=False,  # r7 rotation: join family keeps q_join_equi/broadcast/star on the driver
     oracle="""
 SELECT c_custkey, 'semi' AS tag, c_name AS attr FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
@@ -446,7 +448,8 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_bucketed_join",
-    driver=False,  # physical-layout proof; values = plain equi-join
+    # driver slot since r7 (VERDICT r6 #3): the physical-layout family's first
+    # driver-green row — zero-exchange SMJ on pre-bucketed tables
     oracle="""
 SELECT c_mktsegment AS seg,
        count(*) AS n_orders,
@@ -506,7 +509,8 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_range_join_binned",
-    driver=False,  # scale pattern for keyless range joins — pytest oracle
+    # driver slot since r7 (VERDICT r6 #3): replaces q_join_range — the binned
+    # equi-join decomposition that survives 100 TB where the BNLJ dies
     oracle="""
 SELECT b AS band, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)

@@ -551,6 +551,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_doc_features",
+    driver=False,  # r7 rotation: doc-analysis family keeps q_doc_stats/q_wordcount
     oracle=f"""
 WITH base AS (
   SELECT doc_id, text,

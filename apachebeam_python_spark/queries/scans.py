@@ -1247,7 +1247,8 @@ def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_lake_merge_cdc",
-    driver=False,  # lake write-path proof; values = recomputed final state
+    # driver slot since r7 (VERDICT r6 #3): the lake-CDC family's first
+    # driver-green row — exactly-once foreachBatch MERGE apply
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -14,6 +14,7 @@ from ._registry import register
 
 @register(
     "q_order_limit",
+    driver=False,  # r7 rotation: ordering family keeps q_setops + q_topk_per_key
     oracle="""
 SELECT o_orderkey, o_orderpriority, o_orderdate, round(o_totalprice, 2) AS totalprice
 FROM orders

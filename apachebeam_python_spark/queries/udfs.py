@@ -129,6 +129,7 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_inference_stub",
+    driver=False,  # r7 rotation: UDF family keeps q_pandas_udf_scalar/q_udaf/q_udtf/q_grouped_map
     # the stub model is deterministic arithmetic, so its predictions ARE
     # SQL-expressible: both sides accumulate in float64 and round to 6 dp,
     # burying the pairwise-vs-sequential summation ulp (upgraded from

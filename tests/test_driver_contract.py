@@ -26,6 +26,29 @@ ROTATED_OFF_R6 = {
     "q_partition",
 }
 
+#: Round-7 rotation (VERDICT r6 #3): six slots moved to the round-6 families
+#: that had never earned a driver-green row — finance (q_ohlc_bars), recsys
+#: (q_item_cf), physical layout (q_bucketed_join), lake CDC (q_lake_merge_cdc),
+#: binned range join (q_range_join_binned), graph (q_katz). Same rules: the
+#: rotated-off stay oracle-backed in the local sweep; families keep ≥1 slot.
+ROTATED_OFF_R7 = {
+    "q_doc_features",
+    "q_order_limit",
+    "q_join_semi_anti",
+    "q_join_range",
+    "q_pardo_tagged",
+    "q_inference_stub",
+}
+
+ROTATED_IN_R7 = [
+    "q_ohlc_bars",
+    "q_item_cf",
+    "q_bucketed_join",
+    "q_lake_merge_cdc",
+    "q_range_join_binned",
+    "q_katz",
+]
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -86,7 +109,7 @@ def test_r2_green_set_never_demoted():
     # Deliberate, documented exceptions only. q_dedup_embedding: all-pairs
     # O(n²) anchor demoted per VERDICT r2 #4; stays oracle-checked in the
     # local sweep, its slot went to q_embedding_pool.
-    intentionally_demoted = {"q_dedup_embedding"} | ROTATED_OFF_R6
+    intentionally_demoted = {"q_dedup_embedding"} | ROTATED_OFF_R6 | ROTATED_OFF_R7
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
         n for n in green
@@ -117,17 +140,18 @@ def test_r3_green_set_never_demoted():
     ]
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
+    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7
     demoted = [
-        n for n in green if n not in ROTATED_OFF_R6 and (n not in qs or n not in os_)
+        n for n in green if n not in rotated_off and (n not in qs or n not in os_)
     ]
     assert not demoted, f"r3 hash-green queries demoted from the driver surface: {demoted}"
     # rotated-off queries must stay registered AND oracle-backed locally
-    for n in ROTATED_OFF_R6:
+    for n in rotated_off:
         assert n in q.QUERIES and n in q.ORACLES, f"rotated-off {n} lost its oracle"
-        assert n not in qs, f"{n} is in ROTATED_OFF_R6 but still on the driver surface"
+        assert n not in qs, f"{n} is rotated off but still on the driver surface"
     # and each rotated-in replacement must be oracle-backed on the surface
     for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
-              "q_png_pipeline", "q_betweenness", "q_scd2_dims"]:
+              "q_png_pipeline", "q_betweenness", "q_scd2_dims"] + ROTATED_IN_R7:
         assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"
 
 
