@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     elementwise,
     event_time,
     experiments,
+    facade,
     finance,
     flagship,
     joins,
