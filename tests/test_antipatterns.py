@@ -9,6 +9,10 @@ its expected count so a NEW collect in those files still fails the test.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.driver  # fast-gate tier (round 7, VERDICT r6 #9)
+
 import pathlib
 import re
 

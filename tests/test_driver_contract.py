@@ -7,6 +7,10 @@ addition can't silently push a family past the check window again.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.driver  # fast-gate tier (round 7, VERDICT r6 #9)
+
 import __spark_entry__ as entry
 from apachebeam_python_spark import queries as q
 

@@ -13,14 +13,30 @@ from .parity import assert_parity, driver_canon
 ORACLE_NAMES = sorted(q.ORACLES)
 ROWS_ONLY_NAMES = sorted(set(q.QUERIES) - set(q.ORACLES))
 
+#: Fast-gate tier (round 7, VERDICT r6 #9): the registry crossed 400 queries
+#: and the full sweep is ~25 min — too slow as an every-change gate. The
+#: ``driver`` marker selects the queries whose regression the driver would
+#: SEE (the 50-entry contract window) plus the newest round's additions
+#: (not yet battle-hardened), so ``pytest -m driver`` is a minutes-scale
+#: gate while the full suite stays the nightly-shaped default.
+NEWEST_ROUND = {"q_pipeline_facade"}
+FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+
+def _tiered(names):
+    return [
+        pytest.param(n, marks=pytest.mark.driver) if n in FAST_GATE else n
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _tiered(ORACLE_NAMES))
 def test_oracle_parity(name, spark, ddb, sf_dir):
     df = q.QUERIES[name](spark, sf_dir)
     assert_parity(df, ddb, q.ORACLES[name], name=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY_NAMES))
 def test_rows_only_runs(name, spark, sf_dir):
     df = q.QUERIES[name](spark, sf_dir)
     # the driver canonicalizes even rows-only results — a raw array column
