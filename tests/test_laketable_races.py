@@ -164,3 +164,67 @@ def test_vacuum_after_dv_and_compact_keeps_reads_consistent(spark, tbl):
     # squashed versions are gone from time travel
     with pytest.raises(Exception):
         LT.read_table(spark, tbl, version=0).collect()
+
+
+# --------------------------------------------------------------------------
+# Reader-vs-writer schedules (round 7, VERDICT r6 #8): the matrix above
+# pins writer-vs-writer; these pin the READ side of snapshot isolation —
+# a reader pinned to a manifest must be immune to concurrent rewrites
+# until vacuum's retention window passes, and must fail LOUDLY (never
+# return partial data) once it has.
+# --------------------------------------------------------------------------
+
+def _ids_of(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_pinned_read_immune_to_compact_and_in_retention_vacuum(spark, tbl):
+    """Time-travel reader pinned to v0 while a COW delete + compact rewrite
+    the table AND vacuum runs inside the retention window: the
+    manifest-listed read keeps collecting the exact v0 content. Rewrites
+    only ADD files; the grace period guarantees the pinned reader's
+    resolved files survive maintenance — Delta's retention contract."""
+    pinned = LT.read_table(spark, tbl, version=0)  # file list resolved NOW
+    LT.delete_where(spark, tbl, "id < 50")         # v1: copy-on-write rewrite
+    LT.compact(spark, tbl, target_files=1)         # v2: another full rewrite
+    assert LT.vacuum(tbl, keep_last=1, retention_seconds=3600) == 0  # young
+    assert _ids_of(pinned) == list(range(100))     # snapshot intact
+    assert _ids_of(LT.read_table(spark, tbl)) == list(range(50, 100))
+
+
+def test_pinned_read_fails_loudly_past_retention(spark, tbl):
+    """The grace period has a boundary: once retention passes
+    (retention_seconds=0 simulates an expired window) vacuum may remove the
+    pinned version's files — and the reader's collect must RAISE, never
+    silently return a partial/empty snapshot (ignoreMissingFiles stays at
+    Spark's false default)."""
+    pinned = LT.read_table(spark, tbl, version=0)
+    LT.compact(spark, tbl, target_files=1)  # v1
+    assert LT.vacuum(tbl, keep_last=1, retention_seconds=0) > 0
+    with pytest.raises(Exception, match="(?i)file|exist|found"):
+        pinned.collect()
+
+
+def test_pinned_read_ignores_later_mor_delete(spark, tbl):
+    """A deletion-vector (MOR) delete lands AFTER the reader pinned the
+    head: DVs attach to the new manifest, not to files, so the pinned
+    snapshot must keep every row while a fresh read applies the vectors."""
+    pinned = LT.read_table(spark, tbl)            # v0 head, no DVs
+    LT.delete_where_mor(spark, tbl, "id >= 90")   # v1 adds vectors only
+    assert _ids_of(pinned) == list(range(100))    # isolation: no read-time DV
+    assert _ids_of(LT.read_table(spark, tbl)) == list(range(90))
+
+
+def test_pinned_read_survives_manifest_squash(spark, tbl):
+    """compact_manifests deletes the pinned version's manifest JSON out
+    from under the reader: a DataFrame already BUILT from it keeps working
+    (the file list was resolved at build time; data files are untouched) —
+    only a NEW time-travel read of the squashed version raises the clear
+    'compacted away' error naming the earliest travelable version."""
+    pinned = LT.read_table(spark, tbl, version=0)
+    for i in range(1, 5):
+        LT.append(spark.createDataFrame([(1000 + i, 1)], "id long, v long"), tbl)
+    assert LT.compact_manifests(tbl, keep_last=2) == 3  # v0..v2 squashed
+    assert _ids_of(pinned) == list(range(100))
+    with pytest.raises(ValueError, match="compacted away"):
+        LT.read_table(spark, tbl, version=0)
