@@ -1230,3 +1230,55 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_cents"),
         F.max("tw").cast("long").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted exact distinct (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_salted_distinct",
+    driver=False,  # §2.3 skew-safe aggregation pattern — pytest oracle
+    oracle="""
+WITH salted AS (
+  SELECT event_type, user_id % 16 AS _salt,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS du,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(du) AS BIGINT) AS distinct_users,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM salted GROUP BY event_type
+""",
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type via DISJOINT salting —
+    the skew-safe two-phase pattern for exact distincts (SURVEY §2.3).
+    Plain count-distinct on a hot key ships EVERY distinct value of that
+    key to one reducer (map-side combine can't shrink a distinct set the
+    way it shrinks a sum); salting by ``user_id % 16`` splits each key's
+    value space into 16 DISJOINT shards — so per-shard distinct counts SUM
+    to the exact global distinct (no overlap by construction), and the hot
+    key's state is bounded at 1/16 per task. This is Spark's own
+    two-level expand strategy for multiple distincts, made explicit.
+
+    The salt must be a pure function of the DISTINCT column (not random!)
+    or the shards overlap and the sum overcounts — the classic salted-
+    distinct bug, pinned by the oracle hash.
+
+    Scale: shuffle 1 on (type, salt) — 16× the key cardinality, each
+    partition holding a disjoint value shard; shuffle 2 sums 16 longs per
+    key. State per task drops from |distinct(hot key)| to 1/16 of it,
+    and arbitrarily further with a wider salt."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    salted = e.groupBy(
+        "event_type", (F.col("user_id") % 16).alias("_salt")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("du"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("du").cast("long").alias("distinct_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

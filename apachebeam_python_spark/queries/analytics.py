@@ -4740,3 +4740,105 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Price-volume mix-shift decomposition (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_mix_shift",
+    driver=False,  # §2.11 BI decomposition tier beside q_basket_growth
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), top2 AS (
+  SELECT mk, row_number() OVER (ORDER BY mk DESC) AS rk
+  FROM (SELECT DISTINCT mk FROM o) QUALIFY rk <= 2
+), per AS (
+  SELECT priority, rk,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS rev_c
+  FROM o JOIN top2 USING (mk) GROUP BY 1, 2
+), piv AS (
+  SELECT priority,
+         CAST(max(CASE WHEN rk = 2 THEN n END) AS BIGINT) AS n1,
+         CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n2,
+         CAST(max(CASE WHEN rk = 2 THEN rev_c END) AS BIGINT) AS rev1_c,
+         CAST(max(CASE WHEN rk = 1 THEN rev_c END) AS BIGINT) AS rev2_c
+  FROM per GROUP BY priority
+), eff AS (
+  SELECT priority, n1, n2, rev1_c, rev2_c,
+         CAST((CAST(n2 - n1 AS HUGEINT) * rev1_c) // n1 AS BIGINT)
+           AS volume_eff_c
+  FROM piv WHERE n1 IS NOT NULL AND n2 IS NOT NULL AND n1 > 0
+)
+SELECT priority, n1, n2, rev1_c, rev2_c, volume_eff_c,
+       CAST(rev2_c - rev1_c - volume_eff_c AS BIGINT) AS price_eff_c
+FROM eff
+""",
+)
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of month-over-month revenue change per
+    order priority (the two most recent fixture months): with p₁ = rev₁/n₁,
+    volume effect = Δn·p₁ and price effect = n₂·Δp — chosen so the two
+    effects sum EXACTLY to Δrev (vol + price = Δn·rev₁/n₁ + rev₂ −
+    n₂·rev₁/n₁ = rev₂ − rev₁, since n₂ − Δn = n₁), making additivity an
+    integer identity instead of a float residual. The volume effect floors
+    via 128-bit integer division (q_item_cf widening); the price effect is
+    the exact remainder. The every-board-deck "was it traffic or ticket
+    size" question (SURVEY §2.11 analytics tier).
+
+    Scale: one (priority, month) rollup shuffle on the pruned two-month
+    scan; month selection is a distinct-months window over metadata; the
+    pivot is k rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    top2 = (
+        o.select("mk")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("mk").desc())))
+        .filter(F.col("rk") <= 2)
+    )
+    per = (
+        o.join(F.broadcast(top2), "mk")
+        .groupBy("priority", "rk")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("rev_c"),
+        )
+    )
+    piv = per.groupBy("priority").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("rk") == 2, F.col("rev_c"))).cast("long").alias("rev1_c"),
+        F.max(F.when(F.col("rk") == 1, F.col("rev_c"))).cast("long").alias("rev2_c"),
+    )
+    eff = piv.filter(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull() & (F.col("n1") > 0)
+    ).withColumn(
+        "volume_eff_c",
+        F.expr(
+            "cast((cast(n2 - n1 as decimal(38,0)) * rev1_c) div n1 as bigint)"
+        ),
+    )
+    return eff.select(
+        "priority",
+        "n1",
+        "n2",
+        "rev1_c",
+        "rev2_c",
+        "volume_eff_c",
+        (F.col("rev2_c") - F.col("rev1_c") - F.col("volume_eff_c"))
+        .cast("long")
+        .alias("price_eff_c"),
+    )

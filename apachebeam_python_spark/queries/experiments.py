@@ -3924,3 +3924,134 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information value (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_woe_iv",
+    driver=False,  # §2.11 feature-engineering tier beside q_calibration
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT min(c) AS lo, max(c) AS hi FROM base
+), binned AS (
+  SELECT CASE WHEN hi - lo <= 0 THEN 0
+              ELSE ((c - lo) * 9) // (hi - lo) END AS bin, y
+  FROM base, b
+), per AS (
+  SELECT bin,
+         CAST(sum(1 - y) AS BIGINT) AS g,
+         CAST(sum(y) AS BIGINT) AS bd
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(bd) AS BIGINT) AS bt,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM per
+), sm AS (
+  -- Laplace smoothing: +1 per cell, +nb on each total, so empty cells
+  -- never hit ln(0) and both engines smooth identically in integers
+  SELECT g + 1 AS gs, bd + 1 AS bs, gt + nb AS gts, bt + nb AS bts, nb
+  FROM per, tot
+), woe AS (
+  SELECT gs, bs, gts, bts, nb,
+         CAST(round(ln((gs * 1.0 * bts) / (bs * 1.0 * gts)) * 1000000)
+              AS BIGINT) AS woe_u
+  FROM sm
+)
+SELECT CAST(max(nb) AS BIGINT) AS n_bins,
+       CAST(max(gts) - max(nb) AS BIGINT) AS n_good,
+       CAST(max(bts) - max(nb) AS BIGINT) AS n_bad,
+       round(min(woe_u) / 1000000.0, 6) AS woe_min,
+       round(max(woe_u) / 1000000.0, 6) AS woe_max,
+       round(CAST(sum((CAST(gs AS HUGEINT) * bts - CAST(bs AS HUGEINT) * gts)
+                      * woe_u) AS DOUBLE)
+             / (max(gts) * 1.0 * max(bts)) / 1000000, 6) AS iv
+FROM woe
+""",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value of a binned numeric feature
+    against the purchase outcome — the credit-scoring / feature-audit
+    staple (IV < 0.02 ⇒ useless, > 0.5 ⇒ suspicious leakage). Value cents
+    quantize into 10 equi-width bins (exact integer floor division against
+    the data min/max — the operators.zorder.quantize_expr identity);
+    WOE_i = ln(good-share/bad-share) with +1/+n_bins Laplace smoothing so
+    empty cells never diverge the engines on ln(0).
+
+    Engine parity: WOE quantizes to integer micro-nats; the IV sum runs
+    over EXACT 128-bit integers (gs·Bt − bs·Gt)·woe_u — the
+    q_average_precision widening discipline — with one double division at
+    the end.
+
+    Scale: one narrow scan into a 10-row bin rollup (partial+final);
+    everything past the first agg is metadata-sized."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = base.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    span = (F.col("hi") - F.col("lo")).cast("long")
+    num = ((F.col("c") - F.col("lo")) * 9).cast("long")
+    binned = base.crossJoin(F.broadcast(b)).select(
+        F.when(span <= 0, F.lit(0).cast("long"))
+        .otherwise(((num - num % span) / span).cast("long"))
+        .alias("bin"),
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("y")).cast("long").alias("g"),
+        F.sum("y").cast("long").alias("bd"),
+    )
+    tot = per.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum("bd").cast("long").alias("bt"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    hi = "decimal(38,0)"
+    sm = per.crossJoin(F.broadcast(tot)).select(
+        (F.col("g") + 1).alias("gs"),
+        (F.col("bd") + 1).alias("bs"),
+        (F.col("gt") + F.col("nb")).alias("gts"),
+        (F.col("bt") + F.col("nb")).alias("bts"),
+        "nb",
+    )
+    woe = sm.select(
+        "gs",
+        "bs",
+        "gts",
+        "bts",
+        "nb",
+        F.round(
+            F.log(
+                (F.col("gs") * 1.0 * F.col("bts")) / (F.col("bs") * 1.0 * F.col("gts"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("woe_u"),
+    )
+    return woe.agg(
+        F.max("nb").cast("long").alias("n_bins"),
+        (F.max("gts") - F.max("nb")).cast("long").alias("n_good"),
+        (F.max("bts") - F.max("nb")).cast("long").alias("n_bad"),
+        F.round(F.min("woe_u") / 1000000.0, 6).alias("woe_min"),
+        F.round(F.max("woe_u") / 1000000.0, 6).alias("woe_max"),
+        F.round(
+            F.sum(
+                (
+                    F.col("gs").cast(hi) * F.col("bts")
+                    - F.col("bs").cast(hi) * F.col("gts")
+                )
+                * F.col("woe_u")
+            ).cast("double")
+            / (F.max("gts") * 1.0 * F.max("bts"))
+            / 1000000,
+            6,
+        ).alias("iv"),
+    )

@@ -1310,3 +1310,180 @@ def q_lake_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum("n_chars").alias("chars_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering skip census (round 7)
+# --------------------------------------------------------------------------
+from ..operators.zorder import z_value_expr, z_value_sql  # noqa: E402
+
+_Z_SQL = z_value_sql("xq", "yq", 8)
+
+
+@register(
+    "q_zorder_skip",
+    driver=False,  # §2.11 lake-maintenance / physical-layout tier
+    oracle=f"""
+WITH base AS (
+  SELECT event_id,
+         CAST(round(value * 100) AS BIGINT) AS xc,
+         CAST(user_id AS BIGINT) AS yc
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT min(xc) AS xlo, max(xc) AS xhi, min(yc) AS ylo, max(yc) AS yhi
+  FROM base
+), q AS (
+  SELECT event_id,
+         CASE WHEN xhi - xlo <= 0 THEN 0
+              ELSE ((xc - xlo) * 255) // (xhi - xlo) END AS xq,
+         CASE WHEN yhi - ylo <= 0 THEN 0
+              ELSE ((yc - ylo) * 255) // (yhi - ylo) END AS yq
+  FROM base, b
+), zt AS (
+  SELECT event_id, xq, yq, {_Z_SQL} AS z FROM q
+), t AS (
+  SELECT xq, yq,
+         ntile(16) OVER (ORDER BY xq, yq, event_id) AS f_lin,
+         ntile(16) OVER (ORDER BY z, xq, yq, event_id) AS f_z
+  FROM zt
+), long_t AS (
+  SELECT 'linear' AS layout, f_lin AS f, xq, yq FROM t
+  UNION ALL
+  SELECT 'zorder' AS layout, f_z AS f, xq, yq FROM t
+), pf AS (
+  SELECT layout, f,
+         min(xq) AS min_x, max(xq) AS max_x,
+         min(yq) AS min_y, max(yq) AS max_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN xq BETWEEN 96 AND 159 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nm_x,
+         CAST(sum(CASE WHEN yq BETWEEN 96 AND 159 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nm_y,
+         CAST(sum(CASE WHEN xq BETWEEN 96 AND 159
+                        AND yq BETWEEN 96 AND 159 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nm_box
+  FROM long_t GROUP BY 1, 2
+), census AS (
+  SELECT layout, 'x_band' AS pred,
+         NOT (max_x < 96 OR min_x > 159) AS scanned, n, nm_x AS nm FROM pf
+  UNION ALL
+  SELECT layout, 'y_band', NOT (max_y < 96 OR min_y > 159), n, nm_y FROM pf
+  UNION ALL
+  SELECT layout, 'box',
+         NOT (max_x < 96 OR min_x > 159 OR max_y < 96 OR min_y > 159),
+         n, nm_box FROM pf
+)
+SELECT layout, pred,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned,
+       CAST(sum(CASE WHEN scanned THEN n ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(nm) AS BIGINT) AS rows_matching
+FROM census GROUP BY layout, pred
+""",
+)
+def q_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout as a file-skip census over THREE predicate
+    shapes (SURVEY §2.11 lake maintenance; operators/zorder.py, round 7):
+    both layouts pack the same events into 16 equal 'files' — linear sorts
+    by (xq, yq), z-order by the Morton interleave — and for each predicate
+    (an x band, a y band, their 2-D box, each the middle quarter of its
+    dimension) the census counts files/rows a stats-pruned scan must open.
+    The story the three rows tell: linear wins narrowly on its own sort
+    axis (x_band), but CANNOT prune the off-axis y_band (it scans ~every
+    file), while z-order prunes all three — the multi-dimensional
+    trade that justifies OPTIMIZE ZORDER. rows_matching is
+    layout-invariant per predicate (pruning never loses rows — the
+    built-in soundness cross-check). Quantization and the interleave are
+    exact integer arithmetic in both engines.
+
+    The ntile file assignment exists ONLY to make the census
+    deterministic and SQL-expressible; the production write path is
+    cluster_by_z / laketable.compact_zorder (repartitionByRange on z —
+    one range shuffle, no global window). Scale: the two |events|-row
+    window sorts are the demo's cost, not the operator's; the census
+    itself is a 96-row rollup."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        F.col("user_id").cast("long").alias("yc"),
+    )
+    b = base.agg(
+        F.min("xc").alias("xlo"),
+        F.max("xc").alias("xhi"),
+        F.min("yc").alias("ylo"),
+        F.max("yc").alias("yhi"),
+    )
+
+    def _quant(c, lo, hi):
+        span = (F.col(hi) - F.col(lo)).cast("long")
+        num = ((F.col(c) - F.col(lo)) * 255).cast("long")
+        return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+            ((num - num % span) / span).cast("long")
+        )
+
+    q_df = base.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        _quant("xc", "xlo", "xhi").alias("xq"),
+        _quant("yc", "ylo", "yhi").alias("yq"),
+    )
+    zt = q_df.select(
+        "event_id", "xq", "yq", z_value_expr(F.col("xq"), F.col("yq"), 8).alias("z")
+    )
+    t = zt.select(
+        "xq",
+        "yq",
+        F.ntile(16).over(Window.orderBy("xq", "yq", "event_id")).alias("f_lin"),
+        F.ntile(16).over(Window.orderBy("z", "xq", "yq", "event_id")).alias("f_z"),
+    )
+    long_t = t.select(
+        F.lit("linear").alias("layout"), F.col("f_lin").alias("f"), "xq", "yq"
+    ).unionByName(
+        t.select(F.lit("zorder").alias("layout"), F.col("f_z").alias("f"), "xq", "yq")
+    )
+    x_in = F.col("xq").between(96, 159)
+    y_in = F.col("yq").between(96, 159)
+    pf = long_t.groupBy("layout", "f").agg(
+        F.min("xq").alias("min_x"),
+        F.max("xq").alias("max_x"),
+        F.min("yq").alias("min_y"),
+        F.max("yq").alias("max_y"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(x_in, 1).otherwise(0)).cast("long").alias("nm_x"),
+        F.sum(F.when(y_in, 1).otherwise(0)).cast("long").alias("nm_y"),
+        F.sum(F.when(x_in & y_in, 1).otherwise(0)).cast("long").alias("nm_box"),
+    )
+    hit_x = ~((F.col("max_x") < 96) | (F.col("min_x") > 159))
+    hit_y = ~((F.col("max_y") < 96) | (F.col("min_y") > 159))
+    census = (
+        pf.select(
+            "layout", F.lit("x_band").alias("pred"), hit_x.alias("scanned"),
+            "n", F.col("nm_x").alias("nm"),
+        )
+        .unionByName(
+            pf.select(
+                "layout", F.lit("y_band").alias("pred"), hit_y.alias("scanned"),
+                "n", F.col("nm_y").alias("nm"),
+            )
+        )
+        .unionByName(
+            pf.select(
+                "layout", F.lit("box").alias("pred"),
+                (hit_x & hit_y).alias("scanned"), "n", F.col("nm_box").alias("nm"),
+            )
+        )
+    )
+    return census.groupBy("layout", "pred").agg(
+        F.count("*").cast("long").alias("files_total"),
+        F.sum(F.when(F.col("scanned"), 1).otherwise(0))
+        .cast("long")
+        .alias("files_scanned"),
+        F.sum(F.when(F.col("scanned"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("nm").cast("long").alias("rows_matching"),
+    )

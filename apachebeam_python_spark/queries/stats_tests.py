@@ -3854,3 +3854,88 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((r4 - f31 * r3 - f32 * r2 - p3 * r1) / den4, 6),
         ).alias("pacf4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between two categoricals (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_mutual_info",
+    driver=False,  # §2.11 feature-diagnostics tier beside q_chi_square
+    oracle="""
+WITH e AS (
+  SELECT event_type, user_id % 4 AS seg
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT event_type, seg, CAST(count(*) AS BIGINT) AS n_xy
+  FROM e GROUP BY 1, 2
+), rx AS (
+  SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1
+), ry AS (
+  SELECT seg, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_xy) AS BIGINT) AS n_tot FROM cells
+), j AS (
+  SELECT n_xy, n_tot,
+         CAST(round(ln((n_xy * 1.0 * n_tot) / (n_x * 1.0 * n_y)) * 1000000)
+              AS BIGINT) AS r_u
+  FROM cells JOIN rx USING (event_type) JOIN ry USING (seg) CROSS JOIN t
+)
+SELECT CAST(max(n_tot) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(CAST(sum(CAST(n_xy AS HUGEINT) * r_u) AS DOUBLE)
+             / max(n_tot) / 1000000, 6) AS mi_nats
+FROM j
+""",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between event_type and a user segment
+    (user_id mod 4) in nats — the dependence measure behind feature
+    selection and leakage audits, the continuous-score companion to
+    q_chi_square's test statistic (SURVEY §2.11 diagnostics tier).
+
+    Engine parity (auto-memory discipline): each cell's log-ratio
+    ln(n_xy·N / (n_x·n_y)) is computed from EXACT integer counts — the
+    double products stay < 2^53 so the quotient is the identical IEEE
+    value in both engines — then quantized to integer MICRO-nats
+    (round(·1e6), the q_realized_vol convention). The weighted sum
+    Σ n_xy·r_u runs in 128-bit (decimal(38,0)/HUGEINT); the only double
+    division is the final /N/1e6.
+
+    Scale: one (x,y)-cell shuffle (partial+final), margins are cell-table
+    rollups of k·4 rows, everything after is metadata-sized."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("seg")
+    ).agg(F.count("*").cast("long").alias("n_xy"))
+    rx = cells.groupBy("event_type").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ry = cells.groupBy("seg").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    t = cells.agg(F.sum("n_xy").cast("long").alias("n_tot"))
+    j = (
+        cells.join(F.broadcast(rx), "event_type")
+        .join(F.broadcast(ry), "seg")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_xy",
+            "n_tot",
+            F.round(
+                F.log(
+                    (F.col("n_xy") * 1.0 * F.col("n_tot"))
+                    / (F.col("n_x") * 1.0 * F.col("n_y"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("r_u"),
+        )
+    )
+    return j.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(
+            F.sum(F.col("n_xy").cast(_HI) * F.col("r_u")).cast("double")
+            / F.max("n_tot")
+            / 1000000,
+            6,
+        ).alias("mi_nats"),
+    )

@@ -890,6 +890,36 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return _commit(path, lambda cur: entries, "compact", v, schema)
 
 
+def compact_zorder(
+    spark: SparkSession,
+    path: str,
+    x: str,
+    y: str,
+    target_files: int = 16,
+    bits: int = 8,
+) -> int:
+    """``OPTIMIZE ZORDER BY (x, y)`` (round 7): rewrite the current
+    snapshot clustered on the Morton curve of two integer columns, so each
+    staged file's min/max stats form a compact 2-D tile and
+    :func:`files_matching` prunes on EITHER column — the multi-dimensional
+    extension of the single-key clustering a plain ``compact`` after a
+    range-partitioned write gives. Same snapshot-dependent commit contract
+    as ``compact``.
+
+    At 100 TB: one z-clustered rewrite (a single range-shuffle) buys every
+    later 2-D-filtered scan ~√F-of-F file opens instead of F — the
+    standard Delta/Iceberg layout-maintenance trade. Columns must be
+    integer-typed (route money through cents first)."""
+    from ..operators.zorder import cluster_by_z
+
+    v = current_version(path)
+    df = cluster_by_z(
+        read_table(spark, path, version=v), x, y, bits=bits, n_files=target_files
+    )
+    entries, schema = _stage_files(df, path)
+    return _commit(path, lambda cur: entries, "compact-zorder", v, schema)
+
+
 def history(path: str) -> list[dict]:
     """Version → op / file count / row count, oldest first — including
     versions squashed by ``compact_manifests`` (their summaries persist in

@@ -61,6 +61,11 @@ def main() -> None:
     print("stats-skipped band aggregate:")
     sk.show(truncate=False)
 
+    # 5) z-order clustering: 2-D stats pruning (round 7)
+    zs = QUERIES["q_zorder_skip"](spark, sf_dir)
+    print("z-order vs linear file-skip census (2-D box predicate):")
+    zs.orderBy("layout").show(truncate=False)
+
     # the same decisions, stated as data: where does each row volume live?
     e = table(spark, sf_dir, "events")
     print("partition-key histogram (what partitioning will prune):")

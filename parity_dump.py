@@ -44,7 +44,7 @@ from tests.parity import (  # noqa: E402
 )
 
 
-def run(sf_dir: str, out: str) -> int:
+def run(sf_dir: str, out: str, slice_k: int | None = None, slice_n: int = 1) -> int:
     spark = get_spark("parity-dump")
     con = duckdb.connect()
     for t in TABLES:
@@ -55,7 +55,14 @@ def run(sf_dir: str, out: str) -> int:
     results: dict[str, dict] = {}
     t0 = time.time()
     failed = 0
-    for name in sorted(q.QUERIES):
+    names = sorted(q.QUERIES)
+    if slice_k is not None:
+        # interleaved striping keeps the slices time-balanced; each slice
+        # runs in a FRESH process so a 400+-query sweep at sf0.1 can't
+        # accumulate JVM metaspace/codegen past the container limit (the
+        # round-7 single-process run was OOM-killed near the end)
+        names = [n for i, n in enumerate(names) if i % slice_n == slice_k]
+    for name in names:
         has_oracle = name in q.ORACLES
         entry: dict = {
             "oracle": has_oracle,
@@ -120,17 +127,72 @@ def run(sf_dir: str, out: str) -> int:
     return 1 if failed else 0
 
 
+def merge(out: str, parts: list[str]) -> int:
+    """Union per-query records from slice artifacts into one, recomputing
+    the summary (elapsed = sum of slice elapsed)."""
+    queries: dict[str, dict] = {}
+    elapsed = 0.0
+    sf_dir = None
+    for p in parts:
+        with open(p) as fh:
+            d = json.load(fh)
+        queries.update(d["queries"])
+        elapsed += d["summary"]["elapsed_sec"]
+        sf_dir = d["summary"]["sf_dir"]
+    failed = sum(
+        1
+        for e in queries.values()
+        if e["err"] is not None
+        or (
+            e["oracle"]
+            and not (e["rows_match"] and e["schema_match"] and e["hash_match"])
+        )
+    )
+    summary = {
+        "total": len(queries),
+        "oracle_backed": sum(1 for e in queries.values() if e["oracle"]),
+        "failed": failed,
+        "sf_dir": sf_dir,
+        "elapsed_sec": round(elapsed, 1),
+        "merged_from": len(parts),
+    }
+    with open(out, "w") as f:
+        json.dump({"summary": summary, "queries": dict(sorted(queries.items()))}, f, indent=2)
+        f.write("\n")
+    print(json.dumps(summary))
+    return 1 if failed else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--slice",
+        nargs=2,
+        type=int,
+        metavar=("K", "N"),
+        default=None,
+        help="run only queries where index %% N == K (fresh-process chunking)",
+    )
+    ap.add_argument(
+        "--merge",
+        nargs="+",
+        default=None,
+        metavar="PART",
+        help="merge slice artifacts into --out instead of running",
+    )
     args = ap.parse_args()
     out = args.out or (
         f"CORRECTNESS_LOCAL_r{args.round}.json"
         if args.round is not None
         else "CORRECTNESS_LOCAL.json"
     )
+    if args.merge:
+        return merge(out, args.merge)
+    if args.slice:
+        return run(args.sf, out, slice_k=args.slice[0], slice_n=args.slice[1])
     return run(args.sf, out)
 
 

@@ -19,7 +19,14 @@ ROWS_ONLY_NAMES = sorted(set(q.QUERIES) - set(q.ORACLES))
 #: SEE (the 50-entry contract window) plus the newest round's additions
 #: (not yet battle-hardened), so ``pytest -m driver`` is a minutes-scale
 #: gate while the full suite stays the nightly-shaped default.
-NEWEST_ROUND = {"q_pipeline_facade"}
+NEWEST_ROUND = {
+    "q_pipeline_facade",
+    "q_zorder_skip",
+    "q_mutual_info",
+    "q_woe_iv",
+    "q_mix_shift",
+    "q_salted_distinct",
+}
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
 
