@@ -2517,7 +2517,11 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kcore",
     driver=False,  # §2.11 graph family (round 4) — pytest oracle
     oracle="""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
+  -- MATERIALIZED (round 7): DuckDB inlines plain CTEs per REFERENCE, so
+  -- the three unrolled peel rounds re-evaluated this 4-table join ~7x
+  -- (exponentially through s1/s2) -- the sf0.1 sweep hit a >100 GB blowup
+  -- on what is a 600-edge graph. Forcing one evaluation is semantics-free.
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2525,7 +2529,7 @@ WITH e0 AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 120
-), e AS (
+), e AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM e0
   UNION
   SELECT dst, src FROM e0
@@ -3244,7 +3248,7 @@ WITH RECURSIVE e0 AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 120
-), e AS (
+), e AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM e0
   UNION
   SELECT dst, src FROM e0
@@ -4261,7 +4265,7 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_assortativity",
     driver=False,  # §2.11 graph family (round 5) — pytest oracle
     oracle="""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4269,7 +4273,7 @@ WITH e0 AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 120
-), e AS (
+), e AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM e0
   UNION
   SELECT dst, src FROM e0
@@ -4371,7 +4375,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ktruss",
     driver=False,  # §2.11 graph family — pytest oracle
     oracle="""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4561,7 +4565,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_katz",
     # driver slot since r7 (VERDICT r6 #3): second graph row beside q_betweenness
     oracle="""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4569,7 +4573,7 @@ WITH e0 AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 120
-), e AS (
+), e AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM e0
   UNION
   SELECT dst, src FROM e0

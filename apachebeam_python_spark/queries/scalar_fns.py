@@ -452,9 +452,11 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS charge_sum,
-       round(min(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)), 4) AS charge_min
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2)
+         AS charge_sum,
+       round(min(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 10000) AS BIGINT)) / 10000.0, 4) AS charge_min
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag
@@ -463,13 +465,22 @@ GROUP BY l_returnflag
 def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-language scalar UDF (SURVEY §2.10 — Spark 4's
     ``CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr``, the Beam-SQL
-    ``CREATE FUNCTION`` analogue): a ``charge(price, disc, tax)`` function
-    defined in SQL, then used inside an aggregation. The function body is
-    pure expression code, so Catalyst INLINES it — the plan is identical
-    to writing the expression by hand (no UDF call boundary, full codegen,
-    pushdown unaffected). The oracle states the inlined expression; the
-    per-row round(4) keeps the double product engine-stable before the
-    DECIMAL partial sum.
+    ``CREATE FUNCTION`` analogue): a ``charge_u(price, disc, tax)``
+    function defined in SQL, then used inside an aggregation. The function
+    body is pure expression code, so Catalyst INLINES it — the plan is
+    identical to writing the expression by hand (no UDF call boundary,
+    full codegen, pushdown unaffected). The oracle states the inlined
+    expression.
+
+    Engine parity (round-7 fix, caught by the sf0.1 full-registry sweep):
+    the original body returned ``round(expr, 4)`` as a DOUBLE — Spark's
+    BigDecimal HALF_UP and DuckDB's double rounding disagree by 1e-4 on
+    boundary rows, and at 10× rows the accumulated drift crossed a cent in
+    two groups. The UDF now returns exact integer 1e-4 units
+    (``round(expr·10000)`` of a positive double — the established
+    engine-stable op), so the sum is exact int64 (≈5.6e13 at sf0.1;
+    widen to 128-bit past sf~100) and the only doubles are the final
+    exactly-representable divisions.
 
     Scale: zero cost over the hand-written expression — the named
     function is purely a reuse/veneer surface, which is exactly the
@@ -479,18 +490,19 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     spark.sql(
         """
-        CREATE OR REPLACE TEMPORARY FUNCTION charge(price DOUBLE, disc DOUBLE, tax DOUBLE)
-        RETURNS DOUBLE
-        RETURN round(price * (1 - disc) * (1 + tax), 4)
+        CREATE OR REPLACE TEMPORARY FUNCTION charge_u(price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(price * (1 - disc) * (1 + tax) * 10000) AS BIGINT)
         """
     )
     return spark.sql(
         """
         SELECT l_returnflag,
                count(*) AS n,
-               CAST(round(sum(CAST(charge(l_extendedprice, l_discount, l_tax)
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS charge_sum,
-               round(min(charge(l_extendedprice, l_discount, l_tax)), 4) AS charge_min
+               round(sum(charge_u(l_extendedprice, l_discount, l_tax)) / 1e4, 2)
+                 AS charge_sum,
+               round(min(charge_u(l_extendedprice, l_discount, l_tax)) / 1e4, 4)
+                 AS charge_min
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY l_returnflag

@@ -47,6 +47,14 @@ from tests.parity import (  # noqa: E402
 def run(sf_dir: str, out: str, slice_k: int | None = None, slice_n: int = 1) -> int:
     spark = get_spark("parity-dump")
     con = duckdb.connect()
+    # cap the oracle engine (round 7): DuckDB's default memory_limit is 80%
+    # of RAM, so ONE heavy oracle (an all-pairs exactness anchor at sf0.1)
+    # can OOM-kill the whole sweep process — the r7 first attempt died at
+    # 115 GB anon-rss. A hard cap + temp_directory makes DuckDB spill to
+    # disk instead, like any real engine under a memory budget.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    verbose = os.environ.get("SPARK_GRAFT_PARITY_VERBOSE", "") == "1"
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -63,6 +71,8 @@ def run(sf_dir: str, out: str, slice_k: int | None = None, slice_n: int = 1) -> 
         # round-7 single-process run was OOM-killed near the end)
         names = [n for i, n in enumerate(names) if i % slice_n == slice_k]
     for name in names:
+        if verbose:
+            print(f"RUN {name}", file=sys.stderr, flush=True)
         has_oracle = name in q.ORACLES
         entry: dict = {
             "oracle": has_oracle,
