@@ -505,15 +505,15 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
   SELECT l_returnflag AS flag,
          CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_u
   FROM lineitem GROUP BY 1, 2
 )
-SELECT flag, day, round(rev, 4) AS rev,
-       round(CAST(quantile_cont(rev, 0.5) OVER (
+SELECT flag, day, round(rev_u / 10000.0, 4) AS rev,
+       CAST(quantile_cont(rev_u, 0.5) OVER (
          PARTITION BY flag ORDER BY day
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-       ) AS DOUBLE), 4) AS p50_7d
+       ) AS DOUBLE) AS p50_7d_u
 FROM d
 """,
 )
@@ -522,8 +522,17 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust moving-average alternative (median shrugs off the single-day
     spikes that drag a mean). Spark's exact ``percentile`` works as a
     window aggregate over the rows frame, matching DuckDB's
-    ``quantile_cont`` frame semantics; inputs pass through an exact
-    DECIMAL partial sum so the interpolation sees bit-identical doubles.
+    ``quantile_cont`` frame semantics.
+
+    Engine parity (round-7 fix, caught by the sf0.1 sweep): interpolating
+    a median over DOUBLES diverged in the last ulp on 2 of 7497 rows —
+    Spark computes lower + d·(higher−lower), DuckDB a differently-ordered
+    midpoint, and at 10× rows two even-count frames landed on a 4-dp
+    rounding boundary. The percentile now runs over EXACT integer 1e-4
+    revenue units: every interpolation is (a+b)/2 of int64s — an exact
+    binary half, bit-identical in both engines — and the median is
+    emitted IN UNITS (``p50_7d_u``) with no rounding to hit a boundary.
+    (Sum bound: daily revenue ×1e4 ≈ 1e11 at sf1 — widen past sf~1000.)
 
     Scale: one (flag, day) partial+final agg collapses the table to the
     day grid; the window then shuffles only day-level rows on flag. The
@@ -534,11 +543,12 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "l_shipdate").alias("day"),
     ).agg(
         F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("decimal(18,4)")
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            ).cast("long")
         )
-        .cast("double")
-        .alias("rev")
+        .cast("long")
+        .alias("rev_u")
     )
     w = (
         Window.partitionBy("flag")
@@ -548,10 +558,8 @@ def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "flag",
         "day",
-        F.round("rev", 4).alias("rev"),
-        F.round(
-            F.percentile("rev", F.lit(0.5)).over(w).cast("double"), 4
-        ).alias("p50_7d"),
+        F.round(F.col("rev_u") / 10000.0, 4).alias("rev"),
+        F.percentile("rev_u", F.lit(0.5)).over(w).cast("double").alias("p50_7d_u"),
     )
 
 
@@ -1253,23 +1261,32 @@ def q_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # §2.4 temporal-join extension — pytest oracle
     oracle="""
 WITH marked AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
   FROM events
+), bounds AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
 ), dim AS (
-  SELECT user_id, event_type, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-  FROM (SELECT user_id, event_type, ts, event_id FROM marked
-        WHERE prev IS NULL OR prev <> event_type)
+  -- one boundary per (user, ts): a same-instant EARLIER boundary has an
+  -- empty [from, to) interval in the interval formulation, so dropping it
+  -- is semantics-free and makes the as-of key unique
+  SELECT user_id, event_type, ts AS valid_from
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM bounds)
+  WHERE rn = 1
 ), facts AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
 )
+-- ASOF JOIN == the contiguous-interval join (greatest valid_from <= ts):
+-- round 7 — DuckDB planned the explicit inequality join as a quadratic
+-- candidate blow-up at sf0.1 (>44 GB spill); its native temporal operator
+-- is the same semantics at O(n log n)
 SELECT f.user_id, f.event_id, d.event_type AS state_at_event
-FROM facts f JOIN dim d
-  ON d.user_id = f.user_id
- AND d.valid_from <= f.ts
- AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+FROM facts f ASOF JOIN dim d
+  ON d.user_id = f.user_id AND d.valid_from <= f.ts
 """,
 )
 def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

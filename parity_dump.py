@@ -44,7 +44,13 @@ from tests.parity import (  # noqa: E402
 )
 
 
-def run(sf_dir: str, out: str, slice_k: int | None = None, slice_n: int = 1) -> int:
+def run(
+    sf_dir: str,
+    out: str,
+    slice_k: int | None = None,
+    slice_n: int = 1,
+    names_only: list[str] | None = None,
+) -> int:
     spark = get_spark("parity-dump")
     con = duckdb.connect()
     # cap the oracle engine (round 7): DuckDB's default memory_limit is 80%
@@ -70,6 +76,8 @@ def run(sf_dir: str, out: str, slice_k: int | None = None, slice_n: int = 1) -> 
         # accumulate JVM metaspace/codegen past the container limit (the
         # round-7 single-process run was OOM-killed near the end)
         names = [n for i, n in enumerate(names) if i % slice_n == slice_k]
+    if names_only:
+        names = [n for n in names if n in set(names_only)]
     for name in names:
         if verbose:
             print(f"RUN {name}", file=sys.stderr, flush=True)
@@ -191,7 +199,14 @@ def main() -> int:
         nargs="+",
         default=None,
         metavar="PART",
-        help="merge slice artifacts into --out instead of running",
+        help="merge slice artifacts into --out instead of running "
+        "(later parts win on name collisions — point-rerun then merge last)",
+    )
+    ap.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated query names: run only these (point re-check "
+        "after a fix; merge the mini-artifact over the full one)",
     )
     args = ap.parse_args()
     out = args.out or (
@@ -201,9 +216,13 @@ def main() -> int:
     )
     if args.merge:
         return merge(out, args.merge)
+    names_only = args.names.split(",") if args.names else None
     if args.slice:
-        return run(args.sf, out, slice_k=args.slice[0], slice_n=args.slice[1])
-    return run(args.sf, out)
+        return run(
+            args.sf, out, slice_k=args.slice[0], slice_n=args.slice[1],
+            names_only=names_only,
+        )
+    return run(args.sf, out, names_only=names_only)
 
 
 if __name__ == "__main__":
