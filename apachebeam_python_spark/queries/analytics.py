@@ -4846,3 +4846,116 @@ def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_eff_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality, 3-hop bounded (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_harmonic_centrality",
+    driver=False,  # §2.11 graph family beside q_closeness_centrality
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2 HAVING count(*) >= 120
+), e AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), d1 AS MATERIALIZED (
+  SELECT u, v FROM e
+), d2 AS MATERIALIZED (
+  SELECT DISTINCT a.u, b.v
+  FROM d1 a JOIN e b ON a.v = b.u
+  WHERE b.v <> a.u
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.u = a.u AND x.v = b.v)
+), d3 AS (
+  SELECT DISTINCT a.u, b.v
+  FROM d2 a JOIN e b ON a.v = b.u
+  WHERE b.v <> a.u
+    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.u = a.u AND x.v = b.v)
+    AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.u = a.u AND x.v = b.v)
+), scored AS (
+  SELECT u, 6 AS s FROM d1
+  UNION ALL SELECT u, 3 FROM d2
+  UNION ALL SELECT u, 2 FROM d3
+)
+SELECT u AS node,
+       CAST(count(*) AS BIGINT) AS n_reach3,
+       CAST(sum(s) AS BIGINT) AS harmonic6,
+       round(sum(s) / 6.0, 6) AS harmonic
+FROM scored GROUP BY u
+""",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop bounded harmonic centrality: Σ 1/d(u,v) over nodes within
+    three hops — the centrality that, unlike closeness, handles
+    disconnected graphs gracefully (unreachable ⇒ contributes 0, no ∞)
+    (SURVEY §2.11 graph tier beside q_closeness_centrality / q_katz).
+    ENGINE-EXACT: with d ∈ {1,2,3}, the contributions 1/d scale to the
+    integers {6,3,2} (LCM trick) — harmonic6 is an exact integer census
+    in both engines; only the final /6 display divide is a double.
+
+    Scale: each hop is one self-join on the edge list + an anti-join
+    against closer levels — the frontier-expansion shape of
+    q_bfs_reachability, broadcastable at dimension scale; at web scale
+    each level is a shuffle join keyed by frontier node. Depth fixed at 3
+    bounds the work regardless of diameter."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    e0 = spark.sql(
+        """
+        SELECT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s_nationkey <> c_nationkey
+        GROUP BY 1, 2 HAVING count(*) >= 120
+        """
+    )
+    e = (
+        e0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(e0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .transform(checkpoint, eager=False)
+    )
+    d1 = e
+    step = e.select(F.col("u").alias("su"), F.col("v").alias("sv"))
+    d2 = (
+        d1.join(step, d1.v == step.su)
+        .select("u", F.col("sv").alias("v"))
+        .filter(F.col("v") != F.col("u"))
+        .distinct()
+        .join(d1.select(F.col("u").alias("xu"), F.col("v").alias("xv")),
+              (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
+              "left_anti")
+    )
+    d3 = (
+        d2.join(step, d2.v == step.su)
+        .select("u", F.col("sv").alias("v"))
+        .filter(F.col("v") != F.col("u"))
+        .distinct()
+        .join(d1.select(F.col("u").alias("xu"), F.col("v").alias("xv")),
+              (F.col("u") == F.col("xu")) & (F.col("v") == F.col("xv")),
+              "left_anti")
+        .join(d2.select(F.col("u").alias("yu"), F.col("v").alias("yv")),
+              (F.col("u") == F.col("yu")) & (F.col("v") == F.col("yv")),
+              "left_anti")
+    )
+    scored = (
+        d1.select("u", F.lit(6).alias("s"))
+        .unionByName(d2.select("u", F.lit(3).alias("s")))
+        .unionByName(d3.select("u", F.lit(2).alias("s")))
+    )
+    return scored.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("n_reach3"),
+        F.sum("s").cast("long").alias("harmonic6"),
+        F.round(F.sum("s") / 6.0, 6).alias("harmonic"),
+    )

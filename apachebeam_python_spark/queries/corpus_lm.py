@@ -1199,3 +1199,89 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_phrase_search",
+    driver=False,  # §2.11 retrieval tier beside q_inverted_index
+    oracle="""
+WITH toks AS MATERIALIZED (
+  -- zipped parallel unnests (DuckDB 1.0 has no WITH ORDINALITY):
+  -- positions are 1-based, matching Spark's posexplode+1
+  SELECT doc_id, unnest(ws) AS w,
+         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+), big AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         doc_id
+  FROM toks
+), top1 AS (
+  SELECT w1, w2 FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+), t1 AS (SELECT doc_id, pos FROM toks JOIN top1 ON toks.w = top1.w1),
+t2 AS (SELECT doc_id, pos FROM toks JOIN top1 ON toks.w = top1.w2),
+hits AS (
+  SELECT t1.doc_id, t1.pos
+  FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+)
+SELECT (SELECT w1 FROM top1) AS w1,
+       (SELECT w2 FROM top1) AS w2,
+       doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find the corpus's most frequent
+    bigram (deterministic tie-break), then locate every exact-adjacency
+    occurrence via the POSITIONAL POSTINGS JOIN — term-1 postings ⋈ term-2
+    postings ON (doc, pos+1), the operation a phrase query runs against an
+    inverted index with positions (SURVEY §2.11 retrieval tier; the
+    positional extension of q_inverted_index). The ORACLE finds the same
+    hits through a window-lead formulation — two independent phrasings of
+    adjacency, hash-compared. Positions are 1-based in both engines
+    (posexplode+1 ≡ WITH ORDINALITY).
+
+    Scale: postings for the two query terms are term-selective slices of
+    the token table (index lookups, not scans); the adjacency join is
+    keyed on (doc, pos) — co-partitioned, linear in postings length. The
+    bigram census is one (w1,w2) rollup; at 100 TB you'd read the two
+    postings lists from the bucketed index q_inverted_index persists."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.col("text"))).alias("pos0", "w"),
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        F.col("w").alias("w1"),
+        F.lead("w").over(w_next).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    top1 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    t1 = toks.join(F.broadcast(top1), toks.w == F.col("w1")).select(
+        "doc_id", "pos", "w1", "w2"
+    )
+    t2 = toks.join(F.broadcast(top1), toks.w == F.col("w2")).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2, (t1.doc_id == t2.d2) & (t2.p2 == t1.pos + 1)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.first("w1").alias("w1"),
+        F.first("w2").alias("w2"),
+        F.count("*").cast("long").alias("n_hits"),
+        F.min("pos").cast("long").alias("first_pos"),
+    ).select("w1", "w2", "doc_id", "n_hits", "first_pos")

@@ -4633,3 +4633,63 @@ def q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("n_tokens"),
         F.min("token").alias("anchor_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick featurizer (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_hashed_tf_vectors",
+    driver=False,  # §2.11 feature-engineering tier beside q_quality_classifier
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 10 = 0
+), hashed AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(w, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1048573
+         ) % 256 AS bucket
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM hashed GROUP BY doc_id, bucket
+""",
+)
+def q_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: every token folds through a PORTABLE
+    polynomial hash (acc·31 + ascii(c) mod 1048573 — pure integer
+    arithmetic both engines compute bit-identically, unlike xxhash64/
+    murmur which exist in only one engine) into 256 buckets; the output is
+    the sparse (doc, bucket, count) term-frequency vector — the
+    fixed-width, vocabulary-free text representation linear classifiers
+    train on (SURVEY §2.11 feature tier; q_feature_hashing audits the
+    slot-collision trade of the same trick —
+    sampled to doc_id mod 10 = 0 to bound the vector table). Collisions
+    are part of the trick's contract, and because the hash is
+    deterministic they collide IDENTICALLY in both engines — the oracle
+    hash pins the whole pipeline, not just the counts.
+
+    Scale: the fold is whole-stage-codegen expression work per token (no
+    UDF); one (doc, bucket) partial+final shuffle builds the vectors;
+    output is ≤ 256 rows per doc. At 100 TB widen buckets to 2^18-2^20
+    (the standard ~1M-feature hashing space) — same plan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.expr(
+                "aggregate(split(w, ''), 0L,"
+                " (acc, c) -> (acc * 31 + ascii(c)) % 1048573)"
+            )
+            % 256
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("doc_id", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )

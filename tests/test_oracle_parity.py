@@ -26,6 +26,10 @@ NEWEST_ROUND = {
     "q_woe_iv",
     "q_mix_shift",
     "q_salted_distinct",
+    "q_ivm_join",
+    "q_harmonic_centrality",
+    "q_phrase_search",
+    "q_hashed_tf_vectors",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
