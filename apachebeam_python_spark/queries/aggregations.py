@@ -1337,13 +1337,18 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderkey") % 10 == 7).alias("is_delta"),
     )
+    from ..session import broadcast_if_small
+
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("seg")
     )
 
     def view_of(rows):
+        # customer GROWS with the corpus — broadcast only while it fits
+        # (the census test rejects an unconditional hint here; at 100 TB
+        # this becomes a plain co-partitioned hash join automatically)
         return (
-            rows.join(F.broadcast(c), rows.o_custkey == c.c_custkey)
+            rows.join(broadcast_if_small(c), rows.o_custkey == c.c_custkey)
             .groupBy("seg")
             .agg(
                 F.count("*").cast("long").alias("n"),

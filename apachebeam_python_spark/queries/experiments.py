@@ -4072,3 +4072,263 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Change-point detection: binary segmentation, one split (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_changepoint_per_key",
+    driver=False,  # §2.11 time-series diagnostics beside q_cusum
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS flow_c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, day, flow_c,
+         CAST(sum(flow_c) OVER w AS BIGINT) AS s1,
+         CAST(row_number() OVER w AS BIGINT) AS n1,
+         CAST(sum(flow_c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  -- gain(t) ∝ (s1·n2 − s2·n1)² / (n1·n2) with s2=s−s1, n2=n−n1: the
+  -- between-segment SSE reduction up to the common 1/n factor. Ranked by
+  -- the CROSS-MULTIPLIED exact integers (d² · n1'·n2' vs d'² · n1·n2) —
+  -- never by the divided double (the q_item_cf ranking discipline)
+  SELECT event_type, day, n1, n - n1 AS n2,
+         CAST(s1 AS HUGEINT) * (n - n1) - CAST(s - s1 AS HUGEINT) * n1 AS d,
+         CAST(n1 AS HUGEINT) * (n - n1) AS w2
+  FROM pre WHERE n1 < n
+), best AS (
+  SELECT event_type, day, n1, n2, d, w2,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CASE WHEN d < 0 THEN -d ELSE d END DESC, day
+         ) AS pre_rk
+  FROM scored
+), ranked AS (
+  -- exact argmax of d²/w2: survivors of the |d| pre-rank (top 64) pairwise
+  -- compare d²·w2' vs d'²·w2 via the window over the tiny candidate set
+  SELECT event_type, day, n1, n2, d, w2 FROM best WHERE pre_rk <= 64
+)
+SELECT a.event_type,
+       a.day AS split_day,
+       CAST(a.n1 AS BIGINT) AS n_left,
+       CAST(a.n2 AS BIGINT) AS n_right,
+       CAST(a.d // a.w2 AS BIGINT) AS mean_gap_c
+FROM ranked a
+WHERE NOT EXISTS (
+  SELECT 1 FROM ranked b
+  WHERE b.event_type = a.event_type
+    AND (b.d * b.d * a.w2 > a.d * a.d * b.w2
+         OR (b.d * b.d * a.w2 = a.d * a.d * b.w2 AND b.day < a.day))
+)
+""",
+)
+def q_changepoint_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event_type by binary segmentation:
+    the split day maximizing the between-segment SSE reduction
+    gain(t) = n₁n₂(μ₁−μ₂)²/n over the daily cents series (SURVEY §2.11
+    time-series diagnostics beside q_cusum — CUSUM monitors drift online,
+    binary segmentation LOCATES the break offline; recursing on the two
+    halves yields the full segmentation; q_changepoint is the global
+    single-series variant — this one segments EVERY key in one pass). ENGINE-EXACT argmax: with
+    d = s₁n₂ − s₂n₁ and w = n₁n₂ the comparison gain(a) > gain(b) is the
+    128-bit integer compare d_a²·w_b > d_b²·w_a — no double ever decides
+    the winner, ties break on the earlier day. A |d|-rank prefilter keeps
+    the quadratic tie-break on a 64-candidate set per key.
+
+    Scale: one (type, day) rollup shuffle; prefix sums are one ordered
+    window over the day-grid table (range-partition the global order at
+    100 TB); the argmax touches 64 candidates per key. d² · w ≈
+    (1e11·1e3)² · 1e6 needs 128-bit头room — HUGEINT/decimal(38,0) headroom holds
+    to ~1e16 daily cents x 3e4 days."""
+    from pyspark.sql import Window
+
+    hi = "decimal(38,0)"
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("flow_c"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("flow_c").over(w_run).cast("long").alias("s1"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("n1"),
+        F.sum("flow_c").over(w_all).cast("long").alias("s"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    scored = pre.filter(F.col("n1") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (
+            F.col("s1").cast(hi) * (F.col("n") - F.col("n1"))
+            - (F.col("s") - F.col("s1")).cast(hi) * F.col("n1")
+        ).alias("d"),
+        (F.col("n1").cast(hi) * (F.col("n") - F.col("n1"))).alias("w2"),
+    )
+    best = scored.withColumn(
+        "pre_rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("d")).desc(), "day"
+            )
+        ),
+    ).filter(F.col("pre_rk") <= 64).drop("pre_rk")
+    a = best.alias("a")
+    b = best.select(
+        F.col("event_type").alias("b_et"),
+        F.col("day").alias("b_day"),
+        F.col("d").alias("b_d"),
+        F.col("w2").alias("b_w2"),
+    )
+    dominated = (
+        (F.col("b_d") * F.col("b_d") * F.col("a.w2"))
+        > (F.col("a.d") * F.col("a.d") * F.col("b_w2"))
+    ) | (
+        (
+            (F.col("b_d") * F.col("b_d") * F.col("a.w2"))
+            == (F.col("a.d") * F.col("a.d") * F.col("b_w2"))
+        )
+        & (F.col("b_day") < F.col("a.day"))
+    )
+    winners = a.join(
+        b, (F.col("a.event_type") == F.col("b_et")) & dominated, "left_anti"
+    )
+    return winners.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("n1").cast("long").alias("n_left"),
+        F.col("n2").cast("long").alias("n_right"),
+        F.expr("cast(d div w2 as bigint)").alias("mean_gap_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bandit posterior census (round 7)
+# --------------------------------------------------------------------------
+@register(
+    "q_bandit_posteriors",
+    driver=False,  # §2.11 experimentation tier beside q_ab_experiment
+    oracle="""
+WITH arms AS (
+  SELECT event_type AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), post AS (
+  SELECT arm, n, successes,
+         successes + 1 AS a, n - successes + 1 AS b
+  FROM arms
+)
+SELECT arm, n, successes,
+       CAST(a AS BIGINT) AS alpha,
+       CAST(b AS BIGINT) AS beta,
+       round(a * 1.0 / (a + b), 6) AS posterior_mean,
+       round(sqrt((a * 1.0 * b) / ((a + b) * 1.0 * (a + b) * (a + b + 1))), 6)
+         AS posterior_sd,
+       CAST(row_number() OVER (
+         ORDER BY CAST(a AS HUGEINT) * (SELECT sum(a + b) FROM post) DESC,
+                  arm
+       ) AS INTEGER) AS naive_rank,
+       CAST(row_number() OVER (
+         ORDER BY CAST(a AS HUGEINT) * (
+           SELECT max(a + b) FROM post
+         ) * 1000000 // (a + b) DESC, arm
+       ) AS INTEGER) AS mean_rank
+FROM post
+""",
+)
+def q_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thompson-sampling bandit state: Beta(successes+1, failures+1)
+    posterior per arm (event_type; success = value ≥ 100) with exact
+    integer (α, β), the posterior mean α/(α+β), its sd, and the arm
+    ranking — the table a bandit scheduler reads to allocate the next
+    batch of traffic (SURVEY §2.11 experimentation tier beside
+    q_ab_experiment: the A/B test decides once, the bandit reallocates
+    continuously). The sampling step itself is per-request randomness and
+    stays out of the oracle by design; everything the sampler consumes is
+    exact and hash-pinned. mean_rank orders arms by the CROSS-MULTIPLIED
+    integer α·K·1e6 div (α+β) (K = max(α+β) — a shared scale), never by
+    the divided double; naive_rank (by raw α) documents why normalization
+    matters when arms have unequal traffic.
+
+    Scale: one partial+final agg on the arm key; the census is k rows.
+    At 100 TB the arm state is metadata — the expensive half is the event
+    scan, which is one pass."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("successes"),
+    )
+    post = arms.select(
+        "arm",
+        "n",
+        "successes",
+        (F.col("successes") + 1).alias("a"),
+        (F.col("n") - F.col("successes") + 1).alias("b"),
+    )
+    tot = post.agg(
+        F.sum(F.col("a") + F.col("b")).cast("long").alias("sum_ab"),
+        F.max(F.col("a") + F.col("b")).cast("long").alias("max_ab"),
+    )
+    j = post.crossJoin(F.broadcast(tot))
+    mean_key = F.expr(
+        "cast(cast(a as decimal(38,0)) * max_ab * 1000000 div (a + b) as decimal(38,0))"
+    )
+    return j.select(
+        "arm",
+        "n",
+        "successes",
+        F.col("a").cast("long").alias("alpha"),
+        F.col("b").cast("long").alias("beta"),
+        F.round(F.col("a") * 1.0 / (F.col("a") + F.col("b")), 6).alias(
+            "posterior_mean"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("a") * 1.0 * F.col("b"))
+                / (
+                    (F.col("a") + F.col("b"))
+                    * 1.0
+                    * (F.col("a") + F.col("b"))
+                    * (F.col("a") + F.col("b") + 1)
+                )
+            ),
+            6,
+        ).alias("posterior_sd"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("a").cast("decimal(38,0)") * F.col("sum_ab")).desc(), "arm"
+            )
+        )
+        .cast("integer")
+        .alias("naive_rank"),
+        F.row_number()
+        .over(Window.orderBy(mean_key.desc(), "arm"))
+        .cast("integer")
+        .alias("mean_rank"),
+    )

@@ -83,12 +83,12 @@ ALLOWED_BROADCASTS = {
     #   doc'd: shuffle on v past broadcast size, the operators/graph.py note)
     # + profile drift's 1-row time bounds + assortativity's two |V|-row
     #   degree tables
-    "queries/analytics.py": 42,
+    "queries/analytics.py": 43,  # r7 +1: mix-shift 2-row latest-months table
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
     # + the EB-shrinkage 1-row prior
     # + the conformal radius (a 1-row quantile scalar, r6)
-    "queries/experiments.py": 22,
+    "queries/experiments.py": 25,  # r7 +3: WOE 1-row bounds + 1-row totals, bandit 1-row posterior totals
     # broadcast query sets (bounded by contract), df/idf vocab caps,
     # 1-row thresholds/global means, k-row centroid tables
     # + the t-closeness band spine / global distribution / 1-row total
@@ -102,7 +102,7 @@ ALLOWED_BROADCASTS = {
     # vocab/merge tables (Heaps-law small), 1-row totals, df caps,
     # JS-divergence marginals (per-source and per-term corpus counts)
     # + the Kneser-Ney marginal tables (Heaps-law small)
-    "queries/corpus_lm.py": 23,
+    "queries/corpus_lm.py": 25,  # r7 +2: phrase search 1-row top-bigram, twice (two postings slices)
     # 1-row global aggregates, nation dim, k-row histogram/sketch bounds
     "queries/aggregations.py": 11,
     # 1-row moment/statistic assemblies (k groups at most; incl. the
@@ -112,7 +112,7 @@ ALLOWED_BROADCASTS = {
     #   Grubbs/Mann-Kendall/runs-test/ICC/Cronbach/Mood/Tukey 1-row
     #   moment+median+MSW pivots (all 1-row or k-row)
     # + Ljung-Box's 8-row and PACF's 4-row lag lists
-    "queries/stats_tests.py": 37,
+    "queries/stats_tests.py": 40,  # r7 +3: mutual-info margin/total tables (k-row, bounded by |types|x4)
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size
@@ -127,12 +127,15 @@ ALLOWED_BROADCASTS = {
     "queries/event_time.py": 6,
     # idf table capped by vocab prune + 1-row corpus stats
     "operators/retrieval.py": 2,
+    # 1-row quantization bounds (min/max agg) joined back before the
+    # Morton interleave — constant size at any corpus scale
+    "operators/zorder.py": 1,
     # merge/merge_apply source-key sets: micro-batch-bounded CDC/upsert
     # batches (a batch too big to broadcast should be split upstream)
     "sources/laketable.py": 2,
     # DPP demo's event-type dim (domain-bounded, ≤|event types| rows; the
     # broadcast is what DPP reuses to feed the runtime partition filter)
-    "queries/scans.py": 1,
+    "queries/scans.py": 2,  # r7 +1: z-order census 1-row min/max bounds
     # 1-row side-input scalar (Beam AsSingleton shape)
     "queries/udfs.py": 1,
     # static enrichment dim (Beam side-input shape)

@@ -30,6 +30,8 @@ NEWEST_ROUND = {
     "q_harmonic_centrality",
     "q_phrase_search",
     "q_hashed_tf_vectors",
+    "q_changepoint_per_key",
+    "q_bandit_posteriors",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
