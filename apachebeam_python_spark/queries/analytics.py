@@ -4959,3 +4959,64 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("harmonic6"),
         F.round(F.sum("s") / 6.0, 6).alias("harmonic"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness (round 7, wave 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_dau_mau",
+    driver=False,  # §2.11 engagement analytics beside q_cohort_retention
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(year(ts) * 100 + month(ts) AS BIGINT) AS mk,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), dau AS (
+  SELECT mk, day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1, 2
+), mau AS (
+  SELECT mk, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM ud GROUP BY 1
+)
+SELECT d.mk AS month_key,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(d.dau) AS BIGINT) AS dau_sum,
+       CAST(max(m.mau) AS BIGINT) AS mau,
+       round(sum(d.dau) * 1.0 / count(*) / max(m.mau), 6) AS stickiness
+FROM dau d JOIN mau m ON d.mk = m.mk
+GROUP BY d.mk
+""",
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: average daily active users over
+    monthly active users — the engagement ratio every consumer-product
+    dashboard leads with (SURVEY §2.11 engagement tier beside
+    q_cohort_retention / q_rolling_distinct). All counts are exact
+    integers (the per-(user, day) dedup happens once, and DAU/MAU both
+    derive from it); the one double is the final display ratio, computed
+    from identical integers in both engines.
+
+    Scale: the distinct-(user, month, day) contraction is one
+    partial+final shuffle and bounds everything after at |users|·|days|;
+    DAU and MAU are rollups of the contracted table. The classic mistake
+    — approx_count_distinct per day then averaging — loses the exact
+    cross-day dedup this formulation keeps."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        (F.year("ts") * 100 + F.month("ts")).cast("long").alias("mk"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("mk", "day").agg(F.count("*").cast("long").alias("dau"))
+    mau = ud.groupBy("mk").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    j = dau.join(mau, "mk")
+    return j.groupBy(F.col("mk").alias("month_key")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.max("mau").cast("long").alias("mau"),
+        F.round(
+            F.sum("dau") * 1.0 / F.count("*") / F.max("mau"), 6
+        ).alias("stickiness"),
+    )

@@ -4332,3 +4332,57 @@ def q_bandit_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("integer")
         .alias("mean_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified k-fold assignment (round 7, wave 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_stratified_kfold",
+    driver=False,  # §2.11 ML-data tier beside q_train_test_split
+    oracle="""
+WITH labeled AS (
+  SELECT doc_id, lang AS label FROM documents
+), folded AS (
+  SELECT doc_id, label,
+         CAST((row_number() OVER (PARTITION BY label ORDER BY doc_id) - 1)
+              % 5 AS BIGINT) AS fold
+  FROM labeled
+)
+SELECT fold, label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM folded GROUP BY fold, label
+""",
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment: within each label (document lang),
+    rows are dealt round-robin into folds in doc_id order — every fold
+    gets the SAME label distribution to within one row, which is the
+    whole point of stratification, and the assignment is a deterministic
+    pure function of (label, doc_id) so any job can recompute membership
+    without a stored mapping (SURVEY §2.11 ML-data tier; the k-fold
+    sibling of q_train_test_split's hash split). The census output (per
+    fold × label counts and id ranges) is what a training pipeline audits
+    before trusting the folds.
+
+    Scale: one window per label partition (range-partition the per-label
+    order at 100 TB, or swap the row_number for the hash split when exact
+    equality-within-one is not required); the census is k·|labels| rows."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    w = Window.partitionBy("label").orderBy("doc_id")
+    folded = d.select(
+        "doc_id",
+        "label",
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
+    )
+    return folded.groupBy("fold", "label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

@@ -3939,3 +3939,78 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Overdispersion census (round 7, wave 4)
+# --------------------------------------------------------------------------
+@register(
+    "q_dispersion_index",
+    driver=False,  # §2.11 data-quality stats beside q_chi_square
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n, s,
+       round(s * 1.0 / n, 6) AS mean_daily,
+       round((ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT) * 1.0)
+             / (n - 1), 6) AS var_daily,
+       round(((ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT) * 1.0)
+              / (n - 1)) / (s * 1.0 / n), 6) AS dispersion,
+       CAST(CASE WHEN (ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT))
+                      * n * 100
+                      > 150 * CAST(s AS HUGEINT) * (n - 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+FROM mom WHERE n > 1
+""",
+)
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance/mean of daily counts) per event_type —
+    the Poisson-ness check for count data: ≈1 for a Poisson arrival
+    process, ≫1 (overdispersed) when traffic is bursty/contagious, the
+    precondition check before any Poisson-model alert threshold is
+    trusted (SURVEY §2.11 data-quality stats beside q_chi_square /
+    q_interarrival). Moments are exact integers with the q_anova quotient
+    split; the OVERDISPERSED FLAG (dispersion > 1.5) is decided by the
+    cross-multiplied 128-bit integer comparison (ss−s²divn)·n·100 >
+    150·s·(n−1) — a boundary fixture can't flip it on a double ulp
+    (auto-memory boolean-flag rule).
+
+    Scale: one (type, day) rollup + a k-row moment census — partial+final
+    all the way."""
+    hi = "decimal(38,0)"
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast(hi) * F.col("c")).cast("long").alias("ss"),
+    )
+    q_term = F.expr("cast((cast(s as decimal(38,0)) * s) div n as bigint)")
+    var_d = (F.col("ss") - q_term * 1.0) / (F.col("n") - 1)
+    flag_lhs = F.expr(
+        "(ss - cast((cast(s as decimal(38,0)) * s) div n as bigint))"
+    ).cast(hi) * F.col("n") * 100
+    flag_rhs = F.lit(150).cast(hi) * F.col("s") * (F.col("n") - 1)
+    return mom.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        "s",
+        F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_daily"),
+        F.round(var_d, 6).alias("var_daily"),
+        F.round(var_d / (F.col("s") * 1.0 / F.col("n")), 6).alias("dispersion"),
+        F.when(flag_lhs > flag_rhs, 1).otherwise(0).cast("long").alias(
+            "overdispersed"
+        ),
+    )

@@ -32,6 +32,9 @@ NEWEST_ROUND = {
     "q_hashed_tf_vectors",
     "q_changepoint_per_key",
     "q_bandit_posteriors",
+    "q_dau_mau",
+    "q_stratified_kfold",
+    "q_dispersion_index",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
