@@ -28,13 +28,18 @@ def quantize_expr(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     constant column when hi == lo). Inputs must already be integers
     (money goes through cents first — the repo's engine-parity rule).
 
-    The floor division is computed EXACTLY via the modulo identity
-    ``(n - n % d) / d``: the numerator is made divisible first, so the
-    double division yields an exact small integer (quotient < 2**bits) —
-    no 2**53 precision cliff, engine-identical to DuckDB's ``//``."""
+    The whole computation runs in ``decimal(38,0)`` — Spark's exact
+    128-bit integer lane — so there is genuinely no 2**53 cliff: the
+    multiply ``(col - lo) * cells`` cannot overflow int64 into wraparound,
+    and the division (made exact first via the modulo identity
+    ``(n - n % d) / d``) never routes through a double. The quotient is a
+    small integer (< 2**bits), exactly representable in the decimal
+    result, and engine-identical to DuckDB's HUGEINT ``//``. Valid for
+    any int64 input domain (nanosecond timestamps, wide surrogate ids)."""
     cells = (1 << bits) - 1
-    span = (hi - lo).cast("long")
-    num = ((col - lo) * cells).cast("long")
+    dec = "decimal(38,0)"
+    span = (hi.cast(dec) - lo.cast(dec))
+    num = (col.cast(dec) - lo.cast(dec)) * F.lit(cells).cast(dec)
     exact_div = ((num - num % span) / span).cast("long")
     return F.when(span <= 0, F.lit(0).cast("long")).otherwise(exact_div)
 

@@ -1335,9 +1335,11 @@ WITH base AS (
 ), q AS (
   SELECT event_id,
          CASE WHEN xhi - xlo <= 0 THEN 0
-              ELSE ((xc - xlo) * 255) // (xhi - xlo) END AS xq,
+              ELSE CAST(((CAST(xc AS HUGEINT) - xlo) * 255)
+                        // (xhi - xlo) AS BIGINT) END AS xq,
          CASE WHEN yhi - ylo <= 0 THEN 0
-              ELSE ((yc - ylo) * 255) // (yhi - ylo) END AS yq
+              ELSE CAST(((CAST(yc AS HUGEINT) - ylo) * 255)
+                        // (yhi - ylo) AS BIGINT) END AS yq
   FROM base, b
 ), zt AS (
   SELECT event_id, xq, yq, {_Z_SQL} AS z FROM q
@@ -1420,8 +1422,11 @@ def q_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _quant(c, lo, hi):
-        span = (F.col(hi) - F.col(lo)).cast("long")
-        num = ((F.col(c) - F.col(lo)) * 255).cast("long")
+        # decimal(38,0) lane: overflow- and 2^53-proof, same as
+        # operators.zorder.quantize_expr (ADVICE r7 #1).
+        dec = "decimal(38,0)"
+        span = F.col(hi).cast(dec) - F.col(lo).cast(dec)
+        num = (F.col(c).cast(dec) - F.col(lo).cast(dec)) * F.lit(255).cast(dec)
         return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
             ((num - num % span) / span).cast("long")
         )

@@ -3966,8 +3966,8 @@ SELECT event_type, n, s,
              / (n - 1), 6) AS var_daily,
        round(((ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT) * 1.0)
               / (n - 1)) / (s * 1.0 / n), 6) AS dispersion,
-       CAST(CASE WHEN (ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT))
-                      * n * 100
+       CAST(CASE WHEN CAST(ss - CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT)
+                           AS HUGEINT) * n * 100
                       > 150 * CAST(s AS HUGEINT) * (n - 1)
                  THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
 FROM mom WHERE n > 1

@@ -131,7 +131,13 @@ def _persist_replay_ids(path: str, manifests: list[dict]) -> None:
     a replayed micro-batch whose commit was squashed still SKIPS instead of
     silently double-applying its appends (or worse, its CDC upserts/deletes).
     Without this, the replay guard's manifest scan had a horizon equal to
-    the log-maintenance window."""
+    the log-maintenance window.
+
+    Merging dedups on (op, batch_id), keeping the FIRST-persisted version
+    (ADVICE r7 #4): a crash between persisting ids and deleting the
+    squashed manifests makes the next maintenance op re-offer the same
+    entries, and without the dedup the wholesale-rewritten list would grow
+    by the full streaming history on every squash."""
     ids = [
         {"op": m["op"], "batch_id": m["batch_id"], "version": m["version"]}
         for m in manifests
@@ -140,7 +146,13 @@ def _persist_replay_ids(path: str, manifests: list[dict]) -> None:
     if not ids:
         return
     prior = _read_checkpoint(path) or {}
-    prior["replay"] = list(prior.get("replay", [])) + ids
+    merged = list(prior.get("replay", []))
+    seen = {(r["op"], r["batch_id"]) for r in merged}
+    for r in ids:
+        if (r["op"], r["batch_id"]) not in seen:
+            merged.append(r)
+            seen.add((r["op"], r["batch_id"]))
+    prior["replay"] = merged
     os.makedirs(_log_dir(path), exist_ok=True)
     tmp = _checkpoint_file(path) + ".tmp"
     with open(tmp, "w") as fh:

@@ -381,7 +381,22 @@ def main() -> None:
             pass
         if prior_scaling and prior_scaling.get("sfs"):
             if scaling is None:
-                scaling = {**prior_scaling, "carried_sfs": prior_scaling["sfs"]}
+                # No fresh pair this run: carry the POINTS but strip the
+                # derived exponents/superlinear keys — they were computed
+                # by an older run against possibly different code, and
+                # republishing them verbatim would contradict the
+                # "exponents from THIS run only" contract (ADVICE r7 #3).
+                scaling = {
+                    k: v
+                    for k, v in prior_scaling.items()
+                    if k not in ("exponents", "superlinear")
+                }
+                scaling["carried_sfs"] = prior_scaling["sfs"]
+                scaling["exponents"] = None
+                scaling["superlinear"] = None
+                scaling["exponents_note"] = (
+                    "no fresh sf pair this run; carried points only"
+                )
             else:
                 carried = [
                     s for s in prior_scaling["sfs"] if s not in scaling["sfs"]

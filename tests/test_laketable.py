@@ -637,6 +637,26 @@ def test_replay_guard_survives_vacuum(spark, tbl):
     assert _ids(spark, tbl) == before
 
 
+def test_persist_replay_ids_dedups_on_crash_retry(spark, tbl):
+    """ADVICE r7 #4: a crash between persisting replay ids and deleting
+    the squashed manifests makes the next maintenance op re-offer the
+    same (op, batch_id) entries. The merge must dedup (keeping the
+    first-persisted version), so the checkpoint stays O(distinct
+    streaming commits), not O(all history × squash count)."""
+    b = spark.createDataFrame([(1, 1)], "id long, v long")
+    LT.append_stream_batch(b, tbl, batch_id=11)
+    v = LT.current_version(tbl)
+    manifests = [LT._read_manifest(tbl, v)]
+    for _ in range(3):  # crash-retry: same manifests offered repeatedly
+        LT._persist_replay_ids(tbl, manifests)
+    ck = LT._read_checkpoint(tbl)
+    entries = [r for r in ck["replay"] if r["batch_id"] == 11]
+    assert len(entries) == 1
+    assert entries[0]["version"] == v
+    # and the guard still skips the replay through the persisted id
+    assert LT.append_stream_batch(b, tbl, batch_id=11) == v
+
+
 def test_stream_cdc_into_lake_via_foreach_batch(spark, tbl):
     """End-to-end CDC: a stream of change events lands in the lake table
     through foreachBatch(merge_apply) — each micro-batch compacted to

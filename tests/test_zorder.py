@@ -34,6 +34,36 @@ def test_z_value_matches_python_reference(spark):
         assert r.z == _z_ref(r.xq, r.yq), (r.xq, r.yq)
 
 
+def test_quantize_exact_beyond_double_precision(spark):
+    """ADVICE r7 #1 regression: spans past 2^53 (nanosecond timestamps,
+    wide surrogate ids) must quantize by EXACT integer floor division.
+    The old (num - num%span)/span routed through a double whose rounding
+    could truncate the quotient off-by-one; the decimal(38,0) lane cannot.
+    Compared against Python's arbitrary-precision // on adversarial points
+    (cell boundaries ±1 ulp-ish offsets) over a ~4.6e18 span."""
+    from apachebeam_python_spark.operators.zorder import quantize_expr
+
+    lo, hi = 0, (1 << 62) + 12345  # span ~4.6e18 >> 2^53
+    bits = 8
+    cells = (1 << bits) - 1
+    span = hi - lo
+    pts = [lo, hi, hi - 1, span // 2, span // 2 + 1]
+    for k in (1, 2, 127, 254, 255):
+        edge = k * span // cells
+        pts += [edge - 1, edge, edge + 1]
+    pts = sorted({p for p in pts if lo <= p <= hi})
+    df = spark.createDataFrame([(p,) for p in pts], "v long").select(
+        "v",
+        quantize_expr(
+            F.col("v"), F.lit(lo).cast("long"), F.lit(hi).cast("long"), bits
+        ).alias("q"),
+    )
+    got = {r.v: r.q for r in df.collect()}
+    for p in pts:
+        want = (p - lo) * cells // span
+        assert got[p] == want, (p, got[p], want)
+
+
 def test_z_value_sql_twin_matches_spark(spark):
     """The oracle-side SQL generator and the Column builder must be the
     SAME function — evaluated via Spark's own SQL parser on a grid."""
