@@ -60,7 +60,6 @@ DRIVER_ORDER: list[str] = [
     "q_stream_tumbling",        # streaming windowed agg ≡ batch (§2.8)
     # tier 2 — deepen each family (all oracle-backed)
     "q_doc_stats",
-    "q_topk_per_key",
     # r6 rotation (VERDICT r5 #4): six slots move to round-4/5 families that
     # had never earned a driver-green row — lake snapshots, stats tests,
     # spatial joins, compressed codecs, graph centrality, SCD2 warehousing.
@@ -68,7 +67,6 @@ DRIVER_ORDER: list[str] = [
     # sweep): q_groupbykey_batches, q_join_cross, q_cogroup_full_outer,
     # q_latest_per_key, q_fn_map, q_partition.
     "q_lake_snapshot",
-    "q_join_broadcast",
     "q_session_window",
     # r7 rotation (VERDICT r6 #3): six slots move to the round-6 families
     # that had never earned a driver-green row — finance (q_ohlc_bars),
@@ -79,7 +77,6 @@ DRIVER_ORDER: list[str] = [
     # local sweep): q_doc_features, q_order_limit, q_join_semi_anti,
     # q_join_range, q_pardo_tagged, q_inference_stub.
     "q_ohlc_bars",
-    "q_fn_array",
     "q_json_extract",
     "q_udaf_weighted_avg",
     "q_dedup_ngram_jaccard",
@@ -87,14 +84,11 @@ DRIVER_ORDER: list[str] = [
     # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
     # anchor) demoted to pytest-only; the embedding-family slot went to the
     # scale-shaped chunk→doc mean-pooling query.
-    "q_embedding_pool",
     "q_stream_source",
     "q_star_join",
     "q_bucketed_join",
-    "q_custom_window",
     "q_grouped_map_zscore",
     "q_spatial_grid_join",
-    "q_cube",
     "q_range_join_binned",
     "q_dedup_clusters",
     "q_python_udtf",
@@ -107,6 +101,21 @@ DRIVER_ORDER: list[str] = [
     "q_item_cf",
     "q_lake_merge_cdc",
     "q_katz",
+    # r8 rotation (VERDICT r7 #1): six slots move to the round-7 families
+    # that had never earned a driver-green row — physical layout / data
+    # skipping (q_zorder_skip), skew-safe aggregation (q_salted_distinct),
+    # incremental view maintenance (q_ivm_join), per-key change-point
+    # detection (q_changepoint_per_key), positional-postings retrieval
+    # (q_phrase_search), hashed feature vectorization (q_hashed_tf_vectors).
+    # Out (each family keeps ≥1 driver slot; all six stay hash-green in the
+    # local sweep): q_topk_per_key, q_join_broadcast, q_fn_array,
+    # q_embedding_pool, q_custom_window, q_cube.
+    "q_zorder_skip",
+    "q_salted_distinct",
+    "q_ivm_join",
+    "q_changepoint_per_key",
+    "q_phrase_search",
+    "q_hashed_tf_vectors",
     # round 3 (VERDICT r2 #1): the rows-only tail (q_ann_lsh, q_dedup_sketch,
     # q_approx_sample) could never earn a hash-green row, so it's swapped for
     # three oracle-backed queries from distinct capability families. The

@@ -161,6 +161,7 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_topk_per_key",
+    driver=False,  # rotated off r8 (VERDICT r7 #1): Top family proven r1-r7
     oracle="""
 SELECT l_returnflag, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, rn
 FROM (
@@ -223,6 +224,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cube",
+    driver=False,  # rotated off r8: grouping-sets family proven r2-r7
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -1237,7 +1239,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_salted_distinct",
-    driver=False,  # §2.3 skew-safe aggregation pattern — pytest oracle
+    # driver slot since r8 (VERDICT r7 #1): skew-safe aggregation family
     oracle="""
 WITH salted AS (
   SELECT event_type, user_id % 16 AS _salt,
@@ -1289,7 +1291,7 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_ivm_join",
-    driver=False,  # §2.3 warehouse-maintenance tier beside q_incremental_agg
+    # driver slot since r8 (VERDICT r7 #1): incremental view maintenance
     oracle="""
 WITH base AS (
   SELECT o.o_custkey, o.o_totalprice FROM orders o WHERE o.o_orderkey % 10 <> 7

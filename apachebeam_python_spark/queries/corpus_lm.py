@@ -1206,7 +1206,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_phrase_search",
-    driver=False,  # §2.11 retrieval tier beside q_inverted_index
+    # driver slot since r8 (VERDICT r7 #1): positional-postings retrieval
     oracle="""
 WITH toks AS MATERIALIZED (
   -- zipped parallel unnests (DuckDB 1.0 has no WITH ORDINALITY):

@@ -116,6 +116,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_custom_window",
+    driver=False,  # rotated off r8: §2.8 keeps 4 driver slots
     oracle="""
 SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS window_start,
        event_type,

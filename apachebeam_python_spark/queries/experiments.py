@@ -4079,7 +4079,7 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_changepoint_per_key",
-    driver=False,  # §2.11 time-series diagnostics beside q_cusum
+    # driver slot since r8 (VERDICT r7 #1): per-key change-point detection
     oracle="""
 WITH daily AS (
   SELECT event_type,

@@ -64,6 +64,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_broadcast",
+    driver=False,  # rotated off r8: broadcast shape pinned by q_star_join
     oracle="""
 SELECT p_brand, count(*) AS n_items,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue

@@ -1617,7 +1617,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_embedding_pool",  # driver slot since r3: took q_dedup_embedding's place (VERDICT r2 #4)
+    "q_embedding_pool",  # r3 slot for q_dedup_embedding (VERDICT r2 #4)
+    driver=False,  # rotated off r8: embedding family keeps q_cosine_topk + q_item_cf
     oracle="""
 WITH x AS (
   SELECT vec_id // 50 AS doc,
@@ -4640,7 +4641,7 @@ def q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_hashed_tf_vectors",
-    driver=False,  # §2.11 feature-engineering tier beside q_quality_classifier
+    # driver slot since r8 (VERDICT r7 #1): hashed feature vectorization
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w

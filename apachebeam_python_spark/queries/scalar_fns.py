@@ -164,6 +164,7 @@ def q_fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fn_array",
+    driver=False,  # rotated off r8: §2.7 keeps q_fn_scalar + q_json_extract
     oracle="""
 SELECT
   vec_id,

@@ -1322,7 +1322,7 @@ _Z_SQL = z_value_sql("xq", "yq", 8)
 
 @register(
     "q_zorder_skip",
-    driver=False,  # §2.11 lake-maintenance / physical-layout tier
+    # driver slot since r8 (VERDICT r7 #1): physical-layout / data-skipping
     oracle=f"""
 WITH base AS (
   SELECT event_id,

@@ -53,6 +53,31 @@ ROTATED_IN_R7 = [
     "q_katz",
 ]
 
+#: Round-8 rotation (VERDICT r7 #1): six slots moved to the round-7 families
+#: that had never earned a driver-green row — physical layout (q_zorder_skip),
+#: skew-safe aggregation (q_salted_distinct), incremental view maintenance
+#: (q_ivm_join), per-key change-point detection (q_changepoint_per_key),
+#: positional retrieval (q_phrase_search), hashed feature vectorization
+#: (q_hashed_tf_vectors). Same rules as r6/r7: rotated-off queries stay
+#: oracle-backed in the local sweep; each §2 family keeps ≥1 driver slot.
+ROTATED_OFF_R8 = {
+    "q_topk_per_key",
+    "q_join_broadcast",
+    "q_fn_array",
+    "q_embedding_pool",
+    "q_custom_window",
+    "q_cube",
+}
+
+ROTATED_IN_R8 = [
+    "q_zorder_skip",
+    "q_salted_distinct",
+    "q_ivm_join",
+    "q_changepoint_per_key",
+    "q_phrase_search",
+    "q_hashed_tf_vectors",
+]
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -113,7 +138,9 @@ def test_r2_green_set_never_demoted():
     # Deliberate, documented exceptions only. q_dedup_embedding: all-pairs
     # O(n²) anchor demoted per VERDICT r2 #4; stays oracle-checked in the
     # local sweep, its slot went to q_embedding_pool.
-    intentionally_demoted = {"q_dedup_embedding"} | ROTATED_OFF_R6 | ROTATED_OFF_R7
+    intentionally_demoted = (
+        {"q_dedup_embedding"} | ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
+    )
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
         n for n in green
@@ -122,7 +149,9 @@ def test_r2_green_set_never_demoted():
     assert not demoted, f"r2 hash-green queries demoted from the driver surface: {demoted}"
     # the exception must keep its oracle in the local sweep (never deleted)
     assert q.ORACLES.get("q_dedup_embedding"), "exactness anchor lost its oracle"
-    assert "q_embedding_pool" in os_, "replacement slot must be oracle-backed"
+    # q_embedding_pool (the r3 replacement) was itself rotated off in r8;
+    # it must stay oracle-backed in the local sweep like every rotated-off.
+    assert q.ORACLES.get("q_embedding_pool"), "r3 replacement lost its oracle"
 
 
 def test_r3_green_set_never_demoted():
@@ -144,7 +173,7 @@ def test_r3_green_set_never_demoted():
     ]
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
-    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7
+    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
     demoted = [
         n for n in green if n not in rotated_off and (n not in qs or n not in os_)
     ]
@@ -155,7 +184,8 @@ def test_r3_green_set_never_demoted():
         assert n not in qs, f"{n} is rotated off but still on the driver surface"
     # and each rotated-in replacement must be oracle-backed on the surface
     for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
-              "q_png_pipeline", "q_betweenness", "q_scd2_dims"] + ROTATED_IN_R7:
+              "q_png_pipeline", "q_betweenness", "q_scd2_dims"] \
+             + ROTATED_IN_R7 + ROTATED_IN_R8:
         assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"
 
 
