@@ -390,6 +390,14 @@ def decode_wav(payload: bytes):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # torn upload / partial copy: the chunk declares more bytes
+            # than the payload holds — fail loudly, never return a short
+            # sample array as if the decode succeeded (round 8)
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"only {len(body)} present"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

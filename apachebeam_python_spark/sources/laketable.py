@@ -97,7 +97,14 @@ def _versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     try:
         with open(_version_file(path, version)) as fh:
-            return json.load(fh)
+            try:
+                return json.load(fh)
+            except json.JSONDecodeError as e:
+                # storage corruption must surface as a typed, table-naming
+                # error — never as an empty/partial snapshot (round 8)
+                raise ValueError(
+                    f"corrupt manifest {_version_file(path, version)}: {e}"
+                ) from e
     except FileNotFoundError:
         ck = _read_checkpoint(path)
         if ck and any(h["version"] == version for h in ck["history"]):
@@ -864,21 +871,37 @@ def compact_manifests(path: str, keep_last: int = 10) -> int:
     dropped = vs[:-keep_last]
     if not dropped:
         return 0
+    _persist_squashed(path, dropped)
+    for v in dropped:
+        os.remove(_version_file(path, v))
+    return len(dropped)
+
+
+def _persist_squashed(path: str, dropped: list[int]) -> None:
+    """Before any maintenance op deletes old manifest JSONs, persist their
+    audit summaries into the checkpoint's ``history`` (so a time-travel
+    read of a squashed version raises the typed 'compacted away' error
+    naming the earliest travelable one, and ``history()`` keeps the full
+    trail) and their streaming batch_ids into the ``replay`` list (the
+    exactly-once horizon — round 7, ADVICE r6). Shared by
+    ``compact_manifests`` AND ``vacuum`` (round 8: vacuum previously
+    skipped the history half, degrading its time-travel error to a bare
+    FileNotFoundError). History appends dedup on version, so a crash
+    between persist and delete is retry-safe."""
     prior = _read_checkpoint(path)
     history_rows = list(prior["history"]) if prior and "history" in prior else []
+    seen_versions = {h["version"] for h in history_rows}
     manifests = [_read_manifest(path, v) for v in dropped]
     for v, m in zip(dropped, manifests):
-        history_rows.append(
-            {
-                "version": v,
-                "op": m["op"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(e["rows"] for e in m["files"]),
-            }
-        )
-    # exactly-once horizon (round 7, ADVICE r6): streaming batch_ids among
-    # the squashed manifests persist in the checkpoint's replay list BEFORE
-    # their JSONs are deleted, so a foreachBatch replay still skips
+        if v not in seen_versions:
+            history_rows.append(
+                {
+                    "version": v,
+                    "op": m["op"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(e["rows"] for e in m["files"]),
+                }
+            )
     _persist_replay_ids(path, manifests)
     prior = _read_checkpoint(path) or {}
     prior.update({"upto": dropped[-1], "history": history_rows})
@@ -886,9 +909,6 @@ def compact_manifests(path: str, keep_last: int = 10) -> int:
     with open(tmp, "w") as fh:
         json.dump(prior, fh)
     os.replace(tmp, _checkpoint_file(path))  # atomic publish, then prune
-    for v in dropped:
-        os.remove(_version_file(path, v))
-    return len(dropped)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
@@ -974,7 +994,12 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 600.0) -> i
     if keep_last < 1:
         raise ValueError("vacuum must keep at least the current version")
     kept, dropped = vs[-keep_last:], vs[:-keep_last]
-    _persist_replay_ids(path, [_read_manifest(path, v) for v in dropped])
+    if dropped:
+        # history + replay ids persist BEFORE anything is deleted (round 8:
+        # previously vacuum persisted only replay ids, so time travel to a
+        # vacuumed version raised bare FileNotFoundError instead of the
+        # typed 'compacted away' error compact_manifests gives)
+        _persist_squashed(path, dropped)
     live = {e["path"] for v in kept for e in _read_manifest(path, v)["files"]}
     now = time.time()
     removed = 0

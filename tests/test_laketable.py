@@ -102,8 +102,10 @@ def test_vacuum_drops_dead_files_keeps_current(spark, tbl):
     removed = LT.vacuum(tbl, keep_last=1, retention_seconds=0)
     assert removed > 0
     assert _ids(spark, tbl) == list(range(50, 100))  # current still reads
-    with pytest.raises(FileNotFoundError):
-        LT.read_table(spark, tbl, version=0)  # history gone after vacuum
+    # round 8: vacuum persists history summaries before dropping manifests
+    # (same as compact_manifests), so the error is the typed one
+    with pytest.raises(ValueError, match="compacted away"):
+        LT.read_table(spark, tbl, version=0)
     # dead commit dirs are fully gone, sidecars included
     data_root = os.path.join(tbl, "data")
     live_dirs = {
