@@ -22,25 +22,34 @@ from ._registry import register
 # double accumulation order differs between Spark and DuckDB, and at
 # sf0.1 (1.4M rows, sums ~3e9) the drift reaches the 6th decimal — a
 # round() boundary hit (observed on sum_charge). Decimal sums are
-# order-independent and have ≤6 exact decimals, so the final round is
-# the identity and can never straddle a boundary. Widths kept minimal so
+# order-independent and have ≤6 exact decimals. Widths kept minimal so
 # Spark's products stay long-backed compact decimals (precision ≤ 18 —
 # ~35% faster than Decimal128 here, measured): (9,2)×(3,2)→(13,4);
 # ×(3,2)→(17,6). Per-row values bound them at ANY sf: l_extendedprice
 # ≤ ~105k < 10^7, discount/tax ∈ [0, 0.10].
+#
+# Output boundary (round 8, caught by the sf1.0 parity slice): the old
+# round(CAST(sum AS DOUBLE), 6) broke at sf1.0 — sums reach ~2.8e10 where
+# a double's ulp (~3.8e-6) exceeds the 1e-6 rounding quantum, so the
+# engines' round() implementations disagreed in the last digit. Now the
+# exact decimal sum is scaled to INTEGER units first (×1e4 / ×1e6 —
+# exact, the sums have exactly 4/6 dp), cast to BIGINT, and converted
+# back with ONE int64→double conversion + ONE division — both IEEE
+# correctly-rounded on identical operands in both engines, so the bits
+# match at any magnitude. Unit bound: charge micros < 2^63 up to ~sf300.
 _ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2)                                          AS sum_qty,
   round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
-             * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4)
-                                                                     AS sum_disc_price,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+             * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            * 10000 AS BIGINT) AS DOUBLE) / 10000.0                  AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
              * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-             * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 6)
-                                                                     AS sum_charge,
+             * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+            * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0              AS sum_charge,
   round(avg(l_quantity), 6)                                          AS avg_qty,
   round(avg(l_extendedprice), 6)                                     AS avg_price,
   round(avg(l_discount), 6)                                          AS avg_disc,
@@ -68,8 +77,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            ((F.sum(disc_price) * 10000).cast("long").cast("double") / 10000.0)
+            .alias("sum_disc_price"),
+            ((F.sum(charge) * 1000000).cast("long").cast("double") / 1000000.0)
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

@@ -147,13 +147,13 @@ SELECT event_id, user_id, ts,
        round(lead(value) OVER w_total, 2)           AS next_value,
        round(first_value(value) OVER w_total, 2)    AS first_value,
        round(lag(value, 2, 0.0) OVER w_total, 2)    AS prev2_value,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)         AS mavg3
 FROM events
 WINDOW
-  w_total AS (PARTITION BY user_id ORDER BY ts),
+  w_total AS (PARTITION BY user_id ORDER BY ts, event_id),
   w_ties  AS (PARTITION BY user_id ORDER BY event_type)
 """,
 )
@@ -167,10 +167,16 @@ def q_win_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id serves every function — Spark computes all three
     window specs over the same partitioning without re-exchanging."""
     e = table(spark, sf_dir, "events")
-    w_total = W.over(["user_id"], [F.col("ts")])
+    # event_id tiebreaks every ROWS-frame/navigation order: ts alone is a
+    # total order only on fixtures with unique per-user timestamps — the
+    # sf1.0 replica (and any real event stream) has ts collisions, where
+    # row_number/lag/running frames become engine-nondeterministic
+    # (round 8, caught by the sf1 parity slice). w_ties stays ties-allowed
+    # on purpose: rank/percent_rank/cume_dist are tie-stable by definition.
+    w_total = W.over(["user_id"], [F.col("ts"), F.col("event_id")])
     w_ties = W.over(["user_id"], [F.col("event_type")])
-    w_run = W.running(["user_id"], [F.col("ts")])
-    w_mavg = W.running(["user_id"], [F.col("ts")], preceding=2)
+    w_run = W.running(["user_id"], [F.col("ts"), F.col("event_id")])
+    w_mavg = W.running(["user_id"], [F.col("ts"), F.col("event_id")], preceding=2)
     return e.select(
         "event_id", "user_id", "ts",
         F.row_number().over(w_total).alias("rn"),

@@ -62,9 +62,13 @@ def run(
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     verbose = os.environ.get("SPARK_GRAFT_PARITY_VERBOSE", "") == "1"
     for t in TABLES:
+        # fixture tables are single files (driver layout) OR Spark-written
+        # directories (replicate_scaled sf1 replicas, round 8) — glob the
+        # directory form so DuckDB sees the same rows Spark does
+        p = os.path.join(sf_dir, t) + ".parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     results: dict[str, dict] = {}
     t0 = time.time()
