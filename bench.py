@@ -373,12 +373,13 @@ def main() -> None:
         # the prior artifact that this run did not re-measure are carried
         # into the tables (named in carried_sfs); exponents/superlinear
         # always come from THIS run's fresh pair only.
-        prior_scaling = None
+        prior_detail = {}
         try:
             with open(detail_path) as fh:
-                prior_scaling = json.load(fh).get("scaling")
+                prior_detail = json.load(fh)
         except (OSError, ValueError):
             pass
+        prior_scaling = prior_detail.get("scaling")
         if prior_scaling and prior_scaling.get("sfs"):
             if scaling is None:
                 # No fresh pair this run: carry the POINTS but strip the
@@ -389,7 +390,7 @@ def main() -> None:
                 scaling = {
                     k: v
                     for k, v in prior_scaling.items()
-                    if k not in ("exponents", "superlinear")
+                    if k not in ("exponent_between", "exponents", "superlinear")
                 }
                 scaling["carried_sfs"] = prior_scaling["sfs"]
                 scaling["exponents"] = None
@@ -410,6 +411,32 @@ def main() -> None:
                     scaling["carried_sfs"] = sorted(
                         set(carried) | set(prior_scaling.get("carried_sfs", []))
                     )
+        # Normalized round-over-round comparison (round 8, VERDICT r7 #2):
+        # the host probe exists so consecutive rounds compare on PROBE-
+        # normalized times, not raw ones. Per query: pct drift of this
+        # run's normalized time vs the PRIOR committed BENCH_DETAIL's.
+        # Regression budget: |drift| > 20% with an UNCHANGED plan_sha is
+        # flagged by name — each flag needs a root cause in README's
+        # bench-comparability section or the query is marked perf-weak.
+        normalized_vs_prior = None
+        prior_norm = prior_detail.get("queries_normalized")
+        if normalized and prior_norm:
+            per_query = {
+                n: round(100.0 * (normalized[n] / prior_norm[n] - 1.0), 1)
+                for n in HEADLINE
+                if n in prior_norm and prior_norm[n]
+            }
+            flagged = sorted(
+                n
+                for n, pct in per_query.items()
+                if abs(pct) > 20.0 and (plan_sha_changed is None or n not in plan_sha_changed)
+            )
+            normalized_vs_prior = {
+                "prior_value_normalized": prior_detail.get("value_normalized"),
+                "per_query_pct": per_query,
+                "budget_pct": 20.0,
+                "drift_flagged_same_plan": flagged,
+            }
         with open(detail_path, "w") as fh:
             json.dump(
                 {
@@ -428,6 +455,7 @@ def main() -> None:
                     "plan_sha": plan_sha,
                     "plan_sha_baseline_round": baseline_round,
                     "plan_sha_changed": plan_sha_changed,
+                    "normalized_vs_prior": normalized_vs_prior,
                     "scaling": scaling,
                 },
                 fh,
