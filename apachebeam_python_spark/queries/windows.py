@@ -54,14 +54,15 @@ SELECT event_id, user_id, ts,
        round(first_value(value) OVER w, 2)               AS first_value,
        round(lag(value, 2, 0.0) OVER w, 2)               AS prev2_value
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic family: lag/lead/first_value + offset-with-default.
-    (user_id, ts) is unique in the fixture → total order, deterministic."""
+    event_id tiebreaks ts (round 8): (user_id, ts) is unique in the base
+    fixture but NOT in sf1 replicas or real streams."""
     e = table(spark, sf_dir, "events")
-    w = W.over(["user_id"], [F.col("ts")])
+    w = W.over(["user_id"], [F.col("ts"), F.col("event_id")])
     return e.select(
         "event_id", "user_id", "ts",
         F.round("value", 2).alias("value"),
@@ -99,15 +100,16 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # folded into q_win_functions
     oracle="""
 SELECT event_id, user_id, ts,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
 FROM events
 """,
 )
 def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving average over the trailing 3 rows per key."""
+    """Moving average over the trailing 3 rows per key (event_id
+    tiebreaks ts — round 8, same reason as q_win_functions)."""
     e = table(spark, sf_dir, "events")
-    w = W.running(["user_id"], [F.col("ts")], preceding=2)
+    w = W.running(["user_id"], [F.col("ts"), F.col("event_id")], preceding=2)
     return e.select(
         "event_id", "user_id", "ts",
         F.round(F.avg("value").over(w), 6).alias("mavg3"),
