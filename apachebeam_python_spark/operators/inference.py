@@ -1,0 +1,184 @@
+"""Batched model inference — the Beam ``RunInference`` lifecycle on Spark
+(SURVEY.md §2.10 "ML inference").
+
+Beam's shape: a ``ModelHandler`` owns artifact loading (once per worker,
+shared across bundles) and batched prediction; ``RunInference(handler)``
+maps it over the collection. The Spark-first translation:
+
+- ``ModelHandler.load_model()`` → a per-Python-worker cached load (the
+  artifact is read at most once per executor process, exactly Beam's
+  shared-model contract);
+- ``RunInference`` → ``run_inference(df, handler, schema)`` =
+  ``mapInPandas`` with the load hoisted into the ``DoFn.setup`` hook
+  (operators/elementwise.par_do) and Arrow-batched vectorized predict.
+
+The concrete model here is REAL — a language-ID softmax regression trained
+by models/train_lid.py on the committed multilingual corpus (holdout
+accuracy pinned in tests/test_run_inference.py) — not a stub: weights are
+learned, serialized to models/lid_model_v1.json, and loaded from disk at
+inference time.
+
+Float-parity contract (why the DuckDB oracle can hash-match): features are
+``count / length`` (one IEEE division of exact integers), and each class
+score accumulates STRICTLY LEFT-TO-RIGHT (``b + w0*f0 + w1*f1 + …``) in
+float64 — the same order DuckDB evaluates the generated SQL expression —
+so both engines produce bit-identical doubles before the final round.
+
+100 TB plan: inference is map-only — no shuffle, no driver collect; the
+~7 KB artifact ships with the job (at cluster scale: ``spark.files`` or an
+object-store read inside ``load_model``), is cached once per worker
+process, and each Arrow batch is scored as one numpy matrix pass. Swapping
+in a framework model (torch/onnx) changes only ``load_model`` /
+``predict`` — the plumbing, batching, and lifecycle stay as proven here.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..models.train_lid import ARTIFACT, featurize
+from . import elementwise as ew
+
+
+class ModelHandler:
+    """Beam ``base.ModelHandler`` surface: load once, predict in batches."""
+
+    def load_model(self) -> object:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def predict(self, model: object, batch: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError  # pragma: no cover - interface
+
+
+@lru_cache(maxsize=1)
+def load_lid_model() -> dict:
+    """Read the committed artifact; cached per Python worker process."""
+    model = json.loads(ARTIFACT.read_text())
+    classes = model["classes"]
+    model["_W"] = np.asarray(
+        [model["weights"][c] for c in classes], dtype=np.float64
+    )
+    model["_b"] = np.asarray([model["bias"][c] for c in classes], dtype=np.float64)
+    return model
+
+
+def score_matrix(model: dict, X: np.ndarray) -> np.ndarray:
+    """[n, K] raw class scores, accumulated left-to-right per feature so the
+    result is bit-identical to the generated SQL's sequential ``+`` chain."""
+    W, b = model["_W"], model["_b"]
+    n, k = X.shape[0], W.shape[0]
+    scores = np.empty((n, k), dtype=np.float64)
+    for ki in range(k):
+        acc = np.full(n, b[ki])
+        for j in range(W.shape[1]):
+            acc = acc + W[ki, j] * X[:, j]
+        scores[:, ki] = acc
+    return scores
+
+
+class LidModelHandler(ModelHandler):
+    """Language-ID over a text column; emits one raw score per class."""
+
+    def __init__(self, text_col: str = "text", keep: tuple[str, ...] = ()):
+        self.text_col = text_col
+        self.keep = keep
+
+    def load_model(self) -> dict:
+        return load_lid_model()
+
+    def predict(self, model: dict, batch: pd.DataFrame) -> pd.DataFrame:
+        X = featurize([t if isinstance(t, str) else "" for t in batch[self.text_col]])
+        scores = score_matrix(model, X)
+        out = {c: batch[c] for c in self.keep}
+        for ki, cls in enumerate(model["classes"]):
+            out[f"s_{cls}"] = scores[:, ki]
+        return pd.DataFrame(out)
+
+
+def run_inference(df: DataFrame, handler: ModelHandler, schema: str) -> DataFrame:
+    """Beam ``RunInference(handler)``: batched predict with per-worker model
+    reuse. Map-only — Catalyst keeps pushed filters/pruning below it."""
+
+    def predict_batches(
+        batches: Iterator[pd.DataFrame], model: object
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield handler.predict(model, pdf)
+
+    return ew.par_do(df, predict_batches, schema, setup=handler.load_model)
+
+
+def lid_feature_sql_exprs(t: str = "t", dlen: str = "dlen") -> list[str]:
+    """DuckDB expressions computing EXACTLY featurize()'s columns, in order.
+
+    ``count/length`` twins: single-char counts via length-replace; substring
+    counts divide the removed length by the pattern length (int/int is true
+    division in DuckDB — exact for counts < 2^52); CJK ratio via a global
+    regexp_replace over the Unified Ideographs block.
+    """
+    from ..models.train_lid import CJK_HI, CJK_LO, FEATURE_CHARS, FEATURE_SUBSTRINGS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    exprs = [
+        f"(length({t}) - length(replace({t}, '{q(c)}', ''))) / {dlen}"
+        for c in FEATURE_CHARS
+    ]
+    exprs += [
+        f"((length({t}) - length(replace({t}, '{q(s)}', ''))) / {len(s)}) / {dlen}"
+        for s in FEATURE_SUBSTRINGS
+    ]
+    exprs.append(
+        f"(length({t}) - length(regexp_replace({t}, '[{CJK_LO}-{CJK_HI}]', '', 'g')))"
+        f" / {dlen}"
+    )
+    return exprs
+
+
+def lid_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Generate the DuckDB twin of ``LidModelHandler`` + 6-dp rounding +
+    fixed-order argmax, from the SAME committed artifact."""
+    model = load_lid_model()
+    classes = model["classes"]
+    feats = lid_feature_sql_exprs()
+    score_cols = []
+    for cls in classes:
+        terms = "".join(
+            f"\n        + {w!r} * ({f})" for w, f in zip(model["weights"][cls], feats)
+        )
+        score_cols.append(f"round({model['bias'][cls]!r}{terms}, 6) AS s_{cls}")
+    # argmax with fixed class-order tiebreak — the Spark side runs the same
+    # >=-chain over the same rounded doubles
+    arms = []
+    for i, cls in enumerate(classes[:-1]):
+        conds = " AND ".join(
+            f"s_{cls} >= s_{other}" for other in classes if other != cls
+        )
+        arms.append(f"WHEN {conds} THEN '{cls}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{classes[-1]}' END"
+    scores_sql = ",\n    ".join(score_cols)
+    return f"""
+WITH t1 AS (
+  SELECT {id_col}, lower(coalesce({text_col}, '')) AS t FROM {table}
+),
+t2 AS (
+  SELECT {id_col}, t, CAST(greatest(length(t), 1) AS DOUBLE) AS dlen FROM t1
+),
+scored AS (
+  SELECT {id_col},
+    {scores_sql}
+  FROM t2
+)
+SELECT {id_col}, {case} AS pred_lang, {', '.join(f's_{c}' for c in classes)}
+FROM scored
+"""

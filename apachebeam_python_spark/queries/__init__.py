@@ -91,7 +91,14 @@ DRIVER_ORDER: list[str] = [
     "q_spatial_grid_join",
     "q_range_join_binned",
     "q_dedup_clusters",
-    "q_python_udtf",
+    # r8 (continuation): the §2.10 inference row was the last closeable
+    # coverage gap ("pattern only; no model offline") — q_run_inference runs
+    # a REAL trained artifact (models/lid_model_v1.json) through the Beam
+    # RunInference lifecycle. Its slot comes from q_python_udtf (the UDF
+    # family keeps q_pandas_udf_scalar + q_udaf_weighted_avg +
+    # q_grouped_map_zscore on the surface; the UDTF stays hash-green in the
+    # local sweep).
+    "q_run_inference",
     "q_join_asof",
     "q_png_pipeline",
     "q_agg_stats",

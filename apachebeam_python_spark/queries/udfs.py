@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import udfs as U
 from ..operators import elementwise as ew
+from ..operators import inference as _inference
 from ..session import fan_out, table
 from ..sources import io
 from ._registry import register
@@ -128,6 +129,52 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_run_inference",
+    # oracle generated from the SAME committed model artifact the Spark side
+    # loads — see operators/inference.lid_oracle_sql for the float-parity
+    # contract (sequential accumulation, count/length features)
+    oracle=_inference.lid_oracle_sql(),
+)
+def q_run_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam ``RunInference`` with a REAL model (SURVEY §2.10 "ML inference"):
+    the language-ID softmax regression trained by models/train_lid.py on the
+    committed multilingual corpus (holdout accuracy 1.0, pinned in
+    tests/test_run_inference.py). The artifact is loaded once per Python
+    worker (ModelHandler contract), each Arrow batch scored as one numpy
+    matrix pass; rounding + fixed-order argmax run JVM-side in codegen.
+
+    100 TB: map-only — no shuffle; the ~7 KB artifact is worker-cached
+    (cluster path: spark.files / object store inside load_model); swapping a
+    framework model changes only the handler, not the plumbing."""
+    model = _inference.load_lid_model()
+    classes = model["classes"]
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = _inference.run_inference(
+        docs,
+        _inference.LidModelHandler(keep=("doc_id",)),
+        "doc_id long, " + ", ".join(f"s_{c} double" for c in classes),
+    )
+    rounded = raw.select(
+        "doc_id", *[F.round(F.col(f"s_{c}"), 6).alias(f"s_{c}") for c in classes]
+    )
+    pred = None
+    for cls in classes[:-1]:
+        cond = None
+        for other in classes:
+            if other == cls:
+                continue
+            c = F.col(f"s_{cls}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(cls)) if pred is None else pred.when(cond, F.lit(cls))
+        )
+    pred = pred.otherwise(F.lit(classes[-1]))
+    return rounded.select(
+        "doc_id", pred.alias("pred_lang"), *[f"s_{c}" for c in classes]
+    )
+
+
+@register(
     "q_inference_stub",
     driver=False,  # r7 rotation: UDF family keeps q_pandas_udf_scalar/q_udaf/q_udtf/q_grouped_map
     # the stub model is deterministic arithmetic, so its predictions ARE
@@ -179,6 +226,7 @@ def q_inference_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_python_udtf",
+    driver=False,  # r8: slot went to q_run_inference; UDF family keeps 3 slots
     oracle="""
 SELECT doc_id, word, CAST(pos AS INTEGER) AS pos
 FROM (

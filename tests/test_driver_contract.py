@@ -67,6 +67,12 @@ ROTATED_OFF_R8 = {
     "q_embedding_pool",
     "q_custom_window",
     "q_cube",
+    # r8 continuation: slot given to q_run_inference (the §2.10 "ML
+    # inference" row's first driver proof — a REAL trained artifact through
+    # the RunInference lifecycle). The UDF family keeps three driver slots
+    # (scalar pandas UDF, UDAF, grouped map); the UDTF stays hash-green in
+    # the local sweep.
+    "q_python_udtf",
 }
 
 ROTATED_IN_R8 = [
@@ -76,6 +82,7 @@ ROTATED_IN_R8 = [
     "q_changepoint_per_key",
     "q_phrase_search",
     "q_hashed_tf_vectors",
+    "q_run_inference",
 ]
 
 

@@ -35,6 +35,7 @@ NEWEST_ROUND = {
     "q_dau_mau",
     "q_stratified_kfold",
     "q_dispersion_index",
+    "q_run_inference",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
