@@ -50,6 +50,7 @@ def run(
     slice_k: int | None = None,
     slice_n: int = 1,
     names_only: list[str] | None = None,
+    budget_sec: float | None = None,
 ) -> int:
     spark = get_spark("parity-dump")
     con = duckdb.connect()
@@ -81,8 +82,22 @@ def run(
         # round-7 single-process run was OOM-killed near the end)
         names = [n for i, n in enumerate(names) if i % slice_n == slice_k]
     if names_only:
-        names = [n for n in names if n in set(names_only)]
+        # preserve the CALLER's order: with --budget, order is priority —
+        # the caller front-loads the most scale-sensitive queries
+        known = set(names)
+        names = [n for n in names_only if n in known]
+    budget_stopped = 0
     for name in names:
+        if budget_sec is not None and time.time() - t0 > budget_sec:
+            # soft budget (sandbox wall-clock): stop taking new queries but
+            # write out everything finished — the artifact stays honest, the
+            # summary records how many were left unrun
+            budget_stopped = len(names) - len(results)
+            print(
+                f"BUDGET: stopping after {len(results)}/{len(names)} "
+                f"({budget_stopped} unrun)", file=sys.stderr,
+            )
+            break
         if verbose:
             print(f"RUN {name}", file=sys.stderr, flush=True)
         has_oracle = name in q.ORACLES
@@ -135,6 +150,23 @@ def run(
             failed += 1
             print(f"FAIL {name}: {entry['err']}", file=sys.stderr)
         results[name] = entry
+        # incremental write (atomic rename): a killed/wedged sweep keeps
+        # every completed query's row — budget stops and kills lose nothing
+        _partial = {
+            "summary": {
+                "total": len(results),
+                "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
+                "failed": failed,
+                "sf_dir": sf_dir,
+                "elapsed_sec": round(time.time() - t0, 1),
+                "partial": True,
+            },
+            "queries": results,
+        }
+        with open(out + ".tmp", "w") as f:
+            json.dump(_partial, f, indent=2)
+            f.write("\n")
+        os.replace(out + ".tmp", out)
     summary = {
         "total": len(results),
         "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
@@ -142,6 +174,8 @@ def run(
         "sf_dir": sf_dir,
         "elapsed_sec": round(time.time() - t0, 1),
     }
+    if budget_stopped:
+        summary["budget_stopped"] = budget_stopped
     with open(out, "w") as f:
         json.dump({"summary": summary, "queries": results}, f, indent=2)
         f.write("\n")
@@ -207,6 +241,14 @@ def main() -> int:
         "(later parts win on name collisions — point-rerun then merge last)",
     )
     ap.add_argument(
+        "--budget",
+        type=float,
+        default=None,
+        help="soft wall-clock budget in seconds: stop starting new queries "
+        "past this and write the partial artifact (summary.budget_stopped "
+        "records how many were left unrun)",
+    )
+    ap.add_argument(
         "--names",
         default=None,
         help="comma-separated query names: run only these (point re-check "
@@ -224,9 +266,9 @@ def main() -> int:
     if args.slice:
         return run(
             args.sf, out, slice_k=args.slice[0], slice_n=args.slice[1],
-            names_only=names_only,
+            names_only=names_only, budget_sec=args.budget,
         )
-    return run(args.sf, out, names_only=names_only)
+    return run(args.sf, out, names_only=names_only, budget_sec=args.budget)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,85 @@ def test_featurizer_matches_sql_twin_bit_exactly():
         )
 
 
+def test_oracle_sql_end_to_end_on_multilingual_text():
+    """The fixture corpus is ASCII word soup, so the sf parity sweep never
+    exercises the accent/CJK feature arms of the GENERATED oracle. Run the
+    full oracle SQL over real multilingual text in DuckDB alone: scores must
+    match the Python handler to float tolerance, and pred_lang must equal
+    the fixed-order argmax over DuckDB's own rounded scores — and be the
+    RIGHT language for every fresh sentence."""
+    model = inf.load_lid_model()
+    classes = model["classes"]
+    texts, langs = [], []
+    for lang, ts in FRESH.items():
+        texts += ts
+        langs += [lang] * len(ts)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    out = con.execute(
+        inf.lid_oracle_sql() + " ORDER BY doc_id"
+    ).df()
+    raw = inf.score_matrix(model, train_lid.featurize(texts))
+    for ki, cls in enumerate(classes):
+        np.testing.assert_allclose(
+            out[f"s_{cls}"].to_numpy(), raw[:, ki], atol=1e-6,
+            err_msg=f"DuckDB score s_{cls} diverges from the Python handler",
+        )
+    duck_scores = np.stack([out[f"s_{c}"].to_numpy() for c in classes], axis=1)
+    expect_pred = [classes[k] for k in duck_scores.argmax(axis=1)]
+    assert list(out["pred_lang"]) == expect_pred, "CASE argmax ≠ fixed-order argmax"
+    assert list(out["pred_lang"]) == langs, "oracle misclassifies fresh text"
+
+
+# fuzz alphabet = the domain the featurizer contract covers: ASCII, the
+# feature accents (upper+lower), CJK, common punctuation. Exotic Unicode
+# (combining sequences, surrogates, locale-sensitive case like 'İ') is
+# deliberately OUT of contract — Python str.lower/len and SQL lower/length
+# may legitimately disagree there, and neither the corpus nor the fixtures
+# contain it.
+_FUZZ_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t.,;:!?¿¡'\"()-_/%$€#@"
+    "áàâäçéèêëíîïñóôöúùûüßÁÀÂÄÇÉÈÊËÍÎÏÑÓÔÖÚÙÛÜ"
+    "一中文火车咖啡数据流水线鿿"
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.text(alphabet=_FUZZ_ALPHABET, max_size=300), min_size=1, max_size=8
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_featurizer_sql_twin_fuzz(texts):
+        """Property: featurize() ≡ the generated SQL feature expressions,
+        bit-for-bit, for ANY in-contract text — not just the fixtures."""
+        con = duckdb.connect()
+        con.execute("CREATE TABLE txts (i INTEGER, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO txts VALUES (?, ?)", [i, t])
+        exprs = inf.lid_feature_sql_exprs()
+        sql = (
+            "WITH t1 AS (SELECT i, lower(coalesce(text,'')) AS t FROM txts), "
+            "t2 AS (SELECT i, t, CAST(greatest(length(t),1) AS DOUBLE) AS dlen "
+            "FROM t1) SELECT i, "
+            + ", ".join(f"{e} AS f{j}" for j, e in enumerate(exprs))
+            + " FROM t2 ORDER BY i"
+        )
+        got = con.execute(sql).fetchnumpy()
+        want = train_lid.featurize(texts)
+        for j in range(train_lid.N_FEATURES):
+            np.testing.assert_array_equal(got[f"f{j}"], want[:, j])
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the image
+    pass
+
+
 def test_model_load_is_cached_per_process():
     """Beam shared-model contract: repeat loads return the same object."""
     a = inf.LidModelHandler().load_model()
