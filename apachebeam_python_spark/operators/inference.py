@@ -160,7 +160,7 @@ def lid_oracle_sql(
     # argmax with fixed class-order tiebreak — the Spark side runs the same
     # >=-chain over the same rounded doubles
     arms = []
-    for i, cls in enumerate(classes[:-1]):
+    for cls in classes[:-1]:
         conds = " AND ".join(
             f"s_{cls} >= s_{other}" for other in classes if other != cls
         )

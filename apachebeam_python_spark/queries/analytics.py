@@ -799,9 +799,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
   SELECT event_type, value FROM events WHERE value IS NOT NULL
 ), q AS (
+  -- bounds rounded at 6 dp in BOTH engines: interpolated-percentile
+  -- formulas differ by a ulp across engines, and a 1-ulp bound flips every
+  -- boundary-tied row's clip/count at once (caught by the sf1 sweep)
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
   FROM e GROUP BY event_type
 )
 SELECT e.event_type,
@@ -825,16 +828,20 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one percentile pass builds a per-key (lo, hi) table — tiny,
     broadcast back — then a single partial+final agg computes raw and
     clipped means together; the clamp is a codegen ``greatest/least``, no
-    second shuffle. Strict <,> boundary comparisons use the UNROUNDED
-    interpolated percentiles, which agree cross-engine (no summation)."""
+    second shuffle. The (lo, hi) bounds are rounded at 6 dp in both
+    engines BEFORE clipping: raw interpolated percentiles can differ by a
+    ulp across engines (disproven 'no summation ⇒ agreement' — the sf1
+    sweep caught a boundary-tied flip), and 5e-7 spacing vs ~1e-13 ulp
+    makes the rounded bounds engine-identical."""
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
     q = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        # 6-dp bound rounding in both engines — see the oracle comment
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
     )
     clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
     n_clip = F.when(
@@ -1097,8 +1104,13 @@ WITH e AS (
          (ts >= TIMESTAMP '2024-01-16 00:00:00') AS cur
   FROM events WHERE value IS NOT NULL
 ), edges AS (
+  -- edges rounded at 6 dp in BOTH engines: interpolated percentiles are
+  -- computed with differently-arranged (equivalent) formulas, and a 1-ulp
+  -- edge difference flips every row whose value ties the boundary (10 at
+  -- once on duplicated data — caught by the sf1 sweep)
   SELECT event_type,
-         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ed
+         list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                        x -> round(x, 6)) AS ed
   FROM e WHERE NOT cur GROUP BY event_type
 ), bucketed AS (
   SELECT e.event_type, cur,
@@ -1156,7 +1168,12 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e.filter(~F.col("cur"))
         .groupBy("event_type")
-        .agg(F.percentile("value", pcts).alias("ed"))
+        # 6-dp edge rounding in both engines — see the oracle comment
+        .agg(
+            F.transform(
+                F.percentile("value", pcts), lambda x: F.round(x, 6)
+            ).alias("ed")
+        )
     )
     bucketed = e.join(F.broadcast(edges), "event_type").select(
         "event_type",
@@ -1445,7 +1462,9 @@ WITH RECURSIVE m AS (
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), mu AS (
   SELECT event_type, round(avg(m), 6) AS mu FROM m GROUP BY 1
-), o AS (
+), o AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT m.event_type, day, m.m, mu.mu,
          row_number() OVER (PARTITION BY m.event_type ORDER BY day) AS rn
   FROM m JOIN mu USING (event_type)
@@ -1725,7 +1744,9 @@ WITH RECURSIVE u AS (
   SELECT t, CAST(sum(death) AS BIGINT) AS d,
          CAST(sum(1 - death) AS BIGINT) AS c
   FROM dur GROUP BY t
-), o AS (
+), o AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT t, d, c,
          CAST(sum(d + c) OVER (ORDER BY t
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
@@ -2385,6 +2406,8 @@ WITH baskets AS (
 SELECT c.a AS u, c.b AS v, c.common_neighbors, c.ra_index_e9
 FROM cand c
 WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.a AND e.v = c.b)
+QUALIFY row_number() OVER (PARTITION BY c.a
+          ORDER BY ra_index_e9 DESC, common_neighbors DESC, c.b) <= 10
 """,
 )
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2406,7 +2429,15 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|-row table joined on the wedge center (broadcast while |V| is
     dimension-sized; key-partitioned beyond). The adjacency exclusion is
     an anti join against the thresholded edge table. No all-pairs
-    product ever materializes: only wedge-connected pairs exist."""
+    product ever materializes: only wedge-connected pairs exist.
+
+    The output is capped at the TOP-10 candidates per node (ra desc, cn
+    desc, v asc — an all-integer total order): a denser graph grows the
+    candidate set ~quadratically in neighborhood density (the uncapped
+    form returned >1 GiB at the sf1 replica), and no consumer of link
+    prediction wants the full candidate matrix — O(|V|·k) is the shape
+    that survives 100 TB. Spark plans it as WindowGroupLimit (top-k
+    pushed below the final shuffle)."""
     b = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
@@ -2438,15 +2469,23 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.lit(1000000000) / F.col("deg"))).alias("ra_index_e9"),
         )
     )
-    return cand.join(
+    nonadj = cand.join(
         F.broadcast(edges),
         (cand.a == edges.u) & (cand.b == edges.v),
         "left_anti",
-    ).select(
-        F.col("a").alias("u"),
-        F.col("b").alias("v"),
-        "common_neighbors",
-        "ra_index_e9",
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("ra_index_e9").desc(), F.col("common_neighbors").desc(), F.col("b")
+    )
+    return (
+        nonadj.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common_neighbors",
+            "ra_index_e9",
+        )
     )
 
 
@@ -3353,7 +3392,9 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scc",
     driver=False,  # §2.11 graph family (round 5) — pytest oracle
     oracle="""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing at scale: inlined, DuckDB re-evaluates
+  -- this 4-way fact join EVERY recursion round (>120 s at sf1 vs 1.5 s)
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3584,7 +3625,9 @@ WITH RECURSIVE e0 AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 190
-), e AS (
+), e AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates the 4-way fact join every
+  -- recursion round (the q_cycle_nodes sf1 hang class)
   -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE DuckDB
   -- gives a top-level-UNION CTE recursive semantics and skips the dedup;
   -- duplicate symmetrized edges would double sigma (row multiplicity IS
@@ -3739,7 +3782,9 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dag_layers",
     driver=False,  # §2.11 graph family (round 5) — pytest oracle
     oracle="""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing at scale: inlined, DuckDB re-evaluates
+  -- this 4-way fact join EVERY recursion round (>120 s at sf1 vs 1.5 s)
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3819,7 +3864,9 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cycle_nodes",
     driver=False,  # §2.11 graph family (round 5) — pytest oracle
     oracle="""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing at scale: inlined, DuckDB re-evaluates
+  -- this 4-way fact join EVERY recursion round (>120 s at sf1 vs 1.5 s)
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -78,15 +78,15 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), islands AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )
@@ -294,15 +294,15 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # extra §2.8 proof — pytest-only oracle
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), islands AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 ), sessions AS (
@@ -437,7 +437,9 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_capped",
     driver=False,  # §2.8 sequential-semantics extension — pytest oracle
     oracle="""
-WITH RECURSIVE o AS (
+WITH RECURSIVE o AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT user_id, ts, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events

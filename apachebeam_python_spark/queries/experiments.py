@@ -1182,7 +1182,9 @@ WITH RECURSIVE m AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          round(avg(value), 6) AS x
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-), o AS (
+), o AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT event_type, day, x,
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
   FROM m
@@ -2359,7 +2361,9 @@ WITH RECURSIVE days AS (
   SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
   FROM events WHERE value IS NOT NULL GROUP BY 1
-), o AS (
+), o AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT d, c, row_number() OVER (ORDER BY d) AS rn FROM days
 ), state AS (
   SELECT 7 AS t,

@@ -425,7 +425,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pairs, symmetrized edges, and the recursive min-reachable-vertex closure.
 #: q_dedup_clusters and q_dedup_canonical both build on it — one copy so the
 #: two correctness authorities can never silently diverge (code-review r3).
-_NEARDUP_REACH_CTES = """WITH RECURSIVE pairs AS (
+_NEARDUP_REACH_CTES = """WITH RECURSIVE pairs AS MATERIALIZED (
+  -- MATERIALIZED: the gram self-join must not re-run per closure round
+  -- (the q_cycle_nodes sf1 hang class)
   WITH grams AS (
     SELECT doc_id, unnest(list_distinct(
              list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS gram
@@ -4489,7 +4491,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sequence_pack",
     driver=False,  # §2.11 training-data export tier — pytest oracle
     oracle="""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-evaluates this CTE every recursion
+  -- round (the q_cycle_nodes sf1 hang class); the hint pins one evaluation
   SELECT doc_id % 8 AS shard, doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn

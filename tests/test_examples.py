@@ -57,3 +57,7 @@ def test_governed_lake_example(spark, sf_dir):
 
 def test_physical_layout_example(spark, sf_dir):
     _run("physical_layout", sf_dir)
+
+
+def test_model_inference_example(spark, sf_dir):
+    _run("model_inference", sf_dir)

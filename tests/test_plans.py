@@ -744,3 +744,15 @@ def test_r6_single_shuffle_invariants(spark, sf_dir):
         df = q.QUERIES[name](spark, sf_dir)
         n = P.count_exchanges(df)
         assert n <= 1, f"{name}: {n} exchanges — lost its shared-shuffle shape"
+
+
+def test_run_inference_map_only_pruned(spark, sf_dir):
+    """RunInference (§2.10) must stay map-only: zero exchanges, the parquet
+    scan pruned to exactly (doc_id, text) — rounding and argmax land in
+    codegen Projects ABOVE the MapInPandas, never a second Python pass."""
+    df = q.QUERIES["q_run_inference"](spark, sf_dir)
+    assert P.count_exchanges(df) == 0, P.executed_plan(df)
+    rs = P.read_schema(df)
+    assert "text" in rs and "lang" not in rs and "n_chars" not in rs, rs
+    plan = P.executed_plan(df)
+    assert plan.count("MapInPandas") == 1, "model scoring must be ONE Python pass"
