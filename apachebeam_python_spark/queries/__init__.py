@@ -59,7 +59,16 @@ DRIVER_ORDER: list[str] = [
     "q_scan_formats",           # text/CSV/JSONL sink→source round trips (§2.1)
     "q_stream_tumbling",        # streaming windowed agg ≡ batch (§2.8)
     # tier 2 — deepen each family (all oracle-backed)
-    "q_doc_stats",
+    # r9 rotation (VERDICT r8 #1, wave 4): seven tier-2 slots whose families
+    # have each been driver-graded green in ≥3 prior rounds move to families
+    # the external artifact has NEVER graded — recursive CTE, VARIANT
+    # semi-structured, lake change feed, a non-PNG codec (GIF/LZW), a TPC-H
+    # deep join (Q8 market share), Markov removal-effect attribution, and the
+    # mergeable quantile-sketch rollup. Out (all stay hash-green in the local
+    # sweep; tier 1's one-per-family floor is untouched): q_doc_stats,
+    # q_json_extract, q_dedup_ngram_jaccard, q_chi_square,
+    # q_grouped_map_zscore, q_agg_stats, q_katz.
+    "q_variant_json",
     # r6 rotation (VERDICT r5 #4): six slots move to round-4/5 families that
     # had never earned a driver-green row — lake snapshots, stats tests,
     # spatial joins, compressed codecs, graph centrality, SCD2 warehousing.
@@ -77,17 +86,17 @@ DRIVER_ORDER: list[str] = [
     # local sweep): q_doc_features, q_order_limit, q_join_semi_anti,
     # q_join_range, q_pardo_tagged, q_inference_stub.
     "q_ohlc_bars",
-    "q_json_extract",
+    "q_recursive_cte",
     "q_udaf_weighted_avg",
-    "q_dedup_ngram_jaccard",
-    "q_chi_square",
+    "q_gif_pipeline",
+    "q_market_share",
     # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
     # anchor) demoted to pytest-only; the embedding-family slot went to the
     # scale-shaped chunk→doc mean-pooling query.
     "q_stream_source",
     "q_star_join",
     "q_bucketed_join",
-    "q_grouped_map_zscore",
+    "q_lake_changes",
     "q_spatial_grid_join",
     "q_range_join_binned",
     "q_dedup_clusters",
@@ -101,13 +110,13 @@ DRIVER_ORDER: list[str] = [
     "q_run_inference",
     "q_join_asof",
     "q_png_pipeline",
-    "q_agg_stats",
+    "q_quantile_histogram_rollup",
     "q_betweenness",
     "q_corpus_curation",
     "q_scd2_dims",
     "q_item_cf",
     "q_lake_merge_cdc",
-    "q_katz",
+    "q_markov_attribution",
     # r8 rotation (VERDICT r7 #1): six slots move to the round-7 families
     # that had never earned a driver-green row — physical layout / data
     # skipping (q_zorder_skip), skew-safe aggregation (q_salted_distinct),

@@ -848,7 +848,7 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quantile_histogram_rollup",
-    driver=False,  # §2.3 mergeable-quantile sketch — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first sketch-rollup driver grade
     oracle="""
 WITH part AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

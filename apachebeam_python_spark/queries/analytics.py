@@ -14,6 +14,7 @@ from ._registry import register
 
 @register(
     "q_agg_stats",
+    driver=False,  # rotated off r9 (VERDICT r8 #1); stays in the local sweep
     oracle="""
 SELECT c_mktsegment,
        round(stddev_samp(c_acctbal), 6)            AS sd_bal,
@@ -1626,7 +1627,7 @@ JOIN v{rounds} r ON r.scenario = c.ch AND r.st = 'START'"""
 
 @register(
     "q_markov_attribution",
-    driver=False,  # §2.5 data-driven attribution — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first attribution-family grade
     oracle=_markov_oracle(),
 )
 def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4610,7 +4611,9 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_katz",
-    # driver slot since r7 (VERDICT r6 #3): second graph row beside q_betweenness
+    # driver r7→r8; rotated off r9 (VERDICT r8 #1) — q_betweenness keeps the
+    # graph family's slot, q_markov_attribution adds the Markov-chain shape
+    driver=False,
     oracle="""
 WITH e0 AS MATERIALIZED (
   SELECT s_nationkey AS src, c_nationkey AS dst

@@ -1537,7 +1537,7 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_recursive_cte",
-    driver=False,  # §2.6 SQL-completeness: declarative iteration — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first recursive-CTE driver grade
     oracle="""
 WITH RECURSIVE e AS (
   SELECT s_nationkey AS src, c_nationkey AS dst

@@ -42,6 +42,9 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_doc_stats",
+    # rotated off r9 (VERDICT r8 #1): q_wordcount keeps the text-analysis
+    # family's driver slot; this stays in the local sweep
+    driver=False,
     oracle="""
 SELECT lang, source,
        count(*)                                   AS n_docs,
@@ -196,6 +199,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_ngram_jaccard",
+    driver=False,  # rotated off r9 (VERDICT r8 #1); stays in the local sweep
     oracle="""
 WITH grams AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2723,7 +2727,7 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_gif_pipeline",
-    driver=False,  # §2.11 LZW-codec multimodal proof — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first non-PNG codec driver grade
     oracle=_THUMB8_ORACLE,  # same lossless path ⇒ same closed-form pixel math
 )
 def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,9 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_json_extract",
+    # rotated off r9 (VERDICT r8 #1): q_variant_json carries the
+    # semi-structured family's driver slot; this stays in the local sweep
+    driver=False,
     oracle="""
 SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
 FROM events
@@ -246,7 +249,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_variant_json",
-    driver=False,  # §2.7 semi-structured VARIANT extension — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first VARIANT driver grade
     oracle="""
 WITH kk AS (
   SELECT event_type,
@@ -472,7 +475,7 @@ def q_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lake_changes",
-    driver=False,  # §4.2 incremental change feed — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first change-feed driver grade
     oracle="""
 SELECT source,
        CAST(count(*) AS BIGINT)    AS n_new,

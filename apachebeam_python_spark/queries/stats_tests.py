@@ -42,7 +42,8 @@ def _cents(col):
 # --------------------------------------------------------------------------
 @register(
     "q_chi_square",
-    # promoted to the driver surface r6 (VERDICT r5 #4): stats-test family
+    # driver r6→r8; rotated off r9 (VERDICT r8 #1) after three green rounds
+    driver=False,
     oracle="""
 WITH g AS (
   SELECT event_type,

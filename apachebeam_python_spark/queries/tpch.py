@@ -123,7 +123,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_market_share",
-    driver=False,  # §2.3 conditional-share aggregation — pytest oracle
+    # driver slot since r9 (VERDICT r8 #1): first TPC-H deep-join driver grade
     oracle="""
 SELECT o_year,
        round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume

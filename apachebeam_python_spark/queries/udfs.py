@@ -65,6 +65,9 @@ def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_grouped_map_zscore",
+    # rotated off r9 (VERDICT r8 #1): the UDF family keeps q_pandas_udf_scalar
+    # + q_udaf_weighted_avg + q_run_inference on the surface
+    driver=False,
     oracle="""
 SELECT event_id, user_id,
        round(CASE WHEN stddev_pop(value) OVER w > 0

@@ -85,6 +85,32 @@ ROTATED_IN_R8 = [
     "q_run_inference",
 ]
 
+#: Round-9 rotation (VERDICT r8 #1, wave 4): seven tier-2 slots whose families
+#: had each been driver-graded green ≥3 times move to families the external
+#: artifact has NEVER graded — recursive CTE, VARIANT semi-structured, lake
+#: change feed, GIF/LZW codec, TPC-H Q8 deep join, Markov removal-effect
+#: attribution, mergeable quantile-sketch rollup. Tier 1's one-per-family
+#: floor is untouched; rotated-off queries stay oracle-backed locally.
+ROTATED_OFF_R9 = {
+    "q_doc_stats",
+    "q_json_extract",
+    "q_dedup_ngram_jaccard",
+    "q_chi_square",
+    "q_grouped_map_zscore",
+    "q_agg_stats",
+    "q_katz",
+}
+
+ROTATED_IN_R9 = [
+    "q_recursive_cte",
+    "q_variant_json",
+    "q_lake_changes",
+    "q_gif_pipeline",
+    "q_market_share",
+    "q_markov_attribution",
+    "q_quantile_histogram_rollup",
+]
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -146,7 +172,8 @@ def test_r2_green_set_never_demoted():
     # O(n²) anchor demoted per VERDICT r2 #4; stays oracle-checked in the
     # local sweep, its slot went to q_embedding_pool.
     intentionally_demoted = (
-        {"q_dedup_embedding"} | ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
+        {"q_dedup_embedding"}
+        | ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8 | ROTATED_OFF_R9
     )
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
@@ -180,7 +207,7 @@ def test_r3_green_set_never_demoted():
     ]
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
-    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
+    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8 | ROTATED_OFF_R9
     demoted = [
         n for n in green if n not in rotated_off and (n not in qs or n not in os_)
     ]
@@ -189,10 +216,14 @@ def test_r3_green_set_never_demoted():
     for n in rotated_off:
         assert n in q.QUERIES and n in q.ORACLES, f"rotated-off {n} lost its oracle"
         assert n not in qs, f"{n} is rotated off but still on the driver surface"
-    # and each rotated-in replacement must be oracle-backed on the surface
+    # and each rotated-in replacement must be oracle-backed on the surface —
+    # unless a LATER rotation legitimately moved it off again (q_chi_square,
+    # q_katz: in r6/r7, off r9 after ≥3 green driver rounds)
     for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
               "q_png_pipeline", "q_betweenness", "q_scd2_dims"] \
-             + ROTATED_IN_R7 + ROTATED_IN_R8:
+             + ROTATED_IN_R7 + ROTATED_IN_R8 + ROTATED_IN_R9:
+        if n in rotated_off:
+            continue
         assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"
 
 
