@@ -838,7 +838,11 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bfs_reachability",
     driver=False,  # §2.9 bounded-iteration graph extension — pytest oracle
     oracle="""
-WITH e AS (
+WITH e AS MATERIALIZED (
+  -- MATERIALIZED (r9, VERDICT r8 #2): DuckDB inlines plain CTEs, so the
+  -- star join re-ran once per hop and spilled >80 GB at the sf1 replica;
+  -- materializing evaluates it once (the Spark side localCheckpoints the
+  -- same subtree for the same reason)
   SELECT s_nationkey AS src, c_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -846,11 +850,11 @@ WITH e AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
   GROUP BY 1, 2 HAVING count(*) >= 150
-), l1 AS (
+), l1 AS MATERIALIZED (
   SELECT DISTINCT dst AS node FROM e WHERE src = 0
-), l2 AS (
+), l2 AS MATERIALIZED (
   SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
-), l3 AS (
+), l3 AS MATERIALIZED (
   SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
 ), u AS (
   SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (

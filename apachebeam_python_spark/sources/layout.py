@@ -223,10 +223,27 @@ def replicate_scaled(
                 col, F.col(col) + F.col("_rep") * F.lit(group_strides[group])
             )
         if name == "documents":
+            # Replica text perturbation, r9 (VERDICT r8 #2): interleave a
+            # DOC-UNIQUE salt token after every source token for replicas > 0
+            # (doc_id is already stride-shifted, hence corpus-unique). Every
+            # k-gram (k ≥ 2) of a perturbed doc then contains its salt, so
+            # replicas share ZERO shingles with their source or each other —
+            # near-dup density stays at the source corpus's level instead of
+            # growing quadratically with ``copies`` (which made the exact
+            # gram-join oracles infeasible at sf1 in round 8). Replica 0 is
+            # untouched, so the corpus's true near-dup pairs remain the
+            # nontrivial expected output of the dedup anchors.
+            salt = F.concat(F.lit("x"), F.col("doc_id").cast("string"))
             rep = rep.withColumn(
                 "text",
                 F.when(F.col("_rep") == 0, F.col("text")).otherwise(
-                    F.concat(F.col("text"), F.lit(" r"), F.col("_rep"))
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(" "), salt),
+                        ),
+                        " ",
+                    )
                 ),
             )
         rep.drop("_rep").repartition(32).write.mode("overwrite").parquet(dst)

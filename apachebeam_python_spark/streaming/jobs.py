@@ -33,15 +33,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema comes from the batch reader (single source of truth, including
     the ns→µs ts conversion performed in session.table)."""
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # file stream sources take a directory; pathGlobFilter narrows to events;
-    # ts conversion is session.convert_event_ts — the SAME code path the
-    # batch reader uses, so batch ≡ stream can't silently diverge.
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
+    # file stream sources take a directory; ts conversion is
+    # session.convert_event_ts — the SAME code path the batch reader uses,
+    # so batch ≡ stream can't silently diverge.
+    stream = _table_stream(spark, sf_dir, "events.parquet", raw.schema)
+    return convert_event_ts(stream)
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, table_file: str, schema):
+    """File-source stream over one fixture table, handling BOTH layouts:
+    the driver fixtures are single files (``<sf_dir>/<table>.parquet``, so
+    the stream reads ``sf_dir`` with a pathGlobFilter), while the sf1
+    replica (sources/layout.py replicate_scaled) writes each table as a
+    DIRECTORY of part files (streamed directly — multiple micro-batches,
+    which is the more production-shaped replay anyway)."""
+    path = os.path.join(sf_dir, table_file)
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", table_file)
         .parquet(sf_dir)
     )
-    return convert_event_ts(stream)
 
 
 def stream_tuned(spark: SparkSession) -> None:
@@ -135,8 +148,4 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the continuous-ingest shape of a training-data pipeline: crawl
     batches land as files, the stream picks them up incrementally)."""
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    return _table_stream(spark, sf_dir, "documents.parquet", raw.schema)

@@ -43,6 +43,81 @@ from tests.parity import (  # noqa: E402
     spark_rows,
 )
 
+_SPILL_DIR = "/tmp/duckdb_spill"
+
+
+def _spill_bytes() -> int:
+    """Current on-disk size of the DuckDB spill directory."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(_SPILL_DIR):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def _rss_bytes() -> int:
+    """Resident set of THIS process (python + duckdb; the Spark JVM is a
+    separate child and excluded — DuckDB is what the cap protects)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+class _ResourceProbe:
+    """Background sampler recording peak spill-dir size and process RSS
+    while one oracle executes (VERDICT r8 #7: record per-query peaks so the
+    next scale-up fails predictably instead of by ENOSPC)."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self.interval = interval
+        self.peak_spill = 0
+        self.peak_rss = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self.peak_spill = max(self.peak_spill, _spill_bytes())
+            self.peak_rss = max(self.peak_rss, _rss_bytes())
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self.peak_rss = _rss_bytes()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
+        # one final sample so sub-interval queries still record something
+        self.peak_spill = max(self.peak_spill, _spill_bytes())
+        self.peak_rss = max(self.peak_rss, _rss_bytes())
+
+
+def _clean_spill() -> None:
+    """Remove leftover spill files between queries: a query killed inside a
+    spill (the r8 ENOSPC class) leaves temp files that silently eat the cap
+    for every query after it."""
+    try:
+        for root, _dirs, files in os.walk(_SPILL_DIR):
+            for f in files:
+                try:
+                    os.unlink(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
 
 def run(
     sf_dir: str,
@@ -60,7 +135,14 @@ def run(
     # 115 GB anon-rss. A hard cap + temp_directory makes DuckDB spill to
     # disk instead, like any real engine under a memory budget.
     con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET temp_directory='{_SPILL_DIR}'")
+    # spill budget (round 9, VERDICT r8 #7): the r8 sf1 sweep died by raw
+    # ENOSPC inside a quadratic oracle's spill. A hard temp-size cap makes
+    # the overweight query fail with DuckDB's own "temp directory size"
+    # error — recorded per-query in the artifact — instead of wedging the
+    # host's disk for every query after it.
+    spill_cap = os.environ.get("SPARK_GRAFT_DUCK_SPILL_CAP", "40GiB")
+    con.execute(f"SET max_temp_directory_size='{spill_cap}'")
     verbose = os.environ.get("SPARK_GRAFT_PARITY_VERBOSE", "") == "1"
     for t in TABLES:
         # fixture tables are single files (driver layout) OR Spark-written
@@ -73,6 +155,7 @@ def run(
         )
     results: dict[str, dict] = {}
     t0 = time.time()
+    last_write = 0.0
     failed = 0
     names = sorted(q.QUERIES)
     if slice_k is not None:
@@ -110,36 +193,47 @@ def run(
             "oracle_rows": None,
             "err": None,
         }
+        t_query = time.time()
         try:
-            df = q.QUERIES[name](spark, sf_dir).persist()
-            try:
-                if has_oracle:
-                    s_cols, s_rows = spark_rows(df)
-                    d_cols, d_rows = duck_rows(con, q.ORACLES[name])
-                    entry["spark_rows"] = sum(s_rows.values())
-                    entry["oracle_rows"] = sum(d_rows.values())
-                    entry["rows_match"] = (
-                        entry["spark_rows"] == entry["oracle_rows"]
-                    )
-                    entry["schema_match"] = s_cols == d_cols
-                    try:
-                        assert_driver_canon(df, con, q.ORACLES[name], name=name)
-                        entry["hash_match"] = s_rows == d_rows
-                    except AssertionError as exc:
-                        entry["hash_match"] = False
-                        entry["err"] = str(exc)[:500]
-                else:
-                    # rows-only: the driver still canonicalizes — canon must
-                    # not crash (raw array columns etc.)
-                    rows = driver_canon(df.toPandas())
-                    entry["spark_rows"] = len(rows)
-                    entry["rows_match"] = True
-            finally:
-                df.unpersist()
+            with _ResourceProbe() as probe:
+                df = q.QUERIES[name](spark, sf_dir).persist()
+                try:
+                    if has_oracle:
+                        s_cols, s_rows = spark_rows(df)
+                        d_cols, d_rows = duck_rows(con, q.ORACLES[name])
+                        entry["spark_rows"] = sum(s_rows.values())
+                        entry["oracle_rows"] = sum(d_rows.values())
+                        entry["rows_match"] = (
+                            entry["spark_rows"] == entry["oracle_rows"]
+                        )
+                        entry["schema_match"] = s_cols == d_cols
+                        try:
+                            assert_driver_canon(df, con, q.ORACLES[name], name=name)
+                            entry["hash_match"] = s_rows == d_rows
+                        except AssertionError as exc:
+                            entry["hash_match"] = False
+                            entry["err"] = str(exc)[:500]
+                    else:
+                        # rows-only: the driver still canonicalizes — canon must
+                        # not crash (raw array columns etc.)
+                        rows = driver_canon(df.toPandas())
+                        entry["spark_rows"] = len(rows)
+                        entry["rows_match"] = True
+                finally:
+                    df.unpersist()
         except Exception as exc:  # noqa: BLE001 — artifact records the error
             entry["err"] = "".join(
                 traceback.format_exception_only(type(exc), exc)
             ).strip()[:500]
+        # per-query resource record (VERDICT r8 #7): wall time + peak spill /
+        # RSS observed while it ran, so the next scale-up's overweight oracle
+        # is identified BEFORE it exhausts the disk
+        entry["elapsed_sec"] = round(time.time() - t_query, 1)
+        if probe.peak_spill:
+            entry["duck_peak_spill_bytes"] = probe.peak_spill
+        entry["peak_rss_bytes"] = probe.peak_rss
+        if _spill_bytes():
+            _clean_spill()  # a killed/failed spill must not eat the next query's cap
         bad = entry["err"] is not None or (
             has_oracle
             and not (
@@ -151,22 +245,27 @@ def run(
             print(f"FAIL {name}: {entry['err']}", file=sys.stderr)
         results[name] = entry
         # incremental write (atomic rename): a killed/wedged sweep keeps
-        # every completed query's row — budget stops and kills lose nothing
-        _partial = {
-            "summary": {
-                "total": len(results),
-                "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
-                "failed": failed,
-                "sf_dir": sf_dir,
-                "elapsed_sec": round(time.time() - t0, 1),
-                "partial": True,
-            },
-            "queries": results,
-        }
-        with open(out + ".tmp", "w") as f:
-            json.dump(_partial, f, indent=2)
-            f.write("\n")
-        os.replace(out + ".tmp", out)
+        # every completed query's row — budget stops and kills lose nothing.
+        # Throttled to ≥5 s between writes (ADVICE r8: rewriting the whole
+        # artifact per query is O(n²) serialization over a 450-query sweep);
+        # at most one in-flight query's row is at risk on a kill.
+        if time.time() - last_write >= 5.0:
+            last_write = time.time()
+            _partial = {
+                "summary": {
+                    "total": len(results),
+                    "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
+                    "failed": failed,
+                    "sf_dir": sf_dir,
+                    "elapsed_sec": round(time.time() - t0, 1),
+                    "partial": True,
+                },
+                "queries": results,
+            }
+            with open(out + ".tmp", "w") as f:
+                json.dump(_partial, f, indent=2)
+                f.write("\n")
+            os.replace(out + ".tmp", out)
     summary = {
         "total": len(results),
         "oracle_backed": sum(1 for e in results.values() if e["oracle"]),
