@@ -112,6 +112,12 @@ def build_model() -> dict:
     b8 = np.round(b, 8)
     ho_pred = (featurize(ho_texts) @ W8.T + b8).argmax(axis=1)
     acc = float((ho_pred == np.asarray(ho_y)).mean())
+    # exact holdout confusion counts (round 9, VERDICT r8 #6): pinned in the
+    # artifact so tests can assert the same counts out of BOTH engines
+    confusion: dict[str, dict[str, int]] = {c: {} for c in classes}
+    for t, p in zip(ho_y, ho_pred):
+        row = confusion[classes[t]]
+        row[classes[p]] = row.get(classes[p], 0) + 1
     return {
         "version": 1,
         "task": "language-id over character frequencies",
@@ -125,6 +131,7 @@ def build_model() -> dict:
         "train_sentences": len(tr_texts),
         "holdout_sentences": len(ho_texts),
         "holdout_accuracy": acc,
+        "holdout_confusion": confusion,
     }
 
 

@@ -57,9 +57,18 @@ class ModelHandler:
         raise NotImplementedError  # pragma: no cover - interface
 
 
+#: Process-local count of ACTUAL artifact reads (not cache hits) — the
+#: instrumented proof of the once-per-worker contract (VERDICT r8 #6):
+#: tests read it from inside executor workers and assert it stays 1 no
+#: matter how many Arrow batches / tasks the worker scored.
+LOAD_COUNT = 0
+
+
 @lru_cache(maxsize=1)
 def load_lid_model() -> dict:
     """Read the committed artifact; cached per Python worker process."""
+    global LOAD_COUNT
+    LOAD_COUNT += 1
     model = json.loads(ARTIFACT.read_text())
     classes = model["classes"]
     model["_W"] = np.asarray(

@@ -95,6 +95,24 @@ HEADLINE = [
     "q_stream_tumbling",
 ]
 
+#: Second pinned tier (round 9, VERDICT r8 #3): the original 16-query
+#: headline is frozen at its round-1 composition for cross-round continuity,
+#: but under-represents what the engine now is. Tier 2 adds one
+#: representative of each major family the engine grew since: a TPC-H deep
+#: multi-join (Q8 market share), an iterative graph algorithm (PageRank),
+#: Arrow-batched model inference (RunInference lifecycle), an exact
+#: set-similarity join (prefix-filtered), and a lake snapshot read
+#: (manifest-pruned time travel). Same three-pass best-of-three protocol,
+#: its own plan_sha pins and normalized round-over-round table; the tier-1
+#: numbers and their baseline remain untouched.
+HEADLINE2 = [
+    "q_market_share",
+    "q_pagerank",
+    "q_run_inference",
+    "q_setsim_join",
+    "q_lake_snapshot",
+]
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -213,8 +231,11 @@ def main() -> None:
     # ANY single pass; two passes were not enough to dodge them reliably).
     scaling = None
     try:
-        passes = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+        passes = [
+            {name: run(name) for name in HEADLINE + HEADLINE2} for _ in range(3)
+        ]
         best = {n: min(p[n] for p in passes) for n in HEADLINE}
+        best2 = {n: min(p[n] for p in passes) for n in HEADLINE2}
 
         # scaling curve (VERDICT r4 #7): re-time the headline set at a lower
         # sf (same parallel-scan layout) and report the per-query scaling
@@ -258,12 +279,16 @@ def main() -> None:
                 times: dict[float, dict[str, float]] = {}
                 for p_sf, p_dir, _ in points:
                     if p_dir == bench_dir:
-                        times[p_sf] = best  # already measured, best-of-three
+                        # already measured, best-of-three (both tiers)
+                        times[p_sf] = {**best, **best2}
                         continue
                     two = [
-                        {n: run(n, p_dir) for n in HEADLINE} for _ in range(2)
+                        {n: run(n, p_dir) for n in HEADLINE + HEADLINE2}
+                        for _ in range(2)
                     ]
-                    times[p_sf] = {n: min(t[n] for t in two) for n in HEADLINE}
+                    times[p_sf] = {
+                        n: min(t[n] for t in two) for n in HEADLINE + HEADLINE2
+                    }
                 sfs = sorted(times)
                 if len(sfs) < 2:
                     raise ValueError("scaling needs two distinct sf points")
@@ -271,7 +296,7 @@ def main() -> None:
                 ratio = math.log(hi / lo)
                 per_q = {}
                 superlinear = []
-                for n in HEADLINE:
+                for n in HEADLINE + HEADLINE2:
                     t_lo, t_hi = times[lo][n], times[hi][n]
                     alpha = (
                         round(math.log(t_hi / t_lo) / ratio, 3)
@@ -318,7 +343,7 @@ def main() -> None:
 
     BATCH_TWINS = {"q_stream_tumbling": tumbling_counts_batch_twin}
     plan_sha = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE2:
         fn = BATCH_TWINS.get(name, q.QUERIES.get(name))
         try:
             plan_sha[name] = plan_fingerprint(fn(spark, sf_dir))
@@ -334,6 +359,7 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(repo_dir, "PLAN_SHA_BASELINE.json")
     plan_sha_changed = None
+    plan_sha_new = None
     baseline_round = None
     probe_baseline = None
     try:
@@ -341,13 +367,20 @@ def main() -> None:
             baseline = json.load(fh)
         baseline_round = baseline.get("round")
         probe_baseline = baseline.get("host_probe")
+        # "changed" means the baseline HAD a pin and the sha moved; a query
+        # the baseline has never seen (a fresh tier-2 slot) is "new", not
+        # a drift flag — it gets its pin at the next triaged baseline update
+        baseline_sha = baseline.get("plan_sha", {})
         plan_sha_changed = sorted(
             n
-            for n in HEADLINE
-            if plan_sha.get(n) != baseline.get("plan_sha", {}).get(n)
+            for n in HEADLINE + HEADLINE2
+            if n in baseline_sha and plan_sha.get(n) != baseline_sha.get(n)
+        )
+        plan_sha_new = sorted(
+            n for n in HEADLINE + HEADLINE2 if n not in baseline_sha
         )
     except OSError:
-        pass
+        plan_sha_new = None
 
     # host_factor: this run's probe total over the committed anchor's —
     # >1 ⇒ this host is that much slower than the one that set the anchor.
@@ -360,6 +393,11 @@ def main() -> None:
     )
     normalized = (
         {n: round(best[n] / host_factor, 3) for n in HEADLINE}
+        if host_factor
+        else None
+    )
+    normalized2 = (
+        {n: round(best2[n] / host_factor, 3) for n in HEADLINE2}
         if host_factor
         else None
     )
@@ -418,25 +456,35 @@ def main() -> None:
         # Regression budget: |drift| > 20% with an UNCHANGED plan_sha is
         # flagged by name — each flag needs a root cause in README's
         # bench-comparability section or the query is marked perf-weak.
-        normalized_vs_prior = None
-        prior_norm = prior_detail.get("queries_normalized")
-        if normalized and prior_norm:
+        def _vs_prior(norm, prior_norm, names, prior_total_key):
+            if not (norm and prior_norm):
+                return None
             per_query = {
-                n: round(100.0 * (normalized[n] / prior_norm[n] - 1.0), 1)
-                for n in HEADLINE
+                n: round(100.0 * (norm[n] / prior_norm[n] - 1.0), 1)
+                for n in names
                 if n in prior_norm and prior_norm[n]
             }
             flagged = sorted(
                 n
                 for n, pct in per_query.items()
-                if abs(pct) > 20.0 and (plan_sha_changed is None or n not in plan_sha_changed)
+                if abs(pct) > 20.0
+                and (plan_sha_changed is None or n not in plan_sha_changed)
             )
-            normalized_vs_prior = {
-                "prior_value_normalized": prior_detail.get("value_normalized"),
+            return {
+                "prior_value_normalized": prior_detail.get(prior_total_key),
                 "per_query_pct": per_query,
                 "budget_pct": 20.0,
                 "drift_flagged_same_plan": flagged,
             }
+
+        normalized_vs_prior = _vs_prior(
+            normalized, prior_detail.get("queries_normalized"), HEADLINE,
+            "value_normalized",
+        )
+        normalized_vs_prior_tier2 = _vs_prior(
+            normalized2, prior_detail.get("queries_normalized_tier2"), HEADLINE2,
+            "value_normalized_tier2",
+        )
         with open(detail_path, "w") as fh:
             json.dump(
                 {
@@ -452,10 +500,18 @@ def main() -> None:
                     "value_normalized": (
                         round(sum(normalized.values()), 3) if normalized else None
                     ),
+                    "queries_tier2": best2,
+                    "value_tier2": round(sum(best2.values()), 3),
+                    "queries_normalized_tier2": normalized2,
+                    "value_normalized_tier2": (
+                        round(sum(normalized2.values()), 3) if normalized2 else None
+                    ),
                     "plan_sha": plan_sha,
                     "plan_sha_baseline_round": baseline_round,
                     "plan_sha_changed": plan_sha_changed,
+                    "plan_sha_new": plan_sha_new,
                     "normalized_vs_prior": normalized_vs_prior,
+                    "normalized_vs_prior_tier2": normalized_vs_prior_tier2,
                     "scaling": scaling,
                 },
                 fh,
@@ -474,6 +530,8 @@ def main() -> None:
                 "value": round(sum(best.values()), 3),
                 "unit": "sec",
                 "queries": best,
+                "tier2_value": round(sum(best2.values()), 3),
+                "tier2_queries": best2,
                 "sf": sf,
                 "host_probe_sec": probe["total"],
                 "host_factor": host_factor,

@@ -1,0 +1,185 @@
+"""Streaming chaos/restart proof (round 9, VERDICT r8 #5).
+
+Corruption (tests/test_corruption.py) and manifest races
+(tests/test_laketable_races.py) are covered; the remaining untested failure
+mode is DRIVER DEATH MID MICRO-BATCH with recovery from the checkpoint
+against the lake sink over many batches. Each scenario here runs a
+multi-batch file stream (maxFilesPerTrigger=1 → one micro-batch per source
+file) into ``laketable.append_stream_batch`` via foreachBatch, kills the
+query at a chosen batch, restarts from the SAME checkpoint, drains, and
+asserts the lake table equals the input EXACTLY once — the end-to-end form
+of append_stream_batch's (op, batch_id) replay contract.
+
+Kill points (≥3 per VERDICT r8 #5, chosen to bracket the commit):
+- after-commit kills (the classic torn window: sink committed, checkpoint
+  didn't — restart REPLAYS the batch id and the sink must skip), at an
+  early, a middle, and a late batch, including a double-kill run;
+- before-commit kill (driver died before the sink saw the batch — restart
+  must deliver it normally);
+- graceful stop mid-stream (no exception path) as the control.
+
+Scale note: the contract under test is exactly the one a 100 TB streaming
+ingest relies on — a foreachBatch idempotent sink plus file-source
+checkpoint gives exactly-once across arbitrary driver restarts with no
+coordination beyond the manifest log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.utils import StreamingQueryException
+
+from apachebeam_python_spark.sources import laketable as LT
+
+N_FILES = 10
+ROWS_PER_FILE = 20
+
+
+def _make_source(spark, tmp_path) -> str:
+    """N_FILES single-row-group files with disjoint id ranges, written in
+    file-name order so the stream's batch sequence is deterministic."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(N_FILES):
+        (
+            spark.range(i * ROWS_PER_FILE, (i + 1) * ROWS_PER_FILE)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"chunk_{i:03d}.parquet"))
+        )
+    return src
+
+
+def _run_stream(spark, src: str, tbl: str, ckpt: str, batch_fn) -> None:
+    q = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _assert_exactly_once(spark, tbl: str) -> None:
+    got = sorted(r.id for r in LT.read_table(spark, tbl).collect())
+    assert got == list(range(N_FILES * ROWS_PER_FILE)), (
+        f"lake table != input exactly-once: {len(got)} rows, "
+        f"head={got[:5]} tail={got[-5:]}"
+    )
+    # no duplicate batch commits in the manifest history either
+    bids = [h.get("batch_id") for h in LT.history(tbl) if h["op"] == "stream-append"]
+    assert len(bids) == len(set(bids)), f"duplicate batch commits: {bids}"
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _chaos_run(spark, tmp_path, kill_batches: set[int], *, after_commit: bool):
+    """Run the stream, dying inside foreachBatch at each batch in
+    ``kill_batches`` (each id kills exactly once), restarting from the same
+    checkpoint until the stream drains clean."""
+    src = _make_source(spark, tmp_path)
+    tbl = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    killed: set[int] = set()
+
+    def batch_fn(df, bid):
+        if not after_commit and bid in kill_batches and bid not in killed:
+            killed.add(bid)
+            raise _Boom(f"chaos: die BEFORE commit of batch {bid}")
+        LT.append_stream_batch(df, tbl, bid)
+        if after_commit and bid in kill_batches and bid not in killed:
+            killed.add(bid)
+            raise _Boom(f"chaos: die AFTER commit of batch {bid}")
+
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts <= len(kill_batches) + 2, "stream never drained"
+        try:
+            _run_stream(spark, src, tbl, ckpt, batch_fn)
+            break  # drained clean
+        except StreamingQueryException as exc:
+            assert "chaos: die" in str(exc), f"unexpected failure: {exc}"
+    assert killed == kill_batches, f"kill points not all hit: {killed}"
+    # every kill required exactly one restart
+    assert attempts == len(kill_batches) + 1
+    _assert_exactly_once(spark, tbl)
+    return tbl
+
+
+# -- after-commit kills: the torn sink-committed/checkpoint-didn't window --
+
+def test_kill_after_commit_first_batch(spark, tmp_path):
+    tbl = _chaos_run(spark, tmp_path, {0}, after_commit=True)
+    # batch 0 was committed, then replayed on restart and skipped: history
+    # shows ONE stream-append for batch 0
+    bids = [h.get("batch_id") for h in LT.history(tbl) if h["op"] == "stream-append"]
+    assert bids.count(0) == 1
+
+
+def test_kill_after_commit_middle_batch(spark, tmp_path):
+    _chaos_run(spark, tmp_path, {4}, after_commit=True)
+
+
+def test_kill_after_commit_last_batch(spark, tmp_path):
+    _chaos_run(spark, tmp_path, {N_FILES - 1}, after_commit=True)
+
+
+def test_double_kill_two_batches(spark, tmp_path):
+    """Two separate driver deaths in one logical stream: die after batch 2's
+    commit, restart, die again after batch 7's commit, restart, drain."""
+    _chaos_run(spark, tmp_path, {2, 7}, after_commit=True)
+
+
+# -- before-commit kill: death with the batch never delivered to the sink --
+
+def test_kill_before_commit(spark, tmp_path):
+    tbl = _chaos_run(spark, tmp_path, {3}, after_commit=False)
+    # batch 3 was never committed pre-kill; the restart delivered it once
+    bids = [h.get("batch_id") for h in LT.history(tbl) if h["op"] == "stream-append"]
+    assert bids.count(3) == 1
+
+
+# -- graceful stop control: stop() mid-stream, restart, drain --
+
+def test_graceful_stop_and_resume(spark, tmp_path):
+    src = _make_source(spark, tmp_path)
+    tbl = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def batch_fn(df, bid):
+        LT.append_stream_batch(df, tbl, bid)
+        seen.append(bid)
+
+    # first leg: NOT availableNow (which would drain everything) — process
+    # a few batches then stop the query from outside, like an orderly
+    # deploy/restart
+    q = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while len(seen) < 3 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    assert len(seen) >= 3, "stream never processed the first batches"
+    # second leg: resume from checkpoint and drain the rest
+    _run_stream(spark, src, tbl, ckpt, batch_fn)
+    _assert_exactly_once(spark, tbl)
