@@ -603,7 +603,10 @@ def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT)        AS n_docs,
        CAST(sum(doc_id) AS BIGINT)     AS id_sum,
-       CAST(sum(n_chars) AS BIGINT)    AS chars_sum,
+       -- length(text), not the n_chars column: the Spark side measures the
+       -- ROUND-TRIPPED text, and the sf1 replica's salted copies make the
+       -- stored n_chars a stale proxy (caught by the r9 sf1 sweep)
+       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
        md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
 FROM documents
 """,
@@ -820,7 +823,10 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT)        AS n_docs,
        CAST(sum(doc_id) AS BIGINT)     AS id_sum,
-       CAST(sum(n_chars) AS BIGINT)    AS chars_sum,
+       -- length(text), not the n_chars column: the Spark side measures the
+       -- ROUND-TRIPPED text, and the sf1 replica's salted copies make the
+       -- stored n_chars a stale proxy (caught by the r9 sf1 sweep)
+       CAST(sum(length(text)) AS BIGINT) AS chars_sum,
        md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
 FROM documents
 """,
