@@ -105,9 +105,12 @@ class _ResourceProbe:
 
 
 def _clean_spill() -> None:
-    """Remove leftover spill files between queries: a query killed inside a
-    spill (the r8 ENOSPC class) leaves temp files that silently eat the cap
-    for every query after it."""
+    """Remove leftover spill files from a PREVIOUS crashed process. Called
+    only BEFORE this process opens its DuckDB connection — never while one
+    is live: DuckDB tracks its temp files and hard-aborts the process
+    (C++ IO exception in a destructor) if one vanishes under it, which is
+    exactly what an earlier mid-run cleanup attempt did to slice 1 of the
+    r9 sf1 sweep."""
     try:
         for root, _dirs, files in os.walk(_SPILL_DIR):
             for f in files:
@@ -128,6 +131,7 @@ def run(
     budget_sec: float | None = None,
 ) -> int:
     spark = get_spark("parity-dump")
+    _clean_spill()  # leftovers from a previous crashed sweep process only
     con = duckdb.connect()
     # cap the oracle engine (round 7): DuckDB's default memory_limit is 80%
     # of RAM, so ONE heavy oracle (an all-pairs exactness anchor at sf0.1)
@@ -232,8 +236,6 @@ def run(
         if probe.peak_spill:
             entry["duck_peak_spill_bytes"] = probe.peak_spill
         entry["peak_rss_bytes"] = probe.peak_rss
-        if _spill_bytes():
-            _clean_spill()  # a killed/failed spill must not eat the next query's cap
         bad = entry["err"] is not None or (
             has_oracle
             and not (
