@@ -1216,10 +1216,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_clustering_coeff",
     driver=False,  # §2.9 graph extension — pytest oracle
     oracle="""
-WITH b AS (
+WITH b AS MATERIALIZED (
+  -- MATERIALIZED (r9): edges is referenced 8x below (two-hop triangle
+  -- joins x3 + symmetrization); inlined, DuckDB re-ran the 6M-row basket
+  -- self-join per reference and blew the 40 GiB spill cap at the sf1
+  -- replica (the q_bfs_reachability class, one level up)
   SELECT DISTINCT l_orderkey AS oid, p_brand AS item
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.item AS u, c.item AS v
   FROM b a JOIN b c ON a.oid = c.oid AND a.item < c.item
   GROUP BY 1, 2 HAVING count(*) >= 80

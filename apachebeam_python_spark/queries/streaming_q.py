@@ -580,10 +580,17 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     name = _sink("stream_custom", sf_dir)
+    # batch size scales with the input (r9): a fixed 2500 meant 400 driver-
+    # served micro-batches on the 1M-row sf1 replica; ~40 batches at any sf
+    # keeps the drain time flat while still proving multi-batch replay
+    src_path = _os.path.join(sf_dir, "events.parquet")
+    import pyarrow.dataset as _ds
+
+    n_rows = _ds.dataset(src_path, format="parquet").count_rows()
     s = (
         spark.readStream.format("events_replay")
-        .option("path", _os.path.join(sf_dir, "events.parquet"))
-        .option("batch_rows", "2500")
+        .option("path", src_path)
+        .option("batch_rows", str(max(2500, -(-n_rows // 40))))
         .load()
     )
     agg = s.groupBy("event_type").agg(

@@ -178,38 +178,36 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         self._table = None
 
     def _rows(self):
+        """The replay log as ONE sorted Arrow table (r9: kept as Arrow, not
+        a Python list — a 1M-row replica materialized as pylist blew the
+        streaming-source runner's memory during planPartitions; slicing the
+        Arrow table bounds per-call materialization to ``batch_rows``)."""
         if self._table is None:
             import pyarrow.parquet as pq
 
-            t = pq.read_table(self.path).sort_by("event_id")
-            self._table = t.to_pylist()
+            self._table = pq.read_table(self.path).sort_by("event_id")
         return self._table
+
+    def _tuples(self, lo: int, hi: int):
+        chunk = self._rows().slice(lo, hi - lo).to_pylist()
+        return [
+            (
+                r["event_id"], r["ts"], r["user_id"],
+                r["event_type"], r["value"], r["props"],
+            )
+            for r in chunk
+        ]
 
     def initialOffset(self):
         return {"row": 0}
 
     def read(self, start):
-        rows = self._rows()
         lo = start["row"]
-        hi = min(lo + self.batch_rows, len(rows))
-        batch = [
-            (
-                r["event_id"], r["ts"], r["user_id"],
-                r["event_type"], r["value"], r["props"],
-            )
-            for r in rows[lo:hi]
-        ]
-        return (iter(batch), {"row": hi})
+        hi = min(lo + self.batch_rows, self._rows().num_rows)
+        return (iter(self._tuples(lo, hi)), {"row": hi})
 
     def readBetweenOffsets(self, start, end):
-        rows = self._rows()
-        return iter(
-            (
-                r["event_id"], r["ts"], r["user_id"],
-                r["event_type"], r["value"], r["props"],
-            )
-            for r in rows[start["row"] : end["row"]]
-        )
+        return iter(self._tuples(start["row"], end["row"]))
 
     def commit(self, end):
         pass
