@@ -138,16 +138,21 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pmi_collocations",
     driver=False,  # §2.11 curation extension — pytest oracle
     oracle="""
-WITH docs AS (
+WITH docs AS MATERIALIZED (
+  -- MATERIALIZED (r9): docs is scanned by ug AND bg, bg by n2 AND c2 —
+  -- inlined, DuckDB re-split and re-exploded the whole corpus per
+  -- reference and blew the 40 GiB spill cap on the salted sf1 replica
+  -- (whose doc-unique salt tokens make the distinct-bigram set
+  -- corpus-sized)
   SELECT string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 2
 ), ug AS (
   SELECT unnest(ws) AS w FROM docs
-), c1 AS (
+), c1 AS MATERIALIZED (
   SELECT w, count(*) AS c FROM ug GROUP BY w
 ), n1 AS (
   SELECT CAST(sum(c) AS BIGINT) AS n FROM c1
-), bg AS (
+), bg AS MATERIALIZED (
   SELECT unnest(list_transform(range(1, len(ws)),
                                i -> ws[i] || ' ' || ws[i + 1])) AS b
   FROM docs

@@ -43,11 +43,18 @@ from tests.parity import (  # noqa: E402
     spark_rows,
 )
 
-_SPILL_DIR = "/tmp/duckdb_spill"
+#: Spill dir is PER-PROCESS (r9): a shared directory let one parity
+#: process's startup cleanup delete another LIVE process's temp files —
+#: DuckDB hard-aborts (C++ IOException in a destructor) when a tracked
+#: temp file vanishes, which killed two sweep slices before the cause was
+#: found. Each process spills under its own pid-suffixed dir; stale dirs
+#: of DEAD pids are removed at startup.
+_SPILL_BASE = "/tmp/duckdb_spill"
+_SPILL_DIR = f"{_SPILL_BASE}_{os.getpid()}"
 
 
 def _spill_bytes() -> int:
-    """Current on-disk size of the DuckDB spill directory."""
+    """Current on-disk size of THIS process's DuckDB spill directory."""
     total = 0
     try:
         for root, _dirs, files in os.walk(_SPILL_DIR):
@@ -105,21 +112,31 @@ class _ResourceProbe:
 
 
 def _clean_spill() -> None:
-    """Remove leftover spill files from a PREVIOUS crashed process. Called
-    only BEFORE this process opens its DuckDB connection — never while one
-    is live: DuckDB tracks its temp files and hard-aborts the process
-    (C++ IO exception in a destructor) if one vanishes under it, which is
-    exactly what an earlier mid-run cleanup attempt did to slice 1 of the
-    r9 sf1 sweep."""
+    """Remove spill dirs left by DEAD parity processes (crashed mid-spill
+    — the r8 ENOSPC class). Never touches a live process's dir: each pid
+    owns its own suffix, and a dir is removed only when its pid no longer
+    exists."""
+    import re
+    import shutil
+
     try:
-        for root, _dirs, files in os.walk(_SPILL_DIR):
-            for f in files:
-                try:
-                    os.unlink(os.path.join(root, f))
-                except OSError:
-                    pass
+        names = os.listdir(os.path.dirname(_SPILL_BASE) or "/")
     except OSError:
-        pass
+        return
+    base = os.path.basename(_SPILL_BASE)
+    for name in names:
+        m = re.fullmatch(rf"{re.escape(base)}(?:_(\d+))?", name)
+        if not m:
+            continue
+        pid = m.group(1)
+        if pid is None:
+            continue  # legacy unsuffixed dir: owner unknowable — never touch
+        if os.path.exists(f"/proc/{pid}") or int(pid) == os.getpid():
+            continue  # live owner (or ourselves)
+        shutil.rmtree(
+            os.path.join(os.path.dirname(_SPILL_BASE) or "/", name),
+            ignore_errors=True,
+        )
 
 
 def run(
