@@ -991,7 +991,10 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangles",
     driver=False,  # §2.9 graph extension — pytest oracle
     oracle="""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
+  -- MATERIALIZED (r9): pairs is self-joined 3x and tri scanned 3x —
+  -- inlined, the 6M-row basket self-join re-ran per reference (570 s /
+  -- 32 GiB spill at the sf1 replica even when it passed)
   SELECT a.item AS u, c.item AS v, count(*) AS n_ab
   FROM (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
         FROM lineitem JOIN part ON l_partkey = p_partkey) a
@@ -999,7 +1002,7 @@ WITH pairs AS (
         FROM lineitem JOIN part ON l_partkey = p_partkey) c
     ON a.oid = c.oid AND a.item < c.item
   GROUP BY 1, 2 HAVING count(*) >= 80
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM pairs e1
   JOIN pairs e2 ON e1.v = e2.u

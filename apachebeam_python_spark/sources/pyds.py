@@ -183,9 +183,22 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         streaming-source runner's memory during planPartitions; slicing the
         Arrow table bounds per-call materialization to ``batch_rows``)."""
         if self._table is None:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            self._table = pq.read_table(self.path).sort_by("event_id")
+            t = pq.read_table(self.path).sort_by("event_id")
+            # normalize tz-naive timestamp columns to UTC-aware: the driver
+            # fixtures carry tz-aware µs timestamps, but Spark-written
+            # replicas store tz-naive values (same UTC instants) — and
+            # Spark's streaming-source row converter rejects naive
+            # timestamps (astimezone on a naive pandas Timestamp throws)
+            for i, f in enumerate(t.schema):
+                if pa.types.is_timestamp(f.type) and f.type.tz is None:
+                    t = t.set_column(
+                        i, f.name,
+                        t.column(i).cast(pa.timestamp(f.type.unit, tz="UTC")),
+                    )
+            self._table = t
         return self._table
 
     def _tuples(self, lo: int, hi: int):
