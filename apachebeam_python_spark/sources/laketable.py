@@ -960,14 +960,18 @@ def history(path: str) -> list[dict]:
     out = list(ck["history"]) if ck else []
     for v in _versions(path):
         m = _read_manifest(path, v)
-        out.append(
-            {
-                "version": v,
-                "op": m["op"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(e["rows"] for e in m["files"]),
-            }
-        )
+        entry = {
+            "version": v,
+            "op": m["op"],
+            "n_files": len(m["files"]),
+            "n_rows": sum(e["rows"] for e in m["files"]),
+        }
+        # operation parameter (Delta-style): streaming commits carry their
+        # micro-batch id — the audit surface for the exactly-once contract
+        # (r9, tests/test_stream_chaos.py asserts no duplicate batch ids)
+        if m.get("batch_id") is not None:
+            entry["batch_id"] = m["batch_id"]
+        out.append(entry)
     return out
 
 
