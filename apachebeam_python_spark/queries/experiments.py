@@ -1447,13 +1447,23 @@ def setsim_candidates(
     doc-keyed sort — scale-free."""
     if grams is None:
         grams = _setsim_grams(spark, sf_dir)
-    dfreq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
-    sz = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ranked = grams.join(dfreq, "gram").join(sz, "doc_id")
+    # plain count, not countDistinct: shingles() emits DISTINCT grams per
+    # doc, so (doc_id, gram) is already unique — countDistinct's expand +
+    # two-phase dedup was pure overhead (r9b)
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = grams.join(dfreq, "gram")
+    # per-doc set size via a window over the SAME doc partitioning as the
+    # rank — one shuffle serves both, deleting the former groupBy("doc_id")
+    # + join pair (r9b)
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    pref = ranked.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn")
-        <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
+    w_n = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_n))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
+        )
     )
     a = pref.select(F.col("doc_id").alias("da"), "gram")
     b = pref.select(F.col("doc_id").alias("db"), "gram")
