@@ -137,6 +137,9 @@ def assert_driver_canon(df, con, sql, name=""):
 
 
 def assert_parity(df, con, sql, name=""):
+    """Both compare layers; returns the Spark-side row count so callers can
+    layer row-count invariants (e.g. the driver-window nonempty check) on
+    the same execution instead of re-running the query."""
     df = df.persist()  # both layers materialize the Spark side — compute once
     try:
         s_cols, s_rows = spark_rows(df)
@@ -154,5 +157,6 @@ def assert_parity(df, con, sql, name=""):
                 f"  only-in-spark (≤5): {list(extra.items())[:5]}"
             )
         assert_driver_canon(df, con, sql, name=name)
+        return sum(s_rows.values())
     finally:
         df.unpersist()

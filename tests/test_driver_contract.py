@@ -252,6 +252,31 @@ def test_every_family_in_tier1():
         assert name in tier1, f"{name} missing from tier 1"
 
 
+def test_nonempty_window_invariant_wired():
+    """Nonempty-window invariant pin (r10, VERDICT r9 #1): every driver-surface
+    query must return ≥1 row at sf0.01, else its external grade is vacuous —
+    rows/schema/hash can all "match" on the empty set (q_recursive_cte, r9).
+    The check itself lives in tests/test_oracle_parity.py::test_oracle_parity
+    (which already executes each driver query at sf0.01 in the fast gate, so
+    the invariant costs zero extra runs); this test pins that the enforcement
+    stays wired — the constant targets the driver's scale factor and the
+    assertion is still in the parity test body."""
+    import inspect
+
+    from . import test_oracle_parity as top
+
+    assert top.DRIVER_SF001 == "/root/testdata/sf0.01"
+    src = inspect.getsource(top.test_oracle_parity)
+    assert "nrows >= 1" in src and "DRIVER_SF001" in src, (
+        "the driver-window nonempty assertion was removed from "
+        "test_oracle_parity — vacuous driver slots can ship again"
+    )
+    # and the parity helper must keep returning the row count it measured
+    from .parity import assert_parity as ap
+
+    assert "return sum(s_rows.values())" in inspect.getsource(ap)
+
+
 def test_demoted_queries_stay_locally_tested():
     """Folded-out variants remain registered (pytest sweep) but off the
     driver surface."""

@@ -42,10 +42,26 @@ def _tiered(names):
     ]
 
 
+#: Nonempty-window invariant (r10, VERDICT r9 #1): q_recursive_cte's only
+#: external grade passed on an EMPTY result set (its HAVING threshold kept
+#: zero edges at sf0.01, the driver's scale factor) — rows/schema/hash all
+#: "matched" while checking nothing. Parity alone cannot catch this (both
+#: engines agree on the empty set), so every driver-surface query must
+#: return ≥1 row at the driver's sf0.01. Enforced here because this test
+#: already executes each driver query at that scale in the fast gate;
+#: tests/test_driver_contract.py pins that the enforcement stays wired.
+DRIVER_SF001 = "/root/testdata/sf0.01"
+
+
 @pytest.mark.parametrize("name", _tiered(ORACLE_NAMES))
 def test_oracle_parity(name, spark, ddb, sf_dir):
     df = q.QUERIES[name](spark, sf_dir)
-    assert_parity(df, ddb, q.ORACLES[name], name=name)
+    nrows = assert_parity(df, ddb, q.ORACLES[name], name=name)
+    if name in set(q.DRIVER_QUERIES) and sf_dir == DRIVER_SF001:
+        assert nrows >= 1, (
+            f"{name} is on the driver surface but returns 0 rows at sf0.01 — "
+            "its driver grade would be vacuous (VERDICT r9 #1)"
+        )
 
 
 @pytest.mark.parametrize("name", _tiered(ROWS_ONLY_NAMES))
