@@ -45,8 +45,11 @@ def _table_stream(spark: SparkSession, sf_dir: str, table_file: str, schema):
     the driver fixtures are single files (``<sf_dir>/<table>.parquet``, so
     the stream reads ``sf_dir`` with a pathGlobFilter), while the sf1
     replica (sources/layout.py replicate_scaled) writes each table as a
-    DIRECTORY of part files (streamed directly — multiple micro-batches,
-    which is the more production-shaped replay anyway)."""
+    DIRECTORY of part files. Note (ADVICE r9): how many micro-batches the
+    directory form yields is the CALLER's choice — without
+    ``maxFilesPerTrigger`` the file source takes every available file in
+    one batch under most triggers; callers that need multi-batch replay
+    (e.g. the chaos/restart tests) must set that option themselves."""
     path = os.path.join(sf_dir, table_file)
     if os.path.isdir(path):
         return spark.readStream.schema(schema).parquet(path)

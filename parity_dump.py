@@ -215,6 +215,10 @@ def run(
             "err": None,
         }
         t_query = time.time()
+        # probe is assigned INSIDE the try (ADVICE r9): if _ResourceProbe()
+        # or __enter__ raises, the broad except below must not leave a stale
+        # previous-query probe (wrong attribution) or an unbound name
+        probe = None
         try:
             with _ResourceProbe() as probe:
                 df = q.QUERIES[name](spark, sf_dir).persist()
@@ -250,9 +254,10 @@ def run(
         # RSS observed while it ran, so the next scale-up's overweight oracle
         # is identified BEFORE it exhausts the disk
         entry["elapsed_sec"] = round(time.time() - t_query, 1)
-        if probe.peak_spill:
-            entry["duck_peak_spill_bytes"] = probe.peak_spill
-        entry["peak_rss_bytes"] = probe.peak_rss
+        if probe is not None:
+            if probe.peak_spill:
+                entry["duck_peak_spill_bytes"] = probe.peak_spill
+            entry["peak_rss_bytes"] = probe.peak_rss
         bad = entry["err"] is not None or (
             has_oracle
             and not (
@@ -264,11 +269,13 @@ def run(
             print(f"FAIL {name}: {entry['err']}", file=sys.stderr)
         results[name] = entry
         # incremental write (atomic rename): a killed/wedged sweep keeps
-        # every completed query's row — budget stops and kills lose nothing.
-        # Throttled to ≥5 s between writes (ADVICE r8: rewriting the whole
-        # artifact per query is O(n²) serialization over a 450-query sweep);
-        # at most one in-flight query's row is at risk on a kill.
-        if time.time() - last_write >= 5.0:
+        # the flushed prefix of completed queries. Throttled to ≥5 s between
+        # writes (ADVICE r8: rewriting the whole artifact per query is O(n²)
+        # serialization over a 450-query sweep) AND forced every 10 queries
+        # (ADVICE r9: with a pure time throttle, a burst of sub-second
+        # queries could lose up to ~5 s of completed rows on a kill — the
+        # count bound caps the loss at <10 rows regardless of query speed).
+        if time.time() - last_write >= 5.0 or len(results) % 10 == 0:
             last_write = time.time()
             _partial = {
                 "summary": {

@@ -43,6 +43,34 @@ def _predict(model, texts):
 
 
 @driver_tier
+def test_fixture_text_is_casefold_safe(sf_dir):
+    """Fixture-generation contract (ADVICE r8 residual, closed r10): the
+    q_run_inference hash parity rests on Python ``str.lower``/``len`` and
+    SQL ``lower``/``length`` agreeing character-for-character. Characters
+    with FULL casefold expansion (``len(c.lower()) != 1`` — e.g. 'İ'
+    U+0130 → 'i̇') break that silently. The driver regenerates fixtures
+    every round, so assert the contract on the actual data each gate run
+    instead of trusting last round's corpus: every character appearing in
+    documents.text must lower() to exactly one character."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    chars: set[str] = set()
+    for chunk in pq.read_table(path, columns=["text"]).column("text").chunks:
+        for s in chunk.to_pylist():
+            if s:
+                chars.update(s)
+    bad = sorted(c for c in chars if len(c.lower()) != 1)
+    assert not bad, (
+        f"fixture text contains full-casefold characters {bad!r} — Python "
+        "str.lower and SQL lower() diverge there and the q_run_inference "
+        "featurizer hash parity is no longer guaranteed"
+    )
+
+
+@driver_tier
 def test_artifact_shape_and_metadata():
     """Cheap driver-tier check (ADVICE r8): the committed artifact has the
     trained shape — feature spec in sync with the code, weight matrices the

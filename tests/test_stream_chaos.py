@@ -63,7 +63,10 @@ def _run_stream(spark, src: str, tbl: str, ckpt: str, batch_fn) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout WITHOUT raising (ADVICE r9)
+    # — a wedged stream must fail here, not later as a confusing
+    # exactly-once row-count mismatch
+    assert q.awaitTermination(300), "stream did not terminate within 300s"
 
 
 def _assert_exactly_once(spark, tbl: str) -> None:
