@@ -75,7 +75,17 @@ DRIVER_ORDER: list[str] = [
     # Out (families keep ≥1 driver slot; all stay hash-green in the local
     # sweep): q_groupbykey_batches, q_join_cross, q_cogroup_full_outer,
     # q_latest_per_key, q_fn_map, q_partition.
-    "q_lake_snapshot",
+    # r10 rotation (VERDICT r9 #2, wave 5): seven tier-2 slots whose families
+    # have each been driver-graded green ≥3 rounds move to families the
+    # external artifact has NEVER graded — a third codec (WebP/VP8L), a
+    # training-export round trip (WebDataset), a second graph algorithm
+    # (directed SCC), classifier evaluation (reliability bins), Spark 4
+    # native XML extraction, the lake WRITE path (MERGE INTO), and a
+    # streaming event-time interval join. Out (all stay hash-green in the
+    # local sweep; tier 1 untouched): q_lake_snapshot, q_lake_merge_cdc,
+    # q_png_pipeline, q_betweenness, q_spatial_grid_join,
+    # q_udaf_weighted_avg, q_star_join.
+    "q_webp_pipeline",
     "q_session_window",
     # r7 rotation (VERDICT r6 #3): six slots move to the round-6 families
     # that had never earned a driver-green row — finance (q_ohlc_bars),
@@ -87,17 +97,17 @@ DRIVER_ORDER: list[str] = [
     # q_join_range, q_pardo_tagged, q_inference_stub.
     "q_ohlc_bars",
     "q_recursive_cte",
-    "q_udaf_weighted_avg",
+    "q_export_webdataset",
     "q_gif_pipeline",
     "q_market_share",
     # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
     # anchor) demoted to pytest-only; the embedding-family slot went to the
     # scale-shaped chunk→doc mean-pooling query.
     "q_stream_source",
-    "q_star_join",
+    "q_scc",
     "q_bucketed_join",
     "q_lake_changes",
-    "q_spatial_grid_join",
+    "q_calibration",
     "q_range_join_binned",
     "q_dedup_clusters",
     # r8 (continuation): the §2.10 inference row was the last closeable
@@ -109,13 +119,13 @@ DRIVER_ORDER: list[str] = [
     # local sweep).
     "q_run_inference",
     "q_join_asof",
-    "q_png_pipeline",
+    "q_xml_extract",
     "q_quantile_histogram_rollup",
-    "q_betweenness",
+    "q_lake_merge",
     "q_corpus_curation",
     "q_scd2_dims",
     "q_item_cf",
-    "q_lake_merge_cdc",
+    "q_stream_interval_join",
     "q_markov_attribution",
     # r8 rotation (VERDICT r7 #1): six slots move to the round-7 families
     # that had never earned a driver-green row — physical layout / data

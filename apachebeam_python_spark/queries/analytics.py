@@ -93,6 +93,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_star_join",
+    # driver r1–r9; rotated off r10 (VERDICT r9 #2, wave 5) — stays the
+    # tier-1 BENCH headline (plan pinned); q_join_equi/q_bucketed_join/
+    # q_market_share keep the broadcast-dim join family graded
+    driver=False,
     oracle="""
 SELECT n_name,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue,
@@ -2732,7 +2736,10 @@ def _poi_cells(pois: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_spatial_grid_join",
-    # promoted to the driver surface r6 (VERDICT r5 #4): spatial-join family
+    # driver r6–r9 (4 green rounds); rotated off r10 (VERDICT r9 #2, wave 5)
+    # — join coverage stays wide (equi/bucketed/range-binned/as-of + the
+    # new streaming interval join)
+    driver=False,
     oracle=_SPATIAL_SQL_PTS
     + """
 , pc AS (
@@ -3398,7 +3405,8 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_scc",
-    driver=False,  # §2.11 graph family (round 5) — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): second graph algorithm
+    # graded externally (directed SCC; betweenness rotated off)
     oracle="""
 WITH RECURSIVE e AS MATERIALIZED (
   -- MATERIALIZED is load-bearing at scale: inlined, DuckDB re-evaluates
@@ -3623,7 +3631,9 @@ def q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_betweenness",
-    # promoted to the driver surface r6 (VERDICT r5 #4): graph family
+    # driver r6–r9 (4 green rounds); rotated off r10 (VERDICT r9 #2, wave 5)
+    # — the graph slot goes to q_scc (never externally graded)
+    driver=False,
     oracle="""
 WITH RECURSIVE e0 AS (
   SELECT s_nationkey AS src, c_nationkey AS dst

@@ -1821,7 +1821,8 @@ def q_auc_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_calibration",
-    driver=False,  # §2.11 model-evaluation extension — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): first classifier-eval
+    # row graded externally (reliability bins; 10-row grade)
     oracle=f"""
 WITH scored AS (
   SELECT event_id,

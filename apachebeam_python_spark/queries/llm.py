@@ -2641,7 +2641,9 @@ FROM thumb GROUP BY doc_id, w, h
 
 @register(
     "q_png_pipeline",
-    # promoted to the driver surface r6 (VERDICT r5 #4): compressed-codec family
+    # driver r6–r9 (4 green rounds); rotated off r10 (VERDICT r9 #2, wave 5)
+    # — the codec family keeps q_gif_pipeline + q_webp_pipeline
+    driver=False,
     oracle=_THUMB8_ORACLE,
 )
 def q_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2750,7 +2752,9 @@ def q_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_webp_pipeline",
-    driver=False,  # §2.11 fourth codec family (VP8L) — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): third codec family on
+    # the surface (VP8L lossless, alongside GIF/LZW; PNG rotated off after
+    # 4 green rounds)
     oracle=_THUMB8_ORACLE,  # lossless codec ⇒ same closed-form pixel math
 )
 def q_webp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

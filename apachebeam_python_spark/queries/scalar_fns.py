@@ -394,7 +394,8 @@ def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_xml_extract",
-    driver=False,  # §2.7 XML fns (Spark 4 native XML) — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): first external grade of
+    # the Spark 4 native from_xml path
     oracle="""
 WITH x AS (
   SELECT event_id,

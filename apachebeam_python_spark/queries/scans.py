@@ -354,7 +354,9 @@ def q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lake_snapshot",
-    # promoted to the driver surface r6 (VERDICT r5 #4): lake-snapshot family
+    # driver r6–r9 (4 green rounds); rotated off r10 (VERDICT r9 #2, wave 5)
+    # — the lake family keeps q_lake_changes + q_lake_merge on the surface
+    driver=False,
     oracle="""
 WITH v0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
      v1 AS (SELECT * FROM documents WHERE doc_id % 3 IN (0, 1)),
@@ -415,7 +417,8 @@ def q_lake_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lake_merge",
-    driver=False,  # §4.2 MERGE INTO on the snapshot layer — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): first lake WRITE-path
+    # grade (MERGE INTO on the snapshot layer)
     oracle="""
 WITH v0 AS (
   SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
@@ -555,7 +558,8 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_export_webdataset",
-    driver=False,  # §2.1/§2.11 training-export round trip — pytest oracle
+    # driver slot since r10 (VERDICT r9 #2, wave 5): first training-export
+    # round trip the external artifact grades
     oracle="""
 SELECT source, lang,
        CAST(count(*) AS BIGINT)    AS n_docs,
@@ -1256,8 +1260,9 @@ def q_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_lake_merge_cdc",
-    # driver slot since r7 (VERDICT r6 #3): the lake-CDC family's first
-    # driver-green row — exactly-once foreachBatch MERGE apply
+    # driver r7–r9 (3 green rounds); rotated off r10 (VERDICT r9 #2, wave 5)
+    # — q_lake_merge carries the lake write-path slot
+    driver=False,
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,

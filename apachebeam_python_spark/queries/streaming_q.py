@@ -76,7 +76,8 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_interval_join",
-    driver=False,  # extra §2.4/§2.9 proof beyond the driver window
+    # driver slot since r10 (VERDICT r9 #2, wave 5): first streaming JOIN
+    # graded externally (event-time interval join)
     oracle="""
 SELECT a.event_type AS l_type, b.event_type AS r_type, count(*) AS n_pairs
 FROM events a JOIN events b

@@ -45,6 +45,9 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udaf_weighted_avg",
+    # driver r1–r9; rotated off r10 (VERDICT r9 #2, wave 5) — §2.10 keeps
+    # q_pandas_udf_scalar (tier 1) + q_run_inference + q_hashed_tf_vectors
+    driver=False,
     oracle="""
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price

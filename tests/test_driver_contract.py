@@ -111,6 +111,33 @@ ROTATED_IN_R9 = [
     "q_quantile_histogram_rollup",
 ]
 
+#: Round-10 rotation (VERDICT r9 #2, wave 5): seven tier-2 slots whose
+#: families had each been driver-graded green ≥3 rounds move to families the
+#: external artifact has NEVER graded — third codec (WebP/VP8L), training
+#: export round trip (WebDataset), second graph algorithm (directed SCC),
+#: classifier evaluation (reliability bins), Spark 4 native XML, lake write
+#: path (MERGE INTO), streaming event-time interval join. Tier 1 untouched;
+#: rotated-off queries stay oracle-backed in the local sweep.
+ROTATED_OFF_R10 = {
+    "q_lake_snapshot",
+    "q_lake_merge_cdc",
+    "q_png_pipeline",
+    "q_betweenness",
+    "q_spatial_grid_join",
+    "q_udaf_weighted_avg",
+    "q_star_join",
+}
+
+ROTATED_IN_R10 = [
+    "q_webp_pipeline",
+    "q_export_webdataset",
+    "q_scc",
+    "q_calibration",
+    "q_xml_extract",
+    "q_lake_merge",
+    "q_stream_interval_join",
+]
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -174,6 +201,7 @@ def test_r2_green_set_never_demoted():
     intentionally_demoted = (
         {"q_dedup_embedding"}
         | ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8 | ROTATED_OFF_R9
+        | ROTATED_OFF_R10
     )
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
@@ -207,7 +235,8 @@ def test_r3_green_set_never_demoted():
     ]
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
-    rotated_off = ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8 | ROTATED_OFF_R9
+    rotated_off = (ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
+                   | ROTATED_OFF_R9 | ROTATED_OFF_R10)
     demoted = [
         n for n in green if n not in rotated_off and (n not in qs or n not in os_)
     ]
@@ -221,7 +250,8 @@ def test_r3_green_set_never_demoted():
     # q_katz: in r6/r7, off r9 after ≥3 green driver rounds)
     for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
               "q_png_pipeline", "q_betweenness", "q_scd2_dims"] \
-             + ROTATED_IN_R7 + ROTATED_IN_R8 + ROTATED_IN_R9:
+             + ROTATED_IN_R7 + ROTATED_IN_R8 + ROTATED_IN_R9 \
+             + ROTATED_IN_R10:
         if n in rotated_off:
             continue
         assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"

@@ -20,17 +20,17 @@ ROWS_ONLY_NAMES = sorted(set(q.QUERIES) - set(q.ORACLES))
 #: (not yet battle-hardened), so ``pytest -m driver`` is a minutes-scale
 #: gate while the full suite stays the nightly-shaped default.
 NEWEST_ROUND = {
-    # r9: the seven queries rotated OFF the driver surface this round — the
+    # r10: the seven queries rotated OFF the driver surface this round — the
     # rotation promise ("every rotated-off query stays local-hash green")
     # must be re-proven by the fast gate, not just the nightly sweep. The
     # seven rotated-IN queries are covered automatically via DRIVER_QUERIES.
-    "q_doc_stats",
-    "q_json_extract",
-    "q_dedup_ngram_jaccard",
-    "q_chi_square",
-    "q_grouped_map_zscore",
-    "q_agg_stats",
-    "q_katz",
+    "q_lake_snapshot",
+    "q_lake_merge_cdc",
+    "q_png_pipeline",
+    "q_betweenness",
+    "q_spatial_grid_join",
+    "q_udaf_weighted_avg",
+    "q_star_join",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
