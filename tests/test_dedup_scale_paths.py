@@ -129,20 +129,44 @@ def test_quantize_int8_error_bound(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def test_setsim_prefix_filter_is_lossless_and_prunes(spark, ddb, sf_dir):
-    """The PPJoin-style prefix filter must (a) never lose a qualifying
-    pair — every Jaccard ≥ t pair appears among the candidates — and
-    (b) actually prune: candidates ≪ the full shared-gram pair space."""
-    from apachebeam_python_spark.queries.experiments import setsim_candidates
-    from apachebeam_python_spark import queries as q
+    """The PPJoin-style candidate stage — prefix filter + the r10 length and
+    position filters (VERDICT r9 #5) — must (a) never lose a qualifying
+    pair, judged against an INDEPENDENT engine (DuckDB computes the true
+    Jaccard ≥ t pair set with no candidate pruning at all; comparing
+    against the Spark result would be circular since it derives from these
+    candidates), and (b) actually prune: candidates ≪ the full shared-gram
+    pair space, and the r10 filters strictly below the prefix filter
+    alone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from apachebeam_python_spark.queries.experiments import (
+        SETSIM_T,
+        _setsim_grams,
+        setsim_candidates,
+    )
 
     cand = {
         (r.da, r.db)
         for r in setsim_candidates(spark, sf_dir).collect()
     }
-    result = {
-        (r.da, r.db) for r in q.QUERIES["q_setsim_join"](spark, sf_dir).collect()
+    truth = {
+        (da, db)
+        for da, db in ddb.execute(f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       range(1,len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) gram FROM toks),
+sz AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id<b.doc_id GROUP BY 1,2)
+SELECT da, db FROM inter JOIN sz sa ON sa.doc_id=da JOIN sz sb ON sb.doc_id=db
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= {SETSIM_T}
+""").fetchall()
     }
-    assert result <= cand, "prefix filter lost qualifying pairs"
+    assert truth <= cand, (
+        f"candidate filters lost {len(truth - cand)} qualifying pairs: "
+        f"{sorted(truth - cand)[:5]}"
+    )
 
     full = ddb.execute("""
 WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -152,6 +176,31 @@ SELECT count(*) FROM (SELECT DISTINCT a.doc_id, b.doc_id
                       FROM g a JOIN g b ON a.gram=b.gram AND a.doc_id<b.doc_id)
 """).fetchone()[0]
     assert len(cand) * 5 < full, (len(cand), full)
+
+    # the r10 position/length filters must prune BELOW the prefix filter
+    # alone (the pre-r10 candidate stage, reconstructed inline)
+    grams = _setsim_grams(spark, sf_dir)
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    w_n = Window.partitionBy("doc_id")
+    pref = (
+        grams.join(dfreq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_n))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1)
+    )
+    prefix_only = (
+        pref.select(F.col("doc_id").alias("da"), "gram")
+        .join(pref.select(F.col("doc_id").alias("db"), "gram"), "gram")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .count()
+    )
+    assert len(cand) < prefix_only, (
+        f"position/length filters pruned nothing: {len(cand)} vs "
+        f"prefix-only {prefix_only}"
+    )
 
 
 def test_ngram_jaccard_prefix_filter_lossless_and_pruned(spark, sf_dir):
