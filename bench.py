@@ -229,13 +229,41 @@ def main() -> None:
     # wall-clock, the standard convention for damping transient host noise
     # (this box shows random multi-second steal-time stalls that can hit
     # ANY single pass; two passes were not enough to dodge them reliably).
+    # Probe brackets (r10, VERDICT r9 #3): the single pre-run probe was
+    # blind to sustained host steal landing DURING the tiers — sub-second
+    # probe bursts dodge multi-second stalls that inflate 1–10 s queries
+    # 15–30% (documented r9). Each tier is now bracketed by its own probe
+    # burst (tier1: before/mid, tier2: mid/after — 4 bracket endpoints over
+    # 3 bursts); a tier whose bracket totals disagree by >10% is flagged
+    # untrusted-for-comparison in BENCH_DETAIL, machine-readable, so
+    # round-over-round deltas on a degrading host can be discarded by field
+    # instead of by README footnote.
     scaling = None
+    probe_brackets = None
     try:
-        passes = [
-            {name: run(name) for name in HEADLINE + HEADLINE2} for _ in range(3)
-        ]
-        best = {n: min(p[n] for p in passes) for n in HEADLINE}
-        best2 = {n: min(p[n] for p in passes) for n in HEADLINE2}
+        pb_before = host_probe(spark)
+        passes1 = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+        pb_mid = host_probe(spark)
+        passes2 = [{name: run(name) for name in HEADLINE2} for _ in range(3)]
+        pb_after = host_probe(spark)
+        passes = [{**p1, **p2} for p1, p2 in zip(passes1, passes2)]
+        best = {n: min(p[n] for p in passes1) for n in HEADLINE}
+        best2 = {n: min(p[n] for p in passes2) for n in HEADLINE2}
+
+        def _bracket(before: dict, after: dict) -> dict:
+            lo, hi = sorted([before["total"], after["total"]])
+            spread = round(hi / lo - 1.0, 3) if lo else None
+            return {
+                "before": before,
+                "after": after,
+                "spread": spread,
+                "trusted_for_comparison": spread is not None and spread <= 0.10,
+            }
+
+        probe_brackets = {
+            "tier1": _bracket(pb_before, pb_mid),
+            "tier2": _bracket(pb_mid, pb_after),
+        }
 
         # scaling curve (VERDICT r4 #7): re-time the headline set at a lower
         # sf (same parallel-scan layout) and report the per-query scaling
@@ -492,6 +520,19 @@ def main() -> None:
                     "host_probe": probe,
                     "host_probe_baseline": probe_baseline,
                     "host_factor": host_factor,
+                    # per-tier probe brackets + trust flags (r10, VERDICT
+                    # r9 #3) — cross-run comparisons must skip tiers where
+                    # trusted_for_comparison is false
+                    "probe_brackets": probe_brackets,
+                    "untrusted_tiers": (
+                        sorted(
+                            t
+                            for t, b in probe_brackets.items()
+                            if not b["trusted_for_comparison"]
+                        )
+                        if probe_brackets
+                        else None
+                    ),
                     "value_cold": round(sum(passes[0].values()), 3),
                     "queries_cold": passes[0],
                     "value_warm": round(sum(passes[-1].values()), 3),
