@@ -34,11 +34,25 @@ from ..session import checkpoint, fan_out
 _SIG_CACHES: list[DataFrame] = []
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and enroll it for :func:`release_signature_caches` —
+    the shared lifecycle for any operator that SELF-JOINS an expensive
+    subtree (minhash signature tables; the setsim rarity-ranked prefix
+    table, r10): Spark plans a self-join as two full copies of the input
+    subtree, so without a persist the window/aggregation work runs twice.
+    MEMORY_AND_DISK (the persist default), so an oversized table degrades
+    to disk instead of evicting the executors' working memory."""
+    df = df.persist()
+    _SIG_CACHES.append(df)
+    return df
+
+
 def release_signature_caches() -> int:
-    """Unpersist every signature table cached by :func:`minhash_lsh_pairs`
-    since the last release. Returns how many were dropped. Call after the
-    query's result is materialized (the cache is only useful DURING the
-    action that computes candidates + verify from the same signatures)."""
+    """Unpersist every table enrolled by :func:`register_cache` (minhash
+    signatures, setsim prefix tables, …) since the last release. Returns
+    how many were dropped. Call after the query's result is materialized
+    (the cache is only useful DURING the action that computes candidates +
+    verify from the same subtree)."""
     n = 0
     while _SIG_CACHES:
         _SIG_CACHES.pop().unpersist()

@@ -35,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb  # noqa: E402
 
 from apachebeam_python_spark import queries as q  # noqa: E402
+from apachebeam_python_spark.operators.dedup import (  # noqa: E402
+    release_signature_caches,
+)
 from apachebeam_python_spark.session import TABLES, get_spark  # noqa: E402
 from tests.parity import (  # noqa: E402
     assert_driver_canon,
@@ -250,6 +253,11 @@ def run(
             entry["err"] = "".join(
                 traceback.format_exception_only(type(exc), exc)
             ).strip()[:500]
+        finally:
+            # operator-level caches (minhash signatures, setsim prefix
+            # tables) must not outlive their query in a 400+-query sweep
+            # process — same lifecycle bench.py applies per run (r10b)
+            release_signature_caches()
         # per-query resource record (VERDICT r8 #7): wall time + peak spill /
         # RSS observed while it ran, so the next scale-up's overweight oracle
         # is identified BEFORE it exhausts the disk

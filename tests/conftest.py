@@ -40,3 +40,17 @@ def ddb():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Operator-level caches (minhash signatures; the setsim prefix table
+    since r10b) enroll in the release_signature_caches registry. Queries
+    are lazy builders, so a test that merely materializes one never gets a
+    natural release point — drop whatever the test left behind so cache
+    state can't leak across tests (test_cache_lifecycle asserts exact
+    registry counts and broke when the setsim tests ran first)."""
+    yield
+    from apachebeam_python_spark.operators.dedup import release_signature_caches
+
+    release_signature_caches()
