@@ -346,10 +346,36 @@ def ngram_jaccard_candidates(
             + 1
         )
     )
+    # persist across the self-join (r10b, the setsim_candidates lesson):
+    # Spark plans pref JOIN pref as two copies of the df-count join + rank
+    # window subtree; register_cache shares one materialization under the
+    # release_signature_caches lifecycle
+    pref = register_cache(pref)
+    # overlap threshold α = ⌈t/(1+t)·(pa+pb)⌉, ε-loosened in the same
+    # direction discipline as above (an extra candidate is harmless; a
+    # dropped one breaks exactness)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("pa") + F.col("pb"))
+        - eps
+    )
+    # position filter (r10, PPJoin — valid because shingles() is DISTINCT
+    # per doc): both docs' grams share the (df, gram) total order, so a
+    # shared gram at ranks (ra, rb) bounds the overlap by
+    # least(ra, rb) + least(pa−ra, pb−rb); every row of a TRUE pair
+    # satisfies bound ≥ overlap ≥ α, so per-row pruning loses nothing
+    pos_bound = F.least(F.col("ra"), F.col("rb")) + F.least(
+        F.col("pa") - F.col("ra"), F.col("pb") - F.col("rb")
+    )
     return (
-        pref.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("pa"), "gram")
+        pref.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("pa"),
+            F.col("rn").alias("ra"), "gram",
+        )
         .join(
-            pref.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("pb"), "gram"),
+            pref.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("pb"),
+                F.col("rn").alias("rb"), "gram",
+            ),
             "gram",
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -358,6 +384,7 @@ def ngram_jaccard_candidates(
             F.least("pa", "pb").cast("double")
             >= F.lit(threshold) * F.greatest("pa", "pb") - eps
         )
+        .filter(pos_bound >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -423,9 +450,14 @@ def ngram_containment_pairs(
     per-gram document frequency) — at 100 TB run it on LSH candidates,
     i.e. swap the pair source for minhash_lsh_pairs(verify=False) and keep
     this scoring join."""
-    grams = fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
+    # lazy lineage cut (r10b): counts + BOTH self-join sides consume the
+    # explode — without it the shingle subtree plans three times
+    grams = checkpoint(
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.shingles(F.col(text_col), shingle_n)).alias("gram"),
+        ),
+        eager=False,
     )
     counts = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = grams.alias("a"), grams.alias("b")
