@@ -32,8 +32,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver contract: ≤50 entries covering every SURVEY.md §2 family,
     ordered coverage-first (see ``queries/__init__.DRIVER_ORDER``). Folded-out
     variants remain in ``apachebeam_python_spark.queries.QUERIES`` and are
-    oracle-checked by the local pytest sweep."""
-    return dict(_q.DRIVER_QUERIES)
+    oracle-checked by the local pytest sweep.
+
+    Each callable releases any signature caches left by the PREVIOUS query
+    before building (ADVICE r10 #4): operators that self-join an expensive
+    subtree persist it via ``operators.dedup.register_cache``, and in a
+    driver loop that constructs many queries in one session those persists
+    would otherwise accumulate for the session lifetime. Releasing at the
+    NEXT query's construction is safe — the prior result has been collected
+    by then — and mirrors parity_dump's per-query release."""
+    from apachebeam_python_spark.operators.dedup import release_signature_caches
+
+    def _guarded(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_signature_caches()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _guarded(fn) for name, fn in _q.DRIVER_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -85,6 +85,29 @@ DRIVER_ORDER: list[str] = [
     # local sweep; tier 1 untouched): q_lake_snapshot, q_lake_merge_cdc,
     # q_png_pipeline, q_betweenness, q_spatial_grid_join,
     # q_udaf_weighted_avg, q_star_join.
+    # r11 rotation (VERDICT r10 #1, wave 6 — cadence raised to 10): ten
+    # tier-2 slots whose families have each been driver-graded green ≥3
+    # rounds move to families the external artifact has NEVER graded — a
+    # 5th codec (FLAC), TFRecord export round trip (per-shard digests),
+    # label-propagation communities, PageRank (tier-2 benched two rounds,
+    # never correctness-graded externally), bounded BFS reachability
+    # (top-3-per-src trade graph), k-anonymity privacy audit, hybrid
+    # search / RRF, BPE vocabulary learning, the KMV set-op sketch, and
+    # Holt's linear-trend forecast. Out (all stay hash-green in the local
+    # sweep; tier 1 untouched; every §2 family keeps ≥1 slot):
+    # q_stream_source, q_dedup_clusters, q_corpus_curation, q_bm25,
+    # q_funnel, q_scd2_dims, q_range_join_binned, q_bucketed_join,
+    # q_salted_distinct, q_hashed_tf_vectors.
+    "q_flac_pipeline",
+    "q_export_tfrecord",
+    "q_communities_lpa",
+    "q_pagerank",
+    "q_bfs_reachability",
+    "q_k_anonymity",
+    "q_hybrid_search",
+    "q_bpe_learn",
+    "q_kmv_sketch",
+    "q_forecast_holt",
     "q_webp_pipeline",
     "q_session_window",
     # r7 rotation (VERDICT r6 #3): six slots move to the round-6 families
@@ -103,13 +126,9 @@ DRIVER_ORDER: list[str] = [
     # r3 (VERDICT r2 #4): q_dedup_embedding (all-pairs O(n²) exactness
     # anchor) demoted to pytest-only; the embedding-family slot went to the
     # scale-shaped chunk→doc mean-pooling query.
-    "q_stream_source",
     "q_scc",
-    "q_bucketed_join",
     "q_lake_changes",
     "q_calibration",
-    "q_range_join_binned",
-    "q_dedup_clusters",
     # r8 (continuation): the §2.10 inference row was the last closeable
     # coverage gap ("pattern only; no model offline") — q_run_inference runs
     # a REAL trained artifact (models/lid_model_v1.json) through the Beam
@@ -122,8 +141,6 @@ DRIVER_ORDER: list[str] = [
     "q_xml_extract",
     "q_quantile_histogram_rollup",
     "q_lake_merge",
-    "q_corpus_curation",
-    "q_scd2_dims",
     "q_item_cf",
     "q_stream_interval_join",
     "q_markov_attribution",
@@ -137,17 +154,13 @@ DRIVER_ORDER: list[str] = [
     # local sweep): q_topk_per_key, q_join_broadcast, q_fn_array,
     # q_embedding_pool, q_custom_window, q_cube.
     "q_zorder_skip",
-    "q_salted_distinct",
     "q_ivm_join",
     "q_changepoint_per_key",
     "q_phrase_search",
-    "q_hashed_tf_vectors",
     # round 3 (VERDICT r2 #1): the rows-only tail (q_ann_lsh, q_dedup_sketch,
     # q_approx_sample) could never earn a hash-green row, so it's swapped for
     # three oracle-backed queries from distinct capability families. The
     # approximate queries keep their recall/property proofs in pytest.
-    "q_bm25",           # lexical retrieval (§2.11)
-    "q_funnel",         # ordered-event analytics (§2.3/§2.5)
     "q_data_quality",   # Deequ-style profiling (§2.3)
 ]
 

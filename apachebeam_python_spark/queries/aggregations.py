@@ -683,7 +683,7 @@ _MD5_U48 = (
 
 @register(
     "q_kmv_sketch",
-    driver=False,  # §2.3 sketch family: set-op estimation — pytest oracle
+    driver=True,  # §2.3 sketch family: set-op estimation — rotated in r11 (wave 6)
     oracle=f"""
 WITH ue AS (
   SELECT event_type, user_id FROM events
@@ -1239,6 +1239,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_salted_distinct",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     # driver slot since r8 (VERDICT r7 #1): skew-safe aggregation family
     oracle="""
 WITH salted AS (

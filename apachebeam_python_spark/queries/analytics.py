@@ -209,6 +209,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_funnel",  # driver slot since r3: oracle-backed (swapped in for q_dedup_sketch)
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
@@ -496,6 +497,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_dims",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     # promoted to the driver surface r6 (VERDICT r5 #4): SCD2 warehouse family
     oracle="""
 WITH marked AS (
@@ -688,7 +690,7 @@ FROM r{iterations} JOIN nation ON node = n_nationkey
 
 @register(
     "q_pagerank",
-    driver=False,  # §2.9 iterative-algorithm extension — pytest oracle
+    driver=True,  # §2.9 iterative-algorithm extension — rotated in r11 (wave 6)
     oracle=_pagerank_oracle(),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1887,15 +1889,17 @@ WITH e0 AS MATERIALIZED (
         for i in range(1, rounds + 1)
     )
     tail = f"""
-SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_members,
-       min(l.node) AS min_member
-FROM l{rounds} l GROUP BY 1"""
+SELECT l.node, l.label AS community, s.n_members
+FROM l{rounds} l
+JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+      FROM l{rounds} GROUP BY 1) s ON s.label = l.label
+ORDER BY l.node LIMIT 20"""
     return head + rounds_sql + tail
 
 
 @register(
     "q_communities_lpa",
-    driver=False,  # §2.9 graph-community extension — pytest oracle
+    driver=True,  # §2.9 graph-community extension — rotated in r11 (wave 6)
     oracle=_lpa_oracle(),
 )
 def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,7 +1918,14 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synchronous rounds are the deterministic choice (async LPA is
     order-dependent); bounded rounds keep the plan finite, exactly like
     q_pagerank / bounded BFS. Edges localCheckpoint once (shared-subtree
-    discipline)."""
+    discipline).
+
+    r11 (rotation wave 6): the result is the first 20 nodes by node id
+    with their FINAL label and community size — a multi-row, per-node
+    external grade (the old single-community census collapsed to 1 row at
+    sf0.01, a vacuous-adjacent grade per the r9 lesson); pinning concrete
+    per-node assignments is strictly stronger than the aggregate it
+    replaced."""
     from pyspark.sql import Window
 
     edges = _brand_edges(spark, sf_dir)
@@ -1942,9 +1953,12 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .transform(checkpoint)
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count("*").alias("n_members"),
-        F.min("node").alias("min_member"),
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select("node", F.col("label").alias("community"), "n_members")
+        .orderBy("node")
+        .limit(20)
     )
 
 

@@ -625,7 +625,7 @@ FROM d{steps} GROUP BY doc_id"""
 
 @register(
     "q_bpe_learn",
-    driver=False,  # §2.11 tokenizer-training extension — pytest oracle
+    driver=True,  # §2.11 tokenizer-training extension — rotated in r11 (wave 6)
     oracle=_bpe_oracle(),
 )
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -836,20 +836,31 @@ def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_bfs_reachability",
-    driver=False,  # §2.9 bounded-iteration graph extension — pytest oracle
+    driver=True,  # §2.9 bounded-iteration graph — rotated in r11 (wave 6)
     oracle="""
-WITH e AS MATERIALIZED (
+WITH e0 AS MATERIALIZED (
   -- MATERIALIZED (r9, VERDICT r8 #2): DuckDB inlines plain CTEs, so the
   -- star join re-ran once per hop and spilled >80 GB at the sf1 replica;
   -- materializing evaluates it once (the Spark side localCheckpoints the
   -- same subtree for the same reason)
-  SELECT s_nationkey AS src, c_nationkey AS dst
+  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS n
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE s_nationkey <> c_nationkey
-  GROUP BY 1, 2 HAVING count(*) >= 150
+  GROUP BY 1, 2
+), e AS MATERIALIZED (
+  -- top-3 outgoing edges per source (r11): the old absolute weight cut
+  -- (HAVING n >= 150) was sf0.1-calibrated and left nation 0 edgeless at
+  -- sf0.01, so the only external grade this query could earn was the
+  -- vacuous 1-row {dist 0} set. Per-src top-k is scale-free (some edges
+  -- survive at EVERY sf), exact-integer, and deterministic (n DESC, dst
+  -- is a total order because (src, dst) is unique).
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn
+    FROM e0) WHERE rn <= 3
 ), l1 AS MATERIALIZED (
   SELECT DISTINCT dst AS node FROM e WHERE src = 0
 ), l2 AS MATERIALIZED (
@@ -875,12 +886,16 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q_dedup_clusters (label propagation). Levels are unrolled (fixed
     depth), each frontier is a distinct node set joined back onto the
     edge table, and min(dist) merges the levels; the oracle unrolls the
-    identical three CTE hops.
+    identical three CTE hops. Edges are the top-3 per source nation by
+    trade volume (r11 — scale-free, unlike the old absolute weight cut
+    that left the sf0.01 graph edgeless and the grade vacuous): k-NN-graph
+    construction, the standard BFS substrate.
 
     Scale: the edge build is the star join (dims broadcast onto
-    lineitem); per hop the FRONTIER broadcasts (≤ |nodes| rows) onto the
-    partitioned edge table — edges never move. Unreachable nodes simply
-    never appear; depth bounds the work to hops × |edges| lookups."""
+    lineitem); the top-k is one WindowGroupLimit over the O(|nations|²)
+    aggregated edge list; per hop the FRONTIER broadcasts (≤ |nodes| rows)
+    onto the partitioned edge table — edges never move. Unreachable nodes
+    simply never appear; depth bounds the work to hops × |edges| lookups."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -894,7 +909,13 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 150)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
         .select("src", "dst")
     )
     # the edge subtree appears once per hop — materialize it ONCE with a
@@ -1180,7 +1201,7 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_forecast_holt",
-    driver=False,  # §2.5 forecasting extension (sequential) — pytest oracle
+    driver=True,  # §2.5 forecasting extension (sequential) — rotated in r11 (wave 6)
     oracle="""
 WITH RECURSIVE m AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1499,8 +1520,21 @@ def setsim_candidates(
     from ..operators.dedup import register_cache
 
     pref = register_cache(pref)
-    frac = Fraction(SETSIM_T)
+    # ADVICE r10 #1: Fraction(float) of a NON-dyadic threshold (0.6, 0.7, …)
+    # reproduces the double exactly — p, q ≈ 5e15 — and the generated
+    # `p * (na + nb)` overflows BIGINT once na + nb ≳ 1700 grams (ANSI mode:
+    # runtime error; legacy: silently wrong α that can DROP true pairs).
+    # The threshold is a human-chosen rational, so snap to the nearest small
+    # fraction first and pin the int64 headroom explicitly.
+    frac = Fraction(SETSIM_T).limit_denominator(1000)
+    assert abs(float(frac) - SETSIM_T) < 1e-12, (
+        f"SETSIM_T={SETSIM_T} is not a small rational — α would need exact "
+        "big-integer arithmetic (DECIMAL(38,0)), not BIGINT"
+    )
     p, q_ = (frac / (1 + frac)).as_integer_ratio()
+    # p ≤ 1000 after limit_denominator ⇒ p·(na+nb) stays < 2^63 for any
+    # realistic document (na+nb < 9.2e15 grams)
+    assert p <= 2001 and q_ <= 2001
     a = pref.select(
         F.col("doc_id").alias("da"), "gram",
         F.col("rn").alias("ra"), F.col("n").alias("na"),

@@ -449,6 +449,7 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_bucketed_join",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     # driver slot since r7 (VERDICT r6 #3): the physical-layout family's first
     # driver-green row — zero-exchange SMJ on pre-bucketed tables
     oracle="""
@@ -510,6 +511,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_range_join_binned",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     # driver slot since r7 (VERDICT r6 #3): replaces q_join_range — the binned
     # equi-join decomposition that survives 100 TB where the BNLJ dies
     oracle="""

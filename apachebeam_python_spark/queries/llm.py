@@ -358,6 +358,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_corpus_curation",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="""
 WITH hashed AS (
   SELECT doc_id, text, lang, source,
@@ -460,6 +461,7 @@ _NEARDUP_REACH_CTES = """WITH RECURSIVE pairs AS MATERIALIZED (
 
 @register(
     "q_dedup_clusters",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle=_NEARDUP_REACH_CTES + """
 SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
 """,
@@ -833,7 +835,7 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_k_anonymity",
-    driver=False,  # §2.11 privacy audit — pytest oracle
+    driver=True,  # §2.11 privacy audit — rotated in r11 (wave 6)
     oracle="""
 SELECT c_nationkey, c_mktsegment,
        CAST(count(*) AS BIGINT)                    AS class_size,
@@ -1305,6 +1307,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bm25",  # driver slot since r3: oracle-backed (swapped in for q_ann_lsh)
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="""
 WITH toks AS (
   SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1351,7 +1354,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_hybrid_search",
-    driver=False,  # extra §2.11 retrieval proof — pytest-only oracle
+    driver=True,  # extra §2.11 retrieval proof — rotated in r11 (wave 6)
     oracle="""
 WITH toks AS (
   SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1719,7 +1722,7 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_flac_pipeline",
-    driver=False,  # §2.11 COMPRESSED-audio proof — pytest oracle
+    driver=True,  # §2.11 COMPRESSED-audio proof — rotated in r11 (wave 6)
     oracle=_AUDIO_SAW_ORACLE,  # lossless codec ⇒ same closed-form samples
 )
 def q_flac_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4653,6 +4656,7 @@ def q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q_hashed_tf_vectors",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     # driver slot since r8 (VERDICT r7 #1): hashed feature vectorization
     oracle="""
 WITH toks AS (

@@ -603,9 +603,10 @@ def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_export_tfrecord",
-    driver=False,  # §2.1/§2.11 TFRecord round trip — pytest oracle
+    driver=True,  # §2.1/§2.11 TFRecord round trip — rotated in r11 (wave 6)
     oracle="""
-SELECT CAST(count(*) AS BIGINT)        AS n_docs,
+SELECT CAST(doc_id // 64 AS BIGINT)    AS shard,
+       CAST(count(*) AS BIGINT)        AS n_docs,
        CAST(sum(doc_id) AS BIGINT)     AS id_sum,
        -- length(text), not the n_chars column: the Spark side measures the
        -- ROUND-TRIPPED text, and the sf1 replica's salted copies make the
@@ -613,6 +614,7 @@ SELECT CAST(count(*) AS BIGINT)        AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS chars_sum,
        md5(string_agg(text, '|' ORDER BY doc_id)) AS text_md5
 FROM documents
+GROUP BY 1
 """,
 )
 def q_export_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,7 +623,13 @@ def q_export_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
     records (protobuf wire format written directly — no protobuf library)
     framed with masked CRC-32C checksums, which the reader VERIFIES on
     every record. The oracle aggregates the original table; the ordered
-    md5 pins byte-exact text recovery through the Example encode/decode."""
+    md5 pins byte-exact text recovery through the Example encode/decode.
+    r11 (rotation wave 6): the digest is PER SHARD, not global — a
+    multi-row external grade (~8 rows at sf0.01, scaling with the data)
+    that additionally pins that every record landed in its intended
+    doc_id/64 shard file (the reader parses ``shard`` from the FILE NAME,
+    so a record written to the wrong file breaks the hash even though its
+    bytes round-trip) — exactly what a training-data loader consumes."""
     from ..sources.mlexport import read_tfrecord, write_tfrecord
 
     out = os.path.join(_scratch_dir(), f"tfr_{_sfkey(sf_dir)}")
@@ -630,7 +638,7 @@ def q_export_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_tfrecord(docs, out, "doc_id", "text", "shard")
     back = read_tfrecord(spark, out)
-    return back.agg(
+    return back.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("id").alias("id_sum"),
         F.sum(F.length("text")).alias("chars_sum"),

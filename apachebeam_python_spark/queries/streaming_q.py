@@ -43,6 +43,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_source",
+    driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="SELECT event_type, count(*) AS n, max(ts) AS max_ts FROM events GROUP BY event_type",
 )
 def q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:

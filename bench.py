@@ -223,8 +223,13 @@ def main() -> None:
         release_signature_caches()
         return elapsed
 
-    # three full interleaved passes, best-of-three per query: pass 1 is the
-    # cold run (codegen/JIT compile); passes 2-3 are steady state. The
+    # tier-SEQUENTIAL passes (r10 restructure, noted per ADVICE r10 #2):
+    # tier 1 runs three full passes, THEN tier 2 runs three — so tier 2's
+    # pass-0 "cold" run executes after six tier-1 passes and value_cold /
+    # value_warm for tier 2 are not comparable to pre-r10 BENCH_DETAIL
+    # files, beyond what the probe brackets flag. Best-of-three per query:
+    # pass 1 is the cold run (codegen/JIT compile); passes 2-3 are steady
+    # state. The
     # contract value is the per-query minimum — a real, fully-measured
     # wall-clock, the standard convention for damping transient host noise
     # (this box shows random multi-second steal-time stalls that can hit

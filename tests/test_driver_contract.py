@@ -138,6 +138,39 @@ ROTATED_IN_R10 = [
     "q_stream_interval_join",
 ]
 
+#: Round-11 rotation (VERDICT r10 #1, wave 6 — cadence raised to 10 slots):
+#: ten tier-2 slots whose families have each been driver-graded green ≥3
+#: rounds move to families the external artifact has NEVER graded — FLAC
+#: codec, TFRecord export (per-shard digests), LPA communities, PageRank,
+#: bounded BFS (top-3-per-src trade graph), k-anonymity, hybrid search/RRF,
+#: BPE vocabulary learning, KMV set-op sketch, Holt forecast. Tier 1
+#: untouched; rotated-off queries stay oracle-backed in the local sweep.
+ROTATED_OFF_R11 = {
+    "q_stream_source",
+    "q_dedup_clusters",
+    "q_corpus_curation",
+    "q_bm25",
+    "q_funnel",
+    "q_scd2_dims",
+    "q_range_join_binned",
+    "q_bucketed_join",
+    "q_salted_distinct",
+    "q_hashed_tf_vectors",
+}
+
+ROTATED_IN_R11 = [
+    "q_flac_pipeline",
+    "q_export_tfrecord",
+    "q_communities_lpa",
+    "q_pagerank",
+    "q_bfs_reachability",
+    "q_k_anonymity",
+    "q_hybrid_search",
+    "q_bpe_learn",
+    "q_kmv_sketch",
+    "q_forecast_holt",
+]
+
 
 def test_driver_window_size():
     assert len(entry.queries()) <= MAX_DRIVER_ENTRIES
@@ -201,7 +234,7 @@ def test_r2_green_set_never_demoted():
     intentionally_demoted = (
         {"q_dedup_embedding"}
         | ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8 | ROTATED_OFF_R9
-        | ROTATED_OFF_R10
+        | ROTATED_OFF_R10 | ROTATED_OFF_R11
     )
     qs, os_ = entry.queries(), entry.oracle_sql()
     demoted = [
@@ -236,7 +269,7 @@ def test_r3_green_set_never_demoted():
     assert len(green) == 50, f"expected 50 green rows in the r3 record, got {len(green)}"
     qs, os_ = entry.queries(), entry.oracle_sql()
     rotated_off = (ROTATED_OFF_R6 | ROTATED_OFF_R7 | ROTATED_OFF_R8
-                   | ROTATED_OFF_R9 | ROTATED_OFF_R10)
+                   | ROTATED_OFF_R9 | ROTATED_OFF_R10 | ROTATED_OFF_R11)
     demoted = [
         n for n in green if n not in rotated_off and (n not in qs or n not in os_)
     ]
@@ -251,7 +284,7 @@ def test_r3_green_set_never_demoted():
     for n in ["q_lake_snapshot", "q_chi_square", "q_spatial_grid_join",
               "q_png_pipeline", "q_betweenness", "q_scd2_dims"] \
              + ROTATED_IN_R7 + ROTATED_IN_R8 + ROTATED_IN_R9 \
-             + ROTATED_IN_R10:
+             + ROTATED_IN_R10 + ROTATED_IN_R11:
         if n in rotated_off:
             continue
         assert n in qs and n in os_, f"rotated-in {n} missing or rows-only"
@@ -282,29 +315,35 @@ def test_every_family_in_tier1():
         assert name in tier1, f"{name} missing from tier 1"
 
 
-def test_nonempty_window_invariant_wired():
+def test_nonempty_window_invariant_wired(spark, ddb):
     """Nonempty-window invariant pin (r10, VERDICT r9 #1): every driver-surface
     query must return ≥1 row at sf0.01, else its external grade is vacuous —
     rows/schema/hash can all "match" on the empty set (q_recursive_cte, r9).
     The check itself lives in tests/test_oracle_parity.py::test_oracle_parity
     (which already executes each driver query at sf0.01 in the fast gate, so
     the invariant costs zero extra runs); this test pins that the enforcement
-    stays wired — the constant targets the driver's scale factor and the
-    assertion is still in the parity test body."""
+    stays wired. r11 (ADVICE r10 #3): pin BEHAVIOR, not source text —
+    assert_parity must RETURN the measured row count as an int, proven by
+    calling it on a trivial 3-row query; one light source check keeps the
+    driver-surface gating condition visible."""
     import inspect
 
     from . import test_oracle_parity as top
+    from .parity import assert_parity as ap
 
     assert top.DRIVER_SF001 == "/root/testdata/sf0.01"
+    # behavior pin: the helper returns the row count the invariant consumes
+    df = spark.range(3).selectExpr("CAST(id AS BIGINT) AS v")
+    n = ap(df, ddb, "SELECT CAST(range AS BIGINT) AS v FROM range(3)",
+           name="nonempty_invariant_pin")
+    assert isinstance(n, int) and n == 3
+    # light source check: the parity test still gates the nonempty assertion
+    # on the driver surface at the driver's scale factor
     src = inspect.getsource(top.test_oracle_parity)
-    assert "nrows >= 1" in src and "DRIVER_SF001" in src, (
+    assert "DRIVER_SF001" in src and ">= 1" in src, (
         "the driver-window nonempty assertion was removed from "
         "test_oracle_parity — vacuous driver slots can ship again"
     )
-    # and the parity helper must keep returning the row count it measured
-    from .parity import assert_parity as ap
-
-    assert "return sum(s_rows.values())" in inspect.getsource(ap)
 
 
 def test_demoted_queries_stay_locally_tested():

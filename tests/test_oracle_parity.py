@@ -20,17 +20,20 @@ ROWS_ONLY_NAMES = sorted(set(q.QUERIES) - set(q.ORACLES))
 #: (not yet battle-hardened), so ``pytest -m driver`` is a minutes-scale
 #: gate while the full suite stays the nightly-shaped default.
 NEWEST_ROUND = {
-    # r10: the seven queries rotated OFF the driver surface this round — the
+    # r11: the ten queries rotated OFF the driver surface this round — the
     # rotation promise ("every rotated-off query stays local-hash green")
     # must be re-proven by the fast gate, not just the nightly sweep. The
-    # seven rotated-IN queries are covered automatically via DRIVER_QUERIES.
-    "q_lake_snapshot",
-    "q_lake_merge_cdc",
-    "q_png_pipeline",
-    "q_betweenness",
-    "q_spatial_grid_join",
-    "q_udaf_weighted_avg",
-    "q_star_join",
+    # ten rotated-IN queries are covered automatically via DRIVER_QUERIES.
+    "q_stream_source",
+    "q_dedup_clusters",
+    "q_corpus_curation",
+    "q_bm25",
+    "q_funnel",
+    "q_scd2_dims",
+    "q_range_join_binned",
+    "q_bucketed_join",
+    "q_salted_distinct",
+    "q_hashed_tf_vectors",
 }
 FAST_GATE = set(q.DRIVER_QUERIES) | NEWEST_ROUND
 
