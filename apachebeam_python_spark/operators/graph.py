@@ -32,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     round_dp: int = 9,
+    small_graph_max_nodes: int = 65536,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution, fixed iteration
     count. Returns ``(node, r)``.
@@ -47,18 +48,44 @@ def pagerank(
     agg on ``dst``, one LEFT ANTI for dangling mass (1-row broadcast), one
     rebuild against the node list. ``iterations`` is fixed rather than
     convergence-tested so the oracle can unroll the same count.
+
+    r11 (VERDICT r10 #5): the sf0.1 cost (~3.9 s) was ~10× fixed
+    per-round scheduler/broadcast overhead, not data — the AGGREGATED
+    graph is metadata-sized (|nations|² ≤ 625 weighted edges, 25-entry
+    rank vector). Two levers were same-session A/B'd: checkpointing
+    every 3 rounds instead of every round measured ≈ 1.02× (the eager
+    jobs were not the cost; a 3-deep lazy plan pays it back in planning
+    + nested broadcasts), and is NOT kept. What IS kept: when the node
+    count is bounded (``small_graph_max_nodes``), the whole recurrence
+    runs as ONE Arrow task (``applyInPandas`` numpy kernel, identical
+    per-round half-away 9-dp rounding) — the heavy, data-sized work
+    (the edge aggregation) stays distributed, and iterating a
+    metadata-sized vector through 10 scheduler waves was the
+    anti-pattern. At web scale (nodes ≫ threshold) the distributed
+    loop below runs unchanged: bucket edges by ``src``, co-bucket the
+    rank table, exchange-free rounds.
     """
     en = checkpoint(
         edges.withColumn(
             "p", F.col(weight) / F.sum(weight).over(Window.partitionBy(src))
         ).select(src, dst, "p")
     )
+    # small-graph kernel (r11): the aggregated (src, dst, p) table and the
+    # rank vector are metadata-sized here — one bounded .count() picks the
+    # path (the same bounded-metadata class as the k-means centroid
+    # collects in tests/test_antipatterns.py's ledger)
+    n_nodes = nodes.count()
+    if n_nodes <= small_graph_max_nodes:
+        return _pagerank_small_graph(
+            en, nodes, src=src, dst=dst, node=node,
+            damping=damping, iterations=iterations, round_dp=round_dp,
+        )
     srcs = checkpoint(en.select(src).distinct())
     nn = nodes.agg(F.count("*").alias("n"))
     base = checkpoint(nodes.select(node).crossJoin(F.broadcast(nn)))
     teleport = F.lit(1.0) - F.lit(damping)
     ranks = base.select(node, (F.lit(1.0) / F.col("n")).alias("r"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             en.join(F.broadcast(ranks), F.col(src) == F.col(node))
             .groupBy(dst)
@@ -67,7 +94,7 @@ def pagerank(
         dang = ranks.join(
             srcs, ranks[node] == srcs[src], "left_anti"
         ).agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        ranks = checkpoint(
+        ranks = (
             base.join(F.broadcast(contrib), F.col(node) == F.col(dst), "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -83,4 +110,79 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        ranks = checkpoint(ranks)
     return ranks
+
+
+def _pagerank_small_graph(
+    en: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str,
+    dst: str,
+    node: str,
+    damping: float,
+    iterations: int,
+    round_dp: int,
+) -> DataFrame:
+    """The metadata-sized fast path: the full power iteration inside ONE
+    Arrow task. Arithmetic contract mirrors the distributed loop exactly —
+    out-edge probabilities arrive precomputed in ``en``; each round is
+    teleport/n + d·(Σ r·p per dst + dangling_mass/n), rounded HALF-AWAY to
+    ``round_dp`` decimals (``floor(x·10^k + 0.5)`` — ranks are positive —
+    the same decision F.round and DuckDB's round make away from the
+    ~1-ulp half-boundary class, and the per-round 1e-9 round swallows
+    numpy-vs-SQL sum-order drift exactly as it swallows Spark-vs-DuckDB
+    drift in the distributed path). Edges whose endpoints are not in the
+    node list are ignored, matching the distributed joins' semantics."""
+    import numpy as np
+    import pandas as pd
+
+    damping_f, iters, dp = float(damping), int(iterations), int(round_dp)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes_a = np.sort(
+            pdf.loc[pdf["kind"] == 0, "ksrc"].to_numpy(dtype="int64")
+        )
+        idx = {int(v): i for i, v in enumerate(nodes_a)}
+        n = len(nodes_a)
+        e = pdf[pdf["kind"] == 1]
+        keep = e["ksrc"].isin(idx) & e["kdst"].isin(idx)
+        e = e[keep]
+        si = e["ksrc"].map(idx).to_numpy(dtype="int64")
+        di = e["kdst"].map(idx).to_numpy(dtype="int64")
+        p = e["kp"].to_numpy(dtype="float64")
+        dangling = np.ones(n, dtype=bool)
+        dangling[si] = False
+        scale = 10.0 ** dp
+        teleport = 1.0 - damping_f
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            con = np.zeros(n)
+            np.add.at(con, di, r[si] * p)
+            dm = float(r[dangling].sum())
+            r = (
+                np.floor(
+                    (teleport / n + damping_f * (con + dm / n)) * scale + 0.5
+                )
+                / scale
+            )
+        return pd.DataFrame({"node": nodes_a, "r": r})
+
+    tagged = nodes.select(
+        F.col(node).cast("long").alias("ksrc"),
+        F.lit(None).cast("long").alias("kdst"),
+        F.lit(0.0).alias("kp"),
+        F.lit(0).alias("kind"),
+    ).unionByName(
+        en.select(
+            F.col(src).cast("long").alias("ksrc"),
+            F.col(dst).cast("long").alias("kdst"),
+            F.col("p").cast("double").alias("kp"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    out = tagged.groupBy(F.lit(1).alias("g")).applyInPandas(
+        kernel, schema=f"{node} long, r double"
+    )
+    return out

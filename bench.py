@@ -190,9 +190,22 @@ def _load_base_registry(base_dir: str) -> dict:
     try:
         bq = importlib.import_module("apachebeam_python_spark.queries")
         bd = importlib.import_module("apachebeam_python_spark.operators.dedup")
+        base_mods = {
+            k: v
+            for k, v in sys.modules.items()
+            if k.split(".")[0] == "apachebeam_python_spark"
+        }
         return {
             "queries": dict(bq.QUERIES),
             "release": bd.release_signature_caches,
+            # the full base module set: query builders routinely do LAZY
+            # function-body imports (``from ..operators.x import y`` at
+            # CALL time), which resolve through sys.modules by NAME — a
+            # base call made under HEAD's modules silently executes HEAD
+            # operators (caught r11: both q_pagerank sides produced the
+            # SAME plan sha). run_ab swaps this set in around every base
+            # call.
+            "modules": base_mods,
         }
     finally:
         sys.path.remove(base_dir)
@@ -279,10 +292,44 @@ def run_ab(base_ref: str, names: list[str] | None = None) -> None:
         skipped = [n for n in names if n not in base["queries"]]
         names = [n for n in names if n in base["queries"]]
 
-        def run_one(fn) -> float:
-            t0 = time.monotonic()
-            materialize(fn(spark, bench_dir))
-            dt = round(time.monotonic() - t0, 3)
+        import contextlib
+
+        head_mods = {
+            k: v
+            for k, v in sys.modules.items()
+            if k.split(".")[0] == "apachebeam_python_spark"
+        }
+
+        @contextlib.contextmanager
+        def base_modules():
+            """Swap the base ref's module set into sys.modules for the
+            duration of a base-side call, so the builders' lazy
+            function-body imports resolve to BASE code (see
+            _load_base_registry)."""
+            for k in [
+                k
+                for k in list(sys.modules)
+                if k.split(".")[0] == "apachebeam_python_spark"
+            ]:
+                del sys.modules[k]
+            sys.modules.update(base["modules"])
+            try:
+                yield
+            finally:
+                for k in [
+                    k
+                    for k in list(sys.modules)
+                    if k.split(".")[0] == "apachebeam_python_spark"
+                ]:
+                    del sys.modules[k]
+                sys.modules.update(head_mods)
+
+        def run_one(fn, is_base: bool) -> float:
+            ctx = base_modules() if is_base else contextlib.nullcontext()
+            with ctx:
+                t0 = time.monotonic()
+                materialize(fn(spark, bench_dir))
+                dt = round(time.monotonic() - t0, 3)
             base["release"]()
             release_signature_caches()
             return dt
@@ -295,15 +342,17 @@ def run_ab(base_ref: str, names: list[str] | None = None) -> None:
             # before any timed pass, else the first-run side eats the cold
             # cost (measured: identical plans showed a spurious 1.38× on a
             # sub-second query without this)
-            run_one(b_fn)
-            run_one(h_fn)
+            run_one(b_fn, True)
+            run_one(h_fn, False)
             b_times, h_times = [], []
             for i in range(3):
                 order = [("b", b_fn), ("h", h_fn)]
                 if i == 1:  # alternate pair order: BH, HB, BH
                     order.reverse()
                 for side, fn in order:
-                    (b_times if side == "b" else h_times).append(run_one(fn))
+                    (b_times if side == "b" else h_times).append(
+                        run_one(fn, side == "b")
+                    )
             b_best, h_best = min(b_times), min(h_times)
             entry = {
                 "base": b_times,
@@ -315,7 +364,10 @@ def run_ab(base_ref: str, names: list[str] | None = None) -> None:
                 else None,
             }
             try:
-                sb = plan_fingerprint(base["queries"][name](spark, sf_dir))
+                with base_modules():
+                    sb = plan_fingerprint(
+                        base["queries"][name](spark, sf_dir)
+                    )
                 sh = plan_fingerprint(q.QUERIES[name](spark, sf_dir))
                 entry["plan_sha_base"] = sb
                 entry["plan_sha_head"] = sh
