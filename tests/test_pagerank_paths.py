@@ -1,0 +1,65 @@
+"""PageRank path equivalence (r11, VERDICT r10 #5).
+
+The small-graph Arrow kernel (operators/graph._pagerank_small_graph) is the
+live path at every fixture scale (25 nation nodes ≤ small_graph_max_nodes),
+so the distributed loop — the code path that actually runs at web scale —
+would otherwise be exercised by no test at all. This module forces BOTH
+paths on the same inputs and asserts value-identical ranks, which is also
+the arithmetic contract the oracle replay depends on (per-round half-away
+9-dp rounding swallows sum-order drift in either engine AND either path).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.driver  # fast-gate tier: guards a driver query
+
+from pyspark.sql import functions as F
+
+from apachebeam_python_spark.operators.graph import pagerank
+from apachebeam_python_spark.session import table
+
+
+def _edges_nodes(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return edges, nodes
+
+
+def test_kernel_and_distributed_ranks_identical(spark, sf_dir):
+    edges, nodes = _edges_nodes(spark, sf_dir)
+    kernel = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, nodes, damping=0.85, iterations=10).collect()
+    }
+    distributed = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            edges, nodes, damping=0.85, iterations=10, small_graph_max_nodes=0
+        ).collect()
+    }
+    assert set(kernel) == set(distributed)
+    # VALUE-identical, not approximately: both paths round each iteration
+    # half-away to 9 dp, which is the whole determinism contract
+    diffs = {n: (kernel[n], distributed[n]) for n in kernel
+             if kernel[n] != distributed[n]}
+    assert diffs == {}, f"kernel vs distributed rank divergence: {diffs}"
+    # sanity: ranks form a probability-ish vector (teleport keeps them > 0)
+    assert all(v > 0 for v in kernel.values())
+    assert abs(sum(kernel.values()) - 1.0) < 1e-6
