@@ -1240,7 +1240,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_salted_distinct",
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
-    # driver slot since r8 (VERDICT r7 #1): skew-safe aggregation family
+    # driver slot r8-r10 (VERDICT r7 #1), rotated off r11 (wave 6): skew-safe aggregation family
     oracle="""
 WITH salted AS (
   SELECT event_type, user_id % 16 AS _salt,

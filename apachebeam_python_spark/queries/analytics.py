@@ -208,7 +208,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_funnel",  # driver slot since r3: oracle-backed (swapped in for q_dedup_sketch)
+    "q_funnel",  # driver slot r3-r10; rotated off r11 (wave 6)
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="""
 WITH s1 AS (

@@ -450,7 +450,7 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_bucketed_join",
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
-    # driver slot since r7 (VERDICT r6 #3): the physical-layout family's first
+    # driver slot r7-r10 (VERDICT r6 #3), rotated off r11 (wave 6): the physical-layout family's first
     # driver-green row — zero-exchange SMJ on pre-bucketed tables
     oracle="""
 SELECT c_mktsegment AS seg,
@@ -512,7 +512,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_range_join_binned",
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
-    # driver slot since r7 (VERDICT r6 #3): replaces q_join_range — the binned
+    # driver slot r7-r10 (VERDICT r6 #3), rotated off r11 (wave 6): replaces q_join_range — the binned
     # equi-join decomposition that survives 100 TB where the BNLJ dies
     oracle="""
 SELECT b AS band, CAST(count(*) AS BIGINT) AS n,

@@ -1306,7 +1306,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_bm25",  # driver slot since r3: oracle-backed (swapped in for q_ann_lsh)
+    "q_bm25",  # driver slot r3-r10; rotated off r11 (wave 6)
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
     oracle="""
 WITH toks AS (
@@ -4657,7 +4657,7 @@ def q_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hashed_tf_vectors",
     driver=False,  # rotated off r11 (wave 6) — stays oracle-backed in the local sweep
-    # driver slot since r8 (VERDICT r7 #1): hashed feature vectorization
+    # driver slot r8-r10 (VERDICT r7 #1), rotated off r11 (wave 6): hashed feature vectorization
     oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w
