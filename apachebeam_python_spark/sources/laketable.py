@@ -190,11 +190,79 @@ def current_version(path: str) -> int:
     return vs[-1]
 
 
+def _footer_entries(
+    stage: str, commit: str, stat_cols: list[str]
+) -> list[dict] | None:
+    """Per-file row counts + min/max read from the staged parquet FOOTERS
+    (pyarrow, driver-side) — the Iceberg/Delta stats design: O(files)
+    metadata work instead of a second full Spark scan of the data per
+    commit (round 11 optimization; the re-scan was one whole Spark job on
+    every create/append/delete-rewrite/merge/compact).
+
+    Exactness contract (must equal the Spark ``F.min/F.max`` aggregate the
+    fallback path computes, or the manifest would prune differently):
+    fixed-width numerics are always stored exact; parquet-mr (Spark's
+    writer) stores string min/max untruncated by default and OMITS the
+    stat entirely when a value exceeds its stats-size cap — omission,
+    a missing null_count, or a NaN bound (float NaN ordering is
+    writer-defined) returns None and the caller falls back to the exact
+    Spark aggregation. Zero-row files yield no entry and all-null columns
+    yield [None, None], exactly like the aggregate path."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for fname in sorted(os.listdir(stage)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(stage, fname)).metadata
+        if md.num_rows == 0:
+            continue  # the grouped-scan path yields no row for empty files
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for c in stat_cols:
+            j = idx.get(c)
+            if j is None:
+                return None
+            lo = hi = None
+            nonnull = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(j)
+                st = col.statistics
+                if st is None or not st.has_null_count:
+                    return None
+                n_vals = md.row_group(rg).num_rows - st.null_count
+                if n_vals == 0:
+                    continue
+                nonnull += n_vals
+                if not st.has_min_max:
+                    return None  # stat omitted (oversized value) — fall back
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
+                    return None  # non-UTF8 payload — not a prunable leaf
+                if mn != mn or mx != mx:  # NaN bound — writer-defined order
+                    return None
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if nonnull == 0:
+                lo = hi = None
+            stats[c] = [_json_safe(lo), _json_safe(hi)]
+        entries.append(
+            {
+                "path": os.path.join(_DATA, commit, fname),
+                "rows": md.num_rows,
+                "stats": stats,
+            }
+        )
+    return entries
+
+
 def _stage_files(df: DataFrame, path: str) -> tuple[list[dict], str]:
     """Write df's rows as immutable parquet under data/<uuid>/ and return
     (per-file entries with row counts + min/max stats, schema JSON). Stats
-    come from ONE grouped pass over the staged files (`_metadata` path),
-    not a per-file loop."""
+    come from the staged files' own parquet footers (driver-side pyarrow,
+    no second Spark job); when a footer cannot supply an exact stat the
+    fallback is ONE grouped Spark pass over the staged files (`_metadata`
+    path), not a per-file loop."""
     commit = uuid.uuid4().hex
     stage = os.path.join(path, _DATA, commit)
     df.write.mode("errorifexists").parquet(stage)
@@ -204,6 +272,9 @@ def _stage_files(df: DataFrame, path: str) -> tuple[list[dict], str]:
     stat_cols = [
         f.name for f in df.schema.fields if f.dataType.simpleString() in _STATS_TYPES
     ]
+    entries = _footer_entries(stage, commit, stat_cols)
+    if entries is not None:
+        return sorted(entries, key=lambda e: e["path"]), df.schema.json()
     aggs = [F.count("*").alias("__n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
@@ -473,10 +544,13 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     survivors = _read_entries(spark, path, touched_entries, schema).where(
         f"({predicate}) IS NOT TRUE"
     )
-    if survivors.limit(1).count():
-        entries, schema = _stage_files(survivors, path)
-    else:
-        entries, schema = [], None
+    # stage unconditionally (round 11): the old `limit(1).count()` nonempty
+    # probe was a whole extra Spark scan of the touched files per delete —
+    # an all-rows-deleted rewrite now just stages zero data rows, which
+    # _stage_files reports as no entries (footer num_rows == 0)
+    entries, schema = _stage_files(survivors, path)
+    if not entries:
+        schema = None
     return _commit(path, lambda cur: keep + entries, "delete", v, schema)
 
 
@@ -697,10 +771,11 @@ def merge_apply(
             merged = survivors.unionByName(src)
         else:
             merged = src
-        if merged.limit(1).count():
-            entries, schema = _stage_files(merged, path)
-        else:
-            entries, schema = [], tgt_schema.json()
+        # stage unconditionally (round 11): same probe removal as
+        # delete_where — the nonempty check re-ran the whole merge subtree
+        entries, schema = _stage_files(merged, path)
+        if not entries:
+            schema = tgt_schema.json()
     finally:
         src.unpersist()
     return _commit(
