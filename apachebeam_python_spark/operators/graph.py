@@ -65,21 +65,23 @@ def pagerank(
     loop below runs unchanged: bucket edges by ``src``, co-bucket the
     rank table, exchange-free rounds.
     """
-    en = checkpoint(
-        edges.withColumn(
-            "p", F.col(weight) / F.sum(weight).over(Window.partitionBy(src))
-        ).select(src, dst, "p")
-    )
+    en = edges.withColumn(
+        "p", F.col(weight) / F.sum(weight).over(Window.partitionBy(src))
+    ).select(src, dst, "p")
     # small-graph kernel (r11): the aggregated (src, dst, p) table and the
     # rank vector are metadata-sized here — one bounded .count() picks the
     # path (the same bounded-metadata class as the k-means centroid
     # collects in tests/test_antipatterns.py's ledger)
     n_nodes = nodes.count()
     if n_nodes <= small_graph_max_nodes:
+        # no checkpoint on this path (r11b): the kernel consumes `en`
+        # exactly once, so the eager parquet write+read that cuts lineage
+        # for the ITERATING path below is pure overhead here
         return _pagerank_small_graph(
             en, nodes, src=src, dst=dst, node=node,
             damping=damping, iterations=iterations, round_dp=round_dp,
         )
+    en = checkpoint(en)
     srcs = checkpoint(en.select(src).distinct())
     nn = nodes.agg(F.count("*").alias("n"))
     base = checkpoint(nodes.select(node).crossJoin(F.broadcast(nn)))

@@ -68,8 +68,13 @@ def test_iterative_query_hash_green_under_durable_mode(
     df = q.QUERIES[name](spark, sf_dir)
     assert_parity(df, ddb, q.ORACLES[name], name=name)
     # the write-through actually engaged (round dirs on disk), i.e. this
-    # test did not silently run the localCheckpoint path
-    assert list(root.glob("round_*")), "durable mode never wrote a round"
+    # test did not silently run the localCheckpoint path. q_pagerank's LIVE
+    # path at fixture scale is the r11 single-task Arrow kernel, which
+    # deliberately checkpoints nothing (the lineage is consumed once);
+    # its distributed loop's durable-mode engagement is pinned in
+    # tests/test_pagerank_paths.py::test_distributed_path_durable_checkpoint.
+    if name != "q_pagerank":
+        assert list(root.glob("round_*")), "durable mode never wrote a round"
 
 
 def test_durable_checkpoint_survives_empty_round_table(spark, tmp_path, monkeypatch):

@@ -711,3 +711,58 @@ def test_stream_cdc_into_lake_via_foreach_batch(spark, tbl):
     assert ops.count("merge-cdc") == 2  # one commit per micro-batch
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(f"{src_dir}_ck", ignore_errors=True)
+
+
+def test_footer_stats_equal_spark_aggregate_stats(spark, tmp_path):
+    """Round-11 optimization pin: manifest stats now come from the staged
+    parquet FOOTERS (pyarrow, no second Spark scan). They must equal the
+    exact F.min/F.max aggregation the fallback path computes — including
+    long free-text strings (the documents fixture), NULLs, and negative
+    doubles — or manifest pruning (files_matching, delete_where carry-over)
+    would change behavior. Exercises the REAL fixture text column, so a
+    Spark parquet-writer that truncated/omitted string footer stats would
+    fail here (and _footer_entries would have to fall back)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from apachebeam_python_spark.session import table as _table
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars",
+        (F.col("n_chars") * F.lit(-0.5)).alias("neg_d"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("source")).alias("nullable_s"),
+    )
+    path = str(tmp_path / "stats_tbl")
+    LT.create_table(docs.repartition(4), path)
+    m = LT._read_manifest(path, 0)
+    stat_cols = [
+        f.name for f in docs.schema.fields
+        if f.dataType.simpleString() in LT._STATS_TYPES
+    ]
+    assert stat_cols == [
+        "doc_id", "text", "source", "n_chars", "neg_d", "nullable_s"
+    ]
+    # exact stats per staged file via the Spark aggregation (the old path)
+    aggs = [F.count("*").alias("__n")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    truth = {
+        _os.path.basename(r["__fp"]): r
+        for r in spark.read.parquet(
+            *[_os.path.join(path, e["path"]) for e in m["files"]]
+        )
+        .select("*", F.col("_metadata.file_path").alias("__fp"))
+        .groupBy("__fp")
+        .agg(*aggs)
+        .collect()
+    }
+    assert len(m["files"]) == len(truth) and len(m["files"]) >= 2
+    for e in m["files"]:
+        t = truth[_os.path.basename(e["path"])]
+        assert e["rows"] == t["__n"]
+        for c in stat_cols:
+            assert e["stats"][c] == [
+                LT._json_safe(t[f"__min_{c}"]), LT._json_safe(t[f"__max_{c}"])
+            ], f"{c} in {e['path']}"

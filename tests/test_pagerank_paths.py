@@ -63,3 +63,30 @@ def test_kernel_and_distributed_ranks_identical(spark, sf_dir):
     # sanity: ranks form a probability-ish vector (teleport keeps them > 0)
     assert all(v > 0 for v in kernel.values())
     assert abs(sum(kernel.values()) - 1.0) < 1e-6
+
+
+def test_distributed_path_durable_checkpoint(spark, sf_dir, tmp_path, monkeypatch):
+    """r11b: the small-graph kernel no longer checkpoints (its lineage is
+    consumed once — the eager cut was pure overhead), so the durable-mode
+    engagement guard for operators/graph.py moves HERE, onto the
+    distributed loop that actually iterates: forcing small_graph_max_nodes=0
+    under SPARK_GRAFT_DURABLE_CHECKPOINT must write round dirs and produce
+    the same ranks as the kernel path."""
+    root = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_DURABLE_CHECKPOINT", str(root))
+    edges, nodes = _edges_nodes(spark, sf_dir)
+    kernel = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, nodes, damping=0.85, iterations=10).collect()
+    }
+    assert not list(root.glob("round_*")), (
+        "the kernel path must not checkpoint (r11b)"
+    )
+    distributed = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            edges, nodes, damping=0.85, iterations=10, small_graph_max_nodes=0
+        ).collect()
+    }
+    assert list(root.glob("round_*")), "durable mode never wrote a round"
+    assert kernel == distributed
