@@ -583,8 +583,13 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     name = _sink("stream_custom", sf_dir)
     # batch size scales with the input (r9): a fixed 2500 meant 400 driver-
-    # served micro-batches on the 1M-row sf1 replica; ~40 batches at any sf
-    # keeps the drain time flat while still proving multi-batch replay
+    # served micro-batches on the 1M-row sf1 replica. r11: ~8 batches at
+    # any sf (was ~40) — each micro-batch pays a fixed machinery cost
+    # (planning, offset log, state-store commit per partition), so the
+    # batch COUNT is the drain time; 8 still proves multi-batch replay and
+    # the offset-range recovery contract, and the drained result is
+    # identical under any batch size. Profiled at sf0.1: 40 batches ≈
+    # 59 s of almost pure per-batch overhead.
     src_path = _os.path.join(sf_dir, "events.parquet")
     import pyarrow.dataset as _ds
 
@@ -592,7 +597,7 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         spark.readStream.format("events_replay")
         .option("path", src_path)
-        .option("batch_rows", str(max(2500, -(-n_rows // 40))))
+        .option("batch_rows", str(max(2500, -(-n_rows // 8))))
         .load()
     )
     agg = s.groupBy("event_type").agg(
@@ -603,6 +608,11 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow prefetches only the FIRST simple-reader batch (the
     # wrapped prefetcher snapshots one read() call), so drain explicitly:
     # run continuously and block until the source stops advancing.
+    # r11: size streaming state partitions like every other streaming
+    # query (jobs.stream_tuned — this start() bypasses run_to_memory, so
+    # it previously inherited tune()'s 32 batch shuffle partitions: 32
+    # state-store instances committing per micro-batch for a 5-key agg)
+    jobs.stream_tuned(spark)
     query = (
         agg.writeStream.format("memory")
         .queryName(name)

@@ -287,6 +287,58 @@ def test_fuzzy_pairs_match_python_levenshtein(spark, texts):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        # around the 15-char default prefix boundary: shared-prefix strings
+        # (the stripping case), short strings, and full-length variation
+        st.one_of(
+            st.text(alphabet="ab", min_size=0, max_size=20),
+            st.builds(
+                lambda sfx: "Customer#000001" + sfx,
+                st.text(alphabet="ab0189", min_size=0, max_size=5),
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_fuzzy_pairs_default_prefix_block_matches_python(spark, texts):
+    """r11 prefix-stripping pin: with the DEFAULT prefix-15 block the
+    per-pair levenshtein runs on the suffixes past the block. That is
+    lossless ONLY because block equality guarantees the prefixes match —
+    this property test replays the full blocked semantics (same block AND
+    full-string lev ≤ 2) in Python and must see the identical pair set,
+    across strings shorter than / straddling / past the prefix length."""
+    from apachebeam_python_spark.operators import dedup as D
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in D.fuzzy_pairs(df, "txt", "id", max_dist=2).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j
+        and a[:15] == b[:15]
+        and abs(len(a) - len(b)) <= 2
+        and lev(a, b) <= 2
+    }
+    assert got == want
+
+
 # --------------------------------------------------------------------------
 # Lossless-codec fuzz (round 4): every lossless image codec must round-trip
 # random images bit-exact — dimensions hypothesis picks, including 1-pixel
