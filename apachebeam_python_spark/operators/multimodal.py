@@ -936,6 +936,15 @@ def encode_gif(arr) -> bytes:
         seq = (px,)
     if seq:
         out_codes.append((table[seq], width))
+        # the decoder appends a table entry for this final code too (one
+        # per code after the first-after-clear), so its width can cross
+        # the power-of-two boundary BEFORE it reads EOI; mirror that bump
+        # or EOI is written one bit narrower than the decoder reads it.
+        # Mid-stream the two stay aligned because every other emission
+        # carries an assignment (hypothesis-found, r11: 462-pixel stream
+        # whose last data code landed exactly on the boundary).
+        if next_code == (1 << width) and width < 12:
+            width += 1
     out_codes.append((eoi, width))
 
     # pack codes LSB-first (GIF bit order), then 255-byte sub-blocks

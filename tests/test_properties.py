@@ -8,7 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -351,6 +351,11 @@ def test_fuzzy_pairs_default_prefix_block_matches_python(spark, texts):
     seed=st.integers(min_value=0, max_value=2**31),
     flat=st.booleans(),
 )
+# r11 regression pin: a GIF stream whose FINAL data code lands exactly on
+# the LZW width boundary — the decoder appends a table entry for that code
+# and reads EOI one bit wider; the encoder must mirror the bump
+# (multimodal.encode_gif tail). Hypothesis found it; keep it deterministic.
+@example(h=21, w=22, seed=17, flat=False)
 def test_lossless_image_codecs_round_trip(h, w, seed, flat):
     import numpy as np
 
