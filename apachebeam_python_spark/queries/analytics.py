@@ -4,7 +4,7 @@ extensions — the "SQL-engine completeness" tier beyond Beam's vocabulary)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import joins as J
@@ -3271,29 +3271,63 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (1-ulp division drift is measure-zero against md5-derived
     coordinates).
 
-    Scale: points never shuffle for containment — the edge table (bounded:
-    polygons are curated geometry, not data) broadcasts, the parity count
-    is a per-point narrow aggregate, and the final census is one k-row
-    groupBy. For polygon CORPORA (millions of parcels) bucket both sides by
-    the 5° grid cell first — the same candidate machinery as the joins
-    above; the per-candidate test is unchanged."""
-    rows = _poly_edges_rows()
-    edges = spark.createDataFrame(
-        rows, "poly_id long, x1 double, y1 double, x2 double, y2 double"
-    ).coalesce(1)
+    Scale: points never shuffle for containment — the polygon edges
+    (bounded: curated geometry, not data) are LITERAL arrays folded per
+    point with a higher-order ``aggregate`` (r11: previously the points
+    cross-joined a broadcast edge table and the ray-parity count shuffled
+    on (user_id, poly_id) — n_pts × |polygons| groups with no map-side
+    reduction; the per-row fold computes the same integer crossing sums —
+    order-free, identical doubles in the intersection test — so the only
+    exchange left is the ≤|polygons|-group final census). For polygon
+    CORPORA (millions of parcels) bucket both sides by the 5° grid cell
+    first — the same candidate machinery as the joins above; the
+    per-candidate test is unchanged."""
     pts = _spatial_pts(spark, sf_dir)
-    straddle = (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
-    xint = (F.col("x2") - F.col("x1")) * (F.col("lat") - F.col("y1")) / (
-        F.col("y2") - F.col("y1")
-    ) + F.col("x1")
-    crossed = F.when(straddle & (F.col("lon") < xint), 1).otherwise(0)
-    parity = (
-        pts.crossJoin(broadcast_if_small(edges))
-        .groupBy("user_id", "poly_id")
-        .agg(F.sum(crossed).alias("k"))
-    )
-    inside = F.col("k") % 2 == 1
-    return parity.groupBy("poly_id").agg(
+
+    def crossed(e) -> Column:
+        straddle = (e["y1"] > F.col("lat")) != (e["y2"] > F.col("lat"))
+        xint = (e["x2"] - e["x1"]) * (F.col("lat") - e["y1"]) / (
+            e["y2"] - e["y1"]
+        ) + e["x1"]
+        return F.when(straddle & (F.col("lon") < xint), 1).otherwise(0)
+
+    def poly_edges_lit(pid: int) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(x1).alias("x1"), F.lit(y1).alias("y1"),
+                    F.lit(x2).alias("x2"), F.lit(y2).alias("y2"),
+                )
+                for p, x1, y1, x2, y2 in _poly_edges_rows()
+                if p == pid
+            ]
+        )
+
+    poly_ids = [pid for pid, _ in _POLYGONS]
+    per_poly = pts.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pid).cast("long").alias("poly_id"),
+                        (
+                            F.aggregate(
+                                poly_edges_lit(pid),
+                                F.lit(0),
+                                lambda acc, e: acc + crossed(e),
+                            )
+                            % 2
+                            == 1
+                        ).alias("inside"),
+                    )
+                    for pid in poly_ids
+                ]
+            )
+        ).alias("r"),
+    ).select("user_id", "r.poly_id", "r.inside")
+    inside = F.col("inside")
+    return per_poly.groupBy("poly_id").agg(
         F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_inside"),
         F.coalesce(F.sum(F.when(inside, F.col("user_id"))), F.lit(0))
         .cast("long")
