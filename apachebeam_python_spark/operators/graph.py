@@ -188,3 +188,113 @@ def _pagerank_small_graph(
         kernel, schema=f"{node} long, r double"
     )
     return out
+
+
+def dag_depths(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+    small_graph_max_nodes: int = 65536,
+) -> DataFrame:
+    """Longest-path (topological-layer) depth per node of a DAG — the
+    distributed Bellman-Ford specialization q_dag_layers runs: depth
+    relaxes d(v) ← max(d(v), d(u)+1) over incoming edges until a
+    fixpoint, capped at ``max_rounds``. Returns ``(node, d)``. Nodes are
+    src ∪ dst of the edge list.
+
+    r11 (the q_pagerank kernel pattern): when the node count is bounded
+    (``small_graph_max_nodes``, one bounded count decides) the whole
+    fixpoint runs inside ONE Arrow task — each distributed round costs a
+    broadcast join + union + max-groupBy + eager checkpoint + a Σd
+    convergence action, ~10 scheduler waves to advance a ≤|V|-row table.
+    The relaxation is integer and order-free, so both paths reach the
+    IDENTICAL fixpoint by construction (pinned in
+    tests/test_dag_layers_paths.py). Past the threshold the distributed
+    loop runs unchanged: bucket edges by ``src`` at scale and the
+    per-round join is exchange-free; depth tables shuffle on the node
+    key with map-side max partials."""
+    e = checkpoint(edges.select(src, dst), eager=False)
+    nodes = (
+        e.select(F.col(src).alias("v")).union(e.select(F.col(dst))).distinct()
+    )
+    if nodes.count() <= small_graph_max_nodes:
+        return _dag_depth_small_graph(
+            e, nodes, src=src, dst=dst, node="v", max_rounds=max_rounds
+        )
+    depth = nodes.select("v", F.lit(0).cast("long").alias("d"))
+    prev = -1
+    # terminates in ≤ diameter ≤ |V| rounds on a DAG; the cap is a backstop
+    for _ in range(max_rounds):
+        nd = e.join(F.broadcast(depth), F.col(src) == depth.v).select(
+            F.col(dst).alias("v"), (F.col("d") + 1).alias("d")
+        )
+        depth = checkpoint(
+            depth.union(nd).groupBy("v").agg(F.max("d").alias("d"))
+        )
+        cur = depth.agg(F.sum("d")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return depth.select(F.col("v").alias("node"), F.col("d").alias("d"))
+
+
+def _dag_depth_small_graph(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Longest-path (topological-layer) depth per node for a
+    METADATA-SIZED DAG, computed inside ONE Arrow task — the r11
+    q_pagerank kernel pattern applied to q_dag_layers' relaxation loop
+    (each distributed round there was a broadcast join + union +
+    max-groupBy + eager checkpoint + a Σd convergence action, all to
+    advance a ≤|V|-row table one hop). Arithmetic contract mirrors the
+    distributed loop exactly: simultaneous relaxation
+    d(v) ← max(d(v), d(u)+1) over incoming edges until a fixpoint, capped
+    at ``max_rounds`` (the loop's backstop) — integers, order-free, so
+    the fixpoint is identical by construction. Edges whose endpoints are
+    not in the node list are ignored, matching the join semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rounds = int(max_rounds)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes_a = np.sort(
+            pdf.loc[pdf["kind"] == 0, "ksrc"].to_numpy(dtype="int64")
+        )
+        idx = {int(v): i for i, v in enumerate(nodes_a)}
+        e = pdf[pdf["kind"] == 1]
+        keep = e["ksrc"].isin(idx) & e["kdst"].isin(idx)
+        e = e[keep]
+        si = e["ksrc"].map(idx).to_numpy(dtype="int64")
+        di = e["kdst"].map(idx).to_numpy(dtype="int64")
+        d = np.zeros(len(nodes_a), dtype="int64")
+        for _ in range(rounds):
+            nd = d.copy()
+            np.maximum.at(nd, di, d[si] + 1)
+            if (nd == d).all():
+                break
+            d = nd
+        return pd.DataFrame({"node": nodes_a, "d": d})
+
+    tagged = nodes.select(
+        F.col(node).cast("long").alias("ksrc"),
+        F.lit(None).cast("long").alias("kdst"),
+        F.lit(0).alias("kind"),
+    ).unionByName(
+        edges.select(
+            F.col(src).cast("long").alias("ksrc"),
+            F.col(dst).cast("long").alias("kdst"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    return tagged.groupBy(F.lit(1).alias("g")).applyInPandas(
+        kernel, schema="node long, d long"
+    )

@@ -3902,25 +3902,19 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2 HAVING count(*) >= 100
         """
     )
-    e = checkpoint(e0, eager=False)
-    nodes = (
-        e.select(F.col("src").alias("v")).union(e.select(F.col("dst"))).distinct()
+    # r11: the relaxation loop moved to operators/graph.dag_depths — the
+    # q_pagerank pattern: metadata-sized DAGs (one bounded count decides)
+    # run the whole fixpoint in ONE Arrow task instead of ~10 scheduler
+    # waves of broadcast join + union + max-groupBy + eager checkpoint +
+    # a Σd convergence action per hop; the distributed loop is unchanged
+    # and remains the path past the node threshold (both paths proven
+    # value-identical in tests/test_dag_layers_paths.py — integer
+    # relaxation, so the fixpoint is identical by construction).
+    from ..operators.graph import dag_depths
+
+    return dag_depths(e0, src="src", dst="dst").select(
+        F.col("node"), F.col("d").cast("long").alias("depth")
     )
-    depth = nodes.select("v", F.lit(0).cast("long").alias("d"))
-    prev = -1
-    # terminates in ≤ diameter ≤ |V| rounds on a DAG; the cap is a backstop
-    for _ in range(64):
-        nd = e.join(F.broadcast(depth), e.src == depth.v).select(
-            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
-        )
-        depth = checkpoint(
-            depth.union(nd).groupBy("v").agg(F.max("d").alias("d"))
-        )
-        cur = depth.agg(F.sum("d")).first()[0]
-        if cur == prev:
-            break
-        prev = cur
-    return depth.select(F.col("v").alias("node"), F.col("d").cast("long").alias("depth"))
 
 
 # --------------------------------------------------------------------------
