@@ -83,7 +83,7 @@ ALLOWED_BROADCASTS = {
     #   doc'd: shuffle on v past broadcast size, the operators/graph.py note)
     # + profile drift's 1-row time bounds + assortativity's two |V|-row
     #   degree tables
-    "queries/analytics.py": 42,  # r11 -1: the DAG-depth round-table broadcast moved to operators/graph.dag_depths
+    "queries/analytics.py": 40,  # r11 -1: the DAG-depth round-table broadcast moved to operators/graph.dag_depths; r12 -2: q_kcore's survivor-set semi-join broadcasts moved to operators/graph.kcore_census
     # dims, 1-row CUPED/AB moments, k-row quantile cuts + calendars +
     # the 41-row DP candidate grid + the decision stump's 1-row class total
     # + the EB-shrinkage 1-row prior
@@ -119,7 +119,7 @@ ALLOWED_BROADCASTS = {
     "operators/similarity.py": 10,
     # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket
     # past broadcast size at web scale — the loop structure is unchanged)
-    "operators/graph.py": 5,  # r11 +1: dag_depths' |V|-row depth table per round (bounded like the pagerank rank vector; co-bucket on the node key past broadcast size — module note)
+    "operators/graph.py": 7,  # r11 +1: dag_depths' |V|-row depth table per round (bounded like the pagerank rank vector; co-bucket on the node key past broadcast size — module note); r12 +2: kcore_census's ≤|V|-row survivor-set semi-joins (moved from q_kcore, same boundedness)
     # calendar spine (days) + 1-row bounds + DTW's k-row series table
     # (docstring documents the PAA/SAX prefilter swap for large key spaces)
     # + periodogram's 1-row moments and 20-row frequency list
