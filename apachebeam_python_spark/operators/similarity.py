@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..session import fan_out
+from ..session import broadcast_if_small, fan_out
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
@@ -88,12 +88,32 @@ def lsh_bucket(vec: Column, table: int, n_bits: int) -> Column:
     return bucket
 
 
-def lsh_buckets(df: DataFrame, vec_col: str, id_col: str, *, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
-    """Bucket assignment across n_tables hash tables (one row per (id, table))."""
+def lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    with_vectors: bool = True,
+) -> DataFrame:
+    """Bucket assignment across n_tables hash tables (one row per (id, table)).
+
+    ``with_vectors=False`` (r12, VERDICT r11 #6) emits only
+    (doc_id, tbl, bucket) — the candidate-generation shape: pair joins and
+    their dedup exchange then move ids instead of n_tables replicas of the
+    embedding payload; callers re-attach vectors to the SURVIVING pairs
+    (guide §8's proxy rule)."""
+    cols = [F.col(id_col).alias("doc_id")]
+    if with_vectors:
+        cols += [
+            F.col(vec_col).alias("vec"),
+            # once per vector, reused at re-rank
+            V.norm(F.col(vec_col)).alias("nrm"),
+        ]
+    out_cols = ["doc_id"] + (["vec", "nrm"] if with_vectors else [])
     return fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("vec"),
-        V.norm(F.col(vec_col)).alias("nrm"),  # once per vector, reused at re-rank
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -102,30 +122,51 @@ def lsh_buckets(df: DataFrame, vec_col: str, id_col: str, *, n_tables: int = 4, 
                 ]
             )
         ).alias("tb"),
-    ).select("doc_id", "vec", "nrm", "tb.tbl", "tb.bucket")
+    ).select(*out_cols, "tb.tbl", "tb.bucket")
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int, *, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in ANY table, then
     exact cosine re-rank. The corpus shuffles on (tbl, bucket) — O(n·tables)
-    rows of (id, vec) — instead of the n_q × n_corpus brute-force pairing."""
-    cb = lsh_buckets(corpus, vec_col, id_col, n_tables=n_tables, n_bits=n_bits)
-    qb = lsh_buckets(queries, vec_col, id_col, n_tables=n_tables, n_bits=n_bits).select(
-        F.col("doc_id").alias("query_id"), F.col("vec").alias("qv"),
-        F.col("nrm").alias("qn"), "tbl", "bucket",
+    rows of ids — instead of the n_q × n_corpus brute-force pairing.
+
+    r12 (VERDICT r11 #6): candidate generation and its dedup exchange move
+    IDS ONLY (guide §8's proxy rule — the collision decision never reads
+    the embedding); query vectors re-attach by broadcast (the query set is
+    small by contract) and corpus vectors through the size-gated
+    broadcast_if_small (row-gated, AQE shuffle-join fallback at scale), so
+    the payload crosses an exchange once at most, after the dedup."""
+    cb = lsh_buckets(
+        corpus, vec_col, id_col,
+        n_tables=n_tables, n_bits=n_bits, with_vectors=False,
     )
+    qb = lsh_buckets(
+        queries, vec_col, id_col,
+        n_tables=n_tables, n_bits=n_bits, with_vectors=False,
+    ).select(F.col("doc_id").alias("query_id"), "tbl", "bucket")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            F.col("query_id"), F.col("doc_id").alias("neighbor_id"),
-            "qv", F.col("vec").alias("cv"), "qn", F.col("nrm").alias("cn"),
-        )
+        .select(F.col("query_id"), F.col("doc_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cand.withColumn(
-        "cos_sim",
-        V.safe_cosine_from(V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        V.norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        V.norm(F.col(vec_col)).alias("cn"),
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(broadcast_if_small(cv), "neighbor_id")
+        .withColumn(
+            "cos_sim",
+            V.safe_cosine_from(
+                V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

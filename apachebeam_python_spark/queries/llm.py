@@ -644,21 +644,43 @@ def q_dedup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("double").alias("score"),
     )
     emb = table(spark, sf_dir, "embeddings")
-    buckets = SIM.lsh_buckets(emb, "embedding", "vec_id", n_tables=16, n_bits=4)
-    a = buckets.select(
-        F.col("doc_id").alias("id_a"), F.col("vec").alias("va"),
-        F.col("nrm").alias("na"), "tbl", "bucket",
-    )
-    b = buckets.select(
-        F.col("doc_id").alias("id_b"), F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"), "tbl", "bucket",
-    )
+    # r12 (VERDICT r11 #6): the pair join + dedup exchange move IDS ONLY
+    # (guide §8's proxy rule — bucket collision never reads the embedding);
+    # the buckets table is lazily checkpointed because the self-join would
+    # otherwise recompute the 64 hyperplane-bit folds per side. Vectors
+    # re-attach to the SURVIVING pairs through the size-gated broadcast
+    # (row-gated, AQE shuffle-join fallback once the corpus outgrows it).
     from ..functions import vectors as V
+    from ..session import broadcast_if_small, checkpoint
 
+    buckets = checkpoint(
+        SIM.lsh_buckets(
+            emb, "embedding", "vec_id", n_tables=16, n_bits=4,
+            with_vectors=False,
+        ),
+        eager=False,
+    )
+    a = buckets.select(F.col("doc_id").alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "tbl", "bucket")
+    vn = emb.select(
+        "vec_id", F.col("embedding").alias("v"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    va = vn.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vn.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     emb_lsh = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(broadcast_if_small(va), "id_a")
+        .join(broadcast_if_small(vb), "id_b")
         .withColumn(
             "score",
             F.round(V.safe_cosine_from(V.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 6),

@@ -116,7 +116,7 @@ ALLOWED_BROADCASTS = {
     # query-set broadcasts (bounded by contract), 1-row norms, and the PQ
     # metadata tables: seeds/codebooks (m·k rows) + per-query ADC distance
     # tables (n_q·m·k rows) — all independent of corpus size
-    "operators/similarity.py": 10,
+    "operators/similarity.py": 11,  # r12 +1: lsh_ann_topk re-attaches query vectors post-dedup (query set bounded by contract, same as the bucket broadcast it joins)
     # rank vector / 1-row dangling mass / n-row node base (doc'd: co-bucket
     # past broadcast size at web scale — the loop structure is unchanged)
     "operators/graph.py": 7,  # r11 +1: dag_depths' |V|-row depth table per round (bounded like the pagerank rank vector; co-bucket on the node key past broadcast size — module note); r12 +2: kcore_census's ≤|V|-row survivor-set semi-joins (moved from q_kcore, same boundedness)
