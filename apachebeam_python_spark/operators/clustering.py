@@ -98,13 +98,17 @@ def kmeans_centroids(
         dim = len(cents[0])
         for _ in range(n_iter):
             lit = _lit_centroids(cents)
+            # r12: the k-distance array is aliased in its OWN projection so
+            # it is evaluated once per row — inlined, argmin-by-position
+            # referenced it twice and Catalyst does not collapse projects
+            # that would duplicate a non-cheap HOF fold (2·k·dim work per
+            # row for the same doubles)
             assigned = vecs.select(
+                F.transform(lit, lambda c: _l2sq(F.col("v"), c)).alias("_d"),
+                F.col("v"),
+            ).select(
                 (
-                    F.array_position(
-                        F.transform(lit, lambda c: _l2sq(F.col("v"), c)),
-                        F.array_min(F.transform(lit, lambda c: _l2sq(F.col("v"), c))),
-                    )
-                    - 1
+                    F.array_position(F.col("_d"), F.array_min("_d")) - 1
                 ).alias("cluster"),
                 F.col("v"),
             )
@@ -143,12 +147,20 @@ def assign_clusters(
     safe to compose under any downstream partitioning."""
     lit = _lit_centroids(centroids)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.transform(lit, lambda c: _l2sq(v, c))
+    # r12: distances evaluated ONCE per row (own projection — inlined, the
+    # expression appeared three times: argmin position, its target min,
+    # and dist_sq, i.e. 3·k·dim folds per row for identical doubles)
     return df.select(
         F.col(id_col),
         F.col(vec_col),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
-        F.array_min(dists).alias("dist_sq"),
+        F.transform(lit, lambda c: _l2sq(v, c)).alias("_d"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(F.col("_d"), F.array_min("_d")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("_d").alias("dist_sq"),
     )
 
 

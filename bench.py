@@ -844,6 +844,14 @@ def main() -> None:
                 "tier2_value": round(sum(best2.values()), 3),
                 "tier2_queries": best2,
                 "sf": sf,
+                # scaling signal (r12, VERDICT r11 #2): echo the core count
+                # the session actually ran with, and the compute-bound probe
+                # (2e8-row codegen sum over 32 partitions, best-of-three) —
+                # its low/high-core ratio tracks the core ratio on a healthy
+                # harness, unlike the sub-second fixed-overhead-bound tier
+                # queries whose low/high ratios sit near 1 at sf0.1
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "cpu_probe_sec": probe["cpu32"],
                 "host_probe_sec": probe["total"],
                 "host_factor": host_factor,
             }
