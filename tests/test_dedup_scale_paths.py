@@ -63,14 +63,25 @@ def test_connected_components_deep_chain_pointer_jump(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
     )
-    out = D.connected_components(pairs, max_iter=12)
+    # force the DISTRIBUTED loop (r12: the bounded-pair union-find kernel
+    # would otherwise absorb this graph without iterating at all — the
+    # round-cap and pointer-jump contracts under test belong to the loop)
+    out = D.connected_components(pairs, max_iter=12, small_graph_max_edges=0)
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert set(got.values()) == {0} and len(got) == 301
+    # the kernel path must agree on the same labeling
+    k = {
+        r.doc_id: r.cluster_id
+        for r in D.connected_components(pairs).collect()
+    }
+    assert k == got
 
     import pytest
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iter=12, pointer_jump=False)
+        D.connected_components(
+            pairs, max_iter=12, pointer_jump=False, small_graph_max_edges=0
+        )
 
 
 def test_incremental_dedup_semantics(spark, sf_dir):

@@ -190,3 +190,48 @@ def test_kernels_empty_graph(spark):
     assert closure_census(e).count() == 0
     assert kcore_census(e).count() == 0
     assert lpa_labels(e, src="src", dst="dst").count() == 0
+
+
+# ------------------------------------------------------- connected components
+
+
+def test_connected_components_paths_identical(spark, sf_dir):
+    from apachebeam_python_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        release_signature_caches,
+    )
+    from apachebeam_python_spark.session import table
+
+    pairs = minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=2, num_hashes=64, bands=32, threshold=0.5, verify=True,
+    )
+    kernel = _rows(connected_components(pairs), "doc_id", "cluster_id")
+    release_signature_caches()
+    dist = _rows(
+        connected_components(pairs, small_graph_max_edges=0),
+        "doc_id",
+        "cluster_id",
+    )
+    release_signature_caches()
+    assert kernel == dist
+
+
+def test_connected_components_kernel_min_root_chain(spark):
+    from apachebeam_python_spark.operators.dedup import connected_components
+
+    # a chain 5-4, 4-3, 3-9 plus an isolated pair 7-8: min-member labeling
+    pairs = spark.createDataFrame(
+        [(4, 5), (3, 4), (3, 9), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = dict(_rows(connected_components(pairs), "doc_id", "cluster_id"))
+    assert got == {3: 3, 4: 3, 5: 3, 9: 3, 7: 7, 8: 7}
+    dist = dict(
+        _rows(
+            connected_components(pairs, small_graph_max_edges=0),
+            "doc_id",
+            "cluster_id",
+        )
+    )
+    assert dist == got
