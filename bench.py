@@ -463,6 +463,30 @@ def main() -> None:
     # inside the same JVM the queries will use
     probe = host_probe(spark)
 
+    # core-scaling probe (r12, VERDICT r11 #2): the host probe's cpu32 is
+    # sized for drift detection and saturates at job overhead (measured
+    # 0.191 s at 32 cores vs 0.198 s at 8 — ratio ≈ 1), so it cannot tell
+    # the driver whether the bench honors $SPARK_GRAFT_CPUS. This probe is
+    # 20× heavier (4e9-row codegen modulo-sum, 64 partitions, best-of-2 —
+    # ~0.5 s at 32 cores), so its low/high-core ratio ≈ the core ratio on
+    # a healthy harness while the sub-second tier queries remain
+    # fixed-overhead-bound at sf0.1. Fixture-independent; additive to the
+    # stdout contract ("scale_probe_sec"); NOT part of host_probe, whose
+    # composition is pinned by the committed anchor in
+    # PLAN_SHA_BASELINE.json.
+    def _scale_probe() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            spark.range(0, 4_000_000_000, 1, 64).selectExpr(
+                "sum(id % 1000007) AS s"
+            ).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    scale_probe = _scale_probe()
+
     # layout maintenance (see module docstring): queries run against a
     # multi-row-group rewrite of the fixture so scans parallelize
     if os.environ.get("SPARK_GRAFT_BENCH_COMPACT", "1") != "0":
@@ -790,6 +814,8 @@ def main() -> None:
                     "host_probe": probe,
                     "host_probe_baseline": probe_baseline,
                     "host_factor": host_factor,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                    "scale_probe_sec": scale_probe,
                     # per-tier probe brackets + trust flags (r10, VERDICT
                     # r9 #3) — cross-run comparisons must skip tiers where
                     # trusted_for_comparison is false
@@ -852,6 +878,7 @@ def main() -> None:
                 # queries whose low/high ratios sit near 1 at sf0.1
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
                 "cpu_probe_sec": probe["cpu32"],
+                "scale_probe_sec": scale_probe,
                 "host_probe_sec": probe["total"],
                 "host_factor": host_factor,
             }
